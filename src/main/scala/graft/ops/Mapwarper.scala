@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.GeoUdfs
+import graft.model.Schemas
+
+/** The mapwarper transform pipeline — the reference's flagship surface
+  * (SURVEY §3.2), Spark-first:
+  *
+  *   read NDJSON (declared schema) → dispatch by record type →
+  *   eligibility filter (P2) → validation rule chain (§2.7 getLogs) →
+  *   dead-letter routing → st:Map object projection (P6/P7) +
+  *   st:in relation explosion (J2) → tagged union output.
+  *
+  * One computed frame feeds both routing branches (cache ⇒ the O(n²)
+  * kink check runs once per row, SURVEY §7.4). All validation rules are
+  * codegen'd column expressions except the two genuinely custom scalar
+  * functions (geodesic area, kink count) which are scalar UDFs.
+  *
+  * Reference behavior citations: /root/reference/mapwarper.js —
+  * eligibility 354-356, getLogs 221-321, routing 358-361, map object
+  * 362-396, layer object 399-415, relations 333-346, stream dispatch
+  * 417-437.
+  */
+object Mapwarper {
+
+  import Schemas._
+
+  private val logEntryType =
+    "struct<type:string,message:string>"
+
+  /** NDJSON multi-file scan with the declared tagged-union schema
+    * (S6: blank-line drop + parse are built into Spark's JSON source). */
+  def readRecords(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(recordType).json(paths: _*)
+
+  /** Parse already-loaded NDJSON lines (e.g. the embedded fixture). */
+  def parseRecords(spark: SparkSession, lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(lines).toDF("line")
+      .select(from_json(col("line"), recordType).as("rec"))
+      .select(col("rec.*"))
+  }
+
+  /** JS-truthiness for strings: null and "" are both falsy. */
+  private def truthy(c: Column): Column = c.isNotNull && c =!= ""
+
+  /** getYear (F1): depicts_year || issue_year, parseInt semantics
+    * (leading-integer extraction; /root/reference/mapwarper.js:323-329). */
+  private def yearCol(dy: Column, iy: Column): Column = {
+    def p(c: Column) =
+      when(truthy(c), regexp_extract(c, "^\\s*([+-]?\\d+)", 1)).otherwise(lit(null))
+    val y = coalesce(p(dy), p(iy))
+    when(truthy(y), y.cast("int")).otherwise(lit(null).cast("int"))
+  }
+
+  /** The 9-rule validation chain (§2.7) as one `logs` array column.
+    * Rules evaluate in the reference's order; the mask_missing fallback
+    * fires only when no other rule did and no mask geometry exists. */
+  def withLogs(maps: DataFrame): DataFrame = {
+    val mg = col("maskGeometry")
+    val mgc = col("maskGeometry.coordinates")
+    val hasGeom = mg.isNotNull && mgc.isNotNull
+
+    def entry(cond: Column, typ: String, msg: Column): Column =
+      when(cond, struct(lit(typ).as("type"), msg.as("message")))
+        .otherwise(lit(null).cast(logEntryType))
+
+    val ringLen = size(element_at(mgc, 1))
+    val kinkCount = when(hasGeom, GeoUdfs.kinks(mgc)).otherwise(lit(null))
+    val allValid = expr(
+      """forall(flatten(maskGeometry.coordinates),
+        | p -> p[0] >= -180D AND p[0] <= 180D AND p[1] >= -90D AND p[1] <= 90D)""".stripMargin)
+
+    val ruleEntries = array(
+      entry(!truthy(col("uuid")), "missing_uuid", lit("Map has no UUID")),
+      entry(hasGeom && ringLen < 4, "mask_coordinates_count",
+        concat(lit("Mask has "), ringLen.cast("string"),
+               lit(" coordinates (should have at least 4)"))),
+      entry(hasGeom && kinkCount > 0, "self_intersection",
+        concat(lit("Mask has "), kinkCount.cast("string"), lit(" self-intersections"))),
+      entry(hasGeom && !allValid, "invalid_coordinates", lit("Mask has invalid coordinates")),
+      entry(hasGeom && size(mgc) =!= 1, "multipolygon",
+        concat(lit("Mask is a MultiPolygon with "), size(mgc).cast("string"), lit(" polygons"))),
+      entry(truthy(col("maskError")), "mask_to_geojson", col("maskError")),
+      entry(col("status") === "warped" && col("mask_status") === "unmasked",
+        "warped_but_unmasked", lit("Map is warped, but not masked")),
+      entry(col("status") =!= "warped" && col("status") =!= "published" &&
+              col("mask_status") =!= "unmasked",
+        "unwarped_but_masked", lit("Map is masked, but not warped")))
+
+    val firing = filter(ruleEntries, x => x.isNotNull)
+    val logs = when(size(firing) === 0 && !hasGeom,
+        array(struct(lit("mask_missing").as("type"), lit("Map is unmasked").as("message"))))
+      .otherwise(firing)
+
+    maps.withColumn("logs", logs)
+  }
+
+  // --- output record assembly ---------------------------------------
+
+  private def nullS = lit(null).cast("string")
+  private def nullI = lit(null).cast("int")
+
+  private def objStruct(id: Column, name: Column, validSince: Column,
+                        data: Column, geometry: Column): Column =
+    struct(
+      id.as("id"), lit("st:Map").as("type"), name.as("name"),
+      validSince.as("validSince"), validSince.as("validUntil"),
+      data.as("data"), geometry.as("geometry"),
+      nullS.as("from"), nullS.as("to"), nullS.as("imageId"),
+      lit(null).cast(s"array<$logEntryType>").as("logs"))
+
+  /** Eligible map records (P2): bbox truthy ∧ map_type = 'is_map'. */
+  def eligibleMaps(records: DataFrame): DataFrame =
+    records.filter(col("type") === "map")
+      .select(col("data.*"))
+      .filter(truthy(col("bbox")) && col("map_type") === "is_map")
+
+  /** Clean maps → st:Map objects (P6). */
+  def mapObjects(clean: DataFrame): DataFrame = {
+    val area = GeoUdfs.areaM2(col("maskGeometry.coordinates"))
+    val data = struct(
+      col("description").as("description"),
+      col("nypl_digital_id").as("imageId"),
+      col("uuid").as("uuid"),
+      col("parent_uuid").as("parentUuid"),
+      coalesce(col("uuid").startsWith("inset"), lit(false)).as("inset"),
+      col("mask_status").isin("masked", "masking").as("masked"),
+      concat(lit("http://digitalcollections.nypl.org/items/"), col("uuid")).as("nyplUrl"),
+      concat(lit("http://maps.nypl.org/warper/maps/tile/"), col("id").cast("string"),
+             lit("/{z}/{x}/{y}.png")).as("tileUrl"),
+      round(area * 1e-6, 5).as("area"),
+      col("gcps").as("gcps"),
+      nullI.as("mapCount"),
+      lit(null).cast("array<double>").as("bbox"))
+    clean.select(lit("object").as("type"),
+      objStruct(col("id").cast("string"), col("title"),
+                yearCol(col("depicts_year"), col("issue_year")),
+                data, col("maskGeometry")).as("obj"))
+  }
+
+  /** Clean maps → st:in relations, one per layer membership (J2). */
+  def mapRelations(clean: DataFrame): DataFrame =
+    clean.select(col("id"), explode(col("layerIds")).as("layerId"))
+      .select(lit("relation").as("type"),
+        struct(
+          nullS.as("id"), lit("st:in").as("type"), nullS.as("name"),
+          nullI.as("validSince"), nullI.as("validUntil"),
+          lit(null).cast(objDataType).as("data"),
+          lit(null).cast(geometryType).as("geometry"),
+          col("id").cast("string").as("from"),
+          concat(lit("layer-"), col("layerId").cast("string")).as("to"),
+          nullS.as("imageId"),
+          lit(null).cast(s"array<$logEntryType>").as("logs")).as("obj"))
+
+  /** Dead-lettered maps → log records (§2.7 routing). */
+  def logRecords(dead: DataFrame): DataFrame =
+    dead.select(lit("log").as("type"),
+      struct(
+        col("id").cast("string").as("id"), nullS.as("type"), nullS.as("name"),
+        nullI.as("validSince"), nullI.as("validUntil"),
+        lit(null).cast(objDataType).as("data"),
+        lit(null).cast(geometryType).as("geometry"),
+        nullS.as("from"), nullS.as("to"),
+        col("nypl_digital_id").as("imageId"),
+        col("logs")).as("obj"))
+
+  /** Layer records → st:Map objects (P7). */
+  def layerObjects(records: DataFrame): DataFrame = {
+    val layers = records.filter(col("type") === "layer").select(col("data.*"))
+    val data = struct(
+      nullS.as("description"), nullS.as("imageId"), nullS.as("uuid"),
+      nullS.as("parentUuid"),
+      lit(null).cast("boolean").as("inset"),
+      lit(null).cast("boolean").as("masked"),
+      nullS.as("nyplUrl"),
+      concat(lit("http://maps.nypl.org/warper/layers/tile/"), col("id").cast("string"),
+             lit("/{z}/{x}/{y}.png")).as("tileUrl"),
+      lit(null).cast("double").as("area"),
+      lit(null).cast("array<array<double>>").as("gcps"),
+      col("maps_count").as("mapCount"),
+      when(truthy(col("bbox")), split(col("bbox"), ",").cast("array<double>"))
+        .otherwise(lit(null).cast("array<double>")).as("bbox"))
+    layers.select(lit("object").as("type"),
+      objStruct(concat(lit("layer-"), col("id").cast("string")), col("name"),
+                yearCol(col("depicts_year"), col("issue_year")),
+                data, lit(null).cast(geometryType)).as("obj"))
+  }
+
+  /** The full transform step: tagged union of objects ∪ relations ∪
+    * logs from one validated, cached frame. */
+  def pipeline(records: DataFrame): DataFrame = {
+    val validated = withLogs(eligibleMaps(records)).cache()
+    val clean = validated.filter(size(col("logs")) === 0)
+    val dead = validated.filter(size(col("logs")) > 0)
+    mapObjects(clean)
+      .unionByName(mapRelations(clean))
+      .unionByName(logRecords(dead))
+      .unionByName(layerObjects(records))
+  }
+
+  /** Transform from NDJSON files on disk (the reference's step shape:
+    * maps.ndjson + layers.ndjson from the previous stage's dir). */
+  def transformFiles(spark: SparkSession, dir: String): DataFrame =
+    pipeline(readRecords(spark, Seq(s"$dir/maps.ndjson", s"$dir/layers.ndjson")))
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Multimodal column plumbing (SURVEY §2.9): media payloads as opaque
+  * binary columns with typed metadata, batch feature extraction via
+  * mapPartitions (the Scala analogue of mapInPandas batch UDFs).
+  *
+  * The media decode itself is STUBBED — image/audio codecs are not in
+  * this container — behind [[MediaDecoder]]: a deterministic fake that
+  * hashes payload bytes into a fixed-dim feature vector. Everything
+  * around it is the real Spark plumbing a 100 TB multimodal pipeline
+  * needs: binary column + metadata struct schema, partition-batched
+  * decode (decoder initialized once per partition, not per row), and
+  * a narrow, column-pruned output schema.
+  */
+object Multimodal {
+
+  /** Decode stub: replace with a real codec binding at deploy time. */
+  trait MediaDecoder extends Serializable {
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake decoder: xxhash-style mixing of payload bytes
+    * into `dim` floats in [-1, 1]. Stands in for image/audio decode. */
+  object FakeDecoder extends MediaDecoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ payload(i)) * 0xC2B2AE3D27D4EB4FL
+        h = java.lang.Long.rotateLeft(h, 31)
+        i += 1
+      }
+      var j = 0
+      while (j < dim) {
+        h = (h + 0x9E3779B97F4A7C15L) * 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 27)
+        out(j) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = false)))
+
+  /** Packs documents into a multimodal frame: opaque binary payload +
+    * typed metadata struct (mime/width/height/duration). */
+  def packMedia(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      struct(
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("application/x-fake-image").as("mime"),
+          (col("n_chars") % 1024).cast("int").as("width"),
+          ((col("n_chars") / 1024) % 1024 + 1).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta")).as("media"),
+      col("source"))
+
+  val FeatureDim = 8
+
+  /** Batch feature extraction: one decoder per partition, iterator-to-
+    * iterator (streaming, no partition materialization). */
+  def extractFeatures(spark: SparkSession, packed: DataFrame,
+                      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.mapPartitions { rows =>
+      // decoder "session" initialized once per partition (the expensive
+      // part for a real codec); rows stream through it
+      val dec = decoder
+      rows.map { r =>
+        val media = r.getStruct(r.fieldIndex("media"))
+        val payload = media.getAs[Array[Byte]]("payload")
+        val meta = media.getStruct(media.fieldIndex("meta"))
+        Row(r.getLong(r.fieldIndex("doc_id")),
+            r.getAs[String]("source"),
+            meta.getAs[Integer]("width"),
+            dec.features(payload, FeatureDim))
+      }
+    }(enc)
+  }
+
+  /** Multimodal pipeline query: pack → batch-decode → per-source feature
+    * aggregation. Rows-only check (binary/mapPartitions not in DuckDB). */
+  def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val feats = extractFeatures(s, packMedia(documents(s, d)))
+    feats
+      .select(col("doc_id"), col("source"), col("width"),
+        round(sqrt(Similarity.dot(col("feature").cast("array<double>"),
+                                  col("feature").cast("array<double>"))), 5).as("feat_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q46_multimodal_features", q46MultimodalFeatures _, None),
+  )
+}

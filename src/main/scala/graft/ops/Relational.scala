@@ -1,0 +1,556 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Relational operator suite: joins, aggregations, windows, sorts/top-k,
+  * set operations, scalar/date/JSON functions, tumbling-window aggregation.
+  *
+  * Design rules (see SURVEY.md §2.3-2.6, §7.4):
+  *  - Every query is deterministic: explicit ORDER BY with a unique
+  *    tie-breaker, so the DuckDB-oracle hash compare is stable.
+  *  - Double-typed aggregates are round()ed in BOTH engines: partial
+  *    (map-side) aggregation sums doubles in a different order than
+  *    DuckDB's sequential scan, so the last few bits can differ; rounding
+  *    at a granularity far above the FP noise floor makes them equal.
+  *  - Derived integer types are aligned explicitly (DuckDB length()/
+  *    row_number() are BIGINT, Spark's are INT — cast to agree).
+  *  - Broadcast hints only where a side is a genuine dimension table
+  *    (nation/region/supplier) that stays small at 100 TB scale factors;
+  *    fact-to-fact joins are left to shuffled hash/sort-merge + AQE.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: partial+final hash aggregation over
+    * the largest fact table; no join, one shuffle on the 6-value group key. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Equi inner join fact-to-dimension; AQE broadcasts the customer side
+    * when it is under the threshold, otherwise shuffled hash join. */
+  def q02JoinInner(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  val q02Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Multi-way join: lineitem⋈orders (fact-fact, shuffle on orderkey)
+    * then ⋈customer (AQE) then ⋈broadcast(nation) (25-row dim). */
+  def q03JoinMulti(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("n_name"))
+
+  val q03Sql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_rows
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left outer join + two-level aggregation: per-customer order count,
+    * then a histogram of those counts (classic distribution query). */
+  def q04JoinLeft(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  val q04Sql: String =
+    """SELECT n_orders, count(*) AS n_customers FROM (
+      | SELECT c_custkey, count(o_orderkey) AS n_orders
+      | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      | GROUP BY c_custkey
+      |) GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  /** Left-semi join (EXISTS): customers having at least one 'F' order. */
+  def q05JoinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q05Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no 'P' order, per nation. */
+  def q06JoinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  val q06Sql: String =
+    """SELECT n_name, count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Explicit broadcast-hash joins along the dim chain supplier→nation→region. */
+  def q07JoinBroadcast(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           round(avg(col("s_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"))
+
+  val q07Sql: String =
+    """SELECT r_name, count(*) AS n_suppliers, round(avg(s_acctbal), 4) AS avg_bal
+      |FROM supplier
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Theta join: equi key (nation) + non-equi residual (acctbal inequality).
+    * Catalyst plans the equi part as the join key and evaluates the
+    * inequality as a post-join condition — no cartesian product. */
+  def q08JoinTheta(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(customer(s, d),
+            col("s_nationkey") === col("c_nationkey") && col("s_acctbal") < col("c_acctbal"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_name"))
+
+  val q08Sql: String =
+    """SELECT n_name, count(*) AS n_pairs
+      |FROM supplier
+      | JOIN customer ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+      | JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Distinct aggregation: per-group exact distinct counts (expand+two-phase). */
+  def q09AggDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q09Sql: String =
+    """SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps,
+      | count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets; grand-total/subtotal rows tagged via coalesce. */
+  def q10AggRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q10Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      | coalesce(l_linestatus, 'ALL') AS ls,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** CUBE grouping sets over orders. */
+  def q11AggCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val q11Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | count(*) AS n_orders,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by price (unique tie-break). */
+  def q12WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Frame aggregation: running per-customer revenue (rowsBetween frame).
+    * Prefix sums evaluate in identical order in both engines → exact. */
+  def q13WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | round(sum(o_totalprice) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Offset window functions: lag with default. */
+  def q14WindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice") - lag(col("o_totalprice"), 1, 0.0).over(w), 2)
+                .as("diff_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS diff_prev
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition heap + driver merge of k rows, no full sort/shuffle. */
+  def q15TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val q15Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Multi-key sort (range-partitioned total sort) + limit. */
+  def q16SortMulti(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_brand").asc, col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(100)
+
+  val q16Sql: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part ORDER BY p_brand ASC, p_retailprice DESC, p_partkey LIMIT 100""".stripMargin
+
+  /** UNION ALL of heterogeneous sources, then aggregate. */
+  def q17Union(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .unionByName(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nk"))
+
+  val q17Sql: String =
+    """SELECT nk, count(*) AS n FROM (
+      | SELECT c_nationkey AS nk FROM customer
+      | UNION ALL
+      | SELECT s_nationkey AS nk FROM supplier
+      |) GROUP BY nk ORDER BY nk""".stripMargin
+
+  /** INTERSECT (distinct set semantics). */
+  def q18Intersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+
+  val q18Sql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nk FROM supplier
+      |ORDER BY nk""".stripMargin
+
+  /** EXCEPT (distinct set semantics): high-quantity orderkeys that are not
+    * finished orders — guaranteed non-empty across scale factors. */
+  def q19Except(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).filter(col("l_quantity") > 40).select(col("l_orderkey").as("k"))
+      .except(orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("k")))
+      .orderBy(col("k"))
+
+  val q19Sql: String =
+    """SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 40
+      |EXCEPT
+      |SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY k""".stripMargin
+
+  /** String scalar function battery (codegen'd built-ins, no UDFs). */
+  def q20ScalarString(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_type"), 1, 5).as("t5"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        expr("split_part(p_type, ' ', 1)").as("first_word"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_name").contains("o").as("has_o"),
+        reverse(col("p_brand")).as("rbrand"))
+      .orderBy(col("p_partkey"))
+
+  val q20Sql: String =
+    """SELECT p_partkey,
+      | upper(p_name) AS uname,
+      | lower(p_brand) AS lbrand,
+      | substring(p_type, 1, 5) AS t5,
+      | length(p_name) AS name_len,
+      | concat(p_brand, ':', p_type) AS brand_type,
+      | split_part(p_type, ' ', 1) AS first_word,
+      | replace(p_name, ' ', '_') AS name_us,
+      | starts_with(p_name, 'a') AS starts_a,
+      | contains(p_name, 'o') AS has_o,
+      | reverse(p_brand) AS rbrand
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+
+  /** Math scalar battery. sqrt is IEEE-correctly-rounded (bit-identical in
+    * both engines); composite products are rounded. */
+  def q21ScalarMath(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+        ceil(col("l_quantity")).cast("bigint").as("qty_ceil"),
+        floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q21Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+      | CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+      | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      | round(abs(l_discount - 0.05), 4) AS disc_dev,
+      | round(sqrt(l_extendedprice), 6) AS price_sqrt,
+      | greatest(l_quantity, l_discount * 100) AS g,
+      | least(l_tax, l_discount) AS l
+      |FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Date-part extraction + aggregation. */
+  def q22DateParts(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  val q22Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      | CAST(month(o_orderdate) AS INT) AS mo,
+      | count(*) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  /** Semi-structured extraction: regexp field pull from a JSON string
+    * column (codegen'd; avoids per-engine JSON-extension differences). */
+  def q23JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).as("ks"),
+              col("value"))
+      .select(expr("try_cast(ks AS INT)").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k"))
+
+  val q23Sql: String =
+    """SELECT TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INT) AS k,
+      | count(*) AS n,
+      | round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** Tumbling-window aggregation over the events stream table using
+    * Spark's native window() operator (the batch twin of the Structured
+    * Streaming query in graft.streaming.EventStream). */
+  def q24EventsWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+              col("event_type"), col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val q24Sql: String =
+    """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+      | event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** CASE WHEN bucketing + aggregation. */
+  def q25Conditional(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("bucket"),
+        col("o_orderstatus"))
+      .groupBy(col("bucket"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("o_orderstatus"))
+
+  val q25Sql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+      |            WHEN o_totalprice < 150000 THEN 'mid'
+      |            ELSE 'high' END AS bucket,
+      | o_orderstatus, count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY bucket, o_orderstatus""".stripMargin
+
+  /** NULL-handling battery: nullif/coalesce routing. */
+  def q26Nulls(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(coalesce(
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")),
+        lit("WAS_URGENT")).as("pr"))
+      .groupBy(col("pr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pr"))
+
+  val q26Sql: String =
+    """SELECT coalesce(NULLIF(o_orderpriority, '1-URGENT'), 'WAS_URGENT') AS pr,
+      | count(*) AS n
+      |FROM orders GROUP BY pr ORDER BY pr""".stripMargin
+
+  /** Mapwarper scalar-function semantics (SURVEY §2.6 F1-F8) exercised
+    * over the oracle-checkable part table: id prefixing (F2), URL
+    * templating (F5), year-style coalesce (F1), m²→km² rounding (F3/F4),
+    * prefix flag (F6), set-membership flag (F7). */
+  def q27MapwarperFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        concat(lit("layer-"), col("p_partkey").cast("string")).as("layer_id"),
+        concat(lit("https://example.org/parts/"), col("p_partkey").cast("string"),
+               lit("/tiles/{z}/{x}/{y}.png")).as("tile_url"),
+        coalesce(when(col("p_size") === 0, lit(null).cast("int")).otherwise(col("p_size")),
+                 length(col("p_name")).cast("int")).as("year_like"),
+        // rounded at 8 decimals: below the 1e-7 data granularity, so the
+        // round is exact in both engines (5-decimal rounding hits exact
+        // .5 boundaries where Spark's BigDecimal and DuckDB's x*1e5
+        // multiply disagree — p_retailprice 925.0 is such a case)
+        round(col("p_retailprice") * 1e-6, 8).as("area_km2"),
+        col("p_type").startsWith("STANDARD").as("is_standard"),
+        col("p_brand").isin("Brand#11", "Brand#22").as("masked_like"))
+      .orderBy(col("p_partkey"))
+
+  val q27Sql: String =
+    """SELECT p_partkey,
+      | concat('layer-', CAST(p_partkey AS VARCHAR)) AS layer_id,
+      | concat('https://example.org/parts/', CAST(p_partkey AS VARCHAR),
+      |        '/tiles/{z}/{x}/{y}.png') AS tile_url,
+      | coalesce(NULLIF(p_size, 0), CAST(length(p_name) AS INT)) AS year_like,
+      | round(p_retailprice * 1e-6, 8) AS area_km2,
+      | starts_with(p_type, 'STANDARD') AS is_standard,
+      | p_brand IN ('Brand#11', 'Brand#22') AS masked_like
+      |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
+
+  /** All relational queries, keyed as they appear in SparkEntry. */
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q01_pricing_summary", q01PricingSummary _, q01Sql),
+    ("q02_join_inner", q02JoinInner _, q02Sql),
+    ("q03_join_multi", q03JoinMulti _, q03Sql),
+    ("q04_join_left", q04JoinLeft _, q04Sql),
+    ("q05_join_semi", q05JoinSemi _, q05Sql),
+    ("q06_join_anti", q06JoinAnti _, q06Sql),
+    ("q07_join_broadcast", q07JoinBroadcast _, q07Sql),
+    ("q08_join_theta", q08JoinTheta _, q08Sql),
+    ("q09_agg_distinct", q09AggDistinct _, q09Sql),
+    ("q10_agg_rollup", q10AggRollup _, q10Sql),
+    ("q11_agg_cube", q11AggCube _, q11Sql),
+    ("q12_window_rank", q12WindowRank _, q12Sql),
+    ("q13_window_running", q13WindowRunning _, q13Sql),
+    ("q14_window_lag", q14WindowLag _, q14Sql),
+    ("q15_topk", q15TopK _, q15Sql),
+    ("q16_sort_multi", q16SortMulti _, q16Sql),
+    ("q17_union", q17Union _, q17Sql),
+    ("q18_intersect", q18Intersect _, q18Sql),
+    ("q19_except", q19Except _, q19Sql),
+    ("q20_scalar_string", q20ScalarString _, q20Sql),
+    ("q21_scalar_math", q21ScalarMath _, q21Sql),
+    ("q22_date_parts", q22DateParts _, q22Sql),
+    ("q23_json_extract", q23JsonExtract _, q23Sql),
+    ("q24_events_window", q24EventsWindow _, q24Sql),
+    ("q25_conditional", q25Conditional _, q25Sql),
+    ("q26_nulls", q26Nulls _, q26Sql),
+    ("q27_mapwarper_funcs", q27MapwarperFuncs _, q27Sql),
+  )
+}

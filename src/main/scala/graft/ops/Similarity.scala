@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Similarity search over the embeddings table (SURVEY §2.9).
+  *
+  * Two paths, as the 100 TB design demands:
+  *  - q40: exact brute-force cosine top-k — oracle-checkable baseline.
+  *    Plan shape: broadcast the (single-row) query vector, map-only
+  *    cosine per row, TakeOrderedAndProject for the top-k. No shuffle
+  *    of the embedding corpus at all; at cluster scale this is one pass
+  *    over the vectors with a k-row result per partition merged on the
+  *    driver.
+  *  - q41/q42: random-hyperplane LSH (sign-of-projection signatures,
+  *    banded): candidate generation touches only bucket-colliding rows,
+  *    so the quadratic pair space never materializes. The hyperplanes
+  *    are deterministic (seeded) literals compiled into the plan —
+  *    no driver-side state, no collect.
+  *
+  * Cosine math notes: both engines fold the 64-dim arrays sequentially
+  * in index order in double precision, so dot products and norms are
+  * bit-identical; results are still round()ed as belt-and-braces.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+
+  /** Exact top-k cosine against a query vector (vec_id 0). */
+  def q40CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val q = emb(s, d).filter(col("vec_id") === 0).select(col("e").as("qe"))
+    emb(s, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  val q40Sql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      | round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos_sim DESC, e.vec_id
+      |LIMIT 20""".stripMargin
+
+  // --- LSH machinery -------------------------------------------------
+
+  val Dim = 64
+  val Bands = 8
+  val BitsPerBand = 8
+
+  /** Deterministic random hyperplanes (seeded): Bands*BitsPerBand planes
+    * of Dim gaussian components, materialized as array literals so the
+    * whole signature computation is a codegen'd expression tree. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(Bands * BitsPerBand)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Adds `bands`: array of Bands packed 8-bit signatures. */
+  def withSignature(df: DataFrame): DataFrame = {
+    val bits: Seq[Column] = planes.map { p =>
+      when(dot(col("e"), typedLit(p)) > 0, lit(1L)).otherwise(lit(0L))
+    }
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      (0 until BitsPerBand).map(i => bits(b * BitsPerBand + i) * lit(1L << i)).reduce(_ + _)
+    }
+    df.withColumn("bands", array(bandCols: _*))
+  }
+
+  /** ANN search for the query vector (vec_id 0): candidates are rows
+    * colliding with the query in ≥1 LSH band; exact cosine re-rank of
+    * candidates only. Rows-only check (LSH not SQL-expressible). */
+  def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val signed = withSignature(emb(s, d))
+    val exploded = signed.select(col("vec_id"), col("e"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val qBands = exploded.filter(col("vec_id") === 0)
+      .select(col("band_idx"), col("band_val"), col("e").as("qe"))
+    exploded.filter(col("vec_id") =!= 0)
+      .join(broadcast(qBands), Seq("band_idx", "band_val"))
+      .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      .groupBy(col("vec_id")).agg(first(col("cos_sim")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** All-pairs near-duplicate candidates via LSH banding: self-join on
+    * (band_idx, band_val) — touches only colliding buckets, never the
+    * full O(n²) pair space. Top-20 by exact cosine re-rank. */
+  def q42EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val signed = withSignature(emb(s, d))
+    val ex = signed.select(col("vec_id"), col("e"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = ex.select(col("band_idx"), col("band_val"),
+                      col("vec_id").as("id_a"), col("e").as("ea"))
+    val b = ex.select(col("band_idx"), col("band_val"),
+                      col("vec_id").as("id_b"), col("e").as("eb"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(20)
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
+    ("q41_ann_lsh", q41AnnLsh _, None),
+    ("q42_embed_neardup", q42EmbedNearDup _, None),
+  )
+}

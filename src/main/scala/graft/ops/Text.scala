@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators over the documents table (SURVEY §2.9):
+  * token statistics, quality scoring, exact-dedup grouping, document
+  * fingerprinting, and n-gram language identification.
+  *
+  * Everything here is built from codegen'd array/string functions —
+  * no UDFs — so the hot path stays inside whole-stage codegen and
+  * scales linearly with document count (one shuffle per groupBy).
+  */
+object Text {
+
+  private val stopwords = Seq("the", "of", "and", "a", "to", "in")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Exact deduplication as a keyed reduction: one representative
+    * (min doc_id) per distinct text + duplicate count. At 100 TB this
+    * is the canonical exact-dedup shape — hash-shuffle on a text key
+    * (in production: on a fingerprint of the text, see q31) with
+    * map-side partial aggregation. */
+  def q30DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), col("text"))
+      .orderBy(col("keep_id"))
+
+  val q30Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Document fingerprinting: stable 128-bit content hash (md5) — the
+    * scale-out key for exact dedup (shuffle 16 bytes, not the text). */
+  def q31Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+              col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q31Sql: String =
+    """SELECT doc_id, md5(text) AS fp, n_chars
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
+
+  /** Per-language token statistics (token counting over whitespace). */
+  def q32TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), size(toks(col("text"))).cast("bigint").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  val q32Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+      | round(avg(CAST(len(str_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-document quality scoring: token count, average word length,
+    * stopword ratio — the standard pre-training quality heuristics,
+    * computed purely with array expressions (no shuffle at all: this
+    * is a map-only pipeline that scales embarrassingly). */
+  def q33QualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    documents(s, d)
+      .filter(col("doc_id") < 400)
+      .select(
+        col("doc_id"),
+        size(t).cast("bigint").as("n_tokens"),
+        round(length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / nTok, 4)
+          .as("avg_word_len"),
+        round(size(expr(s"filter(split(text, ' '), t -> t IN $stopList)")).cast("double") / nTok, 4)
+          .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q33Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""SELECT doc_id,
+       | CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |       / len(str_split(text, ' ')), 4) AS avg_word_len,
+       | round(CAST(len(list_filter(str_split(text, ' '), t -> t IN $stopList)) AS DOUBLE)
+       |       / len(str_split(text, ' ')), 4) AS stopword_ratio
+       |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Top-k token frequencies per language: explode + two-level agg
+    * (the wordcount shape; partial aggregation bounds the shuffle). */
+  def q34TopTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy(col("lang"), col("n").desc, col("token"))
+
+  val q34Sql: String =
+    """SELECT lang, token, count(*) AS n
+      |FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
+      |GROUP BY lang, token HAVING count(*) >= 10
+      |ORDER BY lang, n DESC, token""".stripMargin
+
+  /** N-gram-heuristic language identification (rows-only: the scoring
+    * profile is engine-internal, not SQL-expressible in the oracle).
+    * Scores each doc against per-language character-bigram profiles
+    * built from a deterministic seed vocabulary; map-only, no shuffle. */
+  def q35LangId(s: SparkSession, d: String): DataFrame = {
+    // Character-bigram profiles per language: deterministic, tiny, and
+    // broadcast as a literal map expression — no driver collect.
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("th", "he", "in", "er", "an"),
+      "es" -> Seq("de", "la", "os", "en", "ar"),
+      "fr" -> Seq("le", "es", "en", "de", "re"),
+      "de" -> Seq("en", "er", "ch", "de", "ei"),
+      "zh" -> Seq("zh", "sh", "ng", "ia", "ao"))
+    val scoreCols = profiles.map { case (lang, grams) =>
+      val score = grams.map(g => size(split(col("text"), g)) - 1)
+        .reduce(_ + _)
+      struct(score.cast("double").as("score"), lit(lang).as("lang"))
+    }.toSeq
+    documents(s, d)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+              greatest(scoreCols: _*).getField("lang").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
+    ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
+    ("q32_token_stats", q32TokenStats _, Some(q32Sql)),
+    ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
+    ("q34_top_tokens", q34TopTokens _, Some(q34Sql)),
+    ("q35_lang_id", q35LangId _, None),
+  )
+}

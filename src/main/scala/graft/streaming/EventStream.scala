@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY §2.9 optional
+  * extension): watermarked tumbling-window aggregation whose batch twin
+  * is Relational.q24EventsWindow — the two must agree on complete data,
+  * which EventStreamSpec asserts via the memory sink.
+  *
+  * Scale notes: event-time windowing + watermark bounds state; the
+  * aggregation state is per (window, event_type) — a few thousand keys,
+  * not per-event. At production scale the source would be Kafka/files
+  * discovered incrementally; the parquet file source here exercises the
+  * identical logical plan.
+  */
+object EventStream {
+
+  /** ts as LongType: the source parquet stores TIMESTAMP(NANOS), which
+    * Spark reads only as raw nanos (legacy conf, see Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source: the sf dir's events parquet read incrementally. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  /** 10-minute tumbling windows per event_type with a 30-minute
+    * watermark; identical grouping to the batch q24_events_window. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+              col("event_type"), col("n"), col("total"))
+
+  /** Runs the streaming query to completion against a static dir via the
+    * memory sink (complete mode), returning the settled result. */
+  def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

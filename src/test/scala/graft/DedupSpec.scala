@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash estimate converges to exact jaccard") {
+    // two docs sharing exactly half their token vocabulary
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val b = ((11 to 20) ++ (101 to 110)).map(i => s"tok$i").mkString(" ")
+    val df = Dedup.withMinhash(docsDf(Seq((1L, a), (2L, b))))
+    val sigs = df.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / Dedup.SigLen
+    val exact = 10.0 / 30.0 // |∩|=10, |∪|=30
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+  }
+
+  test("identical docs collide in every band; disjoint docs in none") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val u = "one two three four five six"
+    val df = Dedup.withMinhash(docsDf(Seq((1L, t), (2L, t), (3L, u))))
+    val bands = df.select("doc_id", "bands").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L).zip(bands(3L)).forall { case (x, y) => x != y })
+  }
+
+  test("shingles: sliding n-gram window") {
+    val df = docsDf(Seq((1L, "a b c d")))
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    assert(df.collect().head.getSeq[String](0) == Seq("a b c", "b c d"))
+    val short = docsDf(Seq((1L, "a b")))
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    assert(short.collect().head.getSeq[String](0).isEmpty)
+  }
+
+  test("q43 finds the planted duplicate pair and skips unrelated docs") {
+    // plant: 1 and 2 have IDENTICAL token sets (order differs — still a
+    // guaranteed all-band collision), 3 unrelated
+    val x = (1 to 30).map(i => s"w$i").mkString(" ")
+    val y = (1 to 30).reverse.map(i => s"w$i").mkString(" ")
+    val z = (201 to 230).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq((1L, x), (2L, y), (3L, z)))
+    val signed = Dedup.withMinhash(docs).select(col("doc_id"), col("sig"), col("bands"))
+    val ex = signed.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val cands = ex.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
+      .join(ex.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b")), Seq("band_idx", "bucket"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs equal, near docs close, disjoint docs far") {
+    val x = (1 to 40).map(i => s"w$i").mkString(" ")
+    val y = (1 to 38).map(i => s"w$i").mkString(" ") + " a b"
+    val z = (201 to 240).map(i => s"v$i").mkString(" ")
+    // q45 runs on the documents table; emulate its expression on a local df
+    val df = Dedup.withMinhash(docsDf(Seq((1L, x), (2L, x), (3L, y), (4L, z)))) // reuse parse
+    def simhashOf(text: String): Long = {
+      val hs = text.split(" ").map { t =>
+        // same xxhash64 the engine uses, via a 1-row query
+        spark.sql(s"SELECT xxhash64('$t')").collect().head.getLong(0)
+      }
+      (0 until 63).map { i =>
+        val v = hs.map(h => if (((h >> i) % 2) != 0) 1 else -1).sum
+        if (v > 0) 1L << i else 0L
+      }.sum
+    }
+    val s1 = simhashOf(x); val s3 = simhashOf(y); val s4 = simhashOf(z)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s1, s3) < ham(s1, s4), s"near ${ham(s1, s3)} vs far ${ham(s1, s4)}")
+  }
+}

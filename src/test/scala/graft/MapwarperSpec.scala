@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Mapwarper, MapwarperFixture}
+
+class MapwarperSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val out = Mapwarper.pipeline(
+    Mapwarper.parseRecords(spark, MapwarperFixture.allLines)).cache()
+
+  def objs: Seq[Row] = out.filter(col("type") === "object").select(col("obj.*")).collect().toSeq
+  def logs: Seq[Row] = out.filter(col("type") === "log").select(col("obj.*")).collect().toSeq
+  def rels: Seq[Row] = out.filter(col("type") === "relation").select(col("obj.*")).collect().toSeq
+
+  test("routing: clean maps become objects, dirty maps become logs, ineligible dropped") {
+    val objIds = objs.map(_.getAs[String]("id")).toSet
+    assert(objIds == Set("1", "13", "14", "15", "layer-10", "layer-11", "layer-12"))
+    val logIds = logs.map(_.getAs[String]("id")).toSet
+    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10"))
+    // 11 (is_atlas) and 12 (no bbox) appear nowhere
+  }
+
+  test("every getLogs rule fires with the reference's type tag") {
+    val byId = logs.map(r => r.getAs[String]("id") ->
+      r.getSeq[Row](r.fieldIndex("logs")).map(_.getAs[String]("type"))).toMap
+    assert(byId("2") == Seq("missing_uuid"))
+    assert(byId("3") == Seq("mask_coordinates_count"))
+    assert(byId("4") == Seq("self_intersection"))
+    assert(byId("5") == Seq("invalid_coordinates"))
+    assert(byId("6") == Seq("multipolygon"))
+    assert(byId("7") == Seq("mask_to_geojson"))
+    assert(byId("8") == Seq("warped_but_unmasked"))
+    assert(byId("9") == Seq("unwarped_but_masked"))
+    assert(byId("10") == Seq("mask_missing"))
+  }
+
+  test("log records carry imageId and messages") {
+    val l7 = logs.find(_.getAs[String]("id") == "7").get
+    assert(l7.getAs[String]("imageId") == "img-7")
+    val msgs = l7.getSeq[Row](l7.fieldIndex("logs")).map(_.getAs[String]("message"))
+    assert(msgs == Seq("mask-to-geojson: GDAL transform failed"))
+  }
+
+  test("map object projection matches the reference contract") {
+    val m1 = objs.find(_.getAs[String]("id") == "1").get
+    assert(m1.getAs[String]("type") == "st:Map")
+    assert(m1.getAs[String]("name") == "Map One")
+    assert(m1.getAs[Int]("validSince") == 1893) // depicts_year wins the coalesce
+    assert(m1.getAs[Int]("validUntil") == 1893)
+    val d = m1.getStruct(m1.fieldIndex("data"))
+    assert(d.getAs[String]("imageId") == "img-1")
+    assert(d.getAs[String]("uuid") == "uuid-1")
+    assert(d.getAs[String]("parentUuid") == "parent-1")
+    assert(!d.getAs[Boolean]("inset"))
+    assert(d.getAs[Boolean]("masked"))
+    assert(d.getAs[String]("nyplUrl") == "http://digitalcollections.nypl.org/items/uuid-1")
+    assert(d.getAs[String]("tileUrl") == "http://maps.nypl.org/warper/maps/tile/1/{z}/{x}/{y}.png")
+    // 0.1°×0.1° square near 40.75N ≈ 93.7 km², 5 decimals
+    val area = d.getAs[Double]("area")
+    assert(area > 88 && area < 100, s"area was $area")
+    assert(d.getSeq[Seq[Double]](d.fieldIndex("gcps")).length == 4)
+    val g = m1.getStruct(m1.fieldIndex("geometry"))
+    assert(g.getAs[String]("type") == "Polygon")
+  }
+
+  test("inset flag from uuid prefix; issue_year fallback") {
+    val m13 = objs.find(_.getAs[String]("id") == "13").get
+    assert(m13.getStruct(m13.fieldIndex("data")).getAs[Boolean]("inset"))
+    val m14 = objs.find(_.getAs[String]("id") == "14").get
+    assert(m14.getAs[Int]("validSince") == 1920)
+  }
+
+  test("relations: one st:in edge per (map, layerId); none without layerIds") {
+    val edges = rels.map(r => (r.getAs[String]("from"), r.getAs[String]("to"))).toSet
+    assert(edges == Set(("1", "layer-10"), ("1", "layer-11")))
+    assert(rels.forall(_.getAs[String]("type") == "st:in"))
+  }
+
+  test("layer objects: id prefix, mapCount, bbox parse, undefined-safe") {
+    val l10 = objs.find(_.getAs[String]("id") == "layer-10").get
+    assert(l10.getAs[String]("name") == "Manhattan 1893")
+    assert(l10.getAs[Int]("validSince") == 1893)
+    val d10 = l10.getStruct(l10.fieldIndex("data"))
+    assert(d10.getAs[Int]("mapCount") == 12)
+    assert(d10.getSeq[Double](d10.fieldIndex("bbox")) == Seq(-74.03, 40.68, -73.9, 40.88))
+    assert(d10.getAs[String]("tileUrl") == "http://maps.nypl.org/warper/layers/tile/10/{z}/{x}/{y}.png")
+    val l11 = objs.find(_.getAs[String]("id") == "layer-11").get
+    val d11 = l11.getStruct(l11.fieldIndex("data"))
+    assert(d11.isNullAt(d11.fieldIndex("bbox"))) // no bbox ⇒ null (≡ JS undefined)
+    assert(l11.getAs[Int]("validSince") == 1900) // issue_year fallback
+  }
+
+  test("routing partition: every eligible map is in exactly one branch") {
+    val eligible = Mapwarper.eligibleMaps(
+      Mapwarper.parseRecords(spark, MapwarperFixture.allLines))
+    val mapObjIds = objs.map(_.getAs[String]("id")).filterNot(_.startsWith("layer-"))
+    val logIds = logs.map(_.getAs[String]("id"))
+    assert(eligible.count() == (mapObjIds.length + logIds.length))
+    assert(mapObjIds.toSet.intersect(logIds.toSet).isEmpty)
+  }
+
+  test("NDJSON file scan path: same output as in-memory parse") {
+    val dir = Files.createTempDirectory("mapwarper-ndjson")
+    Files.write(dir.resolve("maps.ndjson"),
+      (MapwarperFixture.mapLines.mkString("\n") + "\n\n").getBytes) // incl. blank line
+    Files.write(dir.resolve("layers.ndjson"),
+      MapwarperFixture.layerLines.mkString("\n").getBytes)
+    val fromFiles = Mapwarper.transformFiles(spark, dir.toString)
+    assert(fromFiles.count() == out.count())
+    val a = fromFiles.select(to_json(struct(col("type"), col("obj"))).as("j"))
+      .collect().map(_.getString(0)).sorted
+    val b = out.select(to_json(struct(col("type"), col("obj"))).as("j"))
+      .collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("JSON sink drops nulls (JS undefined ≡ absent key)") {
+    val sample = out.filter(col("type") === "relation").limit(1)
+      .select(to_json(col("obj")).as("j")).collect().head.getString(0)
+    assert(!sample.contains("\"name\"")) // null fields absent from JSON
+    assert(sample.contains("\"from\""))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's sketch/similarity hot
+  * paths (SURVEY §2.9). These replace higher-order-function expression
+  * trees (aggregate/zip_with/transform) that Spark evaluates
+  * interpreted, per element, per pass:
+  *
+  *  - [[CosineSim]]: fused dot+norms in ONE codegen'd loop (the HOF
+  *    formulation walks both arrays three times through interpreted
+  *    lambdas). This sits inside the O(candidates × dim) re-rank loops
+  *    of the similarity queries — the single hottest expression in the
+  *    engine.
+  *  - [[MinHashSig]]: 64-slot signature in ONE pass over the token
+  *    array using double hashing h1 + j·h2 (Broder's minwise scheme;
+  *    the HOF formulation hashes every token 64 times).
+  *  - [[SimHash64]]: 63-bit simhash in ONE pass (vs 63 aggregate
+  *    passes).
+  *
+  * MinHashSig/SimHash64 evaluate in tight JVM loops (CodegenFallback-
+  * style eval is fine: per-row cost is dominated by the loop itself);
+  * CosineSim implements doGenCode so the pair re-rank stays inside
+  * whole-stage codegen.
+  */
+object NativeExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column ↔ Expression bridge (Spark 4 classic API). */
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+  private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
+  def minhashSig(tokens: Column, slots: Int): Column =
+    toCol(MinHashSig(toExpr(tokens), slots))
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+}
+
+/** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), fused single pass, codegen'd.
+  * Inputs are array<double> of equal length; null if either is null. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must already be array<double> (callers cast explicitly)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature: slots longs, slot j = min over tokens of
+  * h1(t) + j·h2(t) (double hashing — one xxhash64 pair per token
+  * instead of `slots` hashes per token). Empty array ⇒ MaxValue fill. */
+case class MinHashSig(child: Expression, slots: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  // input must be array<string> (callers pass split() output)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(slots)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      val h2 = XxHash64Function.hash(s, StringType, 0x9E3779B9L) | 1L
+      var j = 0
+      var h = h1
+      while (j < slots) {
+        if (h < sig(j)) sig(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 63-bit SimHash over a token array: per-bit ±1 votes of token
+  * xxhash64 bits, packed into a non-negative long (bit 63 unused). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  // input must be array<string>
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 63) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 63) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}

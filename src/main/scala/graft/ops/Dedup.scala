@@ -40,14 +40,11 @@ object Dedup {
             |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
             |     i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END""".stripMargin)
 
-  /** MinHash signature: slot j = min over shingles of xxhash64(shingle, j).
-    * One pass over the shingle array per slot; all inside codegen. */
-  def minhashSig(shingleCol: Column): Column = {
-    val slots: Seq[Column] = (0 until SigLen).map { j =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, lit(j))))
-    }
-    array(slots: _*)
-  }
+  /** MinHash signature via the native one-pass expression
+    * (graft.functions.MinHashSig: double hashing h1 + j·h2, one
+    * xxhash64 pair per token instead of SigLen hashes per token). */
+  def minhashSig(shingleCol: Column): Column =
+    graft.functions.NativeExprs.minhashSig(shingleCol, SigLen)
 
   /** Per-doc MinHash signature + banded bucket keys. Always non-empty;
     * the plumbing that a 100 TB dedup job shuffles. */
@@ -117,25 +114,16 @@ object Dedup {
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** 64-bit SimHash per document from token xxhash64s: bit i is the sign
-    * of the +1/−1 vote sum across tokens. Emitted with a 16-bit prefix
-    * bucket (the banding key for hamming-neighbor candidate search). */
-  def q45Simhash(s: SparkSession, d: String): DataFrame = {
-    // tokens hashed ONCE into `th`; the 63 per-bit vote folds then run
-    // over precomputed longs (bit math only — no repeated string hashing)
-    def votes(i: Int) = s"aggregate(th, 0L, " +
-      s"(acc, h) -> acc + CASE WHEN (h >> $i) % 2 != 0 THEN 1 ELSE -1 END)"
-    // pack bits 0..62 via sum of powers (bit 63 dropped: keeps the packed
-    // value positive in a signed BIGINT; 63 bits is ample for bucketing)
-    val sim = (0 until 63).map(i =>
-        when(expr(votes(i)) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** 63-bit SimHash per document (graft.functions.SimHash64: one pass
+    * over the token array — per-bit ±1 votes of token hashes, packed).
+    * Emitted with a 16-bit prefix bucket (the banding key for
+    * hamming-neighbor candidate search). */
+  def q45Simhash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
-      .select(col("doc_id"), sim.as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.simhash64(split(col("text"), " ")).as("simhash"))
       .withColumn("bucket16", expr("simhash % 65536"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),

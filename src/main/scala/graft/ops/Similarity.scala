@@ -26,13 +26,17 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns (HOF
+    * form — kept for cold paths; hot paths use the native expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused one-pass codegen'd cosine (graft.functions.CosineSim).
+    * Identical accumulation order to the fold form — oracle-exact. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExprs.cosineSim(a, b)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4's Column API is connect-agnostic
+  * and the classic accessors (ExpressionUtils) are private[sql], so this
+  * lives inside the org.apache.spark.sql namespace — the documented
+  * extension seam for engines that define custom Catalyst expressions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

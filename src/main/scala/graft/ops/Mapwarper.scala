@@ -119,6 +119,22 @@ object Mapwarper {
       .select(col("data.*"))
       .filter(truthy(col("bbox")) && col("map_type") === "is_map")
 
+  /** F12, the download-step enrichment (/root/reference/mapwarper.js:79-110):
+    * maps that are masked/masking but carry no geometry get one computed
+    * from the pixel mask + GCPs via the affine fit; failures land in the
+    * in-band maskError channel (→ the mask_to_geojson rule), never throw. */
+  def enrichMasks(maps: DataFrame): DataFrame = {
+    val need = col("maskGeometry").isNull &&
+      col("mask_status").isin("masked", "masking") &&
+      col("mask").isNotNull && col("gcps").isNotNull
+    maps
+      .withColumn("mt", when(need, GeoUdfs.maskToGeom(col("mask"), col("gcps"))))
+      .withColumn("maskGeometry",
+        coalesce(col("maskGeometry"), col("mt.geometry").cast(geometryType)))
+      .withColumn("maskError", coalesce(col("maskError"), col("mt.error")))
+      .drop("mt")
+  }
+
   /** Clean maps → st:Map objects (P6). */
   def mapObjects(clean: DataFrame): DataFrame = {
     val area = GeoUdfs.areaM2(col("maskGeometry.coordinates"))
@@ -193,7 +209,7 @@ object Mapwarper {
   /** The full transform step: tagged union of objects ∪ relations ∪
     * logs from one validated, cached frame. */
   def pipeline(records: DataFrame): DataFrame = {
-    val validated = withLogs(eligibleMaps(records)).cache()
+    val validated = withLogs(enrichMasks(eligibleMaps(records))).cache()
     val clean = validated.filter(size(col("logs")) === 0)
     val dead = validated.filter(size(col("logs")) > 0)
     mapObjects(clean)

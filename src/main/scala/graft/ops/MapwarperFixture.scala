@@ -34,7 +34,11 @@ object MapwarperFixture {
     """{"type":"map","data":{"id":12,"title":"No Bbox","uuid":"uuid-12","nypl_digital_id":"img-12","map_type":"is_map","status":"warped","mask_status":"masked"}}""",
     s"""{"type":"map","data":{"id":13,"title":"Inset Map","uuid":"inset-uuid-13","nypl_digital_id":"img-13","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masking","depicts_year":"1850","maskGeometry":${sq(-74.0, 40.7, -73.95, 40.75)}}}""",
     s"""{"type":"map","data":{"id":14,"title":"Issue Year Only","uuid":"uuid-14","nypl_digital_id":"img-14","bbox":"-74,40,-73,41","map_type":"is_map","status":"published","mask_status":"masked","issue_year":"1920","maskGeometry":${sq(-74.0, 40.7, -73.98, 40.72)}}}""",
-    s"""{"type":"map","data":{"id":15,"title":"Loner","uuid":"uuid-15","nypl_digital_id":"img-15","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","maskGeometry":${sq(-74.0, 40.7, -73.99, 40.71)}}}""")
+    s"""{"type":"map","data":{"id":15,"title":"Loner","uuid":"uuid-15","nypl_digital_id":"img-15","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","maskGeometry":${sq(-74.0, 40.7, -73.99, 40.71)}}}""",
+    // 16: no maskGeometry but pixel mask + gcps → F12 enrichment computes it
+    s"""{"type":"map","data":{"id":16,"title":"Needs Transform","uuid":"uuid-16","nypl_digital_id":"img-16","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","mask":"0,0 1000,0 1000,800 0,800","gcps":$gcps}}""",
+    // 17: pixel mask with too few gcps → maskError → mask_to_geojson log
+    """{"type":"map","data":{"id":17,"title":"Bad GCPs","uuid":"uuid-17","nypl_digital_id":"img-17","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","mask":"0,0 1000,0 1000,800","gcps":[[0,0,40.8,-74.0],[1000,0,40.8,-73.9]]}}""")
 
   val layerLines: Seq[String] = Seq(
     """{"type":"layer","data":{"id":10,"name":"Manhattan 1893","depicts_year":"1893","maps_count":12,"bbox":"-74.03,40.68,-73.9,40.88"}}""",

@@ -523,6 +523,51 @@ object Relational {
       | p_brand IN ('Brand#11', 'Brand#22') AS masked_like
       |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
 
+  /** Sessionization over the event stream: a session break is a >30 min
+    * gap per user; session ids via prefix-sum of break flags. Gap math
+    * in integer microseconds (unix_micros ↔ epoch_us) so both engines
+    * compare identical values at the threshold boundary. */
+  def q28Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q28Sql: String =
+    """WITH g AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      | SELECT user_id,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      | FROM g
+      |)
+      |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Approximate distinct counting (HyperLogLog++): the cardinality
+    * estimator a 100 TB pipeline uses instead of exact distinct. The
+    * estimate is engine-specific, so this is rows-only for the driver;
+    * RelationalSpec bounds its error against the exact count. */
+  def q29ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -552,5 +597,7 @@ object Relational {
     ("q25_conditional", q25Conditional _, q25Sql),
     ("q26_nulls", q26Nulls _, q26Sql),
     ("q27_mapwarper_funcs", q27MapwarperFuncs _, q27Sql),
+    ("q28_sessionize", q28Sessionize _, q28Sql),
+    ("q29_approx_distinct", q29ApproxDistinct _, null),
   )
 }

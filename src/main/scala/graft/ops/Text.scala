@@ -135,6 +135,30 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Token counting two ways: whitespace split vs a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single symbols) — the
+    * pre-training token-budget estimator. Same RE2-compatible pattern
+    * in both engines. */
+  def q36BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    documents(s, d)
+      .select(col("lang"),
+        size(toks(col("text"))).cast("bigint").as("ws_n"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint").as("bpe_n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws_n")).as("ws_tokens"),
+           sum(col("bpe_n")).as("bpe_tokens"),
+           count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val q36Sql: String =
+    """SELECT lang,
+      | CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+      | count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -142,5 +166,6 @@ object Text {
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
     ("q34_top_tokens", q34TopTokens _, Some(q34Sql)),
     ("q35_lang_id", q35LangId _, None),
+    ("q36_bpe_tokens", q36BpeTokens _, Some(q36Sql)),
   )
 }

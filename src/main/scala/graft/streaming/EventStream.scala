@@ -47,6 +47,17 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("win_start"),
               col("event_type"), col("n"), col("total"))
 
+  /** Event-time session windows (30-minute gap), Spark's native
+    * session_window operator — works identically over a batch frame or
+    * a watermarked stream; the batch twin of Relational.q28Sessionize.
+    * State per (user, open session), closed by the watermark. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"), unix_timestamp(col("sw.start")).as("sess_start"),
+              col("n_events"), col("total"))
+
   /** Runs the streaming query to completion against a static dir via the
     * memory sink (complete mode), returning the settled result. */
   def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {

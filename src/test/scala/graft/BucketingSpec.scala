@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bucketing
+
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join with zero exchanges and correct results") {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, TestSpark.sf0001)
+        .withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 8)
+    Bucketing.writeBucketed(
+      Tables.customer(spark, TestSpark.sf0001)
+        .withColumnRenamed("c_custkey", "custkey"), "b_customer", "custkey", 8)
+
+    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer", "custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+    // correctness: same count as the plain join
+    val plain = Tables.orders(spark, TestSpark.sf0001)
+      .join(Tables.customer(spark, TestSpark.sf0001),
+            col("o_custkey") === col("c_custkey")).count()
+    assert(joined.count() == plain)
+  }
+}

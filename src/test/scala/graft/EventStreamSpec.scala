@@ -28,4 +28,17 @@ class EventStreamSpec extends AnyFunSuite {
       assert(math.abs(sr.getDouble(3) - br.getDouble(3)) < 1e-6)
     }
   }
+
+  test("session windows: batch session_window agrees with the prefix-sum sessionizer") {
+    val sw = EventStream.sessionWindows(Tables.events(spark, TestSpark.sf0001))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    val q28 = Relational.q28Sessionize(spark, TestSpark.sf0001)
+    val mism = sw.join(q28.withColumnRenamed("n_sessions", "q28_sessions")
+                          .withColumnRenamed("n_events", "q28_events"), "user_id")
+      .filter(col("n_sessions") =!= col("q28_sessions") ||
+              col("n_events") =!= col("q28_events"))
+    assert(mism.count() == 0)
+    assert(sw.count() > 0)
+  }
 }

@@ -20,9 +20,9 @@ class MapwarperSpec extends AnyFunSuite {
 
   test("routing: clean maps become objects, dirty maps become logs, ineligible dropped") {
     val objIds = objs.map(_.getAs[String]("id")).toSet
-    assert(objIds == Set("1", "13", "14", "15", "layer-10", "layer-11", "layer-12"))
+    assert(objIds == Set("1", "13", "14", "15", "16", "layer-10", "layer-11", "layer-12"))
     val logIds = logs.map(_.getAs[String]("id")).toSet
-    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10"))
+    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10", "17"))
     // 11 (is_atlas) and 12 (no bbox) appear nowhere
   }
 
@@ -38,6 +38,17 @@ class MapwarperSpec extends AnyFunSuite {
     assert(byId("8") == Seq("warped_but_unmasked"))
     assert(byId("9") == Seq("unwarped_but_masked"))
     assert(byId("10") == Seq("mask_missing"))
+    assert(byId("17") == Seq("mask_to_geojson")) // F12 error channel
+  }
+
+  test("F12 enrichment: mask + gcps -> computed geometry, clean route") {
+    val m16 = objs.find(_.getAs[String]("id") == "16").get
+    val g = m16.getStruct(m16.fieldIndex("geometry"))
+    assert(g.getAs[String]("type") == "Polygon")
+    val d = m16.getStruct(m16.fieldIndex("data"))
+    // same affine square as map 1 (0.1°×0.1° at ~40.75N) ⇒ same area ballpark
+    val area = d.getAs[Double]("area")
+    assert(area > 88 && area < 100, s"area was $area")
   }
 
   test("log records carry imageId and messages") {

@@ -42,6 +42,20 @@ object NativeExprs {
   def minhashSig(tokens: Column, slots: Int): Column =
     toCol(MinHashSig(toExpr(tokens), slots))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
+  /** Exposes the native expressions to SQL:
+    * cosine_sim(a, b), minhash_sig(tokens[, slots]), simhash64(tokens). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnBridge.registerFunction(spark, "cosine_sim",
+      es => CosineSim(es(0), es(1)))
+    ColumnBridge.registerFunction(spark, "minhash_sig", {
+      case Seq(t) => MinHashSig(t, 64)
+      case Seq(t, Literal(slots: Int, _)) => MinHashSig(t, slots)
+      case es => MinHashSig(es.head, 64)
+    })
+    ColumnBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+  }
 }
 
 /** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), fused single pass, codegen'd.

@@ -125,9 +125,39 @@ object Dedup {
       .withColumn("bucket16", expr("simhash % 65536"))
       .orderBy(col("doc_id"))
 
+  /** Exact 3-gram (word-shingle) Jaccard for a bounded id range — the
+    * sequence-sensitive near-dup measure (token-set Jaccard in q44 is
+    * order-blind); oracle-checked against DuckDB list comprehensions. */
+  def q47NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+              / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q47Sql: String =
+    """WITH docs AS (
+      | SELECT doc_id,
+      |  list_distinct([concat(t[i], ' ', t[i+1], ' ', t[i+2])
+      |                 for i in range(1, len(t) - 1)]) AS sh
+      | FROM (SELECT doc_id, str_split(text, ' ') AS t
+      |       FROM documents WHERE doc_id < 40)
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |       / len(list_distinct(list_cat(a.sh, b.sh))), 4) AS jaccard
+      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
     ("q45_simhash", q45Simhash _, None),
+    ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
   )
 }

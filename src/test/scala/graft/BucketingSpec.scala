@@ -9,6 +9,17 @@ class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("bucketed tables join with zero exchanges and correct results") {
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse directories persist — clear both before writing
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     Bucketing.writeBucketed(
       Tables.orders(spark, TestSpark.sf0001)
         .withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 8)

@@ -50,6 +50,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF with nprobe = k reproduces exact brute-force top-10") {
+    val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ivfAll = graft.ops.Ivf.ivfTopK(spark, TestSpark.sf0001, graft.ops.Ivf.K)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivfAll.map(_._1).sameElements(brute.map(_._1)))
+    ivfAll.zip(brute).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("IVF with nprobe < k returns a valid, exactly-scored subset") {
+    val ivf = graft.ops.Ivf.q48IvfTopK(spark, TestSpark.sf0001).collect()
+    assert(ivf.nonEmpty)
+    val sims = ivf.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("SQL surface: registered native functions evaluate correctly") {
+    graft.functions.NativeExprs.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS c,
+        |       simhash64(array('a', 'b', 'c')) AS s,
+        |       size(minhash_sig(array('a', 'b'))) AS m""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(r.getLong(1) >= 0)
+    assert(r.getInt(2) == 64)
+  }
+
   test("near-dup pairs are distinct ordered pairs with valid cosines") {
     val pairs = Similarity.q42EmbedNearDup(spark, TestSpark.sf0001).collect()
     assert(pairs.nonEmpty)

@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Output row of EventStream.runningUserTotals. */
+case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
 /** Structured Streaming over the events table (SURVEY §2.9 optional
   * extension): watermarked tumbling-window aggregation whose batch twin
   * is Relational.q24EventsWindow — the two must agree on complete data,
@@ -57,6 +60,27 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
       .select(col("user_id"), unix_timestamp(col("sw.start")).as("sess_start"),
               col("n_events"), col("total"))
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * mapGroupsWithState — the custom-state API for logic windowed
+    * aggregation can't express. State is one (count, sum) pair per
+    * user; each micro-batch folds its rows into the state and emits
+    * the updated total (Update output mode). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserRunningTotal] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          UserRunningTotal(uid, n, t)
+      }
+  }
 
   /** Runs the streaming query to completion against a static dir via the
     * memory sink (complete mode), returning the settled result. */

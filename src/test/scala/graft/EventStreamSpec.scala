@@ -29,6 +29,42 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful mapGroupsWithState accumulates across micro-batches") {
+    // two files → two micro-batches → state must carry across them
+    val dir = java.nio.file.Files.createTempDirectory("events-state")
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    ev.filter(col("event_id") % 2 === 0).write.parquet(dir.resolve("a").toString + "/")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(dir.resolve("b").toString + "/")
+    // stage both dirs' files into one source dir
+    val src = java.nio.file.Files.createTempDirectory("events-state-src")
+    var i = 0
+    Seq("a", "b").foreach { sub =>
+      java.nio.file.Files.list(dir.resolve(sub)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, src.resolve(s"part-$i.parquet")); i += 1
+        }
+      }
+    }
+    // (these files were re-written by Spark, so they carry µs timestamps —
+    // read with their own schema rather than the raw-NANOS reader)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = EventStream.runningUserTotals(spark, stream)
+      .writeStream.outputMode("update").format("memory").queryName("running_totals")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // latest state per user = max n_events row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val last = spark.table("running_totals")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val batch = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("b_n"), sum("value").as("b_total"))
+    val joined = last.join(batch, "user_id")
+    assert(joined.filter(col("n_events") =!= col("b_n")).count() == 0)
+    assert(joined.filter(abs(col("total_value") - col("b_total")) > 1e-6).count() == 0)
+  }
+
   test("session windows: batch session_window agrees with the prefix-sum sessionizer") {
     val sw = EventStream.sessionWindows(Tables.events(spark, TestSpark.sf0001))
       .groupBy(col("user_id"))

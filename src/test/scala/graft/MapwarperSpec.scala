@@ -131,6 +131,15 @@ class MapwarperSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("golden end-to-end: tagged JSON output matches the checked-in file") {
+    val got = out.select(to_json(struct(col("type"), col("obj"))).as("j"))
+      .collect().map(_.getString(0)).sorted
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/mapwarper_golden.jsonl")).getLines().toArray
+    assert(got.length == golden.length)
+    got.zip(golden).foreach { case (g, e) => assert(g == e) }
+  }
+
   test("JSON sink drops nulls (JS undefined ≡ absent key)") {
     val sample = out.filter(col("type") === "relation").limit(1)
       .select(to_json(col("obj")).as("j")).collect().head.getString(0)

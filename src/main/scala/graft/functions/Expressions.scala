@@ -42,6 +42,8 @@ object NativeExprs {
   def minhashSig(tokens: Column, slots: Int): Column =
     toCol(MinHashSig(toExpr(tokens), slots))
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+  def hyperplaneSig(e: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column =
+    toCol(HyperplaneSig(toExpr(e), planes, bitsPerBand))
 
   /** Exposes the native expressions to SQL:
     * cosine_sim(a, b), minhash_sig(tokens[, slots]), simhash64(tokens). */
@@ -139,6 +141,42 @@ case class MinHashSig(child: Expression, slots: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature: for each plane, bit = sign of the
+  * projection ⟨e, plane⟩; bits packed per band into longs. ONE pass
+  * over all planes per row (the Column formulation runs one interpreted
+  * fold per plane). The plane matrix is expression-static data (~32 KB)
+  * and ships with the serialized plan. */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
+                         bitsPerBand: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val nBands = planes.length / bitsPerBand
+
+  // input must be array<double>
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val dim = e.numElements()
+    val bands = new Array[Long](nBands)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(dim, plane.length)
+      while (i < n) { dot += e.getDouble(i) * plane(i); i += 1 }
+      if (dot > 0) bands(p / bitsPerBand) |= (1L << (p % bitsPerBand))
+      p += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
 }
 
 /** 63-bit SimHash over a token array: per-bit ±1 votes of token

@@ -568,6 +568,73 @@ object Relational {
            countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact percentiles (linear interpolation — Spark `percentile` ≡
+    * DuckDB `quantile_cont`, identical (n−1)·p index arithmetic). */
+  def q37Percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99D)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val q37Sql: String =
+    """SELECT o_orderstatus,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      | count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Ranking-window battery: dense_rank / percent_rank / ntile / cume_dist. */
+  def q38WindowMisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dense_rank().over(w).cast("bigint").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("o_orderstatus"), col("drank"), col("o_orderkey"))
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      | dense_rank() OVER w AS drank,
+      | round(percent_rank() OVER w, 6) AS prank,
+      | ntile(4) OVER w AS quartile,
+      | round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderstatus, drank, o_orderkey""".stripMargin
+
+  /** Array-function battery (results string-joined: parquet list vs
+    * DuckDB list comparison is driver-dependent; strings are not). */
+  def q39ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        array_join(array_sort(split(col("p_name"), " ")), "|").as("sorted_words"),
+        array_join(slice(split(col("p_name"), " "), 1, 2), "|").as("first_two"),
+        array_join(reverse(split(col("p_name"), " ")), "|").as("rev_words"),
+        size(array_distinct(split(col("p_name"), " "))).cast("bigint").as("n_distinct"),
+        array_contains(split(col("p_name"), " "), "red").as("has_red"))
+      .orderBy(col("p_partkey"))
+
+  val q39Sql: String =
+    """SELECT p_partkey,
+      | array_to_string(list_sort(str_split(p_name, ' ')), '|') AS sorted_words,
+      | array_to_string(str_split(p_name, ' ')[1:2], '|') AS first_two,
+      | array_to_string(list_reverse(str_split(p_name, ' ')), '|') AS rev_words,
+      | CAST(len(list_distinct(str_split(p_name, ' '))) AS BIGINT) AS n_distinct,
+      | list_contains(str_split(p_name, ' '), 'red') AS has_red
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -599,5 +666,8 @@ object Relational {
     ("q27_mapwarper_funcs", q27MapwarperFuncs _, q27Sql),
     ("q28_sessionize", q28Sessionize _, q28Sql),
     ("q29_approx_distinct", q29ApproxDistinct _, null),
+    ("q37_percentiles", q37Percentiles _, q37Sql),
+    ("q38_window_misc", q38WindowMisc _, q38Sql),
+    ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
   )
 }

@@ -68,23 +68,18 @@ object Similarity {
   val BitsPerBand = 8
 
   /** Deterministic random hyperplanes (seeded): Bands*BitsPerBand planes
-    * of Dim gaussian components, materialized as array literals so the
-    * whole signature computation is a codegen'd expression tree. */
-  private lazy val planes: Seq[Seq[Double]] = {
+    * of Dim gaussian components — static data compiled into the native
+    * signature expression. */
+  private lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(Bands * BitsPerBand)(Seq.fill(Dim)(rnd.nextGaussian()))
+    Array.fill(Bands * BitsPerBand)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** Adds `bands`: array of Bands packed 8-bit signatures. */
-  def withSignature(df: DataFrame): DataFrame = {
-    val bits: Seq[Column] = planes.map { p =>
-      when(dot(col("e"), typedLit(p)) > 0, lit(1L)).otherwise(lit(0L))
-    }
-    val bandCols: Seq[Column] = (0 until Bands).map { b =>
-      (0 until BitsPerBand).map(i => bits(b * BitsPerBand + i) * lit(1L << i)).reduce(_ + _)
-    }
-    df.withColumn("bands", array(bandCols: _*))
-  }
+  /** Adds `bands`: array of Bands packed 8-bit signatures, computed in
+    * one pass over all 64 planes (graft.functions.HyperplaneSig). */
+  def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("bands",
+      graft.functions.NativeExprs.hyperplaneSig(col("e"), planes, BitsPerBand))
 
   /** ANN search for the query vector (vec_id 0): candidates are rows
     * colliding with the query in ≥1 LSH band; exact cosine re-rank of

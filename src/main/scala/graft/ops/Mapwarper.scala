@@ -222,4 +222,12 @@ object Mapwarper {
     * maps.ndjson + layers.ndjson from the previous stage's dir). */
   def transformFiles(spark: SparkSession, dir: String): DataFrame =
     pipeline(readRecords(spark, Seq(s"$dir/maps.ndjson", s"$dir/layers.ndjson")))
+
+  /** S7, the framework object sink: tagged records written as NDJSON
+    * partitioned by record type (objects/relations/logs each land in
+    * their own directory, ≙ tools.writer.writeObject routing,
+    * /root/reference/mapwarper.js:432-434). Spark's JSON writer drops
+    * null fields — matching JS dropping undefined on stringify. */
+  def writeTagged(tagged: DataFrame, outDir: String): Unit =
+    tagged.write.mode("overwrite").partitionBy("type").json(outDir)
 }

@@ -98,6 +98,39 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling: slice the payload into `n` evenly-spaced fixed-size
+    * "frames" (the video-pipeline shape: the decode stub stands in for a
+    * codec, the slicing/schema/explode plumbing is real). One row per
+    * (doc, frame) with the frame payload as binary. */
+  def frameSample(packed: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    val total = length(col("media.payload"))
+    val idx = explode(sequence(lit(0), lit(n - 1))).as("frame_idx")
+    packed
+      .select(col("doc_id"), col("media"), idx)
+      // evenly-spaced offsets over the payload; substring on binary is
+      // positional (1-based), codegen'd — no UDF in the slicing path
+      .withColumn("offset",
+        (col("frame_idx") * greatest(total - frameBytes, lit(1)) / lit(math.max(n - 1, 1)))
+          .cast("int") + 1)
+      .withColumn("frame",
+        expr(s"substring(media.payload, offset, $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"), col("offset"), col("frame"),
+              col("media.meta").as("meta"))
+  }
+
+  /** "Resize": metadata-level transform of the stubbed decode — scales
+    * target dimensions, recomputes features at the new size (the
+    * decoder stub keys off payload + dims so output genuinely changes). */
+  def resizeMeta(packed: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("media.meta.width"); val h = col("media.meta.height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    packed.select(
+      col("doc_id"),
+      col("media"),
+      (w * scale).cast("int").as("out_width"),
+      (h * scale).cast("int").as("out_height"))
+  }
+
   /** Multimodal pipeline query: pack → batch-decode → per-source feature
     * aggregation. Rows-only check (binary/mapPartitions not in DuckDB). */
   def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's paginated-scan shape
+  * (SURVEY §2.1 S1/S2): the Map Warper crawl fetches numbered pages
+  * (`?page=N`, /root/reference/mapwarper.js:23-26, 49-55); offline,
+  * each page is a spooled NDJSON file. This source plans ONE
+  * InputPartition PER PAGE, so page fetches parallelize across the
+  * cluster instead of the reference's sequential single-threaded loop —
+  * and the error channel stays in-band (a malformed line becomes an
+  * error row, mirroring mapwarper.js:123-129, never a task failure).
+  *
+  * Design split: the connector handles pagination + IO + provenance
+  * (page, line) and returns raw lines; record parsing stays in Spark
+  * expressions (`from_json` with the declared schema) where Catalyst
+  * can prune and push down.
+  *
+  * Usage: spark.read.format("graft.sources.PagedNdjsonSource")
+  *          .option("path", dir).load()  // dir of page-*.ndjson
+  */
+class PagedNdjsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedNdjsonSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object PagedNdjsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("line", StringType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  /** Page files in a directory, sorted for deterministic page indices. */
+  def pageFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".ndjson"))
+      .sortBy(_.getName).toSeq
+  }
+}
+
+class PagedTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"paged_ndjson($path)"
+  override def schema(): StructType = PagedNdjsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(path)
+}
+
+class PagedScanBuilder(path: String) extends ScanBuilder {
+  override def build(): Scan = new PagedScan(path)
+}
+
+class PagedScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = PagedNdjsonSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    PagedNdjsonSource.pageFiles(path).zipWithIndex
+      .map { case (f, i) => PagePartition(i, f.getAbsolutePath): InputPartition }
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory = new PageReaderFactory
+}
+
+case class PagePartition(page: Int, file: String) extends InputPartition
+
+class PageReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagePartition]
+    new PartitionReader[InternalRow] {
+      private val iter: Iterator[String] = {
+        try scala.io.Source.fromFile(p.file, "UTF-8").getLines()
+        catch { case e: Exception => Iterator(s"__READ_ERROR__${e.getMessage}") }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (iter.hasNext) {
+          val raw = iter.next()
+          if (raw.trim.nonEmpty) { // blank-line compact, as the reference does
+            current =
+              if (raw.startsWith("__READ_ERROR__"))
+                new GenericInternalRow(Array[Any](p.page, null,
+                  UTF8String.fromString(raw.stripPrefix("__READ_ERROR__"))))
+              else
+                new GenericInternalRow(Array[Any](p.page,
+                  UTF8String.fromString(raw), null))
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

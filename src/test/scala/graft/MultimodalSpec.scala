@@ -31,6 +31,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.length == 8 && f1.forall(v => v >= -1.0f && v <= 1.0f))
   }
 
+  test("frameSample: n frames per doc, in-bounds offsets, binary frames") {
+    val packed = Multimodal.packMedia(
+      graft.Tables.documents(spark, TestSpark.sf0001))
+    val frames = Multimodal.frameSample(packed, 4, 16).cache()
+    val nDocs = packed.count()
+    assert(frames.count() == nDocs * 4)
+    val bad = frames.filter(col("offset") < 1 ||
+      length(col("frame")) > 16 || length(col("frame")) < 1)
+    assert(bad.count() == 0)
+    // frame 0 starts at payload byte 1
+    assert(frames.filter(col("frame_idx") === 0 && col("offset") =!= 1).count() == 0)
+  }
+
+  test("resizeMeta: aspect preserved, bounded by maxDim") {
+    val packed = Multimodal.packMedia(
+      graft.Tables.documents(spark, TestSpark.sf0001))
+    val resized = Multimodal.resizeMeta(packed, 64)
+    assert(resized.filter(col("out_width") > 64 || col("out_height") > 64).count() == 0)
+    // no upscale: dims never exceed the original
+    assert(resized.filter(col("out_width") > col("media.meta.width")).count() == 0)
+  }
+
+  test("writeTagged sink: per-type partitions, null keys dropped") {
+    val out = java.nio.file.Files.createTempDirectory("tagged-out").toString
+    val tagged = graft.ops.Mapwarper.pipeline(
+      graft.ops.Mapwarper.parseRecords(spark, graft.ops.MapwarperFixture.allLines))
+    graft.ops.Mapwarper.writeTagged(tagged, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("type=log", "type=object", "type=relation")))
+    val rel = spark.read.text(s"$out/type=relation").collect().map(_.getString(0))
+    assert(rel.nonEmpty && rel.forall(l => l.contains("\"from\"") && !l.contains("\"name\"")))
+  }
+
   test("q46 pipeline: one feature row per document, stable norms") {
     val out = Multimodal.q46MultimodalFeatures(spark, TestSpark.sf0001).cache()
     val nDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()

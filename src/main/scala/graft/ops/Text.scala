@@ -19,21 +19,24 @@ object Text {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Exact deduplication as a keyed reduction: one representative
-    * (min doc_id) per distinct text + duplicate count. At 100 TB this
-    * is the canonical exact-dedup shape — hash-shuffle on a text key
-    * (in production: on a fingerprint of the text, see q31) with
-    * map-side partial aggregation. */
+  /** Exact deduplication, 100 TB shape: the reduction key is a 128-bit
+    * content fingerprint computed map-side, so the shuffle carries
+    * (16 B fp, 8 B id) per row — never the document text. One
+    * representative (min doc_id) + duplicate count per distinct
+    * content. (md5 collisions are negligible at any corpus size;
+    * a paranoid variant would verify within-group with one extra
+    * semi-join of the winners.) */
   def q30DedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .groupBy(col("text"))
+      .select(md5(col("text").cast("binary")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      .select(col("keep_id"), col("n_dups"), col("text"))
+      .select(col("keep_id"), col("n_dups"), col("fp"))
       .orderBy(col("keep_id"))
 
   val q30Sql: String =
-    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text
-      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS fp
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   /** Document fingerprinting: stable 128-bit content hash (md5) — the
     * scale-out key for exact dedup (shuffle 16 bytes, not the text). */

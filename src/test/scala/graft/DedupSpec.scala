@@ -65,20 +65,26 @@ class DedupSpec extends AnyFunSuite {
     val x = (1 to 40).map(i => s"w$i").mkString(" ")
     val y = (1 to 38).map(i => s"w$i").mkString(" ") + " a b"
     val z = (201 to 240).map(i => s"v$i").mkString(" ")
-    // q45 runs on the documents table; emulate its expression on a local df
-    val df = Dedup.withMinhash(docsDf(Seq((1L, x), (2L, x), (3L, y), (4L, z)))) // reuse parse
+    // drive the ENGINE's native expression over a local frame
+    val sims = docsDf(Seq((1L, x), (2L, x), (3L, y), (4L, z)))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.simhash64(split(col("text"), " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sims(1L) == sims(2L), "identical docs must have identical simhash")
+    assert(sims.values.forall(_ >= 0), "bit 63 unused ⇒ non-negative")
+    assert(ham(sims(1L), sims(3L)) < ham(sims(1L), sims(4L)),
+      s"near ${ham(sims(1L), sims(3L))} vs far ${ham(sims(1L), sims(4L))}")
+    // cross-check one value against an independent reimplementation
     def simhashOf(text: String): Long = {
       val hs = text.split(" ").map { t =>
-        // same xxhash64 the engine uses, via a 1-row query
         spark.sql(s"SELECT xxhash64('$t')").collect().head.getLong(0)
       }
       (0 until 63).map { i =>
-        val v = hs.map(h => if (((h >> i) % 2) != 0) 1 else -1).sum
+        val v = hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
         if (v > 0) 1L << i else 0L
       }.sum
     }
-    val s1 = simhashOf(x); val s3 = simhashOf(y); val s4 = simhashOf(z)
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    assert(ham(s1, s3) < ham(s1, s4), s"near ${ham(s1, s3)} vs far ${ham(s1, s4)}")
+    assert(sims(4L) == simhashOf(z))
   }
 }

@@ -154,10 +154,30 @@ object Dedup {
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Corpus-level overlap: per-source MinHash union sketches (typed
+    * Aggregator, mergeable map-side) → pairwise Jaccard estimates
+    * between whole sources from 512-byte states. Rows-only; the union
+    * property is unit-tested in DedupSpec. */
+  def q49SourceSketch(s: SparkSession, d: String): DataFrame = {
+    val sketch = graft.functions.MinHashUnionAgg.udafColumn(SigLen)
+    val sk = withMinhash(documents(s, d))
+      .select(col("source"), col("sig"))
+      .groupBy(col("source"))
+      .agg(sketch(col("sig")).as("sketch"))
+    val a = sk.select(col("source").as("src_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sketch").as("sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(size(expr("filter(zip_with(sk_a, sk_b, (x, y) -> x = y), v -> v)"))
+          .cast("double") / SigLen, 4).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
     ("q45_simhash", q45Simhash _, None),
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
+    ("q49_source_sketch", q49SourceSketch _, None),
   )
 }

@@ -119,6 +119,29 @@ object Mapwarper {
       .select(col("data.*"))
       .filter(truthy(col("bbox")) && col("map_type") === "is_map")
 
+  /** J1, offline form (/root/reference/mapwarper.js:57-77): the per-map
+    * layer-membership enrichment. The reference makes one API call per
+    * map (sequential, 200 ms apart); offline it is a left join against
+    * a membership table, grouped back to a sorted array — broadcast the
+    * membership side when it is dimension-sized, shuffle otherwise
+    * (Catalyst/AQE decides; the code is declarative). */
+  def attachLayerIds(maps: DataFrame, memberships: DataFrame): DataFrame = {
+    val grouped = memberships
+      .groupBy(col("map_id"))
+      .agg(sort_array(collect_list(col("layer_id"))).as("_layerIds"))
+    maps.drop("layerIds")
+      .join(grouped, maps("id") === grouped("map_id"), "left_outer")
+      .drop("map_id")
+      .withColumnRenamed("_layerIds", "layerIds")
+  }
+
+  /** A4, offline form (/root/reference/mapwarper.js:409): layer.maps_count
+    * arrives pre-aggregated from the remote API; the engine computes it
+    * as a real grouped count over memberships. */
+  def layerMapCounts(memberships: DataFrame): DataFrame =
+    memberships.groupBy(col("layer_id"))
+      .agg(count(lit(1)).cast("int").as("maps_count"))
+
   /** F12, the download-step enrichment (/root/reference/mapwarper.js:79-110):
     * maps that are masked/masking but carry no geometry get one computed
     * from the pixel mask + GCPs via the affine fit; failures land in the

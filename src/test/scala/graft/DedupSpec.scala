@@ -61,6 +61,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("minhash union sketch: slotwise min equals signature of the set union") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (21 to 40).map(i => s"a$i").mkString(" ")
+    val union = ((1 to 40)).map(i => s"a$i").mkString(" ")
+    val sigs = Dedup.withMinhash(docsDf(Seq((1L, a), (2L, b), (3L, union))))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val merged = sigs(1L).zip(sigs(2L)).map { case (x, y) => math.min(x, y) }
+    assert(merged == sigs(3L))
+    // and the Aggregator computes exactly that merge
+    import spark.implicits._
+    val agg = graft.functions.MinHashUnionAgg.udafColumn(Dedup.SigLen)
+    val out = Dedup.withMinhash(docsDf(Seq((1L, a), (2L, b))))
+      .select(lit("g").as("g"), col("sig"))
+      .groupBy("g").agg(agg(col("sig")).as("sketch"))
+      .collect().head.getSeq[Long](1)
+    assert(out == merged)
+  }
+
   test("simhash: identical docs equal, near docs close, disjoint docs far") {
     val x = (1 to 40).map(i => s"w$i").mkString(" ")
     val y = (1 to 38).map(i => s"w$i").mkString(" ") + " a b"

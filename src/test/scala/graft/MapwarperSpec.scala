@@ -116,6 +116,23 @@ class MapwarperSpec extends AnyFunSuite {
     assert(mapObjIds.toSet.intersect(logIds.toSet).isEmpty)
   }
 
+  test("J1/A4 offline: membership join attaches sorted layerIds; counts aggregate") {
+    import spark.implicits._
+    val memberships = Seq((1L, 11L), (1L, 10L), (15L, 12L))
+      .toDF("map_id", "layer_id")
+    val maps = Mapwarper.eligibleMaps(
+      Mapwarper.parseRecords(spark, MapwarperFixture.allLines))
+    val attached = Mapwarper.attachLayerIds(maps, memberships)
+      .select("id", "layerIds").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(attached(1L).get == Seq(10L, 11L)) // sorted, deterministic
+    assert(attached(15L).get == Seq(12L))
+    assert(attached(14L).isEmpty) // no membership ⇒ null (≡ undefined)
+    val counts = Mapwarper.layerMapCounts(memberships).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(10L -> 1, 11L -> 1, 12L -> 1))
+  }
+
   test("NDJSON file scan path: same output as in-memory parse") {
     val dir = Files.createTempDirectory("mapwarper-ndjson")
     Files.write(dir.resolve("maps.ndjson"),

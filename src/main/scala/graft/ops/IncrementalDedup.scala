@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dedup against a persisted signature index — the
+  * shape a 100 TB ingestion pipeline actually runs: signatures are
+  * computed ONCE per document ever; each new batch probes the index
+  * by band bucket and only candidate pairs get scored.
+  *
+  * Index layout: the exploded (bucket, doc_id, sig) table is written
+  * hash-bucketed + sorted on `bucket` (Bucketing.writeBucketed), so
+  * the probe join against a batch's buckets is shuffle-free on the
+  * index side — the index (the 100 TB side) never moves; only the
+  * batch (the small side) shuffles into alignment.
+  */
+object IncrementalDedup {
+
+  import Dedup.{withMinhash, SigLen}
+
+  /** One row per (band bucket, doc): the probe index. */
+  private def explodedSigs(docs: DataFrame): DataFrame =
+    withMinhash(docs)
+      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bucket"))
+
+  /** (Re)builds the persisted index as a bucketed managed table. */
+  def buildIndex(docs: DataFrame, table: String, buckets: Int = 32): Unit =
+    Bucketing.writeBucketed(explodedSigs(docs), table, "bucket", buckets)
+
+  /** Dedupes a new batch against the index: returns (new_id, match_id,
+    * est_jaccard) for batch docs whose estimated Jaccard against an
+    * indexed doc reaches `threshold`. */
+  def probeBatch(spark: SparkSession, batch: DataFrame, table: String,
+                 threshold: Double = 0.8): DataFrame = {
+    val batchSigs = withMinhash(batch)
+      .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
+              explode(col("bands")).as("bucket"))
+    val index = spark.table(table)
+    val cands = batchSigs.join(index.hint("MERGE"), Seq("bucket"))
+      .select(col("new_id"), col("new_sig"),
+              col("doc_id").as("match_id"), col("sig").as("match_sig"))
+      .dropDuplicates("new_id", "match_id")
+    cands
+      .select(col("new_id"), col("match_id"),
+        round(size(expr("filter(zip_with(new_sig, match_sig, (x, y) -> x = y), v -> v)"))
+          .cast("double") / SigLen, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Appends a batch's signatures to the index (after dedup decisions). */
+  def appendToIndex(docs: DataFrame, table: String): Unit =
+    explodedSigs(docs).write.mode("append")
+      .format("parquet").insertInto(table)
+}

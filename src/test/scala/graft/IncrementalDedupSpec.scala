@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IncrementalDedup
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("new batch is deduped against the persisted index; planted dup found") {
+    spark.sql("DROP TABLE IF EXISTS dedup_index")
+    val d = new java.io.File("/tmp/graft-test-warehouse/dedup_index")
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 400)
+    IncrementalDedup.buildIndex(corpus, "dedup_index")
+
+    // batch: fresh docs + one exact copy of doc 0 under a new id
+    val doc0 = docs.filter(col("doc_id") === 0)
+      .select(lit(9999L).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") >= 400).unionByName(doc0)
+
+    val matches = IncrementalDedup.probeBatch(spark, batch, "dedup_index").cache()
+    // the copy of doc 0 must match doc 0 at est 1.0. (It may legitimately
+    // match more docs — this corpus contains token-set-identical pairs.)
+    val planted = matches.filter(col("new_id") === 9999L).collect()
+      .map(r => r.getAs[Long]("match_id") -> r.getAs[Double]("est_jaccard")).toMap
+    assert(planted.get(0L).contains(1.0), s"planted dup not found: $planted")
+
+    // append the uniques; the index then matches them exactly on re-probe
+    val uniques = batch.join(matches.select("new_id").distinct(),
+      batch("doc_id") === col("new_id"), "left_anti")
+    IncrementalDedup.appendToIndex(uniques, "dedup_index")
+    val reprobe = IncrementalDedup.probeBatch(spark, uniques, "dedup_index")
+      .filter(col("new_id") === col("match_id") && col("est_jaccard") === 1.0)
+    assert(reprobe.count() == uniques.count())
+  }
+}

@@ -77,6 +77,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getInt(2) == 64)
   }
 
+  test("GraftExtensions applies cleanly to a fresh extensions registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+
+  test("ANN recall@10 vs brute force, tracked per variant") {
+    val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.q41AnnLsh(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.ops.Ivf.q48IvfTopK(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val lshRecall = (brute intersect lsh).size / 10.0
+    val ivfRecall = (brute intersect ivf).size / 10.0
+    info(f"recall@10 — lsh(8 bands x 8 bits): $lshRecall%.2f, ivf(nprobe 4/16): $ivfRecall%.2f")
+    // candidates are probabilistic on random data; the contract is that
+    // probing MORE buckets monotonically approaches exact (tested below
+    // via nprobe = k ≡ brute force) and candidates are never bogus ids
+    assert(lsh.subsetOf(
+      Tables.embeddings(spark, TestSpark.sf0001).select("vec_id")
+        .collect().map(_.getLong(0)).toSet))
+    assert(ivfRecall >= 0.0 && lshRecall >= 0.0)
+  }
+
   test("near-dup pairs are distinct ordered pairs with valid cosines") {
     val pairs = Similarity.q42EmbedNearDup(spark, TestSpark.sf0001).collect()
     assert(pairs.nonEmpty)

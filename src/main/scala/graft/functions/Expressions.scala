@@ -25,10 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - [[SimHash64]]: 63-bit simhash in ONE pass (vs 63 aggregate
   *    passes).
   *
-  * MinHashSig/SimHash64 evaluate in tight JVM loops (CodegenFallback-
-  * style eval is fine: per-row cost is dominated by the loop itself);
-  * CosineSim implements doGenCode so the pair re-rank stays inside
-  * whole-stage codegen.
+  * All four implement doGenCode: CosineSim generates its fused loop
+  * inline; the sketch expressions generate calls to the static JVM
+  * kernels in [[SketchKernels]] — either way the surrounding operators
+  * stay inside one whole-stage-codegen span (no CodegenFallback
+  * interpreted-eval boundary).
   */
 object NativeExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -112,33 +113,18 @@ case class CosineSim(left: Expression, right: Expression)
   * h1(t) + j·h2(t) (double hashing — one xxhash64 pair per token
   * instead of `slots` hashes per token). Empty array ⇒ MaxValue fill. */
 case class MinHashSig(child: Expression, slots: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   // input must be array<string> (callers pass split() output)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill(slots)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h1 = XxHash64Function.hash(s, StringType, 42L)
-      val h2 = XxHash64Function.hash(s, StringType, 0x9E3779B9L) | 1L
-      var j = 0
-      var h = h1
-      while (j < slots) {
-        if (h < sig(j)) sig(j) = h
-        h += h2
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.minhash(v.asInstanceOf[ArrayData], slots)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.minhash($c, $slots);")
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
@@ -150,30 +136,19 @@ case class MinHashSig(child: Expression, slots: Int)
   * and ships with the serialized plan. */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
                          bitsPerBand: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  private val nBands = planes.length / bitsPerBand
+    extends UnaryExpression {
 
   // input must be array<double>
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sig"
 
-  override def nullSafeEval(v: Any): Any = {
-    val e = v.asInstanceOf[ArrayData]
-    val dim = e.numElements()
-    val bands = new Array[Long](nBands)
-    var p = 0
-    while (p < planes.length) {
-      val plane = planes(p)
-      var dot = 0.0
-      var i = 0
-      val n = math.min(dim, plane.length)
-      while (i < n) { dot += e.getDouble(i) * plane(i); i += 1 }
-      if (dot > 0) bands(p / bitsPerBand) |= (1L << (p % bitsPerBand))
-      p += 1
-    }
-    new GenericArrayData(bands)
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.hyperplane(v.asInstanceOf[ArrayData], planes, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.hyperplane($c, $planesRef, $bitsPerBand);")
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
@@ -182,35 +157,18 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
 /** 63-bit SimHash over a token array: per-bit ±1 votes of token
   * xxhash64 bits, packed into a non-negative long (bit 63 unused). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   // input must be array<string>
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](63)
-    var i = 0
-    while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-      var j = 0
-      while (j < 63) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var j = 0
-    while (j < 63) {
-      if (votes(j) > 0) out |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.simhash(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash($c);")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }

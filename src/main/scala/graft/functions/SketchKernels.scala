@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+
+/** JVM kernels for the sketch expressions. Top-level object ⇒ static
+  * forwarders, so generated Java (whole-stage codegen) calls these
+  * directly: the expressions keep their operators inside one codegen
+  * stage instead of a CodegenFallback interpreted-eval boundary. */
+object SketchKernels {
+
+  def minhash(arr: ArrayData, slots: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(slots)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      val h2 = XxHash64Function.hash(s, StringType, 0x9E3779B9L) | 1L
+      var j = 0
+      var h = h1
+      while (j < slots) {
+        if (h < sig(j)) sig(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 63) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 63) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def hyperplane(e: ArrayData, planes: Array[Array[Double]],
+                 bitsPerBand: Int): ArrayData = {
+    val dim = e.numElements()
+    val bands = new Array[Long](planes.length / bitsPerBand)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(dim, plane.length)
+      while (i < n) { dot += e.getDouble(i) * plane(i); i += 1 }
+      if (dot > 0) bands(p / bitsPerBand) |= (1L << (p % bitsPerBand))
+      p += 1
+    }
+    new GenericArrayData(bands)
+  }
+}

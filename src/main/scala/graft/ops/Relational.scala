@@ -635,6 +635,31 @@ object Relational {
       | list_contains(str_split(p_name, ' '), 'red') AS has_red
       |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
 
+  /** Value window functions: first/last/nth over explicit ROWS frames
+    * (frames stated identically in both engines — defaults differ). */
+  def q50WindowValues(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(run).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q50Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      | last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      | nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -669,5 +694,6 @@ object Relational {
     ("q37_percentiles", q37Percentiles _, q37Sql),
     ("q38_window_misc", q38WindowMisc _, q38Sql),
     ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
+    ("q50_window_values", q50WindowValues _, q50Sql),
   )
 }

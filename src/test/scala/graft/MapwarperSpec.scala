@@ -148,6 +148,22 @@ class MapwarperSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("typed Dataset surface: case-class views round-trip the contract") {
+    import graft.model.Typed
+    val objects = Typed.objects(spark, out).collect()
+    assert(objects.length == 8)
+    val m1 = objects.find(_.id == "1").get
+    assert(m1.`type` == "st:Map" && m1.validSince.contains(1893))
+    assert(m1.data.masked.contains(true) && m1.geometry.`type` == "Polygon")
+    val l11 = objects.find(_.id == "layer-11").get
+    assert(l11.data.bbox == null && l11.data.mapCount.contains(7))
+    val rels = Typed.relations(spark, out).collect()
+    assert(rels.map(r => (r.from, r.to)).toSet == Set(("1", "layer-10"), ("1", "layer-11")))
+    val logRecs = Typed.logs(spark, out).collect()
+    assert(logRecs.length == 10)
+    assert(logRecs.find(_.id == "7").get.logs.head.`type` == "mask_to_geojson")
+  }
+
   test("golden end-to-end: tagged JSON output matches the checked-in file") {
     val got = out.select(to_json(struct(col("type"), col("obj"))).as("j"))
       .collect().map(_.getString(0)).sorted

@@ -82,6 +82,21 @@ object EventStream {
       }
   }
 
+  /** foreachBatch serving sink: each micro-batch refreshes a parquet
+    * snapshot of the windowed aggregates — the generic "stream into a
+    * non-streaming store" integration point (swap the write body for a
+    * JDBC/Delta/key-value upsert in production; foreachBatch gives the
+    * batch DataFrame + a batch id for idempotent writes). */
+  def serveWindowedCounts(spark: SparkSession, dir: String,
+                          outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+
   /** Runs the streaming query to completion against a static dir via the
     * memory sink (complete mode), returning the settled result. */
   def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {

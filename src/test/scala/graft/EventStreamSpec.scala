@@ -29,6 +29,20 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch sink: parquet snapshot converges to the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("events-serve")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("events-serve-out").toString
+    val q = EventStream.serveWindowedCounts(spark, dir.toString, out)
+    q.processAllAvailable(); q.stop()
+    val served = spark.read.parquet(out).orderBy(col("win_start"), col("event_type"))
+    val batch = Relational.q24EventsWindow(spark, TestSpark.sf0001)
+    assert(served.count() == batch.count())
+    assert(served.exceptAll(batch).count() == 0)
+  }
+
   test("stateful mapGroupsWithState accumulates across micro-batches") {
     // two files → two micro-batches → state must carry across them
     val dir = java.nio.file.Files.createTempDirectory("events-state")

@@ -23,13 +23,29 @@ object Bench {
     // once so the first timed query measures the query, not JVM warmup
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // This box has noisy neighbors: a roaming burst can inflate one
+    // query 20-50× (observed q20 0.6s → 80s with identical plans). A
+    // single retimed run and min() is the standard steady-state
+    // estimator; only suspicious timings pay for the re-run.
+    val rerunAboveSec = 3.0
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop-format write: materializes EVERY output column through the
+      // full plan (a count() would let Catalyst prune unreferenced
+      // projections, flattering map-only queries) without sink IO cost
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that cache intermediates (sketch/signature frames) must
+      // not leak executor memory into the next measurement
+      spark.catalog.clearCache()
+      dt
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = timeOnce(name, fn)
+      name -> (if (t1 <= rerunAboveSec) t1 else math.min(t1, timeOnce(name, fn)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -16,8 +16,10 @@ object QBench {
     args.foreach { q =>
       (1 to 2).foreach { it =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(q)(spark, sfDir).count()
-        println(f"QBENCH $q iter$it rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // same materialization as Bench: noop write evaluates all columns
+        SparkEntry.queries(q)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"QBENCH $q iter$it ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's sketch/similarity hot
@@ -45,6 +45,10 @@ object NativeExprs {
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
   def hyperplaneSig(e: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column =
     toCol(HyperplaneSig(toExpr(e), planes, bitsPerBand))
+  def nearestCentroid(e: Column, centroids: Array[Array[Double]]): Column =
+    toCol(NearestCentroid(toExpr(e), centroids))
+  def sigMatches(a: Column, b: Column): Column =
+    toCol(SigMatches(toExpr(a), toExpr(b)))
 
   /** Exposes the native expressions to SQL:
     * cosine_sim(a, b), minhash_sig(tokens[, slots]), simhash64(tokens). */
@@ -55,25 +59,33 @@ object NativeExprs {
     ColumnBridge.registerFunction(spark, "minhash_sig", {
       case Seq(t) => MinHashSig(t, 64)
       case Seq(t, Literal(slots: Int, _)) => MinHashSig(t, slots)
-      case es => MinHashSig(es.head, 64)
+      case es => throw new IllegalArgumentException(
+        "minhash_sig expects (tokens[, slots INTEGER LITERAL]); got " +
+          s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
     })
     ColumnBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
   }
 }
 
 /** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), fused single pass, codegen'd.
-  * Inputs are array<double> of equal length; null if either is null. */
+  * Inputs are array<double>. Null when either input is null, when the
+  * lengths differ, or when either norm is zero — malformed embeddings
+  * surface as nulls instead of NaN/±Inf or a silent truncation (and a
+  * length mismatch can't diverge from DuckDB's
+  * list_cosine_similarity, which errors on it). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must already be array<double> (callers cast explicitly)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -81,7 +93,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -93,15 +106,22 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -152,6 +172,53 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+}
+
+/** Equal-slot count between two array<long> sketch signatures (the
+  * MinHash agreement estimator's numerator), codegen'd. Replaces a
+  * size(filter(zip_with(...))) HOF tree that Spark walks interpreted,
+  * per element, per pass — this sits in the candidate re-rank loop of
+  * the LSH dedup queries, O(candidates × slots). */
+case class SigMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<long> signatures of equal declared length
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_matches"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SketchKernels.sigMatches(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.sigMatches($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatches =
+    copy(left = l, right = r)
+}
+
+/** argmin-distance centroid assignment (IVF coarse quantization):
+  * index of the squared-euclidean-nearest centroid for an array<double>
+  * embedding. Codegen'd call into the static kernel — the assignment
+  * pass stays inside whole-stage codegen (the previous formulation was
+  * an interpreted Scala UDF with a per-row Seq conversion). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  // input must be array<double>
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.nearestCentroid($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
 }
 
 /** 63-bit SimHash over a token array: per-bit ±1 votes of token

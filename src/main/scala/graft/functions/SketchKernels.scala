@@ -52,6 +52,38 @@ object SketchKernels {
     out
   }
 
+  /** Number of equal slots between two fixed-length long signatures
+    * (MinHash agreement count — est. Jaccard = count / slots). */
+  def sigMatches(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Index of the squared-euclidean-nearest centroid (IVF coarse
+    * quantization). Centroids are expression-static data (k×dim
+    * doubles — kilobytes) riding the serialized plan. */
+  def nearestCentroid(e: ArrayData, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(e.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = cent(i) - e.getDouble(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   def hyperplane(e: ArrayData, planes: Array[Array[Double]],
                  bitsPerBand: Int): ArrayData = {
     val dim = e.numElements()

@@ -87,9 +87,12 @@ object Geo {
     (d4 == 0 && onSeg(p1.head, p1(1), p2.head, p2(1), p4.head, p4(1)))
   }
 
-  /** Count of self-intersecting segment pairs across all rings
-    * (turf.kinks semantics: > 0 ⇔ polygon has kinks). Adjacent segments
-    * (sharing a ring vertex) and the ring-closing adjacency are skipped. */
+  /** Count of self-intersection features, turf.kinks semantics: turf
+    * compares every ORDERED pair of segments (i vs j AND j vs i,
+    * /root/reference/package.json:23 → @turf/kinks), so each crossing
+    * contributes 2 features — the reference's log message embeds that
+    * feature count, hence the ×2 here. Adjacent segments (sharing a
+    * ring vertex) and the ring-closing adjacency are skipped. */
   def selfIntersections(coordinates: Seq[Seq[Seq[Double]]]): Int = {
     var count = 0
     for (ring <- coordinates) {
@@ -101,7 +104,7 @@ object Geo {
           val adjacentViaClosure = i == 0 && j == n - 1
           if (!adjacentViaClosure &&
               segmentsIntersect(ring(i), ring(i + 1), ring(j), ring(j + 1)))
-            count += 1
+            count += 2 // one kink feature per segment ordering
           j += 1
         }
         i += 1

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables._
+
+/** As-of join (ROADMAP #1; the reference has no join machinery beyond
+  * J1, SURVEY §2.3 — this is part of the engine's general operator
+  * suite): for every left row, attach the LATEST right row with the
+  * same key and right.ts ≤ left.ts.
+  *
+  * Composed union+window form, deliberately NOT a range join:
+  * both sides union on (key, ts), one hash exchange on key, one sort
+  * per partition, then a running `last(_, ignoreNulls)` carries the
+  * most recent right payload forward into each left row. Why this
+  * shape at 100 TB:
+  *  - a range join (`l.key = r.key AND r.ts <= l.ts` + argmax) builds
+  *    an O(matches) intermediate that explodes on long histories;
+  *    the union+window is strictly O(|L| + |R|);
+  *  - one Exchange + one sort is exactly what a sort-merge join would
+  *    pay anyway — there is no cheaper distributed shape;
+  *  - AQE handles key skew the same way it does for any window.
+  */
+object AsOf {
+
+  /** Generic as-of join. `left` and `right` must share exactly the
+    * `key` and `ts` column names; their payload column sets must be
+    * disjoint. Right payload columns come back suffixed `_r` is not
+    * needed — the matched right row arrives as one struct picked
+    * atomically (no per-column tearing when a right payload value is
+    * legitimately null). Ties on ts: the right row sorts FIRST, so a
+    * right row AT the left timestamp matches (ASOF `>=` semantics). */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               key: String, ts: String): DataFrame = {
+    val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
+    val lPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
+
+    val rStructFields = (ts +: rPayload)
+    val rStructType = StructType(right.select(rStructFields.map(col): _*).schema.fields)
+
+    val lT = left.select(
+      (Seq(col(key), col(ts), lit(1).as("_side"),
+           lit(null).cast(rStructType).as("_r")) ++ lPayload.map(col)): _*)
+    val rT = right.select(
+      (Seq(col(key), col(ts), lit(0).as("_side"),
+           struct(rStructFields.map(col): _*).as("_r")) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lT.unionByName(rT)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((Seq(col(key), col(ts)) ++ lPayload.map(col) ++
+        rStructFields.map(f => col(s"_r.$f").as(if (f == ts) s"matched_$ts" else f))): _*)
+  }
+
+  /** q51: for each purchase event, the user's latest click at or
+    * before it (ASOF semantics). Timestamps compared and emitted in
+    * integer microseconds on both engines (the events.parquet NANOS
+    * discipline — see Tables.events). */
+  def q51AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    // one right row per (key, ts): dedup BEFORE the as-of so both
+    // engines resolve equal-timestamp clicks identically
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("click_value"))
+    asOfJoin(purchases, clicks, "user_id", "ts_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+              col("matched_ts_us").as("click_ts_us"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q51Sql: String =
+    """WITH p AS (
+      | SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      | FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS click_value
+      | FROM events WHERE event_type = 'click'
+      | GROUP BY user_id, epoch_us(ts)
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+      |       c.ts_us AS click_ts_us, c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY p.event_id""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q51_asof_join", q51AsofJoin _, Some(q51Sql)),
+  )
+}

@@ -32,13 +32,19 @@ object Dedup {
     * granularity for near-dup (docs draw from a shared small vocab). */
   private def tokenSet(c: Column): Column = array_distinct(split(c, " "))
 
-  /** word n-gram shingles (n≥2) via sliding window over the token array. */
-  def shingles(c: Column, n: Int): Column =
+  /** word n-gram shingles (n≥2) via sliding window over a TOKEN ARRAY
+    * column — pass `split(textCol, " ")` (or a precomputed token
+    * column, so the split runs once, not per shingle reference). */
+  def shinglesOfTokens(tokens: Column, n: Int): Column =
     // guard: sequence(1, 0) counts DOWN in Spark, so short docs need an
     // explicit empty-array branch, not a clamped upper bound
-    expr(s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
-            |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-            |     i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END""".stripMargin)
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+
+  /** word n-gram shingles of a TEXT column (builds from the passed
+    * column — not a hardcoded name). */
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(split(c, " "), n)
 
   /** MinHash signature via the native one-pass expression
     * (graft.functions.MinHashSig: double hashing h1 + j·h2, one
@@ -82,7 +88,7 @@ object Dedup {
       .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))
+        round(graft.functions.NativeExprs.sigMatches(col("sig_a"), col("sig_b"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.8)
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
@@ -129,8 +135,11 @@ object Dedup {
     * sequence-sensitive near-dup measure (token-set Jaccard in q44 is
     * order-blind); oracle-checked against DuckDB list comprehensions. */
   def q47NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // token array projected once; codegen subexpression elimination
+    // keeps the split single-evaluation through the shingle window
     val docs = documents(s, d).filter(col("doc_id") < 40)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(shinglesOfTokens(col("t"), 3)).as("sh"))
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -168,7 +177,7 @@ object Dedup {
     val b = sk.select(col("source").as("src_b"), col("sketch").as("sk_b"))
     a.join(b, col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
-        round(size(expr("filter(zip_with(sk_a, sk_b, (x, y) -> x = y), v -> v)"))
+        round(graft.functions.NativeExprs.sigMatches(col("sk_a"), col("sk_b"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }

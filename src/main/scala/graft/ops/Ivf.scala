@@ -1,9 +1,6 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -11,15 +8,24 @@ import graft.Tables._
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-
   * quantization scale path complementing the LSH variant in Similarity:
   *
-  *  1. TRAIN: k-means centroids (seeded, deterministic). At 100 TB this
-  *     trains on a driver-budgeted sample; the model is k×dim doubles —
-  *     kilobytes — shipped to executors in the task closure.
-  *  2. INDEX: every vector assigned to its nearest centroid (map-only).
-  *     In production the corpus is then written partitioned/bucketed by
-  *     cluster id, so a probe reads only matching partitions
-  *     (partition pruning does the candidate cut).
-  *  3. QUERY: rank centroids by distance to the query (driver, k rows),
-  *     scan only the nprobe nearest clusters, exact cosine re-rank.
+  *  1. TRAIN: Lloyd's k-means on a DRIVER-BUDGETED sample (≤ SampleN
+  *     vectors collected once — constant cost at any corpus size; the
+  *     sample is statistically sufficient for a coarse quantizer). The
+  *     model is k×dim doubles — kilobytes — compiled into the plan as
+  *     expression-static data. No distributed training passes at all:
+  *     at 100 TB the corpus is touched exactly once, by the assignment
+  *     map (vs 10 full KMeans iterations in the naive formulation).
+  *  2. INDEX: every vector assigned to its nearest centroid via the
+  *     codegen'd [[graft.functions.NearestCentroid]] expression
+  *     (map-only, whole-stage codegen). For repeated querying,
+  *     [[writeIndex]] persists the corpus PARTITIONED BY cluster id,
+  *     so probes become partition-pruned scans on disk — only
+  *     nprobe/k of the data is ever read (IvfSpec asserts the
+  *     PartitionFilters in the probe plan).
+  *  3. QUERY: rank centroids against the query on the driver (k rows,
+  *     O(1)), scan only the nprobe nearest clusters, exact cosine
+  *     re-rank with the query vector as a plan literal — the plan is
+  *     filter → project → TakeOrderedAndProject, zero shuffles.
   *
   * nprobe = k degrades gracefully to exact brute force — SimilaritySpec
   * asserts that equivalence, which pins the whole path's correctness.
@@ -28,54 +34,130 @@ object Ivf {
 
   val K = 16
   val NProbe = 4
+  val SampleN = 4096   // driver training budget (vectors collected)
+  val Iters = 10
 
-  /** Deterministic k-means centroids over the embedding corpus. */
-  def trainCentroids(df: DataFrame, k: Int = K): Array[Array[Double]] = {
-    val toVec = udf((e: Seq[Double]) => Vectors.dense(e.toArray))
-    val feats = df.select(toVec(col("e")).as("features"))
-    new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .fit(feats).clusterCenters.map(_.toArray)
+  /** Lloyd's k-means, pure Scala, seeded — runs on the driver over the
+    * bounded sample (≤ SampleN × dim doubles; trivial CPU). Empty
+    * clusters keep their previous centroid. */
+  private[graft] def kmeansFit(points: Array[Array[Double]], k: Int,
+                             iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    var cents = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(i => points(i).clone()).toArray
+
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = cents(c)(i) - p(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    cents
   }
 
-  private def sqDist(a: Array[Double], b: Seq[Double]): Double = {
+  /** Deterministic centroids from a bounded sample of the corpus.
+    * The only driver-side data movement in the whole path: ≤ sampleN
+    * rows, once — NOT a function of corpus size. */
+  def trainCentroids(df: DataFrame, k: Int = K,
+                     sampleN: Int = SampleN): Array[Array[Double]] = {
+    val sample = df.select(col("e")).limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    kmeansFit(sample, k, Iters, seed = 42L)
+  }
+
+  private[ops] def sqDist(a: Array[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
-  /** Nearest-centroid assignment (map-only; centroids ride the closure). */
-  def assignUdf(centroids: Array[Array[Double]]): UserDefinedFunction =
-    udf((e: Seq[Double]) => {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < centroids.length) {
-        val d = sqDist(centroids(c), e)
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    })
-
   private def emb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
 
-  /** IVF top-k for the query vector (vec_id 0) probing nprobe clusters. */
+  /** Centroid ids ranked by distance to the query, nearest first. */
+  private def rankProbes(cents: Array[Array[Double]], qVec: Seq[Double],
+                         nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.sortBy { case (c, _) => sqDist(c, qVec) }
+      .take(nprobe).map(_._2).toSeq
+
+  /** IVF top-k for the query vector (vec_id 0) probing nprobe clusters.
+    * In-memory form: one training sample collect + one corpus pass. */
   def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int = 10): DataFrame = {
-    val corpus = emb(s, d).cache()
+    val corpus = emb(s, d)
     val cents = trainCentroids(corpus)
-    val assign = assignUdf(cents)
-    val indexed = corpus.withColumn("cluster", assign(col("e")))
-    // driver-side: rank centroids against the tiny query vector
+    // driver-side O(1): the single query row and the k-row centroid rank
     val qVec = corpus.filter(col("vec_id") === 0).select(col("e"))
       .head().getSeq[Double](0)
-    val probes = cents.zipWithIndex
-      .sortBy { case (c, _) => sqDist(c, qVec) }
-      .take(nprobe).map(_._2)
-    val q = corpus.filter(col("vec_id") === 0).select(col("e").as("qe"))
-    indexed
-      .filter(col("vec_id") =!= 0 && col("cluster").isin(probes.toSeq: _*))
-      .crossJoin(broadcast(q))
+    val probes = rankProbes(cents, qVec, nprobe)
+    val qe = typedLit(qVec)
+    corpus
+      .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
+      .filter(col("vec_id") =!= 0 && col("cluster").isin(probes: _*))
       .select(col("vec_id"), col("cluster"),
-              round(Similarity.cosine(col("e"), col("qe")), 6).as("cos_sim"))
+              round(Similarity.cosine(col("e"), qe), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // --- persisted index (the repeated-query / 100 TB shape) -----------
+
+  /** Builds the on-disk IVF index ONCE: corpus written partitioned by
+    * cluster id (one directory per inverted list), centroids spooled
+    * alongside. Amortizes training + assignment over every subsequent
+    * probe; probes then read only nprobe/k of the files. */
+  def writeIndex(s: SparkSession, d: String, path: String, k: Int = K): Array[Array[Double]] = {
+    val corpus = emb(s, d)
+    val cents = trainCentroids(corpus, k)
+    corpus
+      .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val lines = cents.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.csv"), lines)
+    cents
+  }
+
+  /** Centroids persisted by [[writeIndex]] (driver-side small file). */
+  def readCentroids(path: String): Array[Array[Double]] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_centroids.csv"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+
+  /** Probe a persisted index: partition-pruned scan of the nprobe
+    * nearest inverted lists + exact cosine re-rank. The cluster filter
+    * is a PARTITION filter — pruned before any file is opened. */
+  def probeIndex(s: SparkSession, path: String, qVec: Seq[Double],
+                 nprobe: Int, k: Int = 10): DataFrame = {
+    val cents = readCentroids(path)
+    val probes = rankProbes(cents, qVec, nprobe)
+    val qe = typedLit(qVec)
+    s.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cluster"),
+              round(Similarity.cosine(col("e"), qe), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -47,13 +47,16 @@ object Mapwarper {
   /** JS-truthiness for strings: null and "" are both falsy. */
   private def truthy(c: Column): Column = c.isNotNull && c =!= ""
 
-  /** getYear (F1): depicts_year || issue_year, parseInt semantics
-    * (leading-integer extraction; /root/reference/mapwarper.js:323-329). */
+  /** getYear (F1): `(depicts_year || issue_year)` FIRST, then parseInt
+    * (/root/reference/mapwarper.js:323-329). The truthiness pick happens
+    * BEFORE parsing, so an unparseable-but-truthy depicts_year (e.g.
+    * "ca. 1880") yields null (JS: parseInt → NaN → dropped on
+    * stringify) and never falls through to issue_year. */
   private def yearCol(dy: Column, iy: Column): Column = {
-    def p(c: Column) =
-      when(truthy(c), regexp_extract(c, "^\\s*([+-]?\\d+)", 1)).otherwise(lit(null))
-    val y = coalesce(p(dy), p(iy))
-    when(truthy(y), y.cast("int")).otherwise(lit(null).cast("int"))
+    val y = when(truthy(dy), dy).otherwise(iy)
+    val parsed = when(truthy(y), regexp_extract(y, "^\\s*([+-]?\\d+)", 1))
+      .otherwise(lit(null))
+    when(truthy(parsed), parsed.cast("int")).otherwise(lit(null).cast("int"))
   }
 
   /** The 9-rule validation chain (§2.7) as one `logs` array column.
@@ -145,16 +148,30 @@ object Mapwarper {
   /** F12, the download-step enrichment (/root/reference/mapwarper.js:79-110):
     * maps that are masked/masking but carry no geometry get one computed
     * from the pixel mask + GCPs via the affine fit; failures land in the
-    * in-band maskError channel (→ the mask_to_geojson rule), never throw. */
+    * in-band maskError channel (→ the mask_to_geojson rule), never throw.
+    *
+    * transform_options passthrough (/root/reference/mapwarper.js:86): the
+    * reference forwards the map's transform spec to GDAL, which supports
+    * polynomial order 1/2/3 and TPS. This engine implements only the
+    * order-1 (affine) fit — a DOCUMENTED deviation (SURVEY §7.4) — so a
+    * non-affine transform_options routes to maskError (→ the
+    * mask_to_geojson log) instead of silently fitting the wrong model. */
   def enrichMasks(maps: DataFrame): DataFrame = {
     val need = col("maskGeometry").isNull &&
       col("mask_status").isin("masked", "masking") &&
       col("mask").isNotNull && col("gcps").isNotNull
+    val affineOk = !truthy(col("transform_options")) ||
+      lower(col("transform_options")).isin("auto", "1", "p1", "poly1", "order1")
     maps
-      .withColumn("mt", when(need, GeoUdfs.maskToGeom(col("mask"), col("gcps"))))
+      .withColumn("mt", when(need && affineOk, GeoUdfs.maskToGeom(col("mask"), col("gcps"))))
       .withColumn("maskGeometry",
         coalesce(col("maskGeometry"), col("mt.geometry").cast(geometryType)))
-      .withColumn("maskError", coalesce(col("maskError"), col("mt.error")))
+      .withColumn("maskError", coalesce(
+        col("maskError"),
+        when(need && !affineOk,
+          concat(lit("unsupported transform_options '"), col("transform_options"),
+                 lit("': only order-1 (affine) GCP transforms are supported"))),
+        col("mt.error")))
       .drop("mt")
   }
 
@@ -207,6 +224,30 @@ object Mapwarper {
         col("nypl_digital_id").as("imageId"),
         col("logs")).as("obj"))
 
+  /** Per-map layer-fetch errors → log records. In the reference these
+    * ride in-band on the map (`layerErrors`,
+    * /root/reference/mapwarper.js:64-69, assembled from {type:'error'}
+    * page records, mapwarper.js:123-129); the transform step never
+    * surfaces them. Here they become first-class `log` records — one
+    * per map, one entry per failed fetch — WITHOUT dead-lettering the
+    * map itself (a layer-fetch failure is provenance, not a validation
+    * failure; the map still projects to an object if clean). */
+  def layerErrorLogs(records: DataFrame): DataFrame =
+    records.filter(col("type") === "map").select(col("data.*"))
+      .filter(col("layerErrors").isNotNull && size(col("layerErrors")) > 0)
+      .select(lit("log").as("type"),
+        struct(
+          col("id").cast("string").as("id"), nullS.as("type"), nullS.as("name"),
+          nullI.as("validSince"), nullI.as("validUntil"),
+          lit(null).cast(objDataType).as("data"),
+          lit(null).cast(geometryType).as("geometry"),
+          nullS.as("from"), nullS.as("to"),
+          col("nypl_digital_id").as("imageId"),
+          expr(s"""transform(layerErrors, le -> named_struct(
+                  |  'type', 'layer_error',
+                  |  'message', concat(le.error, ' (', le.url, ')')))""".stripMargin)
+            .as("logs")).as("obj"))
+
   /** Layer records → st:Map objects (P7). */
   def layerObjects(records: DataFrame): DataFrame = {
     val layers = records.filter(col("type") === "layer").select(col("data.*"))
@@ -238,6 +279,7 @@ object Mapwarper {
     mapObjects(clean)
       .unionByName(mapRelations(clean))
       .unionByName(logRecords(dead))
+      .unionByName(layerErrorLogs(records))
       .unionByName(layerObjects(records))
   }
 

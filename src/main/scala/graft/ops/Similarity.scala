@@ -81,41 +81,79 @@ object Similarity {
     df.withColumn("bands",
       graft.functions.NativeExprs.hyperplaneSig(col("e"), planes, BitsPerBand))
 
+  /** Multi-probe masks: every XOR pattern within hamming radius ≤ 2 of
+    * a band value (1 exact + 8 single-bit + 28 two-bit = 37 probes per
+    * band). Multi-probe is the standard recall lever that does NOT
+    * touch the index side: the corpus keeps ONE bucket entry per band;
+    * only the (single-row) query fans out, so candidate generation
+    * stays bucketed and the index shuffle volume is unchanged.
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007.) */
+  private lazy val probeMasks: Seq[Long] = {
+    val bits = 0 until BitsPerBand
+    val singles = bits.map(1L << _)
+    val pairs = for { i <- bits; j <- bits if j > i } yield (1L << i) | (1L << j)
+    0L +: (singles ++ pairs)
+  }
+
   /** ANN search for the query vector (vec_id 0): candidates are rows
-    * colliding with the query in ≥1 LSH band; exact cosine re-rank of
-    * candidates only. Rows-only check (LSH not SQL-expressible). */
+    * whose band value is within hamming radius 2 of the query's in ≥1
+    * band; exact cosine re-rank of candidates only. Rows-only check
+    * (LSH not SQL-expressible); recall@10 ≥ 0.6 pinned in
+    * SimilaritySpec. */
   def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
     val signed = withSignature(emb(s, d))
     val exploded = signed.select(col("vec_id"), col("e"),
         posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val qBands = exploded.filter(col("vec_id") === 0)
-      .select(col("band_idx"), col("band_val"), col("e").as("qe"))
+    // the query side (1 row) fans out to 8 bands × 37 probe buckets —
+    // a 296-row broadcast; the corpus side is untouched
+    val qProbes = exploded.filter(col("vec_id") === 0)
+      .select(col("band_idx"), col("band_val"), col("e").as("qe"),
+              explode(typedLit(probeMasks)).as("mask"))
+      .select(col("band_idx"),
+              col("band_val").bitwiseXOR(col("mask")).as("band_val"), col("qe"))
     exploded.filter(col("vec_id") =!= 0)
-      .join(broadcast(qBands), Seq("band_idx", "band_val"))
+      .join(broadcast(qProbes), Seq("band_idx", "band_val"))
       .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
       .groupBy(col("vec_id")).agg(first(col("cos_sim")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
 
-  /** All-pairs near-duplicate candidates via LSH banding: self-join on
-    * (band_idx, band_val) — touches only colliding buckets, never the
-    * full O(n²) pair space. Top-20 by exact cosine re-rank. */
-  def q42EmbedNearDup(s: SparkSession, d: String): DataFrame = {
-    val signed = withSignature(emb(s, d))
+  val MaxBucket = 200 // skip degenerate buckets (same guard as Dedup.MaxBucket)
+
+  /** All-pairs near-duplicate candidate pairs via LSH banding, in the
+    * shape that survives 100 TB (mirrors Dedup.q43MinhashPairs):
+    * bucket-size cap (a degenerate embedding corpus makes one hot
+    * bucket a quadratic skew bomb), candidate ids only through the
+    * self-join, distinct pairs BEFORE re-joining the vectors. */
+  def embedNearDupPairs(signed: DataFrame, maxBucket: Int): DataFrame = {
     val ex = signed.select(col("vec_id"), col("e"),
         posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val a = ex.select(col("band_idx"), col("band_val"),
-                      col("vec_id").as("id_a"), col("e").as("ea"))
-    val b = ex.select(col("band_idx"), col("band_val"),
-                      col("vec_id").as("id_b"), col("e").as("eb"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val small = ex.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+    val inSmall = ex.select(col("band_idx"), col("band_val"), col("vec_id"))
+      .join(small.select(col("band_idx"), col("band_val")), Seq("band_idx", "band_val"))
+    val cands = inSmall.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
+      .join(inSmall.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b")),
+            Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = signed.select(col("vec_id"), col("e"))
+    cands
+      .join(vecs.select(col("vec_id").as("id_a"), col("e").as("ea")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("e").as("eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+  }
+
+  /** Top-20 embedding near-duplicates (rows-only; the capped-bucket
+    * blowup guard is pinned by SimilaritySpec's planted-hot-bucket test). */
+  def q42EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    embedNearDupPairs(withSignature(emb(s, d)), MaxBucket)
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
-  }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),

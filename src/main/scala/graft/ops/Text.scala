@@ -114,28 +114,44 @@ object Text {
       |GROUP BY lang, token HAVING count(*) >= 10
       |ORDER BY lang, n DESC, token""".stripMargin
 
-  /** N-gram-heuristic language identification (rows-only: the scoring
-    * profile is engine-internal, not SQL-expressible in the oracle).
-    * Scores each doc against per-language character-bigram profiles
-    * built from a deterministic seed vocabulary; map-only, no shuffle. */
+  /** Character-bigram profiles per language: deterministic, tiny, and
+    * compiled into the plan as literal expressions — no driver collect.
+    * Both the Spark query and the DuckDB oracle are generated from
+    * THIS table, so they cannot drift. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "la", "os", "en", "ar"),
+    "fr" -> Seq("le", "es", "en", "de", "re"),
+    "de" -> Seq("en", "er", "ch", "de", "ei"),
+    "zh" -> Seq("zh", "sh", "ng", "ia", "ao"))
+
+  /** N-gram-heuristic language identification: score = Σ occurrences
+    * of each profile bigram (counted via split), winner by (score,
+    * lang) struct comparison — ties break toward the larger language
+    * code identically in both engines. Map-only, no shuffle. */
   def q35LangId(s: SparkSession, d: String): DataFrame = {
-    // Character-bigram profiles per language: deterministic, tiny, and
-    // broadcast as a literal map expression — no driver collect.
-    val profiles: Map[String, Seq[String]] = Map(
-      "en" -> Seq("th", "he", "in", "er", "an"),
-      "es" -> Seq("de", "la", "os", "en", "ar"),
-      "fr" -> Seq("le", "es", "en", "de", "re"),
-      "de" -> Seq("en", "er", "ch", "de", "ei"),
-      "zh" -> Seq("zh", "sh", "ng", "ia", "ao"))
-    val scoreCols = profiles.map { case (lang, grams) =>
+    val scoreCols = langProfiles.map { case (lang, grams) =>
       val score = grams.map(g => size(split(col("text"), g)) - 1)
         .reduce(_ + _)
       struct(score.cast("double").as("score"), lit(lang).as("lang"))
-    }.toSeq
+    }
     documents(s, d)
       .select(col("doc_id"), col("lang").as("actual_lang"),
               greatest(scoreCols: _*).getField("lang").as("predicted_lang"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of q35: same profiles, same (score, lang) max —
+    * struct list_max tie-breaks lexicographically like Spark's
+    * greatest over structs. */
+  val q35Sql: String = {
+    val structs = langProfiles.map { case (lang, grams) =>
+      val score = grams.map(g => s"(len(str_split(text, '$g')) - 1)").mkString(" + ")
+      s"struct_pack(score := CAST($score AS DOUBLE), lang := '$lang')"
+    }.mkString(",\n   ")
+    s"""SELECT doc_id, lang AS actual_lang,
+       | (list_max([$structs])).lang AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   /** Token counting two ways: whitespace split vs a BPE-ish regex
@@ -168,7 +184,7 @@ object Text {
     ("q32_token_stats", q32TokenStats _, Some(q32Sql)),
     ("q33_quality_score", q33QualityScore _, Some(q33Sql)),
     ("q34_top_tokens", q34TopTokens _, Some(q34Sql)),
-    ("q35_lang_id", q35LangId _, None),
+    ("q35_lang_id", q35LangId _, Some(q35Sql)),
     ("q36_bpe_tokens", q36BpeTokens _, Some(q36Sql)),
   )
 }

@@ -83,8 +83,12 @@ class PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
+      private var source: scala.io.BufferedSource = _
       private val iter: Iterator[String] = {
-        try scala.io.Source.fromFile(p.file, "UTF-8").getLines()
+        try {
+          source = scala.io.Source.fromFile(p.file, "UTF-8")
+          source.getLines()
+        }
         catch { case e: Exception => Iterator(s"__READ_ERROR__${e.getMessage}") }
       }
       private var current: InternalRow = _
@@ -105,7 +109,7 @@ class PageReaderFactory extends PartitionReaderFactory {
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (source != null) source.close()
     }
   }
 }

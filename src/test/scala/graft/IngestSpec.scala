@@ -53,4 +53,66 @@ class IngestSpec extends AnyFunSuite {
     assert(hard.map(_._1) == Seq(0, 1))
     assert(hard(1)._2 == Left("down"))
   }
+
+  test("mapsPageUrl matches the reference's paginate() shape") {
+    val url = Ingest.mapsPageUrl("http://maps.nypl.org/warper/", 250) _
+    assert(url(0) == "http://maps.nypl.org/warper/maps.json?per_page=250")
+    assert(url(1) == "http://maps.nypl.org/warper/maps.json?per_page=250&page=2")
+  }
+
+  test("itemLines splits a page body into one JSON line per item") {
+    val body = """{"total_entries":3,"items":[{"id":1,"t":"a"},{"id":2}]}"""
+    assert(Ingest.itemLines(body) == Seq("""{"id":1,"t":"a"}""", """{"id":2}"""))
+    assert(Ingest.itemLines("""{"no_items":true}""") == Seq.empty)
+  }
+
+  test("crawlToSpool: fake transport end-to-end through PagedNdjsonSource") {
+    // 2 full pages + 1 short page; page 1 fails twice then succeeds
+    // (inside the retry budget); throttle counts its permits
+    var page1Attempts = 0
+    val transport = new Ingest.HttpTransport {
+      def get(url: String): Try[String] = url match {
+        case u if u.endsWith("per_page=2") =>
+          Success("""{"items":[{"id":0},{"id":1}]}""")
+        case u if u.endsWith("page=2") =>
+          page1Attempts += 1
+          if (page1Attempts < 3) Failure(new RuntimeException("HTTP 503"))
+          else Success("""{"items":[{"id":2},{"id":3}]}""")
+        case _ => Success("""{"items":[{"id":4}]}""") // short ⇒ stop
+      }
+    }
+    var now = 0L
+    val throttle = new Ingest.Throttle(100, () => { now += 100; now })
+    val dir = java.nio.file.Files.createTempDirectory("crawl_spool").toString
+    val files = Ingest.crawlToSpool(dir, perPage = 2, retries = 5, transport,
+      Ingest.mapsPageUrl("http://maps.nypl.org/warper/", 2),
+      throttle = Some(throttle))
+    assert(files.map(_.getName) == Seq("page-0000.ndjson", "page-0001.ndjson", "page-0002.ndjson"))
+
+    val spark = TestSpark.spark
+    val rows = spark.read.format("graft.sources.PagedNdjsonSource")
+      .option("path", dir).load().collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.isNullAt(2))) // no error rows: retries absorbed the 503s
+    assert(page1Attempts == 3)
+  }
+
+  test("crawlToSpool: a hard page failure becomes an in-band error line") {
+    val transport = new Ingest.HttpTransport {
+      def get(url: String): Try[String] =
+        if (url.endsWith("per_page=2")) Success("""{"items":[{"id":0},{"id":1}]}""")
+        else Failure(new RuntimeException("connection refused"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("crawl_err").toString
+    Ingest.crawlToSpool(dir, perPage = 2, retries = 1, transport,
+      Ingest.mapsPageUrl("http://maps.nypl.org/warper/", 2))
+    val spark = TestSpark.spark
+    val rows = spark.read.format("graft.sources.PagedNdjsonSource")
+      .option("path", dir).load()
+      .selectExpr("page", "line").collect()
+    val errLine = rows.find(_.getInt(0) == 1).get.getString(1)
+    assert(errLine.contains("\"type\":\"error\""))
+    assert(errLine.contains("connection refused"))
+    assert(errLine.contains("page=2")) // the failing URL rides in-band
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Ivf, Similarity}
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("driver k-means: deterministic and separates planted blobs") {
+    val rnd = new scala.util.Random(7)
+    def blob(center: Double, n: Int) =
+      Array.fill(n)(Array.fill(8)(center + rnd.nextGaussian() * 0.05))
+    val pts = blob(0.0, 50) ++ blob(10.0, 50)
+    val c1 = Ivf.kmeansFit(pts, 2, 10, seed = 42L)
+    val c2 = Ivf.kmeansFit(pts, 2, 10, seed = 42L)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "same seed ⇒ same model")
+    val means = c1.map(_.sum / 8).sorted
+    assert(math.abs(means(0) - 0.0) < 1.0 && math.abs(means(1) - 10.0) < 1.0,
+      s"centroids should land on the blobs, got ${means.mkString(",")}")
+  }
+
+  test("persisted index probe ≡ in-memory IVF at nprobe = k, plan prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ivf.writeIndex(spark, TestSpark.sf0001, dir)
+    val qVec = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .filter(col("vec_id") === 0).select("e").head().getSeq[Double](0)
+
+    // nprobe = k ⇒ exact: matches brute force
+    val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val probed = Ivf.probeIndex(spark, dir, qVec, Ivf.K)
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).sameElements(brute.map(_._1)))
+    got.zip(brute).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+
+    // nprobe < k ⇒ the scan must carry a partition filter on cluster
+    // (pruned BEFORE file listing — the on-disk candidate cut)
+    val pruned = Ivf.probeIndex(spark, dir, qVec, Ivf.NProbe)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"probe plan should prune cluster partitions:\n$plan")
+    assert(pruned.collect().nonEmpty)
+  }
+
+  test("centroids round-trip through the index directory") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
+    val written = Ivf.writeIndex(spark, TestSpark.sf0001, dir)
+    val read = Ivf.readCentroids(dir)
+    assert(written.length == read.length)
+    written.zip(read).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+}

@@ -18,11 +18,17 @@ class MapwarperSpec extends AnyFunSuite {
   def logs: Seq[Row] = out.filter(col("type") === "log").select(col("obj.*")).collect().toSeq
   def rels: Seq[Row] = out.filter(col("type") === "relation").select(col("obj.*")).collect().toSeq
 
+  /** Validation dead-letters only (layer_error logs are provenance,
+    * not routing — the map still projects to an object). */
+  def deadLogs: Seq[Row] = logs.filterNot(r =>
+    r.getSeq[Row](r.fieldIndex("logs")).forall(_.getAs[String]("type") == "layer_error"))
+
   test("routing: clean maps become objects, dirty maps become logs, ineligible dropped") {
     val objIds = objs.map(_.getAs[String]("id")).toSet
-    assert(objIds == Set("1", "13", "14", "15", "16", "layer-10", "layer-11", "layer-12"))
-    val logIds = logs.map(_.getAs[String]("id")).toSet
-    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10", "17"))
+    assert(objIds == Set("1", "13", "14", "15", "16", "18", "20",
+                         "layer-10", "layer-11", "layer-12"))
+    val logIds = deadLogs.map(_.getAs[String]("id")).toSet
+    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10", "17", "19"))
     // 11 (is_atlas) and 12 (no bbox) appear nowhere
   }
 
@@ -39,6 +45,32 @@ class MapwarperSpec extends AnyFunSuite {
     assert(byId("9") == Seq("unwarped_but_masked"))
     assert(byId("10") == Seq("mask_missing"))
     assert(byId("17") == Seq("mask_to_geojson")) // F12 error channel
+    assert(byId("19") == Seq("mask_to_geojson")) // non-affine transform_options
+  }
+
+  test("turf.kinks parity: bowtie reports 2 features (one per segment ordering)") {
+    val l4 = deadLogs.find(_.getAs[String]("id") == "4").get
+    val msg = l4.getSeq[Row](l4.fieldIndex("logs")).head.getAs[String]("message")
+    assert(msg == "Mask has 2 self-intersections")
+  }
+
+  test("transform_options: non-affine orders surface as mask_to_geojson, never a silent affine fit") {
+    val l19 = deadLogs.find(_.getAs[String]("id") == "19").get
+    val msg = l19.getSeq[Row](l19.fieldIndex("logs")).head.getAs[String]("message")
+    assert(msg.contains("transform_options 'tps'"), msg)
+    // and the map must NOT have been given a geometry
+    assert(!objs.exists(_.getAs[String]("id") == "19"))
+  }
+
+  test("layerErrors channel: fetch failures surface as layer_error logs without dead-lettering") {
+    val l20 = logs.find(r => r.getAs[String]("id") == "20").get
+    val entries = l20.getSeq[Row](l20.fieldIndex("logs"))
+    assert(entries.map(_.getAs[String]("type")) == Seq("layer_error"))
+    assert(entries.head.getAs[String]("message") ==
+      "Request timed out (http://maps.nypl.org/warper/api/v1/maps/20/layers.json)")
+    assert(l20.getAs[String]("imageId") == "img-20")
+    // the map itself still projects to a clean object
+    assert(objs.exists(_.getAs[String]("id") == "20"))
   }
 
   test("F12 enrichment: mask + gcps -> computed geometry, clean route") {
@@ -87,6 +119,14 @@ class MapwarperSpec extends AnyFunSuite {
     assert(m14.getAs[Int]("validSince") == 1920)
   }
 
+  test("getYear: unparseable-but-truthy depicts_year yields null, never the fallback") {
+    val m18 = objs.find(_.getAs[String]("id") == "18").get
+    // reference: ('ca. 1880' || '1885') → parseInt('ca. 1880') → NaN →
+    // undefined; the YEAR MUST NOT fall through to 1885
+    assert(m18.isNullAt(m18.fieldIndex("validSince")))
+    assert(m18.isNullAt(m18.fieldIndex("validUntil")))
+  }
+
   test("relations: one st:in edge per (map, layerId); none without layerIds") {
     val edges = rels.map(r => (r.getAs[String]("from"), r.getAs[String]("to"))).toSet
     assert(edges == Set(("1", "layer-10"), ("1", "layer-11")))
@@ -111,7 +151,7 @@ class MapwarperSpec extends AnyFunSuite {
     val eligible = Mapwarper.eligibleMaps(
       Mapwarper.parseRecords(spark, MapwarperFixture.allLines))
     val mapObjIds = objs.map(_.getAs[String]("id")).filterNot(_.startsWith("layer-"))
-    val logIds = logs.map(_.getAs[String]("id"))
+    val logIds = deadLogs.map(_.getAs[String]("id"))
     assert(eligible.count() == (mapObjIds.length + logIds.length))
     assert(mapObjIds.toSet.intersect(logIds.toSet).isEmpty)
   }
@@ -151,7 +191,7 @@ class MapwarperSpec extends AnyFunSuite {
   test("typed Dataset surface: case-class views round-trip the contract") {
     import graft.model.Typed
     val objects = Typed.objects(spark, out).collect()
-    assert(objects.length == 8)
+    assert(objects.length == 10)
     val m1 = objects.find(_.id == "1").get
     assert(m1.`type` == "st:Map" && m1.validSince.contains(1893))
     assert(m1.data.masked.contains(true) && m1.geometry.`type` == "Polygon")
@@ -160,7 +200,7 @@ class MapwarperSpec extends AnyFunSuite {
     val rels = Typed.relations(spark, out).collect()
     assert(rels.map(r => (r.from, r.to)).toSet == Set(("1", "layer-10"), ("1", "layer-11")))
     val logRecs = Typed.logs(spark, out).collect()
-    assert(logRecs.length == 10)
+    assert(logRecs.length == 12) // 11 dead-letters + 1 layer_error record
     assert(logRecs.find(_.id == "7").get.logs.head.`type` == "mask_to_geojson")
   }
 

@@ -43,9 +43,14 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(name, fn)
-      name -> (if (t1 <= rerunAboveSec) t1 else math.min(t1, timeOnce(name, fn)))
+    // Two passes: suspicious timings are re-timed AFTER the full sweep
+    // (not back-to-back) so a multi-minute contention burst can't
+    // inflate both measurements of the same query.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results = firstPass.map { case (name, t1) =>
+      name -> (if (t1 <= rerunAboveSec) t1
+               else math.min(t1, timeOnce(name, SparkEntry.queries(name))))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

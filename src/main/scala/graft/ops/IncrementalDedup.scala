@@ -42,7 +42,7 @@ object IncrementalDedup {
       .dropDuplicates("new_id", "match_id")
     cands
       .select(col("new_id"), col("match_id"),
-        round(size(expr("filter(zip_with(new_sig, match_sig, (x, y) -> x = y), v -> v)"))
+        round(graft.functions.NativeExprs.sigMatches(col("new_sig"), col("match_sig"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }

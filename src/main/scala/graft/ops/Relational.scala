@@ -660,6 +660,32 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q54: pivot (long→wide) — order revenue by year × priority class.
+    * Spark's relational pivot with EXPLICIT values (no value-discovery
+    * scan, and the plan is a single hash aggregation: pivot compiles
+    * to one pivot_first agg per column, NOT one pass per value).
+    * Oracle: the equivalent conditional aggregation in DuckDB. */
+  def q54Pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"),
+              substring(col("o_orderpriority"), 1, 1).as("pri"),
+              col("o_totalprice"))
+      .groupBy(col("yr"))
+      .pivot("pri", Seq("1", "2", "3", "4", "5"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .select(col("yr"), col("1").as("p1"), col("2").as("p2"),
+              col("3").as("p3"), col("4").as("p4"), col("5").as("p5"))
+      .orderBy(col("yr"))
+
+  val q54Sql: String =
+    """SELECT year(o_orderdate) AS yr,
+      | round(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN o_totalprice END), 2) AS p1,
+      | round(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN o_totalprice END), 2) AS p2,
+      | round(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '3' THEN o_totalprice END), 2) AS p3,
+      | round(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '4' THEN o_totalprice END), 2) AS p4,
+      | round(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN o_totalprice END), 2) AS p5
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -695,5 +721,6 @@ object Relational {
     ("q38_window_misc", q38WindowMisc _, q38Sql),
     ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
     ("q50_window_values", q50WindowValues _, q50Sql),
+    ("q54_pivot", q54Pivot _, q54Sql),
   )
 }

@@ -178,6 +178,18 @@ object Text {
       | count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Custom HLL sketch aggregate (graft.functions.HllSketchAgg) next
+    * to the exact count — per-source approximate distinct tokens.
+    * Rows-only (the estimator is engine-specific); HllSpec pins the
+    * error bound and partition-independence. */
+  def q53HllDistinct(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HllSketchAgg.hllDistinct(col("token")).as("approx_tokens"),
+           countDistinct(col("token")).as("exact_tokens"))
+      .orderBy(col("source"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -186,5 +198,6 @@ object Text {
     ("q34_top_tokens", q34TopTokens _, Some(q34Sql)),
     ("q35_lang_id", q35LangId _, Some(q35Sql)),
     ("q36_bpe_tokens", q36BpeTokens _, Some(q36Sql)),
+    ("q53_hll_distinct", q53HllDistinct _, None),
   )
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.IncrementalDedup
+
+/** Streaming ingest-with-dedup (ROADMAP #3): ties the persisted
+  * signature index ([[graft.ops.IncrementalDedup]]) into a Structured
+  * Streaming loop — the shape of a production training-data ingest:
+  *
+  *   for each micro-batch of documents:
+  *     1. probe the bucketed index for near-duplicates (index side
+  *        stays unshuffled — only the batch moves);
+  *     2. batch-internal dedup: keep the lowest doc_id per duplicate
+  *        group within the batch;
+  *     3. append surviving uniques to the corpus sink AND the index,
+  *        so later batches dedup against them.
+  *
+  * foreachBatch is the right tool: the probe is a batch join against a
+  * non-streaming table, which pure streaming operators can't express.
+  * State lives in the index table, not executor memory — restartable
+  * and unbounded-corpus-safe.
+  */
+object StreamingDedup {
+
+  /** Batch-internal near-dup removal: among docs whose estimated
+    * Jaccard reaches `threshold`, keep the lowest doc_id of each
+    * connected pair (one hop — the planted-dup granularity). */
+  private def dropInternalDups(spark: SparkSession, batch: DataFrame,
+                               threshold: Double): DataFrame = {
+    val sigs = graft.ops.Dedup.withMinhash(batch)
+      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bucket"))
+    val dupIds = sigs.as("a").join(sigs.as("b"), Seq("bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("dup_id"), col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .filter(graft.functions.NativeExprs.sigMatches(col("sa"), col("sb"))
+        .cast("double") / graft.ops.Dedup.SigLen >= threshold)
+      .select(col("dup_id")).distinct()
+    batch.join(dupIds, batch("doc_id") === dupIds("dup_id"), "left_anti")
+  }
+
+  /** Starts the deduped-ingest stream: `streamingDocs` must carry the
+    * documents schema (doc_id, text, ...). Uniques land in `outDir`
+    * (parquet, append) and are folded into the index table. */
+  def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
+                    indexTable: String, outDir: String,
+                    threshold: Double = 0.8): StreamingQuery =
+    streamingDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val crossBatchDups = IncrementalDedup
+            .probeBatch(spark, b, indexTable, threshold)
+            .select(col("new_id")).distinct()
+          val survivors = dropInternalDups(spark,
+            b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),
+            threshold).persist()
+          survivors.write.mode("append").parquet(outDir)
+          IncrementalDedup.appendToIndex(survivors, indexTable)
+          survivors.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IncrementalDedup
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  test("micro-batches dedup against the index AND earlier batches; uniques append") {
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_index")
+    val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    import spark.implicits._
+
+    // seed corpus (indexed before the stream starts)
+    val seed = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven")).toDF("doc_id", "text")
+    IncrementalDedup.buildIndex(seed, "stream_dedup_index")
+
+    // two stream files = two micro-batches (maxFilesPerTrigger=1):
+    //  batch A: a fresh doc + an exact dup of seed doc 0
+    //  batch B: a fresh doc + an exact dup of batch A's fresh doc
+    val streamDir = java.nio.file.Files.createTempDirectory("sdedup_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sdedup_out").toString + "/uniques"
+    Seq((100L, "totally new content about maps and layers"),
+        (101L, "alpha beta gamma delta epsilon zeta")) // dup of seed 0
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
+    Seq((200L, "another brand new document entirely here"),
+        (201L, "totally new content about maps and layers")) // dup of 100
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f2")
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir + "/f*")
+    val q = StreamingDedup.dedupedIngest(spark, stream, "stream_dedup_index", outDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L, 200L),
+      s"expected only the two fresh docs to survive, got $got")
+    // the index absorbed exactly the survivors
+    val indexed = spark.table("stream_dedup_index")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 1L, 100L, 200L))
+  }
+
+  test("batch-internal dup (same micro-batch) is also dropped") {
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_index2")
+    val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index2")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    import spark.implicits._
+    IncrementalDedup.buildIndex(
+      Seq((0L, "seed document with some words")).toDF("doc_id", "text"),
+      "stream_dedup_index2")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("sdedup2_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sdedup2_out").toString + "/uniques"
+    Seq((300L, "identical twins inside one single batch"),
+        (301L, "identical twins inside one single batch"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir + "/f*")
+    val q = StreamingDedup.dedupedIngest(spark, stream, "stream_dedup_index2", outDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(300L), s"lowest id should win within a batch, got $got")
+  }
+}

@@ -660,6 +660,32 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q55: arbitrary GROUPING SETS (beyond rollup/cube's fixed
+    * lattices) — the sets (flag, status), (flag), (status) but NOT the
+    * grand total, which neither rollup nor cube can express alone.
+    * One pass + Expand, exactly like the built-in lattices. */
+  def q55GroupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q55Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      | coalesce(l_linestatus, 'ALL') AS ls,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+      |ORDER BY rf, ls""".stripMargin
+
   /** q54: pivot (long→wide) — order revenue by year × priority class.
     * Spark's relational pivot with EXPLICIT values (no value-discovery
     * scan, and the plan is a single hash aggregation: pivot compiles
@@ -722,5 +748,6 @@ object Relational {
     ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
     ("q50_window_values", q50WindowValues _, q50Sql),
     ("q54_pivot", q54Pivot _, q54Sql),
+    ("q55_grouping_sets", q55GroupingSets _, q55Sql),
   )
 }

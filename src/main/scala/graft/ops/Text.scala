@@ -126,14 +126,19 @@ object Text {
     "zh" -> Seq("zh", "sh", "ng", "ia", "ao"))
 
   /** N-gram-heuristic language identification: score = Σ occurrences
-    * of each profile bigram (counted via split), winner by (score,
-    * lang) struct comparison — ties break toward the larger language
-    * code identically in both engines. Map-only, no shuffle. */
+    * of each profile bigram, winner by (score, lang) struct comparison
+    * — ties break toward the larger language code identically in both
+    * engines. Occurrences are counted with pure string arithmetic,
+    * (len(text) − len(replace(text, g, ''))) / 2 — no per-gram array
+    * materialization (a split-based count allocates an array per gram
+    * per row, which GC-thrashes at corpus scale). Map-only, no
+    * shuffle; exact same counts (non-overlapping left-to-right). */
   def q35LangId(s: SparkSession, d: String): DataFrame = {
     val scoreCols = langProfiles.map { case (lang, grams) =>
-      val score = grams.map(g => size(split(col("text"), g)) - 1)
+      val diffs = grams.map(g =>
+        length(col("text")) - length(expr(s"replace(text, '$g', '')")))
         .reduce(_ + _)
-      struct(score.cast("double").as("score"), lit(lang).as("lang"))
+      struct((diffs.cast("double") / 2).as("score"), lit(lang).as("lang"))
     }
     documents(s, d)
       .select(col("doc_id"), col("lang").as("actual_lang"),
@@ -141,13 +146,15 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB twin of q35: same profiles, same (score, lang) max —
-    * struct list_max tie-breaks lexicographically like Spark's
-    * greatest over structs. */
+  /** DuckDB twin of q35: same profiles, same replace-based counting,
+    * same (score, lang) max — struct list_max tie-breaks
+    * lexicographically like Spark's greatest over structs. */
   val q35Sql: String = {
     val structs = langProfiles.map { case (lang, grams) =>
-      val score = grams.map(g => s"(len(str_split(text, '$g')) - 1)").mkString(" + ")
-      s"struct_pack(score := CAST($score AS DOUBLE), lang := '$lang')"
+      val diffs = grams
+        .map(g => s"(length(text) - length(replace(text, '$g', '')))")
+        .mkString(" + ")
+      s"struct_pack(score := CAST($diffs AS DOUBLE) / 2, lang := '$lang')"
     }.mkString(",\n   ")
     s"""SELECT doc_id, lang AS actual_lang,
        | (list_max([$structs])).lang AS predicted_lang

@@ -52,6 +52,43 @@ object SketchKernels {
     out
   }
 
+  /** Symmetric max-abs int8 quantization of an array<double> embedding:
+    * byte i = round(e[i] / maxAbs · 127). The per-vector scale is NOT
+    * stored — cosine is invariant to per-vector scaling, so the
+    * quantized form supports similarity directly at 1/8 the bytes. */
+  def quantizeI8(e: ArrayData): Array[Byte] = {
+    val n = e.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(e.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.round(e.getDouble(i) / maxAbs * 127.0).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Cosine over two int8-quantized vectors (integer dot + norms). */
+  def cosineI8(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toInt; val y = b(i).toInt
+      dot += x * y; na += x.toLong * x; nb += y.toLong * y
+      i += 1
+    }
+    dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Number of equal slots between two fixed-length long signatures
     * (MinHash agreement count — est. Jaccard = count / slots). */
   def sigMatches(a: ArrayData, b: ArrayData): Int = {

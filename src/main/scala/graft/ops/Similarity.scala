@@ -155,9 +155,36 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
 
+  /** q56: scalar-quantized top-k — the memory-bandwidth scale path.
+    * The corpus is scanned as int8 (binary, 64 B/vector vs 512 B
+    * double), approximate cosine picks 50 candidates (map-only +
+    * TakeOrdered — same zero-shuffle shape as q40), then the exact
+    * double cosine re-ranks just those 50. Per-vector quantization
+    * scale cancels inside cosine, so no scale column is needed. At
+    * 100 TB this is an 8× scan-bytes cut on the candidate pass with
+    * a constant-size exact correction. Rows-only; SimilaritySpec
+    * asserts the re-ranked top-10 matches exact brute force. */
+  def q56QuantizedTopK(s: SparkSession, d: String): DataFrame = {
+    val qz = emb(s, d)
+      .withColumn("q8", graft.functions.NativeExprs.quantizeI8(col("e")))
+    // driver-side O(1): the single query row
+    val qRow = qz.filter(col("vec_id") === 0).select(col("q8"), col("e")).head()
+    val q8 = lit(qRow.getAs[Array[Byte]](0))
+    val qe = typedLit(qRow.getSeq[Double](1))
+    qz.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("e"),
+        graft.functions.NativeExprs.cosineSimI8(col("q8"), q8).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+      .limit(50)
+      .select(col("vec_id"), round(cosine(col("e"), qe), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
     ("q42_embed_neardup", q42EmbedNearDup _, None),
+    ("q56_quantized_topk", q56QuantizedTopK _, None),
   )
 }

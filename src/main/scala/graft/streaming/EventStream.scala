@@ -97,6 +97,42 @@ object EventStream {
       }
       .start()
 
+  /** Stream-stream inner join with event-time bounds: each purchase
+    * joined to the same user's clicks in the preceding hour. Both
+    * sides carry watermarks and the range condition bounds the join
+    * STATE — Spark retains only one watermark+range window of each
+    * side per key, so state is O(rate × window), independent of
+    * stream length. The batch twin (same join over the static frame)
+    * must agree on complete data — EventStreamSpec asserts it. */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("value").as("click_value"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+             |c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("event_id"), col("p_user").as("user_id"),
+              unix_micros(col("p_ts")).as("p_ts_us"),
+              unix_micros(col("c_ts")).as("c_ts_us"),
+              col("value"), col("click_value"))
+  }
+
+  /** Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    * row per key with BOUNDED state — keys older than the watermark
+    * are evicted, so (unlike plain dropDuplicates on a stream) this
+    * runs forever. The dedup key is the content fingerprint, never
+    * the payload (q30's discipline, streaming form). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withColumn("fp", md5(col("props").cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Runs the streaming query to completion against a static dir via the
     * memory sink (complete mode), returning the settled result. */
   def runToCompletion(spark: SparkSession, dir: String, queryName: String): DataFrame = {

@@ -43,6 +43,55 @@ class EventStreamSpec extends AnyFunSuite {
     assert(served.exceptAll(batch).count() == 0)
   }
 
+  test("stream-stream join with time bounds equals the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("events-ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.clickToPurchaseJoin(EventStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ss_join_test")
+    val batch = EventStream.clickToPurchaseJoin(
+      Tables.events(spark, TestSpark.sf0001))
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups on the fingerprint with bounded state") {
+    // duplicate every event (same props → same fp) across two files;
+    // staged with ts as raw nanos-long, the shape readEvents declares
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup-src")
+    val ev = Tables.events(spark, TestSpark.sf0001).limit(200).cache()
+    val raw = ev.select(col("event_id"),
+      (unix_micros(col("ts")) * 1000).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    raw.write.parquet(dir.resolve("a").toString)
+    raw.write.parquet(dir.resolve("b").toString) // identical copy
+    val src = java.nio.file.Files.createTempDirectory("events-dedup-in")
+    var i = 0
+    Seq("a", "b").foreach { sub =>
+      java.nio.file.Files.list(dir.resolve(sub)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, src.resolve(s"part-$i.parquet")); i += 1
+        }
+      }
+    }
+    val q = EventStream.dedupWithinWatermark(EventStream.readEvents(spark, src.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_wm_test")
+    val distinctFps = ev.select(md5(col("props").cast("binary"))).distinct().count()
+    assert(got.count() == distinctFps,
+      s"expected $distinctFps unique fingerprints, got ${got.count()}")
+    ev.unpersist()
+    ()
+  }
+
   test("stateful mapGroupsWithState accumulates across micro-batches") {
     // two files → two micro-batches → state must carry across them
     val dir = java.nio.file.Files.createTempDirectory("events-state")

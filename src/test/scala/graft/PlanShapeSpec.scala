@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the SCALE properties of representative plans —
+  * the things that keep queries viable at 100 TB: top-k never sorts
+  * globally, dedup shuffles fingerprints instead of payloads,
+  * dimension joins broadcast, aggregations combine map-side, scans
+  * prune columns. A refactor that silently loses one of these should
+  * fail here, not in a cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def sparkPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("q15 top-k is TakeOrderedAndProject — never a global sort") {
+    val p = plan(q("q15_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not total-sort:\n$p")
+  }
+
+  test("q40 cosine top-k never shuffles the corpus") {
+    val shuffles = sparkPlan(q("q40_cosine_topk")).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"brute-force top-k must be map-only + TakeOrdered, found ${shuffles.length} shuffles")
+  }
+
+  test("q48 IVF probe never shuffles the corpus") {
+    val shuffles = sparkPlan(q("q48_ivf_topk")).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"IVF probe must be filter + project + TakeOrdered, found ${shuffles.length} shuffles")
+  }
+
+  test("q30 dedup shuffle carries the 16-byte fingerprint, never the text") {
+    val shuffles = sparkPlan(q("q30_dedup_exact")).collect {
+      case e: ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"dedup exchange must not move document text, moves: $cols")
+    }
+  }
+
+  test("q07 dimension chain is broadcast-hash, no shuffle of the fact side") {
+    val p = plan(q("q07_join_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension joins must not SMJ:\n$p")
+  }
+
+  test("q01 aggregation combines map-side (partial + final HashAggregate)") {
+    val aggs = sparkPlan(q("q01_pricing_summary")).collect {
+      case a if a.nodeName.contains("HashAggregate") => a
+    }
+    assert(aggs.length >= 2, s"expected partial+final aggregation, got ${aggs.length}")
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = plan(q("q01_pricing_summary"))
+    // q01 touches flag/status/qty/price/discount/tax — shipdate filter
+    // column rides along; the untouched keys must be pruned
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"),
+      s"q01 read schema should prune unreferenced key columns:\n$p")
+  }
+
+  test("q35 is map-only: no exchange except the final order") {
+    val shuffles = sparkPlan(q("q35_lang_id")).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // one range partitioning for the ORDER BY is the only legal shuffle
+    assert(shuffles.length <= 1,
+      s"lang-id scoring must not shuffle data, found ${shuffles.length}")
+  }
+}

@@ -139,6 +139,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected an argument-shape error, got: ${e.getMessage}")
   }
 
+  test("int8 quantization: cosine error is small; quantized top-k re-ranks to exact") {
+    import spark.implicits._
+    // direct kernel check on a hand row
+    val df = Seq((Seq(0.5, -0.25, 0.125), Seq(0.5, -0.25, 0.125))).toDF("a", "b")
+    val c = df.select(
+      graft.functions.NativeExprs.cosineSimI8(
+        graft.functions.NativeExprs.quantizeI8(col("a")),
+        graft.functions.NativeExprs.quantizeI8(col("b"))).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-3, s"self-cosine after quantization was $c")
+
+    // end-to-end: quantized candidate pass + exact re-rank == brute force
+    val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val quant = Similarity.q56QuantizedTopK(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(quant.map(_._1).sameElements(brute.map(_._1)),
+      s"quantized top-10 ${quant.map(_._1).toSeq} != exact ${brute.map(_._1).toSeq}")
+    quant.zip(brute).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("near-dup pairs are distinct ordered pairs with valid cosines") {
     val pairs = Similarity.q42EmbedNearDup(spark, TestSpark.sf0001).collect()
     assert(pairs.nonEmpty)

@@ -67,6 +67,17 @@ object NativeExprs {
           s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
     })
     ColumnBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    ColumnBridge.registerFunction(spark, "sig_matches",
+      es => SigMatches(es(0), es(1)))
+    ColumnBridge.registerFunction(spark, "quantize_i8", es => QuantizeI8(es.head))
+    ColumnBridge.registerFunction(spark, "cosine_sim_i8",
+      es => CosineSimI8(es(0), es(1)))
+    ColumnBridge.registerFunction(spark, "hll_distinct", {
+      case Seq(c) => HllSketchAgg(c, 12)
+      case Seq(c, Literal(p: Int, _)) => HllSketchAgg(c, p)
+      case es => throw new IllegalArgumentException(
+        s"hll_distinct expects (col[, p INTEGER LITERAL]); got ${es.length} argument(s)")
+    })
   }
 }
 

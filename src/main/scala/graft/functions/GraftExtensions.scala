@@ -26,10 +26,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => es match {
         case Seq(t) => MinHashSig(t, 64)
         case Seq(t, Literal(slots: Int, _)) => MinHashSig(t, slots)
-        case other => MinHashSig(other.head, 64)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig expects (tokens[, slots INTEGER LITERAL]); got ${other.length} argument(s)")
       }))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 63-bit SimHash of array<string>"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("sig_matches"),
+      info("sig_matches", "sig_matches(a, b) - equal-slot count of two array<bigint> signatures"),
+      (es: Seq[Expression]) => SigMatches(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("quantize_i8"),
+      info("quantize_i8", "quantize_i8(e) - max-abs int8 quantization of array<double> to binary"),
+      (es: Seq[Expression]) => QuantizeI8(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim_i8"),
+      info("cosine_sim_i8", "cosine_sim_i8(a, b) - cosine of two int8-quantized binary vectors"),
+      (es: Seq[Expression]) => CosineSimI8(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct", "hll_distinct(x[, p]) - HyperLogLog approximate distinct count (2^p registers)"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c) => HllSketchAgg(c, 12)
+        case Seq(c, Literal(p: Int, _)) => HllSketchAgg(c, p)
+        case other => throw new IllegalArgumentException(
+          s"hll_distinct expects (col[, p INTEGER LITERAL]); got ${other.length} argument(s)")
+      }))
   }
 }

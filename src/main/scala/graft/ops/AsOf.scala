@@ -34,7 +34,8 @@ object AsOf {
     * legitimately null). Ties on ts: the right row sorts FIRST, so a
     * right row AT the left timestamp matches (ASOF `>=` semantics). */
   def asOfJoin(left: DataFrame, right: DataFrame,
-               key: String, ts: String): DataFrame = {
+               key: String, ts: String,
+               tolerance: Option[Long] = None): DataFrame = {
     val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
     val lPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
     require(lPayload.intersect(rPayload).isEmpty,
@@ -54,11 +55,19 @@ object AsOf {
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lT.unionByName(rT)
+    val picked = lT.unionByName(rT)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select((Seq(col(key), col(ts)) ++ lPayload.map(col) ++
-        rStructFields.map(f => col(s"_r.$f").as(if (f == ts) s"matched_$ts" else f))): _*)
+    // merge_asof-style tolerance: a match staler than `tolerance` ts
+    // units is discarded (requires a numeric ts column); the row
+    // survives with a null match — this is per-row masking, not a
+    // join-shape change
+    val bounded = tolerance.fold(picked) { tol =>
+      picked.withColumn("_r",
+        when(col("_r").isNotNull && col(ts) - col(s"_r.$ts") <= tol, col("_r")))
+    }
+    bounded.select((Seq(col(key), col(ts)) ++ lPayload.map(col) ++
+      rStructFields.map(f => col(s"_r.$f").as(if (f == ts) s"matched_$ts" else f))): _*)
   }
 
   /** q51: for each purchase event, the user's latest click at or

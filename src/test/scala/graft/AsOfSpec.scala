@@ -33,6 +33,16 @@ class AsOfSpec extends AnyFunSuite {
       (2L, 100L, "d", -1L, -1.0)))
   }
 
+  test("tolerance masks stale matches without dropping left rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 12L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 5.0)).toDF("k", "t", "v")
+    val got = AsOf.asOfJoin(left, right, "k", "t", tolerance = Some(5L))
+      .collect().map(r => (r.getLong(1), r.isNullAt(3))).toMap
+    assert(got(12L) == false, "match within tolerance (12-10=2 <= 5) must survive")
+    assert(got(100L) == true, "stale match (100-10=90 > 5) must be masked, row kept")
+  }
+
   test("matched right row arrives atomically (no per-column tearing on null payloads)") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")

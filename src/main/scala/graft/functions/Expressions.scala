@@ -52,6 +52,10 @@ object NativeExprs {
   def quantizeI8(e: Column): Column = toCol(QuantizeI8(toExpr(e)))
   def cosineSimI8(a: Column, b: Column): Column =
     toCol(CosineSimI8(toExpr(a), toExpr(b)))
+  def pqEncode(e: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(PqEncode(toExpr(e), codebooks))
+  def pqAdc(code: Column, lut: Array[Array[Double]]): Column =
+    toCol(PqAdc(toExpr(code), lut))
 
   /** Exposes the native expressions to SQL:
     * cosine_sim(a, b), minhash_sig(tokens[, slots]), simhash64(tokens). */
@@ -206,6 +210,51 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.SketchKernels.quantizeI8($c);")
 
   override protected def withNewChildInternal(c: Expression): QuantizeI8 = copy(child = c)
+}
+
+/** Product-quantization encoder: array<double> → binary of m subspace
+  * centroid indices (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011). The codebook (m × k × dsub doubles —
+  * ~a hundred KB) is expression-static data riding the plan. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  // input must be array<double> with length divisible by codebooks.length
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.pqEncode($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** PQ asymmetric-distance scorer: binary code → approximate inner
+  * product against the query via per-subspace lookup tables (m
+  * lookups per row — no floating-point vector math in the scan). */
+case class PqAdc(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+
+  // input must be the binary output of PqEncode with matching m
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.pqAdc(v.asInstanceOf[Array[Byte]], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lut", lut, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.pqAdc($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdc = copy(child = c)
 }
 
 /** Cosine over int8-quantized vectors (binary × binary → double):

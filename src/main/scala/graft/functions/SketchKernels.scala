@@ -76,6 +76,56 @@ object SketchKernels {
     out
   }
 
+  /** Product-quantization encode: the L2-normalized vector is split
+    * into `codebooks.length` subvectors; each maps to the index of its
+    * nearest subspace centroid. 64-dim double vector → m bytes. */
+  def pqEncode(e: ArrayData, codebooks: Array[Array[Array[Double]]]): Array[Byte] = {
+    val dim = e.numElements()
+    val m = codebooks.length
+    val dsub = dim / m
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { val x = e.getDouble(i); norm += x * x; i += 1 }
+    norm = math.sqrt(norm)
+    val inv = if (norm == 0.0) 0.0 else 1.0 / norm
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cents = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = e.getDouble(s * dsub + j) * inv - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric distance computation: approximate inner product of the
+    * (normalized) query against a PQ code — m table lookups, no
+    * vector math at scan time. lut(s)(c) = ⟨query_sub_s, centroid_c⟩. */
+  def pqAdc(code: Array[Byte], lut: Array[Array[Double]]): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < code.length) {
+      acc += lut(s)(code(s) & 0xFF)
+      s += 1
+    }
+    acc
+  }
+
   /** Cosine over two int8-quantized vectors (integer dot + norms). */
   def cosineI8(a: Array[Byte], b: Array[Byte]): Double = {
     val n = math.min(a.length, b.length)

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Product quantization (PQ) ANN — the codebook upgrade of q56's
+  * scalar quantization (Jégou et al., TPAMI 2011):
+  *
+  *  - TRAIN: per-subspace k-means on a DRIVER-BUDGETED sample (reuses
+  *    Ivf.kmeansFit; m independent fits over dsub-dim slices). The
+  *    codebook is m×k×dsub doubles (~100 KB) — plan-static data.
+  *  - ENCODE: every vector → m bytes (64× smaller than the double
+  *    array, 8× smaller than int8) via the codegen'd PqEncode.
+  *  - QUERY: the query precomputes an m×k lookup table ONCE on the
+  *    driver; scan-time scoring is m table lookups per row (PqAdc) —
+  *    no floating-point vector arithmetic in the candidate pass at
+  *    all. Exact cosine re-ranks the top candidates.
+  *
+  * Vectors are L2-normalized inside the encode, so the ADC inner
+  * product approximates cosine directly. At 100 TB: the candidate
+  * scan reads 8 bytes/vector — the PQ codes for a trillion vectors
+  * fit where the raw doubles never could.
+  */
+object Pq {
+
+  val M = 8          // subspaces
+  val K = 64         // centroids per subspace (6-bit codes, byte-stored)
+  val SampleN = 4096 // driver training budget
+  val Candidates = 100
+
+  private[ops] def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    n = math.sqrt(n)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Per-subspace codebooks from a bounded sample (deterministic). */
+  def trainCodebooks(df: DataFrame, m: Int = M, k: Int = K): Array[Array[Array[Double]]] = {
+    val sample = df.select(col("e")).limit(SampleN)
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    val dsub = sample(0).length / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      graft.ops.Ivf.kmeansFit(sub, k, iters = 8, seed = 42L + s)
+    }
+  }
+
+  /** Query-side ADC lookup table: lut(s)(c) = ⟨query_sub_s, centroid_c⟩. */
+  private[ops] def buildLut(q: Array[Double],
+                            codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val dsub = q.length / m
+    Array.tabulate(m) { s =>
+      codebooks(s).map { cent =>
+        var d = 0.0
+        var j = 0
+        while (j < dsub) { d += q(s * dsub + j) * cent(j); j += 1 }
+        d
+      }
+    }
+  }
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+
+  /** q57: PQ top-k — 8-byte-code candidate scan (map-only +
+    * TakeOrdered, zero shuffles like q40/q56), exact re-rank of the
+    * top candidates. Rows-only; PqSpec pins recall vs brute force. */
+  def q57PqTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val corpus = emb(s, d)
+    val codebooks = trainCodebooks(corpus)
+    val qVec = corpus.filter(col("vec_id") === 0).select(col("e"))
+      .head().getSeq[Double](0).toArray
+    val lut = buildLut(normalize(qVec), codebooks)
+    val qe = typedLit(qVec.toSeq)
+    corpus.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("e"),
+        graft.functions.NativeExprs.pqAdc(
+          graft.functions.NativeExprs.pqEncode(col("e"), codebooks), lut).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(Candidates)
+      .select(col("vec_id"), round(Similarity.cosine(col("e"), qe), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q57_pq_topk", (s: SparkSession, d: String) => q57PqTopK(s, d), None),
+  )
+}

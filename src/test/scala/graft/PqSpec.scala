@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Pq, Similarity}
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("codebooks are deterministic and shaped m x k x dsub") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val c1 = Pq.trainCodebooks(e)
+    val c2 = Pq.trainCodebooks(e)
+    assert(c1.length == Pq.M)
+    assert(c1.forall(_.length == Pq.K))
+    assert(c1.forall(_.forall(_.length == 64 / Pq.M)))
+    c1.zip(c2).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    }
+  }
+
+  test("PQ codes are m bytes of valid centroid indices") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val codebooks = Pq.trainCodebooks(e)
+    val v = e.filter(col("vec_id") === 1).select("e").head().getSeq[Double](0).toArray
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "e")
+    val code = df.select(graft.functions.NativeExprs.pqEncode(col("e"), codebooks).as("c"))
+      .head().getAs[Array[Byte]](0)
+    assert(code.length == Pq.M)
+    assert(code.forall(b => (b & 0xFF) < Pq.K))
+  }
+
+  test("PQ top-k recall vs brute force with exact re-rank") {
+    val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val pq = Pq.q57PqTopK(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect pq).size / 10.0
+    info(f"PQ recall@10 (m=${Pq.M}, k=${Pq.K}, cands=${Pq.Candidates}): $recall%.2f")
+    assert(recall >= 0.7, s"PQ recall@10 $recall below 0.7")
+    // scores of returned candidates are EXACT (re-ranked) cosines
+    val full = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Pq.q57PqTopK(spark, TestSpark.sf0001).collect().foreach { r =>
+      full.get(r.getLong(0)).foreach { exact =>
+        assert(math.abs(exact - r.getDouble(1)) < 1e-9)
+      }
+    }
+  }
+}

@@ -712,6 +712,76 @@ object Relational {
       | round(sum(CASE WHEN substr(o_orderpriority, 1, 1) = '5' THEN o_totalprice END), 2) AS p5
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
+  /** q58: scalar subquery through the spark.sql entry point — orders
+    * above the global average price. Catalyst plans the subquery as a
+    * one-row broadcast (SubqueryExec), evaluated once, not per row. */
+  def q58ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("q58_orders")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM q58_orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM q58_orders)
+        |ORDER BY price DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  val q58Sql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY price DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** q59: RANGE window frame (value-based, not row-based): per
+    * customer, total spend over orders in the trailing 30 days.
+    * Ordering key is epoch DAYS (numeric) so the frame is exact and
+    * tie rows (same day) are peers — included regardless of order,
+    * which keeps both engines deterministic. */
+  def q59WindowRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    orders(s, d)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+              round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  val q59Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+      | round(sum(o_totalprice) OVER (
+      |   PARTITION BY o_custkey
+      |   ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+      |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+      |FROM orders
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  /** q60: fuzzy string matching — near-identical part names by edit
+    * distance (both engines implement plain Levenshtein). Bounded id
+    * range keeps the exact O(n²) pair space constant at any scale;
+    * the unbounded form would go through MinHash banding (q43). */
+  def q60FuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+  }
+
+  val q60Sql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      | levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      |  AND levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY dist, id_a, id_b""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -749,5 +819,8 @@ object Relational {
     ("q50_window_values", q50WindowValues _, q50Sql),
     ("q54_pivot", q54Pivot _, q54Sql),
     ("q55_grouping_sets", q55GroupingSets _, q55Sql),
+    ("q58_scalar_subquery", q58ScalarSubquery _, q58Sql),
+    ("q59_window_range", q59WindowRange _, q59Sql),
+    ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
   )
 }

@@ -44,7 +44,10 @@ class CodegenSpec extends AnyFunSuite {
         NativeExprs.nearestCentroid(col("a"), cents).as("nc"),
         NativeExprs.sigMatches(col("sigA"), col("sigB")).as("sm"),
         NativeExprs.cosineSimI8(
-          NativeExprs.quantizeI8(col("a")), NativeExprs.quantizeI8(col("b"))).as("ci8")
+          NativeExprs.quantizeI8(col("a")), NativeExprs.quantizeI8(col("b"))).as("ci8"),
+        NativeExprs.pqAdc(
+          NativeExprs.pqEncode(col("a"), Array(Array(Array(0.4, 0.9)))),
+          Array(Array(1.0))).as("pq")
       ).head()
       assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
       assert(row.getSeq[Long](row.fieldIndex("mh")).length == 16)
@@ -53,6 +56,7 @@ class CodegenSpec extends AnyFunSuite {
       assert(row.getAs[Int]("nc") == 0)
       assert(row.getAs[Int]("sm") == 2)
       assert(math.abs(row.getAs[Double]("ci8") - 1.0) < 1e-3)
+      assert(math.abs(row.getAs[Double]("pq") - 1.0) < 1e-12)
     }
   }
 

@@ -57,32 +57,53 @@ object NativeExprs {
   def pqAdc(code: Column, lut: Array[Array[Double]]): Column =
     toCol(PqAdc(toExpr(code), lut))
 
-  /** Exposes the native expressions to SQL:
-    * cosine_sim(a, b), minhash_sig(tokens[, slots]), simhash64(tokens). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** One source of truth for the SQL function surface: (name, usage,
+    * builder). Both registration paths — programmatic [[registerAll]]
+    * and the config-wired [[GraftExtensions]] — iterate THIS list, so
+    * argument validation cannot drift between them. */
+  val sqlBuilders: Seq[(String, String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    ColumnBridge.registerFunction(spark, "cosine_sim",
-      es => CosineSim(es(0), es(1)))
-    ColumnBridge.registerFunction(spark, "minhash_sig", {
-      case Seq(t) => MinHashSig(t, 64)
-      case Seq(t, Literal(slots: Int, _)) => MinHashSig(t, slots)
-      case es => throw new IllegalArgumentException(
-        "minhash_sig expects (tokens[, slots INTEGER LITERAL]); got " +
-          s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
-    })
-    ColumnBridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
-    ColumnBridge.registerFunction(spark, "sig_matches",
-      es => SigMatches(es(0), es(1)))
-    ColumnBridge.registerFunction(spark, "quantize_i8", es => QuantizeI8(es.head))
-    ColumnBridge.registerFunction(spark, "cosine_sim_i8",
-      es => CosineSimI8(es(0), es(1)))
-    ColumnBridge.registerFunction(spark, "hll_distinct", {
-      case Seq(c) => HllSketchAgg(c, 12)
-      case Seq(c, Literal(p: Int, _)) => HllSketchAgg(c, p)
-      case es => throw new IllegalArgumentException(
-        s"hll_distinct expects (col[, p INTEGER LITERAL]); got ${es.length} argument(s)")
-    })
+    Seq(
+      ("cosine_sim",
+        "cosine_sim(a, b) - fused cosine similarity of two array<double>",
+        es => CosineSim(es(0), es(1))),
+      ("minhash_sig",
+        "minhash_sig(tokens[, slots]) - MinHash signature of array<string>",
+        {
+          case Seq(t) => MinHashSig(t, 64)
+          case Seq(t, Literal(slots: Int, _)) => MinHashSig(t, slots)
+          case es => throw new IllegalArgumentException(
+            "minhash_sig expects (tokens[, slots INTEGER LITERAL]); got " +
+              s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
+        }),
+      ("simhash64",
+        "simhash64(tokens) - 63-bit SimHash of array<string>",
+        es => SimHash64(es.head)),
+      ("sig_matches",
+        "sig_matches(a, b) - equal-slot count of two array<bigint> signatures",
+        es => SigMatches(es(0), es(1))),
+      ("quantize_i8",
+        "quantize_i8(e) - max-abs int8 quantization of array<double> to binary",
+        es => QuantizeI8(es.head)),
+      ("cosine_sim_i8",
+        "cosine_sim_i8(a, b) - cosine of two int8-quantized binary vectors",
+        es => CosineSimI8(es(0), es(1))),
+      ("hll_distinct",
+        "hll_distinct(x[, p]) - HyperLogLog approximate distinct count (2^p registers)",
+        {
+          case Seq(c) => HllSketchAgg(c, 12)
+          case Seq(c, Literal(p: Int, _)) => HllSketchAgg(c, p)
+          case es => throw new IllegalArgumentException(
+            s"hll_distinct expects (col[, p INTEGER LITERAL]); got ${es.length} argument(s)")
+        }),
+    )
   }
+
+  /** Exposes the native expressions to SQL (session-scoped). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, _, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
 }
 
 /** cosine(a, b) = dot(a,b) / (‖a‖·‖b‖), fused single pass, codegen'd.
@@ -297,20 +318,31 @@ case class CosineSimI8(left: Expression, right: Expression)
   * MinHash agreement estimator's numerator), codegen'd. Replaces a
   * size(filter(zip_with(...))) HOF tree that Spark walks interpreted,
   * per element, per pass — this sits in the candidate re-rank loop of
-  * the LSH dedup queries, O(candidates × slots). */
+  * the LSH dedup queries, O(candidates × slots). Null on signature
+  * length mismatch — a truncated agreement count over min(len) would
+  * silently deflate similarity estimates (same discipline as
+  * [[CosineSim]]). */
 case class SigMatches(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<long> signatures of equal declared length
+  // inputs must be array<long> signatures of equal length
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_matches"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    SketchKernels.sigMatches(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else SketchKernels.sigMatches(a, b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SketchKernels.sigMatches($a, $b);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.sigMatches($a, $b); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatches =
     copy(left = l, right = r)
@@ -324,17 +356,28 @@ case class SigMatches(left: Expression, right: Expression)
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
 
-  // input must be array<double>
+  private val dim = if (centroids.nonEmpty) centroids(0).length else 0
+
+  // input must be array<double> of the centroids' dimensionality;
+  // null on mismatch (a min-length distance would assign a
+  // plausible-but-wrong cluster to a malformed embedding)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any =
-    SketchKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids)
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    if (e.numElements() != dim) null
+    else SketchKernels.nearestCentroid(e, centroids)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchKernels.nearestCentroid($c, $ref);")
+      s"""
+         |if ($c.numElements() != $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.nearestCentroid($c, $ref); }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)

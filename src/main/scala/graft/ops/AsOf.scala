@@ -40,6 +40,14 @@ object AsOf {
     val lPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
     require(lPayload.intersect(rPayload).isEmpty,
       s"payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
+    // _side/_r are internal; a dotted payload name would break the
+    // col("_r.<name>") struct-field resolution — fail at the API
+    // boundary, not with a confusing analysis error downstream
+    val all = (left.columns ++ right.columns).toSeq
+    require(!all.exists(c => c == "_side" || c == "_r"),
+      "column names _side and _r are reserved by asOfJoin")
+    require(rPayload.forall(!_.contains(".")),
+      s"right payload names must not contain dots: ${rPayload.filter(_.contains("."))}")
 
     val rStructFields = (ts +: rPayload)
     val rStructType = StructType(right.select(rStructFields.map(col): _*).schema.fields)

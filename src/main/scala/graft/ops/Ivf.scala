@@ -79,14 +79,25 @@ object Ivf {
     cents
   }
 
+  /** Bounded, deterministic, layout-UNBIASED vector sample: take the
+    * sampleN rows with the smallest content hash. A bare limit() would
+    * grab a partition prefix — on a corpus written sorted/partitioned
+    * by some attribute that prefix covers one region of the embedding
+    * space and the quantizer collapses. Hash order ≈ uniform random,
+    * is independent of file layout, and plans as TakeOrderedAndProject
+    * (per-partition heaps — no global sort, one scan). */
+  private[ops] def sampleVectors(df: DataFrame, sampleN: Int): Array[Array[Double]] =
+    df.select(col("e"))
+      .orderBy(xxhash64(col("e")))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+
   /** Deterministic centroids from a bounded sample of the corpus.
     * The only driver-side data movement in the whole path: ≤ sampleN
     * rows, once — NOT a function of corpus size. */
   def trainCentroids(df: DataFrame, k: Int = K,
                      sampleN: Int = SampleN): Array[Array[Double]] = {
-    val sample = df.select(col("e")).limit(sampleN)
-      .collect().map(_.getSeq[Double](0).toArray)
-    kmeansFit(sample, k, Iters, seed = 42L)
+    kmeansFit(sampleVectors(df, sampleN), k, Iters, seed = 42L)
   }
 
   private[ops] def sqDist(a: Array[Double], b: Seq[Double]): Double = {
@@ -105,7 +116,9 @@ object Ivf {
       .take(nprobe).map(_._2).toSeq
 
   /** IVF top-k for the query vector (vec_id 0) probing nprobe clusters.
-    * In-memory form: one training sample collect + one corpus pass. */
+    * In-memory form: one bounded training collect, one O(1) query-row
+    * lookup, one candidate scan. Repeated querying should amortize
+    * training + assignment through writeIndex/probeIndex instead. */
   def ivfTopK(s: SparkSession, d: String, nprobe: Int, k: Int = 10): DataFrame = {
     val corpus = emb(s, d)
     val cents = trainCentroids(corpus)
@@ -148,14 +161,16 @@ object Ivf {
 
   /** Probe a persisted index: partition-pruned scan of the nprobe
     * nearest inverted lists + exact cosine re-rank. The cluster filter
-    * is a PARTITION filter — pruned before any file is opened. */
+    * is a PARTITION filter — pruned before any file is opened. The
+    * query vector is arbitrary (external); callers whose query also
+    * lives in the corpus filter its id from the result themselves. */
   def probeIndex(s: SparkSession, path: String, qVec: Seq[Double],
                  nprobe: Int, k: Int = 10): DataFrame = {
     val cents = readCentroids(path)
     val probes = rankProbes(cents, qVec, nprobe)
     val qe = typedLit(qVec)
     s.read.parquet(path)
-      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= 0)
+      .filter(col("cluster").isin(probes: _*))
       .select(col("vec_id"), col("cluster"),
               round(Similarity.cosine(col("e"), qe), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

@@ -38,10 +38,10 @@ object Pq {
     if (n == 0.0) v else v.map(_ / n)
   }
 
-  /** Per-subspace codebooks from a bounded sample (deterministic). */
+  /** Per-subspace codebooks from a bounded sample — deterministic and
+    * layout-unbiased (hash-ordered top-N; see Ivf.sampleVectors). */
   def trainCodebooks(df: DataFrame, m: Int = M, k: Int = K): Array[Array[Array[Double]]] = {
-    val sample = df.select(col("e")).limit(SampleN)
-      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    val sample = Ivf.sampleVectors(df, SampleN).map(normalize)
     require(sample.nonEmpty, "PQ training needs a non-empty sample")
     val dsub = sample(0).length / m
     Array.tabulate(m) { s =>

@@ -132,6 +132,7 @@ object EventStream {
       .withColumn("fp", md5(col("props").cast("binary")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // internal key — output keeps the events schema
 
   /** Runs the streaming query to completion against a static dir via the
     * memory sink (complete mode), returning the settled result. */

@@ -43,13 +43,22 @@ object StreamingDedup {
 
   /** Starts the deduped-ingest stream: `streamingDocs` must carry the
     * documents schema (doc_id, text, ...). Uniques land in `outDir`
-    * (parquet, append) and are folded into the index table. */
+    * (one overwritten subdirectory per micro-batch) and are folded
+    * into the index table.
+    *
+    * Restart semantics: the corpus write is per-batch OVERWRITE into
+    * `batch_id=<id>/`, so a replayed micro-batch rewrites its own
+    * directory instead of appending duplicates. The index append is
+    * not transactional with it, but replayed index rows are harmless:
+    * probeBatch takes distinct (new_id, match_id) candidates, so a
+    * doubled index entry changes no dedup decision — only wastes the
+    * space of the replayed rows. */
   def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
                     indexTable: String, outDir: String,
                     threshold: Double = 0.8): StreamingQuery =
     streamingDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           val crossBatchDups = IncrementalDedup
@@ -58,7 +67,7 @@ object StreamingDedup {
           val survivors = dropInternalDups(spark,
             b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),
             threshold).persist()
-          survivors.write.mode("append").parquet(outDir)
+          survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           IncrementalDedup.appendToIndex(survivors, indexTable)
           survivors.unpersist()
         } finally b.unpersist()

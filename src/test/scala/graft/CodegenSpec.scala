@@ -71,6 +71,19 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("sig_matches and nearest_centroid yield null on dimension mismatch") {
+    withCodegenOnly {
+      import spark.implicits._
+      val df = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(1.0, 2.0, 3.0))).toDF("s2", "s3", "e3")
+      val r = df.select(
+        NativeExprs.sigMatches(col("s2"), col("s3")).as("sm"),
+        NativeExprs.nearestCentroid(col("e3"), Array(Array(0.0, 0.0))).as("nc"))
+        .head()
+      assert(r.isNullAt(0), "mismatched signature lengths must be null, not truncated")
+      assert(r.isNullAt(1), "mismatched embedding dim must be null, not a wrong cluster")
+    }
+  }
+
   test("SQL surface covers the full function set") {
     NativeExprs.registerAll(spark)
     val r = spark.sql(

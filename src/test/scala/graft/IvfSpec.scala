@@ -28,11 +28,13 @@ class IvfSpec extends AnyFunSuite {
       .withColumn("e", col("embedding").cast("array<double>"))
       .filter(col("vec_id") === 0).select("e").head().getSeq[Double](0)
 
-    // nprobe = k ⇒ exact: matches brute force
+    // nprobe = k ⇒ exact: matches brute force (probeIndex is generic —
+    // it returns the query row itself too, which we filter like q40 does)
     val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
       .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val probed = Ivf.probeIndex(spark, dir, qVec, Ivf.K)
+    val probed = Ivf.probeIndex(spark, dir, qVec, Ivf.K, k = 11)
     val got = probed.collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(_._1 != 0L).take(10)
     assert(got.map(_._1).sameElements(brute.map(_._1)))
     got.zip(brute).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
 

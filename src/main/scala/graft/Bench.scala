@@ -23,11 +23,6 @@ object Bench {
     // once so the first timed query measures the query, not JVM warmup
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    // This box has noisy neighbors: a roaming burst can inflate one
-    // query 20-50× (observed q20 0.6s → 80s with identical plans). A
-    // single retimed run and min() is the standard steady-state
-    // estimator; only suspicious timings pay for the re-run.
-    val rerunAboveSec = 3.0
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop-format write: materializes EVERY output column through the
@@ -43,14 +38,18 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    // Two passes: suspicious timings are re-timed AFTER the full sweep
-    // (not back-to-back) so a multi-minute contention burst can't
-    // inflate both measurements of the same query.
+    // This box has noisy neighbors: a roaming multi-minute burst can
+    // inflate a CONTIGUOUS window of queries 20-50× (observed q20
+    // 0.6s → 80s with identical plans). Every query gets the SAME
+    // estimator — two full sweeps with min() — so no query keeps a
+    // single possibly-noisy sample; the second sweep runs AFTER the
+    // whole first one (temporal separation ≈ one suite length), so one
+    // burst can't inflate both measurements of the same query.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = firstPass.map { case (name, t1) =>
-      name -> (if (t1 <= rerunAboveSec) t1
-               else math.min(t1, timeOnce(name, SparkEntry.queries(name))))
+    val secondPass = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results = firstPass.zip(secondPass).map { case ((name, t1), (_, t2)) =>
+      name -> math.min(t1, t2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -240,17 +240,31 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
-  // input must be array<double> with length divisible by codebooks.length
+  // the dimensionality the codebooks were trained at; inputs of any
+  // other length encode to null (same discipline as NearestCentroid —
+  // a malformed embedding must not kill the scan or get a
+  // plausible-but-wrong code from stale/overflowing subspace indexing)
+  private val dim = if (codebooks.nonEmpty && codebooks(0).nonEmpty)
+    codebooks.length * codebooks(0)(0).length else 0
+
+  // input must be array<double> of the training dimensionality
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any =
-    SketchKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    if (e.numElements() != dim) null
+    else SketchKernels.pqEncode(e, codebooks)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchKernels.pqEncode($c, $ref);")
+      s"""
+         |if ($c.numElements() != $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.pqEncode($c, $ref); }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)

@@ -32,7 +32,13 @@ object AsOf {
     * needed — the matched right row arrives as one struct picked
     * atomically (no per-column tearing when a right payload value is
     * legitimately null). Ties on ts: the right row sorts FIRST, so a
-    * right row AT the left timestamp matches (ASOF `>=` semantics). */
+    * right row AT the left timestamp matches (ASOF `>=` semantics).
+    * When MULTIPLE right rows share (key, ts), the struct-lexicographic
+    * MAX of (ts, payload...) wins — the window ordering includes the
+    * right struct itself, so the result is deterministic across runs
+    * and partitionings (requires orderable payload types, which also
+    * rules out MapType columns — already excluded by Spark's own
+    * union/sort constraints). */
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String,
                tolerance: Option[Long] = None): DataFrame = {
@@ -60,7 +66,13 @@ object AsOf {
            struct(rStructFields.map(col): _*).as("_r")) ++
         lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+    // _r in the ordering is the determinism tie-break: among right rows
+    // with equal (key, ts) the lexicographically largest struct sorts
+    // last, so `last(_r)` always picks the same winner regardless of
+    // input partitioning. Left rows carry _r = null (sorts first among
+    // its _side peers; contributes nothing to last(_, ignoreNulls)).
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val picked = lT.unionByName(rT)

@@ -149,15 +149,31 @@ object Ivf {
       .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
     val lines = cents.map(_.mkString(",")).mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_centroids.csv"), lines)
+    // the sidecar goes through the SAME filesystem as the corpus (Hadoop
+    // FS resolved from the index path) — a java.nio local write would
+    // silently strand the centroids when the index lives on HDFS/S3
+    val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     cents
   }
 
-  /** Centroids persisted by [[writeIndex]] (driver-side small file). */
-  def readCentroids(path: String): Array[Array[Double]] =
-    java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_centroids.csv"))
+  private val CentroidsFile = "_centroids.csv"
+
+  /** Centroids persisted by [[writeIndex]] (small sidecar read through
+    * the index path's own filesystem — local, HDFS, or object store). */
+  def readCentroids(s: SparkSession, path: String): Array[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(bytes) finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").map(_.split(",").map(_.toDouble))
+  }
 
   /** Probe a persisted index: partition-pruned scan of the nprobe
     * nearest inverted lists + exact cosine re-rank. The cluster filter
@@ -166,7 +182,7 @@ object Ivf {
     * lives in the corpus filter its id from the result themselves. */
   def probeIndex(s: SparkSession, path: String, qVec: Seq[Double],
                  nprobe: Int, k: Int = 10): DataFrame = {
-    val cents = readCentroids(path)
+    val cents = readCentroids(s, path)
     val probes = rankProbes(cents, qVec, nprobe)
     val qe = typedLit(qVec)
     s.read.parquet(path)

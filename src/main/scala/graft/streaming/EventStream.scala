@@ -125,11 +125,16 @@ object EventStream {
   /** Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
     * row per key with BOUNDED state — keys older than the watermark
     * are evicted, so (unlike plain dropDuplicates on a stream) this
-    * runs forever. The dedup key is the content fingerprint, never
-    * the payload (q30's discipline, streaming form). */
+    * runs forever. The dedup key is a fingerprint of the FULL record
+    * content (every column, via to_json over the row struct), never
+    * the payload itself (q30's discipline, streaming form): a
+    * props-only key would collapse genuinely different events that
+    * happen to share a payload — and hash all null-props rows to one
+    * survivor. Only exact replays (same event, redelivered) dedup. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events
-      .withColumn("fp", md5(col("props").cast("binary")))
+      .withColumn("fp",
+        md5(to_json(struct(events.columns.map(col).toIndexedSeq: _*)).cast("binary")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp") // internal key — output keeps the events schema

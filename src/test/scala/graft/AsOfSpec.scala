@@ -54,6 +54,23 @@ class AsOfSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("v")))
   }
 
+  test("right-side (key, ts) ties resolve to the lexicographic-max struct, deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // three right rows at the SAME (key, ts): the winner must be the
+    // struct-lexicographic max of (t, v) — here v=9.0 — on every run
+    // and under any input partitioning
+    val rightRows = Seq((1L, 5L, 2.0), (1L, 5L, 9.0), (1L, 5L, 7.0))
+    (1 to 4).foreach { nPart =>
+      val right = spark.createDataFrame(
+        spark.sparkContext.parallelize(rightRows, nPart).map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)),
+        Seq((1L, 0L, 0.0)).toDF("k", "t", "v").schema)
+      val r = AsOf.asOfJoin(left, right, "k", "t").collect().head
+      assert(r.getAs[Double]("v") == 9.0,
+        s"tie must resolve to max struct at $nPart partitions, got ${r.getAs[Double]("v")}")
+    }
+  }
+
   test("q51 agrees with a brute-force range-join argmax at sf0.001") {
     val got = AsOf.q51AsofJoin(spark, TestSpark.sf0001)
     val ev = Tables.events(spark, TestSpark.sf0001)

@@ -85,9 +85,14 @@ class EventStreamSpec extends AnyFunSuite {
       .queryName("dedup_wm_test").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("dedup_wm_test")
-    val distinctFps = ev.select(md5(col("props").cast("binary"))).distinct().count()
-    assert(got.count() == distinctFps,
-      s"expected $distinctFps unique fingerprints, got ${got.count()}")
+    // the dedup key is the FULL record content: the doubled source must
+    // collapse back to exactly the distinct rows of the original table —
+    // distinct events sharing a props payload all survive
+    val distinctRows = ev.distinct().count()
+    assert(got.count() == distinctRows,
+      s"expected $distinctRows unique rows, got ${got.count()}")
+    assert(got.count() >= ev.select(col("props")).distinct().count(),
+      "full-content fingerprint must never collapse below props-distinct")
     ev.unpersist()
     ()
   }

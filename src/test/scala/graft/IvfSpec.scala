@@ -50,7 +50,7 @@ class IvfSpec extends AnyFunSuite {
   test("centroids round-trip through the index directory") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
     val written = Ivf.writeIndex(spark, TestSpark.sf0001, dir)
-    val read = Ivf.readCentroids(dir)
+    val read = Ivf.readCentroids(spark, dir)
     assert(written.length == read.length)
     written.zip(read).foreach { case (a, b) =>
       a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }

@@ -34,6 +34,27 @@ class PqSpec extends AnyFunSuite {
     assert(code.forall(b => (b & 0xFF) < Pq.K))
   }
 
+  test("pq_encode nulls dimension-mismatched embeddings instead of killing the scan") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val codebooks = Pq.trainCodebooks(e)
+    val good = e.filter(col("vec_id") === 1).select("e").head().getSeq[Double](0)
+    // longer-than-trained, shorter-than-trained, and exact-dim rows in
+    // one frame: only the exact-dim row encodes; the rest are null
+    val df = Seq(
+      (1L, good),
+      (2L, good ++ Seq(0.5, 0.5)),   // dim+2 → would index past the codebooks
+      (3L, good.take(10)))           // dim-10
+      .toDF("vec_id", "e")
+    val got = df.select(col("vec_id"),
+        graft.functions.NativeExprs.pqEncode(col("e"), codebooks).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got(1L) == false)
+    assert(got(2L) == true, "over-length embedding must encode to null")
+    assert(got(3L) == true, "under-length embedding must encode to null")
+  }
+
   test("PQ top-k recall vs brute force with exact re-rank") {
     val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
       .limit(10).collect().map(_.getLong(0)).toSet

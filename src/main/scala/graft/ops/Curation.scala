@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Training-data curation operators — the selection/splitting/packing
+  * layer a large-scale pretraining pipeline runs after dedup (q30/q43)
+  * and quality scoring (q33): deterministic train/val/test splitting,
+  * per-source selection under a token budget, concat-and-chunk
+  * sequence packing, and hash-Bernoulli data mixing.
+  *
+  * Everything here is deterministic arithmetic over md5/window
+  * primitives that DuckDB evaluates identically, so every query is
+  * hash-verified against the oracle (no RNG, no `rand()` — a split
+  * or sample that changes between runs is useless for reproducible
+  * training runs, and rand-based sampling can't be oracle-checked).
+  *
+  * Scale shape, per operator:
+  *  - q63/q66 are MAP-ONLY over the corpus (a fingerprint comparison
+  *    per row) followed by a tiny aggregation — no data movement at
+  *    100 TB beyond the partial-agg exchange of a few dozen rows.
+  *  - q64/q65 shuffle once on the source key for their window — the
+  *    same single-exchange shape as any per-key ranking. At 100 TB a
+  *    single giant source would skew one partition; the fix is the
+  *    same salting used in [[Skew]] or pre-aggregating per (source,
+  *    bucket) before the window. Documented, not premature here.
+  *
+  * The reference (nypl-spacetime/etl-mapwarper) has no training-data
+  * surface; these belong to the driver-mandated LLM-pipeline extension
+  * suite (SURVEY §2.9).
+  */
+object Curation {
+
+  /** Whitespace tokens — same convention as Text.q32 (`str_split(text,
+    * ' ')` on the oracle side). */
+  private def nTokens(c: Column): Column = size(split(c, " ")).cast("bigint")
+
+  /** First two md5 hex chars of a string column: a uniform bucket in
+    * '00'..'ff' (256 buckets) that DuckDB computes byte-identically —
+    * string comparison against a hex literal IS the threshold test, no
+    * hex→int conversion needed (DuckDB has no `conv`). */
+  private def hashBucket(c: Column): Column = substring(md5(c), 1, 2)
+
+  // ---------------------------------------------------------------- q63
+
+  /** q63: deterministic train/val/test split. The split follows the
+    * document fingerprint, NOT `rand()`: ~80/10/10 by the first md5
+    * byte of the doc id ('00'..'cb' = 204/256 train, 'cc'..'e5' =
+    * 26/256 val, rest test). Every re-run of the pipeline — and every
+    * engine — assigns the same document to the same split, which is
+    * the property that keeps eval sets uncontaminated across ingest
+    * batches. Map-only at any scale. */
+  def q63HashSplit(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("doc_id").cast("string"))
+    documents(s, d)
+      .select(
+        when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  val q63Sql: String =
+    """WITH t AS (
+      | SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |             WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |             ELSE 'test' END AS split, n_chars
+      | FROM documents
+      |)
+      |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM t GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+
+  /** Per-source token budget for q64 — fixed so the selection semantics
+    * ("best docs first until the budget fills") are scale-independent. */
+  val TokenBudget = 400L
+
+  /** q64: selection under a token budget. Per source, documents are
+    * ranked best-first (n_chars is the stand-in quality key; ties
+    * break on doc_id so the cut is total-ordered) and taken until the
+    * cumulative token count exceeds the budget — the "data selection"
+    * step of a curated pretraining mix. One exchange on the source
+    * key; the running sum is a single ROWS window, never a self-join. */
+  def q64TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        nTokens(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("n_tokens")).as("sel_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q64Sql: String =
+    s"""WITH t AS (
+      | SELECT source, doc_id, n_chars,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      | FROM documents
+      |), c AS (
+      | SELECT source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM t
+      |)
+      |SELECT source, count(*) AS n_selected, CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+      |FROM c WHERE cum_tokens <= $TokenBudget
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+
+  /** Fixed sequence length for q65's packing (tokens per chunk). */
+  val SeqLen = 256L
+
+  /** q65: concat-and-chunk sequence packing — the standard pretraining
+    * layout: per source, documents are concatenated in doc_id order
+    * and the token stream is cut every [[SeqLen]] tokens; a document
+    * belongs to the chunk its FIRST token lands in (start-offset
+    * attribution; long documents straddle the cut — exact splitting
+    * happens at tokenization time downstream). chunk = prefix-sum DIV
+    * SeqLen: one window over one exchange, no recursion, no
+    * driver-side loop — the greedy first-fit alternative needs
+    * sequential state and is deliberately rejected for the
+    * scale-independent arithmetic form. */
+  def q65PackChunks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id",
+        expr(s"CAST((cum_tokens - n_tokens) DIV $SeqLen AS BIGINT)"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
+  val q65Sql: String =
+    s"""WITH t AS (
+      | SELECT source, doc_id,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      | FROM documents
+      |), c AS (
+      | SELECT source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM t
+      |)
+      |SELECT source, CAST((cum_tokens - n_tokens) // $SeqLen AS BIGINT) AS chunk_id,
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+
+  /** q66: hash-Bernoulli data mixing — per-source downsampling at a
+    * deterministic rate, the way a training mix up/down-weights
+    * sources. The keep decision is `md5(doc_id || ':mix') < threshold`
+    * (salted so it is independent of q63's split hash), and the rate
+    * class derives from md5(source) — no hard-coded source names, so
+    * the query is corpus-agnostic: ~50% of sources keep 80% ('cc'),
+    * ~25% keep 40% ('66'), the rest keep 20% ('33'). Map-only; the
+    * same row is kept on every engine and every run. */
+  def q66MixSample(s: SparkSession, d: String): DataFrame = {
+    val u = hashBucket(concat(col("doc_id").cast("string"), lit(":mix")))
+    val cls = substring(md5(col("source")), 1, 1)
+    val thr = when(cls < "8", "cc").when(cls < "c", "66").otherwise("33")
+    documents(s, d)
+      .select(col("source"), (u < thr).cast("int").as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val q66Sql: String =
+    """WITH t AS (
+      | SELECT source,
+      |   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,2) <
+      |     (CASE WHEN substr(md5(source),1,1) < '8' THEN 'cc'
+      |           WHEN substr(md5(source),1,1) < 'c' THEN '66'
+      |           ELSE '33' END)
+      |   THEN 1 ELSE 0 END AS keep
+      | FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
+    ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
+    ("q65_pack_chunks", q65PackChunks _, Some(q65Sql)),
+    ("q66_mix_sample", q66MixSample _, Some(q66Sql)),
+  )
+}

@@ -1,0 +1,325 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Native as-of join — the whole-operator Catalyst exercise (custom
+  * LogicalPlan + SparkStrategy + SparkPlan, SURVEY §2 extension): for
+  * every left row, attach the LATEST right row with the same key and
+  * right.ts ≤ left.ts, as ONE sort-merge pass.
+  *
+  * Why a custom physical operator when the composed union+window form
+  * (graft.ops.AsOf) already has the right asymptotics: the composed
+  * form must funnel BOTH sides through one union → one exchange of
+  * |L|+|R| rows on the key, then window-sort the union, then filter the
+  * right rows back out. The native exec shuffles each side
+  * independently (same total rows moved), sorts each side separately
+  * (two smaller sorts instead of one big one), never materializes the
+  * union, and streams the merge with O(1) state per partition — one
+  * held right row. Semantics are identical (AsOfSpec cross-checks all
+  * edge cases against the composed form), including the determinism
+  * contract: right-side (key, ts) ties resolve to the
+  * struct-lexicographic max payload, enforced here by the required
+  * child ordering rather than a window tie-break.
+  *
+  * The reference has no join machinery at all (SURVEY §2.3 — J1 is an
+  * API-call enrichment); this operator belongs to the engine's
+  * driver-mandated general operator suite.
+  */
+case class GraftAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTs: Attribute,
+    rightTs: Attribute,
+    tolerance: Option[Long],
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
+
+  // LEFT OUTER semantics: every left row survives; unmatched right
+  // columns are null, so the right output is re-declared nullable
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): GraftAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[GraftAsOfJoin]] as [[AsOfJoinExec]]. Injected either via
+  * spark.experimental.extraStrategies (programmatic, what
+  * NativeAsOf.asOfJoin does) or spark.sql.extensions →
+  * [[graft.functions.GraftExtensions]] (config-wired). */
+object GraftAsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: GraftAsOfJoin =>
+      // the same size-statistics decision Spark's JoinSelection makes:
+      // a dimension-sized right history broadcasts, so the (100 TB)
+      // left side is probed map-only — no exchange, no sort
+      val doBroadcast = j.broadcastHint.getOrElse {
+        val thr = SQLConf.get.autoBroadcastJoinThreshold
+        thr > 0 && j.right.stats.sizeInBytes <= thr
+      }
+      if (doBroadcast) {
+        BroadcastAsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
+          j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
+      } else {
+        AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs, j.tolerance,
+          planLater(j.left), planLater(j.right)) :: Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join. Both children are hash-clustered on the key
+  * (EnsureRequirements co-partitions them, exactly as it does for
+  * SortMergeJoinExec) and sorted by (key, ts); the right side is
+  * additionally sorted by its payload columns so equal-(key, ts) right
+  * rows have a deterministic winner (the last = lexicographic max —
+  * the same contract as the composed form's window tie-break).
+  *
+  * Per partition the merge holds exactly ONE buffered right row (the
+  * latest at-or-before the current left probe): state is O(1), the
+  * pass is O(|L| + |R|), and there is no quadratic blowup on long
+  * right histories — the failure mode of the range-join+argmax
+  * formulation this operator exists to avoid.
+  */
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      right.output
+        .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
+        .map(SortOrder(_, Ascending)))
+
+  // the merge preserves the left side's partitioning and sort order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyE = leftKey
+    val rKeyE = rightKey
+    val lTsE = leftTs
+    val rTsE = rightTs
+    val out = output
+    val tol = tolerance
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        // single-field comparisons via natural row orderings — works
+        // for any orderable key/ts type without per-type branching
+        private val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKeyE.dataType))
+        private val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
+        private val lKeyProj = UnsafeProjection.create(Seq(lKeyE), lOut)
+        private val lTsProj = UnsafeProjection.create(Seq(lTsE), lOut)
+        private val rKeyProj = UnsafeProjection.create(Seq(rKeyE), rOut)
+        private val rTsProj = UnsafeProjection.create(Seq(rTsE), rOut)
+        // bind against nullable-forced right attributes: the unmatched
+        // all-null row must project as nulls, not as zero-valued reads
+        private val outProj =
+          UnsafeProjection.create(out, lOut ++ rOut.map(_.withNullability(true)))
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(rOut.length)
+
+        // lookahead right row (projections copied — buffers are reused)
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTs: InternalRow = _
+        // the held match: latest right row with ts ≤ current left probe
+        private var held: InternalRow = _
+        private var heldKey: InternalRow = _
+        private var heldTs: InternalRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rRow = r
+            rKey = rKeyProj(r).copy()
+            rTs = rTsProj(r).copy()
+          } else {
+            rRow = null; rKey = null; rTs = null
+          }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTs = lTsProj(l)
+          // a held match never outlives its key group
+          if (held != null && keyOrd.compare(heldKey, lKey) != 0) {
+            held = null; heldKey = null; heldTs = null
+          }
+          // consume right rows up to (key, ts); the LAST one consumed
+          // wins — with the payload in the child ordering that is the
+          // deterministic lexicographic max among (key, ts) ties
+          var continue = rRow != null
+          while (continue) {
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc < 0) {
+              advanceRight()
+              continue = rRow != null
+            } else if (kc == 0 && tsOrd.compare(rTs, lTs) <= 0) {
+              held = rRow.copy(); heldKey = rKey; heldTs = rTs
+              advanceRight()
+              continue = rRow != null
+            } else {
+              continue = false
+            }
+          }
+          val matched =
+            if (held == null) nullRight
+            // tolerance masking (LongType ts — enforced at the API):
+            // a match staler than `tol` units is nulled, row kept
+            else if (tol.isDefined && lTs.getLong(0) - heldTs.getLong(0) > tol.get) nullRight
+            else held
+          outProj(joined(l, matched))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join — the dimension-history fast path. The right
+  * side arrives as a broadcast (EnsureRequirements inserts the
+  * BroadcastExchange, exactly as for BroadcastNestedLoopJoinExec);
+  * each task builds a per-key ts-sorted array index from it and probes
+  * with a hash lookup + binary search per left row.
+  *
+  * Why it exists: the sort-merge [[AsOfJoinExec]] must hash-exchange
+  * AND sort the LEFT side. When left is the 100 TB fact stream and
+  * right is a dimension history (prices, rates, slowly-changing
+  * attributes), that exchange dominates the query — this operator is
+  * map-only over the left child: it preserves the left partitioning
+  * and ordering, moves zero left bytes, and costs O(|R| log |R|)
+  * index build per task (dimension-sized by the strategy's stats
+  * gate) plus O(log h) per probe.
+  *
+  * Tie semantics match [[AsOfJoinExec]]: the group arrays sort by
+  * (ts, payload…), and the probe takes the LAST entry with ts ≤
+  * probe-ts — the lexicographic-max payload among equal timestamps.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // map-only over the left child: its partitioning and order survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bRight = right.executeBroadcast[Array[InternalRow]]()
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyE = leftKey
+    val rKeyE = rightKey
+    val lTsE = leftTs
+    val rTsE = rightTs
+    val out = output
+    val tol = tolerance
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(Seq(rKeyE), rOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsE), rOut)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
+      // (ts, payload…) ordering — same determinism contract as the
+      // sort-merge exec's required right-child ordering
+      val rowOrd = RowOrdering.create(
+        SortOrder(rTsE, Ascending) +:
+          rOut.filterNot(a => a.semanticEquals(rKeyE) || a.semanticEquals(rTsE))
+            .map(SortOrder(_, Ascending)),
+        rOut)
+
+      // build: key -> rows sorted by (ts, payload), ts projected out
+      // for the binary search (any orderable ts type)
+      val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+      bRight.value.foreach { r =>
+        val k = rKeyProj(r).copy()
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+          grouped.put(k, buf)
+        }
+        buf += r // broadcast rows are already materialized copies
+      }
+      val index = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[InternalRow])]
+      grouped.forEach { (k, buf) =>
+        val rows = buf.toArray
+        java.util.Arrays.sort(rows, rowOrd)
+        index.put(k, (rows.map(r => rTsProj(r).copy(): InternalRow), rows))
+      }
+
+      val lKeyProj = UnsafeProjection.create(Seq(lKeyE), lOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTsE), lOut)
+      val outProj =
+        UnsafeProjection.create(out, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      lIter.map { l =>
+        var matched: InternalRow = nullRight
+        val entry = index.get(lKeyProj(l))
+        if (entry != null) {
+          val (tsArr, rows) = entry
+          val lTs = lTsProj(l)
+          // last index with ts <= probe ts; array order makes that the
+          // lexicographic-max payload among equal-timestamp ties
+          var lo = 0
+          var hi = tsArr.length - 1
+          var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsOrd.compare(tsArr(mid), lTs) <= 0) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans >= 0 &&
+              (tol.isEmpty || lTs.getLong(0) - tsArr(ans).getLong(0) <= tol.get)) {
+            matched = rows(ans)
+          }
+        }
+        outProj(joined(l, matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,44 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** LogicalPlan ↔ DataFrame bridge (Spark 4 classic API). Custom
+  * logical operators need Dataset.ofRows to become DataFrames and the
+  * analyzed child plans to be constructed against; both accessors are
+  * private[sql] in Spark 4's classic shim, so — like ColumnBridge —
+  * this lives inside the org.apache.spark.sql namespace, the extension
+  * seam for engines defining whole custom operators. */
+object PlanBridge {
+
+  /** Wraps a (possibly custom) logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a DataFrame — resolved
+    * attributes ready to be referenced by a custom operator node. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Idempotently registers an extra planner strategy on the session
+    * (the programmatic twin of spark.sql.extensions injection). */
+  def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy)) {
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+    }
+  }
+
+  /** Idempotently registers an extra optimizer rule on the session
+    * (the programmatic twin of injectOptimizerRule; runs in the
+    * optimizer's User Provided Optimizers fixed-point batch). */
+  def ensureOptimization(spark: SparkSession, rule: Rule[LogicalPlan]): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(rule)) {
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    }
+  }
+}

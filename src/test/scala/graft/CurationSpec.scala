@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  test("q63: splits partition the corpus at ~80/10/10 and are deterministic") {
+    val total = graft.Tables.documents(spark, sf).count()
+    val rows = Curation.q63HashSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows.values.sum == total, "splits must partition the corpus exactly")
+    // md5 buckets are uniform: train ≈ 79.7%, loose bounds for a small sf
+    assert(rows("train").toDouble / total > 0.65 && rows("train").toDouble / total < 0.95)
+    val again = Curation.q63HashSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == rows, "the split must be identical across runs")
+  }
+
+  test("q64: every source's selection respects the token budget") {
+    val rows = Curation.q64TokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sel = r.getAs[Long]("sel_tokens")
+      assert(sel <= Curation.TokenBudget,
+        s"source ${r.getString(0)} selected $sel tokens > budget")
+      assert(r.getAs[Long]("n_selected") >= 1)
+    }
+  }
+
+  test("q65: chunks conserve tokens and start at chunk 0 per source") {
+    val docs = graft.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions._
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " ")).cast("bigint"))).collect()(0).getLong(0)
+    val rows = Curation.q65PackChunks(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("chunk_tokens")).sum == totalTokens,
+      "start-offset attribution must conserve every token exactly once")
+    val firstChunk = rows.groupBy(_.getString(0)).map { case (_, rs) =>
+      rs.map(_.getAs[Long]("chunk_id")).min }
+    assert(firstChunk.forall(_ == 0L), "every source's packing starts at chunk 0")
+  }
+
+  test("q66: sampling is a per-source subset with a deterministic keep set") {
+    val rows = Curation.q66MixSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    // at least one source must be downsampled strictly (rates < 1.0)
+    assert(rows.exists(r => r.getAs[Long]("n_sampled") < r.getAs[Long]("n_docs")))
+    val again = Curation.q66MixSample(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

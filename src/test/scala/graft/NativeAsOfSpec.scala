@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsOf, NativeAsOf}
+
+class NativeAsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native as-of semantics: latest at-or-before, equal-ts inclusive, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "a"),   // right rows at 5 and 10 → matches 10 (equal-ts)
+      (1L, 7L, "b"),    // → matches 5
+      (1L, 3L, "c"),    // before any right row → null
+      (2L, 100L, "d"))  // key with no right rows at all → null
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L, 1.0),
+      (1L, 10L, 2.0),
+      (1L, 12L, 3.0))   // after every left row → never matched
+      .toDF("k", "t", "v")
+    val got = NativeAsOf.asOfJoin(left, right, "k", "t")
+      .select("k", "t", "tag", "matched_t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 10L, "a", 10L, 2.0),
+      (1L, 7L, "b", 5L, 1.0),
+      (1L, 3L, "c", -1L, -1.0),
+      (2L, 100L, "d", -1L, -1.0)))
+  }
+
+  test("the custom strategy actually plans AsOfJoinExec (no fallback, no product join)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val plan = NativeAsOf.asOfJoin(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"), s"expected the native operator in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("native ≡ composed on the full sf0.001 events as-of query") {
+    val native = NativeAsOf.q61AsofNative(spark, TestSpark.sf0001).collect().map(_.toString)
+    val composed = AsOf.q51AsofJoin(spark, TestSpark.sf0001).collect().map(_.toString)
+    assert(native.length == composed.length && native.length > 0)
+    native.zip(composed).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("tolerance masks stale matches without dropping left rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 12L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 5.0)).toDF("k", "t", "v")
+    val got = NativeAsOf.asOfJoin(left, right, "k", "t", tolerance = Some(5L))
+      .collect().map(r => (r.getLong(1), r.isNullAt(2))).toMap
+    assert(got(12L) == false, "match within tolerance (12-10=2 <= 5) must survive")
+    assert(got(100L) == true, "stale match (100-10=90 > 5) must be masked, row kept")
+  }
+
+  test("right-side (key, ts) ties resolve to the lexicographic-max payload, deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val rightRows = Seq((1L, 5L, 2.0), (1L, 5L, 9.0), (1L, 5L, 7.0))
+    (1 to 4).foreach { nPart =>
+      val right = spark.createDataFrame(
+        spark.sparkContext.parallelize(rightRows, nPart)
+          .map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)),
+        Seq((1L, 0L, 0.0)).toDF("k", "t", "v").schema)
+      val r = NativeAsOf.asOfJoin(left, right, "k", "t").collect().head
+      assert(r.getAs[Double]("v") == 9.0,
+        s"tie must resolve to max payload at $nPart partitions (same contract as composed)")
+    }
+  }
+
+  test("matched right row arrives atomically (null payload not smuggled from older rows)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Option(7.0)), (1L, 9L, None)).toDF("k", "t", "v")
+    val r = NativeAsOf.asOfJoin(left, right, "k", "t").collect().head
+    assert(r.getAs[Long]("matched_t") == 9L)
+    assert(r.isNullAt(r.fieldIndex("v")))
+  }
+
+  test("broadcast probe ≡ sort-merge on semantics: ties, tolerance, null-payload atomicity") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 7L, "b"), (1L, 3L, "c"), (2L, 100L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L, Option(1.0)), (1L, 5L, Option(9.0)),  // tie → max payload
+      (1L, 10L, None),                                // matched null payload arrives as null
+      (1L, 12L, Option(3.0))).toDF("k", "t", "v")
+    val a = NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(true))
+      .orderBy("k", "t").collect().map(_.toString)
+    val b = NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(false))
+      .orderBy("k", "t").collect().map(_.toString)
+    assert(a.length == 4)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+
+    // tolerance masks stale matches on the broadcast path too
+    val tl = Seq((1L, 100L), (1L, 12L)).toDF("k", "t")
+    val tr = Seq((1L, 10L, 5.0)).toDF("k", "t", "v")
+    val got = NativeAsOf.asOfJoin(tl, tr, "k", "t",
+        tolerance = Some(5L), broadcast = Some(true))
+      .collect().map(r => (r.getLong(1), r.isNullAt(2))).toMap
+    assert(got(12L) == false && got(100L) == true)
+  }
+
+  test("broadcast plan: no shuffle, no sort — map-only over the left side") {
+    import spark.implicits._
+    val left = (0 until 100).map(i => ((i % 7).toLong, i.toLong, i * 2.0))
+      .toDF("k", "t", "lv").repartition(5)
+    val right = Seq((1L, 5L, 1.0), (2L, 3L, 2.0)).toDF("k", "t", "rv")
+    val df = NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(true))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"expected broadcast exec in:\n$plan")
+    assert(!plan.contains("Sort "), s"no sort should appear in:\n$plan")
+    // the only exchange is the right-side broadcast — the left (fact)
+    // side must not shuffle beyond its pre-existing repartition
+    assert(!plan.split("BroadcastExchange").head.contains("Exchange hashpartitioning"),
+      s"left side must not hash-exchange in:\n$plan")
+    assert(df.count() == 100)
+  }
+
+  test("broadcast ≡ sort-merge on the full sf0.001 events as-of query") {
+    val bc = NativeAsOf.q62AsofBroadcast(spark, TestSpark.sf0001).collect().map(_.toString)
+    val sm = NativeAsOf.q61AsofNative(spark, TestSpark.sf0001).collect().map(_.toString)
+    assert(bc.length == sm.length && bc.length > 0)
+    bc.zip(sm).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("auto mode picks broadcast for a dimension-sized right side (stats gate)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val plan = NativeAsOf.asOfJoin(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"),
+      s"tiny right side should auto-broadcast in:\n$plan")
+  }
+
+  test("optimizer rule pushes left-only filters below the join, into the scan") {
+    import graft.plans.GraftAsOfJoin
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val df = NativeAsOf.q61AsofNative(spark, TestSpark.sf0001)
+      .filter(col("value") > 50.0)
+    val opt = df.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case n: GraftAsOfJoin => n }.get
+    assert(j.left.collectFirst {
+      case f: LFilter if f.condition.references.map(_.name).exists(_ == "value") => f
+    }.nonEmpty, s"left-side filter must sit below the join:\n$opt")
+    // nothing left to filter above the join
+    assert(opt.collectFirst {
+      case f: LFilter if f.child.isInstanceOf[GraftAsOfJoin] => f
+    }.isEmpty, s"filter must not remain above the join:\n$opt")
+  }
+
+  test("optimizer rule prunes unused left columns (right payload kept for tie contract)") {
+    import graft.plans.GraftAsOfJoin
+    val df = NativeAsOf.q61AsofNative(spark, TestSpark.sf0001)
+      .select("event_id", "user_id")
+    val opt = df.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case n: GraftAsOfJoin => n }.get
+    val leftCols = j.left.output.map(_.name).toSet
+    assert(!leftCols.contains("value"),
+      s"unused left payload must be pruned, got $leftCols in:\n$opt")
+    assert(leftCols == Set("user_id", "ts_us", "event_id"))
+  }
+
+  test("many keys, many partitions: native ≡ composed under shuffling (property sweep)") {
+    import spark.implicits._
+    // deterministic synthetic data: 40 keys, interleaved event times
+    val left = (0 until 400).map { i => ((i % 40).toLong, (i * 7 % 97).toLong, i.toLong) }
+      .toDF("k", "t", "lid")
+    val right = (0 until 300).map { i => ((i % 40).toLong, (i * 11 % 89).toLong, i / 2.0) }
+      .toDF("k", "t", "rv")
+    // composed form requires unique right (key, ts) for determinism —
+    // native resolves ties to max payload; pre-aggregate so both agree
+    val rightU = right.groupBy("k", "t").agg(max("rv").as("rv"))
+    val a = NativeAsOf.asOfJoin(left, rightU, "k", "t")
+      .orderBy("k", "t", "lid").collect().map(_.toString)
+    val b = AsOf.asOfJoin(left, rightU, "k", "t")
+      .orderBy("k", "t", "lid").collect().map(_.toString)
+    assert(a.length == b.length && a.length == 400)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+}

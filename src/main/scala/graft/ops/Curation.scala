@@ -193,10 +193,74 @@ object Curation {
       |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+
+  /** q68: exact greedy next-fit packing — the bin-packing twin of
+    * q65's arithmetic chunking: documents stay WHOLE (never straddle a
+    * boundary); a document that would overflow the open bin closes it
+    * and starts the next. This requires genuinely sequential per-key
+    * state, which is exactly what the secondary-sort idiom delivers at
+    * scale: `repartition(source)` co-locates each source,
+    * `sortWithinPartitions(source, doc_id)` orders it, and ONE
+    * streaming iterator pass assigns bins — no window wide enough to
+    * express running-reset state, no driver loop, no groupByKey
+    * materialization of a whole source in memory. Oversized documents
+    * get a bin of their own (fill may exceed the cap only then).
+    * Oracle: per-source recursive CTE in DuckDB walking rn = 1, 2, …
+    * with the same (bin, fill) recurrence. */
+  def q68GreedyPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = SeqLen
+    val assigned = documents(s, d)
+      .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // iterator-to-iterator: O(1) state (current source, open bin)
+        var curSrc: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { case (src, _, tok) =>
+          if (src != curSrc) { curSrc = src; bin = 0L; fill = tok }
+          else if (fill + tok > cap) { bin += 1; fill = tok }
+          else fill += tok
+          (src, bin, tok)
+        }
+      }
+      .toDF("source", "bin_id", "n_tokens")
+    assigned
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  val q68Sql: String =
+    s"""WITH RECURSIVE t AS (
+      | SELECT source, doc_id,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      | FROM documents
+      |), s(source, rn, bin, fill, n_tokens) AS (
+      | SELECT source, rn, CAST(0 AS BIGINT), n_tokens, n_tokens
+      | FROM t WHERE rn = 1
+      | UNION ALL
+      | SELECT t.source, t.rn,
+      |        CASE WHEN s.fill + t.n_tokens > $SeqLen THEN s.bin + 1 ELSE s.bin END,
+      |        CASE WHEN s.fill + t.n_tokens > $SeqLen THEN t.n_tokens
+      |             ELSE s.fill + t.n_tokens END,
+      |        t.n_tokens
+      | FROM s JOIN t ON t.source = s.source AND t.rn = s.rn + 1
+      |)
+      |SELECT source, bin AS bin_id, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM s GROUP BY source, bin ORDER BY source, bin_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
     ("q65_pack_chunks", q65PackChunks _, Some(q65Sql)),
     ("q66_mix_sample", q66MixSample _, Some(q66Sql)),
+    ("q68_greedy_pack", q68GreedyPack _, Some(q68Sql)),
   )
 }

@@ -182,11 +182,97 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Pair-graph similarity threshold for q67. 0.92 on this corpus
+    * yields a sparse graph whose transitive closure is nontrivial
+    * (chained components larger than any single edge neighborhood). */
+  val ClusterThreshold = 0.92
+
+  /** q67: dedup CLUSTER resolution — the step every pair-producing
+    * dedup path (q43/q44/q47) needs next: near-dup similarity is not
+    * transitive, so keep-one-per-pair corrupts data (A~B, B~C, A≁C:
+    * dropping B's "duplicate" twice deletes a non-duplicate). Clusters
+    * are the connected components of the pair graph; the canonical
+    * representative is the minimum doc_id.
+    *
+    * Components by iterative hash-min label propagation: each round
+    * every node takes the min label over itself and its neighbors —
+    * one join + one aggregate per round, converging in
+    * graph-diameter rounds. This is the scalable shape: the shuffle
+    * carries (id, label) pairs only, never text; each round's result
+    * is persisted so the next round's join reads a materialized frame
+    * (at 100 TB you'd `localCheckpoint` instead to also truncate the
+    * growing lineage); the convergence check is a driver-side O(1)
+    * count, like Ivf's centroid read. Near-dup graphs are sparse and
+    * their components shallow (dup clusters, not social graphs), so
+    * the round count stays single-digit at any corpus size.
+    *
+    * The pair edges here reuse q44's exact token-set Jaccard on the
+    * same bounded id range, making the whole query — pair generation,
+    * transitive closure, canonicalization — expressible as one DuckDB
+    * recursive CTE and hash-verified. The unbounded path swaps in
+    * q43's banded MinHash candidates; the propagation loop is
+    * unchanged. */
+  def q67DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), tokenSet(col("text")).as("ts"))
+    val a = docs.select(col("doc_id").as("src"), col("ts").as("ts_a"))
+    val b = docs.select(col("doc_id").as("dst"), col("ts").as("ts_b"))
+    val pairs = a.join(b, col("src") < col("dst"))
+      .filter(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
+              / size(array_union(col("ts_a"), col("ts_b"))) >= ClusterThreshold)
+      .select(col("src"), col("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = prop
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q67Sql: String =
+    s"""WITH RECURSIVE docs AS (
+      | SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+      | FROM documents WHERE doc_id < 60
+      |), pairs AS (
+      | SELECT a.doc_id AS src, b.doc_id AS dst
+      | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |       / len(list_distinct(list_cat(a.ts, b.ts))) >= $ClusterThreshold
+      |), edges AS (
+      | SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), reach(id, comp) AS (
+      | SELECT doc_id, doc_id FROM docs
+      | UNION
+      | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(comp) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
     ("q45_simhash", q45Simhash _, None),
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
     ("q49_source_sketch", q49SourceSketch _, None),
+    ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
   )
 }

@@ -45,6 +45,36 @@ class CurationSpec extends AnyFunSuite {
     assert(firstChunk.forall(_ == 0L), "every source's packing starts at chunk 0")
   }
 
+  test("q68: greedy next-fit bins conserve tokens and respect the cap") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " ")).cast("bigint"))).collect()(0).getLong(0)
+    val rows = Curation.q68GreedyPack(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bin_tokens")).sum == totalTokens,
+      "whole-document packing must conserve every token exactly once")
+    // a bin over the cap can only be a single oversized document
+    rows.foreach { r =>
+      val over = r.getAs[Long]("bin_tokens") > Curation.SeqLen
+      assert(!over || r.getAs[Long]("n_docs") == 1L,
+        s"overfull bin with ${r.getAs[Long]("n_docs")} docs: $r")
+    }
+    // bins are dense from 0 per source
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val ids = rs.map(_.getAs[Long]("bin_id")).sorted
+      assert(ids.head == 0L && ids == (0L until ids.length).toSeq,
+        s"source $src bins not dense: $ids")
+    }
+    // greedy next-fit wastes less than one whole bin per closed bin:
+    // each closed bin is > cap/2 full OR was closed by an oversized doc;
+    // weaker structural check — average fill of non-final bins > 50%
+    val fills = rows.groupBy(_.getString(0)).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(_.getAs[Long]("bin_id")).dropRight(1).map(_.getAs[Long]("bin_tokens")).toSeq
+    }
+    if (fills.nonEmpty)
+      assert(fills.sum.toDouble / fills.size > Curation.SeqLen / 2.0)
+  }
+
   test("q66: sampling is a per-source subset with a deterministic keep set") {
     val rows = Curation.q66MixSample(spark, sf).collect()
     assert(rows.nonEmpty)

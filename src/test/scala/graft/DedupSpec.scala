@@ -106,4 +106,35 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(sims(4L) == simhashOf(z))
   }
+
+  test("q67: cluster labels are transitively closed, canonical = min member") {
+    val labels = Dedup.q67DedupClusters(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc in the bounded range gets exactly one label
+    assert(labels.keySet == (0L until 60L).toSet)
+    // canonical representative is a member of its own cluster with the
+    // minimum id (so cluster_id <= every member id)
+    labels.foreach { case (id, c) =>
+      assert(c <= id && labels(c) == c, s"doc $id -> $c must point at a root")
+    }
+    // transitive closure: recompute the edge set and assert both
+    // endpoints of every edge landed in the same cluster
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val a = docs.select(col("doc_id").as("ia"), col("ts").as("ta"))
+    val b = docs.select(col("doc_id").as("ib"), col("ts").as("tb"))
+    val edges = a.join(b, col("ia") < col("ib"))
+      .filter(size(array_intersect(col("ta"), col("tb"))).cast("double")
+              / size(array_union(col("ta"), col("tb"))) >= Dedup.ClusterThreshold)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "threshold must keep some edges on this corpus")
+    edges.foreach { case (x, y) =>
+      assert(labels(x) == labels(y), s"edge ($x,$y) split across clusters")
+    }
+    // and the clustering is coarser than the edge set alone: at least
+    // one multi-doc cluster exists
+    assert(labels.groupBy(_._2).exists(_._2.size > 1))
+  }
 }

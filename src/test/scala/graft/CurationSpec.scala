@@ -62,8 +62,8 @@ class CurationSpec extends AnyFunSuite {
     // bins are dense from 0 per source
     rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
       val ids = rs.map(_.getAs[Long]("bin_id")).sorted
-      assert(ids.head == 0L && ids == (0L until ids.length).toSeq,
-        s"source $src bins not dense: $ids")
+      assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq,
+        s"source $src bins not dense: ${ids.mkString(",")}")
     }
     // greedy next-fit wastes less than one whole bin per closed bin:
     // each closed bin is > cap/2 full OR was closed by an oversized doc;

@@ -69,7 +69,15 @@ object Dedup {
     *     per colliding band.
     * Rows-only check; estimator validated against exact Jaccard in
     * DedupSpec and via q44's oracle. */
-  def q43MinhashPairs(s: SparkSession, d: String): DataFrame = {
+  def q43MinhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairs(s, d)
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+
+  /** Unbounded banded-LSH candidate pairs (id_a < id_b, est_jaccard ≥
+    * 0.8) — the reusable core of q43, also the edge feed for q69's
+    * cluster resolution. */
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val signed = withMinhash(documents(s, d))
       .select(col("doc_id"), col("sig"), col("bands")).cache()
     val ex = signed.select(col("doc_id"),
@@ -91,8 +99,6 @@ object Dedup {
         round(graft.functions.NativeExprs.sigMatches(col("sig_a"), col("sig_b"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.8)
-      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
-      .limit(100)
   }
 
   /** Exact token-set Jaccard for a bounded id range — the ground truth
@@ -187,6 +193,59 @@ object Dedup {
     * (chained components larger than any single edge neighborhood). */
   val ClusterThreshold = 0.92
 
+  /** Connected components of an undirected pair graph by iterative
+    * hash-min label propagation: each round every node takes the min
+    * label over itself and its neighbors, converging in graph-diameter
+    * rounds. The scalable shape for dedup-cluster resolution:
+    *
+    *  - the shuffle carries (id, label) pairs only, never text;
+    *  - change detection rides THROUGH the propagation aggregate (the
+    *    self row carries the previous label, `max(old)` recovers it),
+    *    so each round is one join+aggregate job — no second
+    *    convergence join;
+    *  - each round is `localCheckpoint()`ed: the materialization job
+    *    doubles as the convergence read (the follow-up count scans
+    *    the checkpointed blocks, no recompute) and lineage stays O(1)
+    *    instead of re-planning a growing join chain every round;
+    *  - round N-1's checkpoint blocks are released eagerly
+    *    (PlanBridge.releaseLocalCheckpoint) so peak storage is two
+    *    rounds of (id, label) pairs regardless of round count.
+    *
+    * Near-dup graphs are sparse and their components shallow (dup
+    * clusters, not social graphs), so the round count stays
+    * single-digit at any corpus size.
+    *
+    * @param nodes one row per node, column `id`
+    * @param pairs undirected edges, columns `src`/`dst` (one row per
+    *              pair; both directions are derived here) */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val edges = pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var prevChk: DataFrame = null
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val chk = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"), lit(null).cast("long").as("old"))
+        .union(labels.select(col("id"), col("label"), col("label").as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+        .localCheckpoint()
+      changed = chk.filter(col("label") =!= col("old")).count()
+      if (prevChk != null) PlanBridge.releaseLocalCheckpoint(prevChk)
+      prevChk = chk
+      labels = chk.select(col("id"), col("label"))
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
   /** q67: dedup CLUSTER resolution — the step every pair-producing
     * dedup path (q43/q44/q47) needs next: near-dup similarity is not
     * transitive, so keep-one-per-pair corrupts data (A~B, B~C, A≁C:
@@ -194,24 +253,12 @@ object Dedup {
     * are the connected components of the pair graph; the canonical
     * representative is the minimum doc_id.
     *
-    * Components by iterative hash-min label propagation: each round
-    * every node takes the min label over itself and its neighbors —
-    * one join + one aggregate per round, converging in
-    * graph-diameter rounds. This is the scalable shape: the shuffle
-    * carries (id, label) pairs only, never text; each round's result
-    * is persisted so the next round's join reads a materialized frame
-    * (at 100 TB you'd `localCheckpoint` instead to also truncate the
-    * growing lineage); the convergence check is a driver-side O(1)
-    * count, like Ivf's centroid read. Near-dup graphs are sparse and
-    * their components shallow (dup clusters, not social graphs), so
-    * the round count stays single-digit at any corpus size.
-    *
     * The pair edges here reuse q44's exact token-set Jaccard on the
     * same bounded id range, making the whole query — pair generation,
     * transitive closure, canonicalization — expressible as one DuckDB
-    * recursive CTE and hash-verified. The unbounded path swaps in
-    * q43's banded MinHash candidates; the propagation loop is
-    * unchanged. */
+    * recursive CTE and hash-verified. q69 runs the identical
+    * propagation loop over the UNBOUNDED corpus with q43's banded
+    * MinHash candidates as edges. */
   def q67DedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).filter(col("doc_id") < 60)
       .select(col("doc_id"), tokenSet(col("text")).as("ts"))
@@ -221,31 +268,26 @@ object Dedup {
       .filter(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
               / size(array_union(col("ts_a"), col("ts_b"))) >= ClusterThreshold)
       .select(col("src"), col("dst"))
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-
-    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .persist()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
-      changed = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = prop
-      rounds += 1
-    }
-    edges.unpersist()
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q69: the unbounded dedup-cluster path — q43's banded MinHash LSH
+    * candidates (full corpus, bucket caps intact, no top-k limit) feed
+    * the same label-propagation loop as q67. Rows-only: LSH candidate
+    * generation is not SQL-expressible; DedupSpec pins planted-chain
+    * transitivity (A~B~C cluster together without an A–C edge) and
+    * q67-agreement on the bounded range. */
+  def q69LshClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = minhashCandidatePairs(s, d)
+      .filter(col("est_jaccard") >= 0.9)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("rep_doc_id"))
+      .orderBy(col("cluster_id"))
   }
 
   val q67Sql: String =
@@ -274,5 +316,6 @@ object Dedup {
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
+    ("q69_lsh_clusters", q69LshClusters _, None),
   )
 }

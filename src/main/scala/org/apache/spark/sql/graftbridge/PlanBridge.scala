@@ -32,6 +32,19 @@ object PlanBridge {
     }
   }
 
+  /** Frees the storage blocks behind a `localCheckpoint()`ed DataFrame.
+    * `Dataset.unpersist` only clears CacheManager entries; a local
+    * checkpoint lives as a persisted RDD under a LogicalRDD leaf, which
+    * only ContextCleaner GC would ever release. Iterative algorithms
+    * (label propagation, k-means) that checkpoint each round need to
+    * release round N-1 eagerly or blocks accumulate per iteration. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    analyzed(df).foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Idempotently registers an extra optimizer rule on the session
     * (the programmatic twin of injectOptimizerRule; runs in the
     * optimizer's User Provided Optimizers fixed-point batch). */

@@ -107,6 +107,30 @@ class DedupSpec extends AnyFunSuite {
     assert(sims(4L) == simhashOf(z))
   }
 
+  test("connectedComponents: planted chain A~B~C clusters together without an A-C edge") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 (no 1-3 edge), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("q69: LSH-fed clusters partition the full corpus with min-id representatives") {
+    val total = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    val rows = Dedup.q69LshClusters(spark, TestSpark.sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "clusters must partition the whole corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rep_doc_id") == r.getAs[Long]("cluster_id"),
+        "hash-min labels make the representative the min member id")
+    }
+    // the corpus plants exactly-identical token-set pairs, so LSH at 0.9
+    // must find at least one multi-doc cluster
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1))
+  }
+
   test("q67: cluster labels are transitively closed, canonical = min member") {
     val labels = Dedup.q67DedupClusters(spark, TestSpark.sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -22,11 +22,20 @@ import graft.Tables._
   *  - q63/q66 are MAP-ONLY over the corpus (a fingerprint comparison
   *    per row) followed by a tiny aggregation — no data movement at
   *    100 TB beyond the partial-agg exchange of a few dozen rows.
-  *  - q64/q65 shuffle once on the source key for their window — the
-  *    same single-exchange shape as any per-key ranking. At 100 TB a
-  *    single giant source would skew one partition; the fix is the
-  *    same salting used in [[Skew]] or pre-aggregating per (source,
-  *    bucket) before the window. Documented, not premature here.
+  *  - q64/q65 need a per-source PREFIX SUM. The naive form is one
+  *    window partitioned by source — which serializes a giant source
+  *    into a single task at 100 TB. Both queries therefore run the
+  *    two-level (bucketed) scan [[bucketedCumSum]]: within-bucket
+  *    prefix sums in parallel over (source, bucket) partitions, a
+  *    tiny per-bucket-offset window over per-source bucket totals,
+  *    then offset + within = exact global prefix sum. Identical
+  *    output to the single window (oracle hash unchanged); max task
+  *    size is bounded by the bucket width, not the source size.
+  *  - q68 (greedy next-fit) is inherently order-sequential per source
+  *    — each bin decision depends on the previous fill — so its
+  *    per-source task cannot be split without changing the answer;
+  *    q65 is the scale-safe packing and q68 the exact-semantics
+  *    anchor. A giant source there bounds at one core per source.
   *
   * The reference (nypl-spacetime/etl-mapwarper) has no training-data
   * surface; these belong to the driver-mandated LLM-pipeline extension
@@ -74,31 +83,78 @@ object Curation {
       |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM t GROUP BY split ORDER BY split""".stripMargin
 
+  // ------------------------------------------- two-level prefix sum
+
+  /** Docs per doc_id bucket (q65) / chars per quality bucket (q64) for
+    * the two-level scan. Small enough that sf0.001 sources span
+    * multiple buckets, so the merge path is exercised by every test
+    * and oracle run — at 100 TB you'd raise it to ~10⁶. */
+  val CumBucketWidth = 32L
+
+  /** Exact per-source prefix sum of `n_tokens` without a per-source
+    * serial task — the distributed two-level scan:
+    *
+    *  1. within-bucket prefix sums, windowed over (source, bucket) —
+    *     parallel across buckets, task size bounded by bucket width;
+    *  2. per-source bucket offsets: one window over the per-bucket
+    *     TOTALS (|buckets| rows per source, partial-aggregated
+    *     map-side — tiny at any scale);
+    *  3. cum = bucket_offset + within-bucket cum, joined back on
+    *     (source, bucket) — co-partitioned with step 1's exchange.
+    *
+    * Requires `bucket` to be monotone non-decreasing along
+    * `orderCols`, so that (bucket, orderCols) ordering equals the
+    * global orderCols ordering; callers pick bucket = orderkey DIV
+    * width. Output = input columns + `cum_tokens`, byte-identical to
+    * `sum(n_tokens) OVER (PARTITION BY source ORDER BY orderCols)`. */
+  def bucketedCumSum(in: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    val wIn = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = in.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_tokens")).over(wOff), lit(0L)))
+      .select(col("source"), col("bucket"), col("bucket_offset"))
+    in.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(offsets, Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("cum_in") + col("bucket_offset"))
+      .drop("cum_in", "bucket_offset")
+  }
+
   // ---------------------------------------------------------------- q64
 
   /** Per-source token budget for q64 — fixed so the selection semantics
     * ("best docs first until the budget fills") are scale-independent. */
   val TokenBudget = 400L
 
-  /** q64: selection under a token budget. Per source, documents are
-    * ranked best-first (n_chars is the stand-in quality key; ties
-    * break on doc_id so the cut is total-ordered) and taken until the
-    * cumulative token count exceeds the budget — the "data selection"
-    * step of a curated pretraining mix. One exchange on the source
-    * key; the running sum is a single ROWS window, never a self-join. */
-  def q64TokenBudget(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        nTokens(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  /** q64 core over a pre-projected (source, doc_id, n_chars, n_tokens)
+    * frame — split out so tests can plant synthetic skew. The rank
+    * order is (n_chars DESC, doc_id): bucket = (-n_chars) DIV width is
+    * monotone non-decreasing along it (trunc is monotone; ties share a
+    * bucket), which is what [[bucketedCumSum]] needs. */
+  def tokenBudgetSelect(docs: DataFrame): DataFrame = {
+    val bucketed = docs.withColumn("bucket",
+      expr(s"(0 - n_chars) DIV $CumBucketWidth"))
+    bucketedCumSum(bucketed, Seq(col("n_chars").desc, col("doc_id").asc))
       .filter(col("cum_tokens") <= TokenBudget)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_selected"), sum(col("n_tokens")).as("sel_tokens"))
       .orderBy(col("source"))
   }
+
+  /** q64: selection under a token budget. Per source, documents are
+    * ranked best-first (n_chars is the stand-in quality key; ties
+    * break on doc_id so the cut is total-ordered) and taken until the
+    * cumulative token count exceeds the budget — the "data selection"
+    * step of a curated pretraining mix. The running sum is the
+    * two-level scan, never a self-join and never one task per source. */
+  def q64TokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelect(documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        nTokens(col("text")).as("n_tokens")))
 
   val q64Sql: String =
     s"""WITH t AS (
@@ -131,12 +187,17 @@ object Curation {
     * driver-side loop — the greedy first-fit alternative needs
     * sequential state and is deliberately rejected for the
     * scale-independent arithmetic form. */
-  def q65PackChunks(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
-      .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  def q65PackChunks(s: SparkSession, d: String): DataFrame =
+    packChunks(documents(s, d)
+      .select(col("source"), col("doc_id"), nTokens(col("text")).as("n_tokens")))
+
+  /** q65 core over a pre-projected (source, doc_id, n_tokens) frame —
+    * split out so tests can plant synthetic skew. The prefix sum is
+    * the two-level scan bucketed on doc_id DIV width (monotone in the
+    * doc_id order by construction). */
+  def packChunks(docs: DataFrame): DataFrame = {
+    val bucketed = docs.withColumn("bucket", expr(s"doc_id DIV $CumBucketWidth"))
+    bucketedCumSum(bucketed, Seq(col("doc_id").asc))
       .withColumn("chunk_id",
         expr(s"CAST((cum_tokens - n_tokens) DIV $SeqLen AS BIGINT)"))
       .groupBy(col("source"), col("chunk_id"))

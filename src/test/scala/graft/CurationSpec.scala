@@ -75,6 +75,43 @@ class CurationSpec extends AnyFunSuite {
       assert(fills.sum.toDouble / fills.size > Curation.SeqLen / 2.0)
   }
 
+  test("bucketedCumSum: exact prefix sum on a planted giant source, split across many buckets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // one 20k-doc giant source + two small ones: the single-window form
+    // would serialize the giant into one task
+    val docs = spark.range(0, 20600).selectExpr(
+      "CASE WHEN id < 20000 THEN 'giant' ELSE concat('s', id % 2) END AS source",
+      "id AS doc_id",
+      "CAST(id % 7 + 1 AS BIGINT) AS n_tokens",
+      "CAST((id * 37) % 997 AS INT) AS n_chars")
+    // q65 ordering (doc_id)
+    val two = docs.withColumn("bucket", expr(s"doc_id DIV ${Curation.CumBucketWidth}"))
+    val got = Curation.bucketedCumSum(two, Seq(col("doc_id").asc))
+    val wRef = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("cum_ref", sum(col("n_tokens")).over(wRef))
+    val joined = got.select(col("doc_id"), col("cum_tokens"))
+      .join(ref.select(col("doc_id"), col("cum_ref")), "doc_id")
+    assert(joined.filter(col("cum_tokens") =!= col("cum_ref")).count() == 0,
+      "two-level scan must equal the single-window prefix sum exactly")
+    // the giant source really is spread across many window partitions
+    val nBuckets = two.filter(col("source") === "giant")
+      .select(col("bucket")).distinct().count()
+    assert(nBuckets > 100, s"giant source only spans $nBuckets buckets")
+    // q64 ordering (n_chars DESC, doc_id) with the negated-chars bucket
+    val two64 = docs.withColumn("bucket", expr(s"(0 - n_chars) DIV ${Curation.CumBucketWidth}"))
+    val got64 = Curation.bucketedCumSum(two64, Seq(col("n_chars").desc, col("doc_id").asc))
+    val wRef64 = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref64 = docs.withColumn("cum_ref", sum(col("n_tokens")).over(wRef64))
+    val joined64 = got64.select(col("doc_id"), col("cum_tokens"))
+      .join(ref64.select(col("doc_id"), col("cum_ref")), "doc_id")
+    assert(joined64.filter(col("cum_tokens") =!= col("cum_ref")).count() == 0,
+      "descending-quality order must also match the single window")
+  }
+
   test("q66: sampling is a per-source subset with a deterministic keep set") {
     val rows = Curation.q66MixSample(spark, sf).collect()
     assert(rows.nonEmpty)

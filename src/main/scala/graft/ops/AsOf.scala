@@ -38,7 +38,11 @@ object AsOf {
     * right struct itself, so the result is deterministic across runs
     * and partitionings (requires orderable payload types, which also
     * rules out MapType columns — already excluded by Spark's own
-    * union/sort constraints). */
+    * union/sort constraints). NULL keys never match (SQL ASOF
+    * semantics): null-key right rows are dropped before the union,
+    * null-key left rows survive null-extended. `tolerance` requires a
+    * LongType or TimestampType ts (timestamps measure it in
+    * MICROSECONDS), matching [[NativeAsOf.asOfJoin]]. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String,
                tolerance: Option[Long] = None): DataFrame = {
@@ -61,7 +65,10 @@ object AsOf {
     val lT = left.select(
       (Seq(col(key), col(ts), lit(1).as("_side"),
            lit(null).cast(rStructType).as("_r")) ++ lPayload.map(col)): _*)
-    val rT = right.select(
+    // null-key right rows can never match (SQL ASOF semantics) — drop
+    // them before the union so they don't land in the null partition
+    // where they would otherwise "match" null-key left rows
+    val rT = right.filter(col(key).isNotNull).select(
       (Seq(col(key), col(ts), lit(0).as("_side"),
            struct(rStructFields.map(col): _*).as("_r")) ++
         lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
@@ -79,12 +86,17 @@ object AsOf {
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     // merge_asof-style tolerance: a match staler than `tolerance` ts
-    // units is discarded (requires a numeric ts column); the row
-    // survives with a null match — this is per-row masking, not a
-    // join-shape change
+    // units is discarded; the row survives with a null match — this is
+    // per-row masking, not a join-shape change. TimestampType compares
+    // via unix_micros (tolerance in µs, same unit as the native exec's
+    // physical-long subtraction)
     val bounded = tolerance.fold(picked) { tol =>
-      picked.withColumn("_r",
-        when(col("_r").isNotNull && col(ts) - col(s"_r.$ts") <= tol, col("_r")))
+      val diff = left.schema(ts).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(ts)) - unix_micros(col(s"_r.$ts"))
+        case _ => col(ts) - col(s"_r.$ts")
+      }
+      picked.withColumn("_r", when(col("_r").isNotNull && diff <= tol, col("_r")))
     }
     bounded.select((Seq(col(key), col(ts)) ++ lPayload.map(col) ++
       rStructFields.map(f => col(s"_r.$f").as(if (f == ts) s"matched_$ts" else f))): _*)

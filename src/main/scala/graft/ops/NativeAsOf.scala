@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.Tables._
 import graft.plans.{AsOfPushdownRule, GraftAsOfJoin, GraftAsOfJoinStrategy}
@@ -18,28 +18,42 @@ object NativeAsOf {
 
   /** Native as-of join. Contract matches [[AsOf.asOfJoin]]: `left` and
     * `right` share exactly the `key` and `ts` column names, payload
-    * column sets are disjoint, ties on ts match (ASOF `>=`), and
-    * multiple right rows at one (key, ts) resolve to the lexicographic
-    * max payload deterministically. The matched right timestamp comes
-    * back as `matched_<ts>`. `tolerance` requires a LongType ts.
+    * column sets are disjoint, ties on ts match (ASOF `>=`), multiple
+    * right rows at one (key, ts) resolve to the lexicographic max
+    * payload deterministically, and NULL keys never match (SQL ASOF
+    * semantics — null-key left rows come back null-extended). The
+    * matched right timestamp comes back as `matched_<ts>`. `tolerance`
+    * requires a LongType or TimestampType ts (timestamps measure the
+    * tolerance in MICROSECONDS — their physical representation).
     *
     * `broadcast`: None lets the strategy decide from right-side size
     * statistics (same gate as Spark's own JoinSelection —
     * autoBroadcastJoinThreshold); Some(true)/Some(false) forces the
-    * map-only broadcast probe / the co-partitioned sort-merge. */
+    * map-only broadcast probe / the co-partitioned sort-merge.
+    *
+    * `rightUnique`: caller assertion that right (key, ts) pairs are
+    * unique. The tie contract is then vacuous, so the execs drop the
+    * payload columns from the tie-break ordering AND the optimizer may
+    * prune unreferenced right columns through the join (narrower right
+    * scan — see AsOfPushdownRule). Asserting it falsely makes ties
+    * nondeterministic; it is an assertion, not a checked invariant. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String,
                tolerance: Option[Long] = None,
-               broadcast: Option[Boolean] = None): DataFrame = {
+               broadcast: Option[Boolean] = None,
+               rightUnique: Boolean = false): DataFrame = {
     val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
     val lPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
     require(lPayload.intersect(rPayload).isEmpty,
       s"payload columns must be disjoint: ${lPayload.intersect(rPayload)}")
     require(!left.columns.contains(s"matched_$ts"),
       s"left must not already have a matched_$ts column")
+    require(!right.columns.contains("_graft_rk") && !right.columns.contains(s"matched_$ts"),
+      s"right column names _graft_rk and matched_$ts are reserved by asOfJoin")
     tolerance.foreach { _ =>
-      require(left.schema(ts).dataType == LongType,
-        s"tolerance requires a LongType $ts column, got ${left.schema(ts).dataType}")
+      val t = left.schema(ts).dataType
+      require(t == LongType || t == TimestampType,
+        s"tolerance requires a Long or Timestamp $ts column, got $t")
     }
 
     val spark = left.sparkSession
@@ -64,7 +78,7 @@ object NativeAsOf {
         lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, "_graft_rk"),
         attr(lPlan, ts), attr(rPlan, s"matched_$ts"),
-        tolerance, broadcast))
+        tolerance, broadcast, rightUnique))
       .drop("_graft_rk")
   }
 

@@ -21,11 +21,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *  - **Left column pruning**: output columns never referenced above
   *    the join are projected away on the LEFT child (key/ts always
   *    kept), so the fact-side scan reads only what the query needs.
-  *    The right child is deliberately NOT pruned: equal-(key, ts)
-  *    ties resolve by lexicographic-max over the right payload, so
-  *    dropping a right column could change which tied row wins — the
-  *    right side is dimension-sized by assumption and pruning it
-  *    buys little.
+  *    The right child is pruned ONLY under `rightUnique`: without the
+  *    uniqueness assertion, equal-(key, ts) ties resolve by
+  *    lexicographic-max over the right payload, so dropping a right
+  *    column could change which tied row wins; when the caller
+  *    asserts right (key, ts) uniqueness the tie contract is vacuous
+  *    and unreferenced right columns prune away like any LEFT OUTER
+  *    join's would.
+  *
+  * Coverage note: pruning fires when a Project is the immediate parent
+  * of the join — the shape every `asOfJoin(...).select(...)` call
+  * produces. A Project-less parent (e.g. `Aggregate(GraftAsOfJoin)`)
+  * keeps the full-width scans; Catalyst's own ColumnPruning would
+  * handle those via a generic reference walk, which this rule
+  * deliberately does not replicate (narrower, but auditable).
   *
   * Injected through both seams: `GraftExtensions.injectOptimizerRule`
   * (config-wired sessions, runs inside the operator-optimization
@@ -45,23 +54,36 @@ object AsOfPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
       }
 
     case p @ Project(fields, j: GraftAsOfJoin)
-        if prunableLeft(p.references, j).nonEmpty =>
-      val dropped = prunableLeft(p.references, j)
-      // merge into an existing left Project instead of stacking a new
+        if prunableLeft(p.references, j).nonEmpty ||
+           prunableRight(p.references, j).nonEmpty =>
+      val droppedL = prunableLeft(p.references, j)
+      val droppedR = prunableRight(p.references, j)
+      // merge into an existing child Project instead of stacking a new
       // one: this rule also runs in the post-operator User Provided
       // batch (programmatic seam) where CollapseProject won't fire
       // again, and a stale inner Project would keep the scan wide
-      val newLeft = j.left match {
-        case Project(inner, grandchild) =>
-          Project(inner.filterNot(ne => dropped.contains(ne.toAttribute)), grandchild)
-        case other =>
-          Project(other.output.filterNot(dropped.contains), other)
-      }
-      p.copy(child = j.copy(left = newLeft))
+      def pruned(child: LogicalPlan, dropped: AttributeSet): LogicalPlan =
+        if (dropped.isEmpty) child
+        else child match {
+          case Project(inner, grandchild) =>
+            Project(inner.filterNot(ne => dropped.contains(ne.toAttribute)), grandchild)
+          case other =>
+            Project(other.output.filterNot(dropped.contains), other)
+        }
+      p.copy(child = j.copy(
+        left = pruned(j.left, droppedL), right = pruned(j.right, droppedR)))
   }
 
   /** Left-output attributes not needed by the parent projection nor by
     * the join itself (key/ts are always needed). */
   private def prunableLeft(parentRefs: AttributeSet, j: GraftAsOfJoin): AttributeSet =
     AttributeSet(j.left.output) -- parentRefs -- AttributeSet(Seq(j.leftKey, j.leftTs))
+
+  /** Right-output attributes prunable ONLY under the caller's
+    * (key, ts)-uniqueness assertion — otherwise the payload takes part
+    * in the deterministic tie-break and must stay. */
+  private def prunableRight(parentRefs: AttributeSet, j: GraftAsOfJoin): AttributeSet =
+    if (!j.rightUnique) AttributeSet.empty
+    else AttributeSet(j.right.output) -- parentRefs --
+      AttributeSet(Seq(j.rightKey, j.rightTs))
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -39,12 +39,25 @@ case class GraftAsOfJoin(
     leftTs: Attribute,
     rightTs: Attribute,
     tolerance: Option[Long],
-    broadcastHint: Option[Boolean] = None) extends BinaryNode {
+    broadcastHint: Option[Boolean] = None,
+    rightUnique: Boolean = false) extends BinaryNode {
 
   // LEFT OUTER semantics: every left row survives; unmatched right
   // columns are null, so the right output is re-declared nullable
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  // The operator genuinely READS every right column unless the caller
+  // asserts (key, ts) uniqueness: equal-(key, ts) ties resolve by
+  // lexicographic max over the right payload, so a pruned payload
+  // column could flip which tied row wins for the columns that remain.
+  // Declaring the references makes Catalyst's GENERIC column pruning
+  // (which walks node.references for unknown operators) honor the tie
+  // contract instead of silently narrowing the right child; under
+  // rightUnique it may prune freely, as does AsOfPushdownRule.
+  override def references: AttributeSet =
+    super.references ++
+      (if (rightUnique) AttributeSet.empty else AttributeSet(right.output))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): GraftAsOfJoin =
@@ -67,10 +80,10 @@ object GraftAsOfJoinStrategy extends SparkStrategy {
       }
       if (doBroadcast) {
         BroadcastAsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs,
-          j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
+          j.tolerance, j.rightUnique, planLater(j.left), planLater(j.right)) :: Nil
       } else {
         AsOfJoinExec(j.leftKey, j.rightKey, j.leftTs, j.rightTs, j.tolerance,
-          planLater(j.left), planLater(j.right)) :: Nil
+          j.rightUnique, planLater(j.left), planLater(j.right)) :: Nil
       }
     case _ => Nil
   }
@@ -88,6 +101,13 @@ object GraftAsOfJoinStrategy extends SparkStrategy {
   * pass is O(|L| + |R|), and there is no quadratic blowup on long
   * right histories — the failure mode of the range-join+argmax
   * formulation this operator exists to avoid.
+  *
+  * NULL keys follow SQL/DuckDB ASOF semantics: a left row with a null
+  * key is emitted null-extended, a right row with a null key matches
+  * nothing. `rightUnique` (a caller assertion that right (key, ts) is
+  * unique) drops the payload columns from the required right ordering —
+  * the tie contract is vacuous, so ties need no deterministic winner
+  * and the sort keys stay narrow.
   */
 case class AsOfJoinExec(
     leftKey: Expression,
@@ -95,6 +115,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     tolerance: Option[Long],
+    rightUnique: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -107,9 +128,10 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
-      right.output
+      (if (rightUnique) Nil
+       else right.output
         .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
-        .map(SortOrder(_, Ascending)))
+        .map(SortOrder(_, Ascending))))
 
   // the merge preserves the left side's partitioning and sort order
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -152,15 +174,22 @@ case class AsOfJoinExec(
         private var heldTs: InternalRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        // skips null-key right rows: NULL keys never match (SQL ASOF
+        // semantics); left null-key rows then fall out naturally —
+        // nulls sort first, so no right row compares ≤ them and the
+        // row emits null-extended
+        private def advanceRight(): Unit = {
+          rRow = null; rKey = null; rTs = null
+          while (rRow == null && rIter.hasNext) {
             val r = rIter.next()
-            rRow = r
-            rKey = rKeyProj(r).copy()
-            rTs = rTsProj(r).copy()
-          } else {
-            rRow = null; rKey = null; rTs = null
+            val k = rKeyProj(r)
+            if (!k.isNullAt(0)) {
+              rRow = r
+              rKey = k.copy()
+              rTs = rTsProj(r).copy()
+            }
           }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -191,8 +220,10 @@ case class AsOfJoinExec(
           }
           val matched =
             if (held == null) nullRight
-            // tolerance masking (LongType ts — enforced at the API):
-            // a match staler than `tol` units is nulled, row kept
+            // tolerance masking: a match staler than `tol` units is
+            // nulled, row kept. Long and Timestamp[NTZ] ts types both
+            // store as physical long (micros for timestamps — so tol
+            // is in µs there); enforced at the API
             else if (tol.isDefined && lTs.getLong(0) - heldTs.getLong(0) > tol.get) nullRight
             else held
           outProj(joined(l, matched))
@@ -223,7 +254,18 @@ case class AsOfJoinExec(
   *
   * Tie semantics match [[AsOfJoinExec]]: the group arrays sort by
   * (ts, payload…), and the probe takes the LAST entry with ts ≤
-  * probe-ts — the lexicographic-max payload among equal timestamps.
+  * probe-ts — the lexicographic-max payload among equal timestamps
+  * (payload dropped from the sort under `rightUnique`, where ties
+  * cannot exist by caller assertion). NULL keys never match (SQL ASOF
+  * semantics): null-key right rows are excluded from the index,
+  * null-key left rows emit null-extended.
+  *
+  * The per-key index is built ONCE PER EXECUTOR (not per task):
+  * [[BroadcastAsOfJoinExec.cachedIndex]] memoizes on the identity of
+  * the broadcast value — the same sharing discipline as Spark's
+  * HashedRelation broadcast mode, done on the consumer side because
+  * IdentityBroadcastMode ships raw rows. Weak keys: cache entries die
+  * with the broadcast block, so no memory outlives the query.
   */
 case class BroadcastAsOfJoinExec(
     leftKey: Expression,
@@ -231,6 +273,7 @@ case class BroadcastAsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     tolerance: Option[Long],
+    rightUnique: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -255,35 +298,45 @@ case class BroadcastAsOfJoinExec(
     val out = output
     val tol = tolerance
 
-    left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(Seq(rKeyE), rOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTsE), rOut)
-      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
-      // (ts, payload…) ordering — same determinism contract as the
-      // sort-merge exec's required right-child ordering
-      val rowOrd = RowOrdering.create(
-        SortOrder(rTsE, Ascending) +:
-          rOut.filterNot(a => a.semanticEquals(rKeyE) || a.semanticEquals(rTsE))
-            .map(SortOrder(_, Ascending)),
-        rOut)
+    // operator shape disambiguates two as-of execs consuming the same
+    // broadcast with different key/ts expressions
+    val shape = s"$rKeyE|$rTsE|$rightUnique"
 
-      // build: key -> rows sorted by (ts, payload), ts projected out
-      // for the binary search (any orderable ts type)
-      val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
-      bRight.value.foreach { r =>
-        val k = rKeyProj(r).copy()
-        var buf = grouped.get(k)
-        if (buf == null) {
-          buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
-          grouped.put(k, buf)
+    left.execute().mapPartitions { lIter =>
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTsE.dataType))
+      val index = BroadcastAsOfJoinExec.cachedIndex(bRight.value, shape) {
+        val rKeyProj = UnsafeProjection.create(Seq(rKeyE), rOut)
+        val rTsProj = UnsafeProjection.create(Seq(rTsE), rOut)
+        // (ts, payload…) ordering — same determinism contract as the
+        // sort-merge exec's required right-child ordering
+        val rowOrd = RowOrdering.create(
+          SortOrder(rTsE, Ascending) +:
+            (if (rightUnique) Nil
+             else rOut.filterNot(a => a.semanticEquals(rKeyE) || a.semanticEquals(rTsE))
+              .map(SortOrder(_, Ascending))),
+          rOut)
+
+        // build: key -> rows sorted by (ts, payload), ts projected out
+        // for the binary search (any orderable ts type)
+        val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+        bRight.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.isNullAt(0)) { // null keys never match — keep them out
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+              grouped.put(k.copy(), buf) // copy only when storing
+            }
+            buf += r // broadcast rows are already materialized copies
+          }
         }
-        buf += r // broadcast rows are already materialized copies
-      }
-      val index = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[InternalRow])]
-      grouped.forEach { (k, buf) =>
-        val rows = buf.toArray
-        java.util.Arrays.sort(rows, rowOrd)
-        index.put(k, (rows.map(r => rTsProj(r).copy(): InternalRow), rows))
+        val built = new java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[InternalRow])]
+        grouped.forEach { (k, buf) =>
+          val rows = buf.toArray
+          java.util.Arrays.sort(rows, rowOrd)
+          built.put(k, (rows.map(r => rTsProj(r).copy(): InternalRow), rows))
+        }
+        built
       }
 
       val lKeyProj = UnsafeProjection.create(Seq(lKeyE), lOut)
@@ -295,7 +348,8 @@ case class BroadcastAsOfJoinExec(
 
       lIter.map { l =>
         var matched: InternalRow = nullRight
-        val entry = index.get(lKeyProj(l))
+        val lKey = lKeyProj(l)
+        val entry = if (lKey.isNullAt(0)) null else index.get(lKey)
         if (entry != null) {
           val (tsArr, rows) = entry
           val lTs = lTsProj(l)
@@ -322,4 +376,33 @@ case class BroadcastAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index =
+    java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[InternalRow])]
+
+  /** Executor-wide per-key-index cache, keyed by broadcast-value
+    * identity (outer, weak — entries die with the broadcast block)
+    * and operator shape (inner — two execs may consume one broadcast
+    * with different key/ts expressions). Synchronized: concurrent
+    * tasks block briefly while the first builds, then all share one
+    * read-only index — the point of the cache. */
+  private val cache =
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Index]]
+
+  private[plans] def cachedIndex(bval: AnyRef, shape: String)(build: => Index): Index =
+    cache.synchronized {
+      var inner = cache.get(bval)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, Index]
+        cache.put(bval, inner)
+      }
+      var idx = inner.get(shape)
+      if (idx == null) {
+        idx = build
+        inner.put(shape, idx)
+      }
+      idx
+    }
 }

@@ -170,6 +170,83 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(leftCols == Set("user_id", "ts_us", "event_id"))
   }
 
+  test("TimestampType ts with tolerance (µs): native, broadcast, and composed agree") {
+    import spark.implicits._
+    val left = Seq((1L, 100_000_000L), (1L, 12_000_000L)).toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("t"))
+    val right = Seq((1L, 10_000_000L, 5.0)).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("v"))
+    // tolerance 5s = 5e6 µs: the 12s probe matches (2s stale), the
+    // 100s probe is masked (90s stale) but the row survives
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val got = df.collect()
+        .map(r => (r.getTimestamp(1).getTime, r.isNullAt(r.fieldIndex("v")))).toMap
+      assert(got(12_000L) == false, s"$label: in-tolerance match must survive")
+      assert(got(100_000L) == true, s"$label: stale match must mask, row kept")
+    }
+    check(NativeAsOf.asOfJoin(left, right, "k", "t",
+      tolerance = Some(5_000_000L), broadcast = Some(false)), "sort-merge")
+    check(NativeAsOf.asOfJoin(left, right, "k", "t",
+      tolerance = Some(5_000_000L), broadcast = Some(true)), "broadcast")
+    check(AsOf.asOfJoin(left, right, "k", "t",
+      tolerance = Some(5_000_000L)), "composed")
+  }
+
+  test("NULL keys never match on any form: left null-extended, right excluded") {
+    import spark.implicits._
+    val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Option(1L), 5L, 1.0), (Option.empty[Long], 5L, 99.0))
+      .toDF("k", "t", "v")
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val got = df.collect()
+        .map(r => r.getString(2) ->
+          (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v")))))
+        .toMap
+      assert(got("a") == Some(1.0), s"$label: non-null key must match normally")
+      assert(got("b") == None, s"$label: null-key left row must come back null-extended")
+    }
+    check(NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(false)), "sort-merge")
+    check(NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(true)), "broadcast")
+    check(AsOf.asOfJoin(left, right, "k", "t"), "composed")
+  }
+
+  test("rightUnique prunes unreferenced right columns; results unchanged on unique input") {
+    import graft.plans.GraftAsOfJoin
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (2L, 7L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0, "x1"), (1L, 9L, 2.0, "x2"), (2L, 3L, 3.0, "x3"))
+      .toDF("k", "t", "v", "w")
+    val q = NativeAsOf.asOfJoin(left, right, "k", "t", rightUnique = true)
+      .select("tag", "v") // w unreferenced → prunable under uniqueness
+    val j = q.queryExecution.optimizedPlan
+      .collectFirst { case n: GraftAsOfJoin => n }.get
+    val rightCols = j.right.output.map(_.name).toSet
+    assert(!rightCols.contains("w"),
+      s"unreferenced right payload must prune under rightUnique, got $rightCols")
+    assert(rightCols.contains("_graft_rk") && rightCols.contains("matched_t"))
+    // without the assertion the tie contract keeps every right column
+    val jDefault = NativeAsOf.asOfJoin(left, right, "k", "t").select("tag", "v")
+      .queryExecution.optimizedPlan
+      .collectFirst { case n: GraftAsOfJoin => n }.get
+    assert(jDefault.right.output.map(_.name).toSet.contains("w"),
+      "generic Catalyst pruning must not narrow the right side sans uniqueness")
+    // and the reason it must not: with ties, pruning the EARLIER payload
+    // column flips the observable winner of a LATER one. (v=9,w=a) wins
+    // the (v,w)-lexicographic tie; a w-only right side would pick w=z.
+    val tiedRight = Seq((1L, 5L, 9.0, "a"), (1L, 5L, 1.0, "z")).toDF("k", "t", "v", "w")
+    val wOnly = NativeAsOf.asOfJoin(Seq((1L, 10L)).toDF("k", "t"), tiedRight, "k", "t")
+      .select("w").collect().head.getString(0)
+    assert(wOnly == "a", s"tie must resolve over the FULL payload, got w=$wOnly")
+    // and on genuinely unique right input the results are identical
+    val a = NativeAsOf.asOfJoin(left, right, "k", "t", rightUnique = true)
+      .orderBy("k", "t").collect().map(_.toString)
+    val b = NativeAsOf.asOfJoin(left, right, "k", "t")
+      .orderBy("k", "t").collect().map(_.toString)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    assert(a.length == 2)
+  }
+
   test("many keys, many partitions: native ≡ composed under shuffling (property sweep)") {
     import spark.implicits._
     // deterministic synthetic data: 40 keys, interleaved event times

@@ -178,15 +178,18 @@ object Ivf {
   /** Probe a persisted index: partition-pruned scan of the nprobe
     * nearest inverted lists + exact cosine re-rank. The cluster filter
     * is a PARTITION filter — pruned before any file is opened. The
-    * query vector is arbitrary (external); callers whose query also
-    * lives in the corpus filter its id from the result themselves. */
+    * query vector is arbitrary (external); `excludeVecId` drops a
+    * corpus-resident query row BEFORE the top-k cut (the q48
+    * semantics). */
   def probeIndex(s: SparkSession, path: String, qVec: Seq[Double],
-                 nprobe: Int, k: Int = 10): DataFrame = {
+                 nprobe: Int, k: Int = 10,
+                 excludeVecId: Option[Long] = None): DataFrame = {
     val cents = readCentroids(s, path)
     val probes = rankProbes(cents, qVec, nprobe)
     val qe = typedLit(qVec)
-    s.read.parquet(path)
+    val scan = s.read.parquet(path)
       .filter(col("cluster").isin(probes: _*))
+    excludeVecId.fold(scan)(id => scan.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cluster"),
               round(Similarity.cosine(col("e"), qe), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -197,7 +200,33 @@ object Ivf {
   def q48IvfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, NProbe)
 
+  /** Deterministic per-sf-dir index location for q70, under the JVM
+    * temp dir (the only writable scratch in this sandbox; on a real
+    * cluster this is an HDFS/S3 path — writeIndex/probeIndex already
+    * resolve the Hadoop FS from it). */
+  private def indexPath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  /** q70: the PERSISTED-index probe, bench-visible — builds the
+    * cluster-partitioned on-disk index once per sf dir (first call,
+    * reused afterwards since training is seeded/deterministic), then
+    * serves the q48 query as a partition-pruned scan of nprobe/K of
+    * the corpus files. This is the repeated-query shape the in-memory
+    * q48 amortizes into; rows-only, pinned by IvfSpec: probe ≡ q48
+    * result-for-result, and PartitionFilters present in the scan. */
+  def q70IvfProbeIndex(s: SparkSession, d: String): DataFrame = {
+    val path = indexPath(d)
+    val cFile = new org.apache.hadoop.fs.Path(path, CentroidsFile)
+    val fs = cFile.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cFile)) writeIndex(s, d, path)
+    val qVec = emb(s, d).filter(col("vec_id") === 0).select(col("e"))
+      .head().getSeq[Double](0)
+    probeIndex(s, path, qVec, NProbe, excludeVecId = Some(0L))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q48_ivf_topk", q48IvfTopK _, None),
+    ("q70_ivf_probe_index", q70IvfProbeIndex _, None),
   )
 }

@@ -10,13 +10,15 @@ import graft.Tables._
   * binary columns with typed metadata, batch feature extraction via
   * mapPartitions (the Scala analogue of mapInPandas batch UDFs).
   *
-  * The media decode itself is STUBBED — image/audio codecs are not in
-  * this container — behind [[MediaDecoder]]: a deterministic fake that
-  * hashes payload bytes into a fixed-dim feature vector. Everything
-  * around it is the real Spark plumbing a 100 TB multimodal pipeline
-  * needs: binary column + metadata struct schema, partition-batched
-  * decode (decoder initialized once per partition, not per row), and
-  * a narrow, column-pruned output schema.
+  * Decoders behind the [[MediaDecoder]] seam: [[ImageIODecoder]] is a
+  * REAL pixel decoder for the formats the JDK ships readers for
+  * (PNG/BMP/GIF/JPEG via javax.imageio — no external codec needed);
+  * payloads no reader claims (plus audio/video, whose codecs are not
+  * in this container) fall back to [[FakeDecoder]], a deterministic
+  * hash stub. Everything around the seam is the real Spark plumbing a
+  * 100 TB multimodal pipeline needs: binary column + metadata struct
+  * schema, partition-batched decode (decoder initialized once per
+  * partition, not per row), and a narrow, column-pruned output schema.
   */
 object Multimodal {
 
@@ -45,6 +47,47 @@ object Multimodal {
         j += 1
       }
       out
+    }
+  }
+
+  /** Real pure-JVM image decoder (javax.imageio — PNG/BMP/GIF/JPEG
+    * readers ship with the JDK): decodes pixels and pools mean
+    * luminance (Rec.601) per band of the row-major pixel stream into
+    * `dim` floats in [0, 1] (pixel-index banding keeps every band
+    * populated even when the image has fewer rows than bands).
+    * Payloads no reader recognizes fall back to
+    * [[FakeDecoder]] so mixed corpora keep flowing — decode failure
+    * must not kill a 100 TB job. */
+  object ImageIODecoder extends MediaDecoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeDecoder.features(payload, dim)
+      else {
+        val out = new Array[Float](dim)
+        val counts = new Array[Int](dim)
+        val h = img.getHeight
+        val w = img.getWidth
+        val n = w.toLong * h
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val band = math.min(dim - 1, (((y.toLong * w + x) * dim) / n).toInt)
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000.0f
+            out(band) += lum / 255.0f
+            counts(band) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < dim) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
+        out
+      }
     }
   }
 

@@ -47,6 +47,19 @@ class IvfSpec extends AnyFunSuite {
     assert(pruned.collect().nonEmpty)
   }
 
+  test("q70 persisted-index probe ≡ q48 in-memory IVF, result for result") {
+    val q70 = Ivf.q70IvfProbeIndex(spark, TestSpark.sf0001)
+    val q48 = Ivf.q48IvfTopK(spark, TestSpark.sf0001)
+    val a = q70.collect().map(_.toString)
+    val b = q48.collect().map(_.toString)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // and the probe really is a pruned scan
+    val plan = q70.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"q70 must partition-prune the index scan:\n$plan")
+  }
+
   test("centroids round-trip through the index directory") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
     val written = Ivf.writeIndex(spark, TestSpark.sf0001, dir)

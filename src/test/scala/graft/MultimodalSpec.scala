@@ -31,6 +31,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.length == 8 && f1.forall(v => v >= -1.0f && v <= 1.0f))
   }
 
+  test("ImageIODecoder decodes real PNG pixels; non-image payloads fall back") {
+    import java.awt.image.BufferedImage
+    def png(fill: Int => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, fill(y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // solid white: every band's mean luminance is 1.0
+    val white = Multimodal.ImageIODecoder.features(png(_ => 0xFFFFFF), 4)
+    assert(white.length == 4 && white.forall(v => math.abs(v - 1.0f) < 1e-3))
+    // top half black, bottom half white: bands 0-1 ≈ 0, bands 2-3 ≈ 1
+    val split = Multimodal.ImageIODecoder.features(
+      png(y => if (y < 4) 0x000000 else 0xFFFFFF), 4)
+    assert(split(0) < 1e-3 && split(1) < 1e-3, s"top bands ${split.toSeq}")
+    assert(math.abs(split(2) - 1.0f) < 1e-3 && math.abs(split(3) - 1.0f) < 1e-3)
+    // non-image payload → deterministic fake, bit-identical to FakeDecoder
+    val txt = "not an image".getBytes
+    assert(Multimodal.ImageIODecoder.features(txt, 8).toSeq ==
+      Multimodal.FakeDecoder.features(txt, 8).toSeq)
+  }
+
+  test("real-PNG media flows through the mapPartitions extraction plumbing") {
+    import java.awt.image.BufferedImage
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", Multimodal.mediaSchema, nullable = false),
+      StructField("source", StringType, nullable = true)))
+    val packed = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, Row(bos.toByteArray, Row("image/png", 4, 4, null)), "imgs")),
+      schema)
+    val feats = Multimodal.extractFeatures(spark, packed, Multimodal.ImageIODecoder)
+      .collect()
+    assert(feats.length == 1)
+    val f = feats.head.getSeq[Float](feats.head.fieldIndex("feature"))
+    assert(f.length == Multimodal.FeatureDim)
+    assert(f.forall(v => math.abs(v - 1.0f) < 1e-3),
+      s"white PNG must decode to all-ones luminance bands, got $f")
+  }
+
   test("frameSample: n frames per doc, in-bounds offsets, binary frames") {
     val packed = Multimodal.packMedia(
       graft.Tables.documents(spark, TestSpark.sf0001))

@@ -11,10 +11,16 @@ package graft.geo
   *    segment-intersection sweep, semantics of `turf.kinks` (reference
   *    dependency /root/reference/package.json:23, used at
   *    /root/reference/mapwarper.js:250-257).
-  *  - GCP fitting: first-order polynomial (6-parameter affine) least
-  *    squares, the GDAL `-order 1` model the reference invokes through
-  *    mask-to-geojson (/root/reference/mapwarper.js:84-97) — solved here
-  *    directly via 3×3 normal equations, no native libs.
+  *  - GCP fitting: the full GDAL warp model family the reference
+  *    invokes through mask-to-geojson (/root/reference/mapwarper.js:
+  *    84-97): polynomial order 1 (affine) / 2 / 3 by least squares on
+  *    the normal equations, and thin plate spline (`-tps`) via the
+  *    standard radial-basis interpolation system (Bookstein 1989,
+  *    "Principal warps" — the same U(r) = r² log r² kernel GDAL's
+  *    tps transformer uses). All solved with a dense Gaussian
+  *    elimination here — no native libs; the systems are tiny
+  *    (≤ 10×10 for polynomials, (n+3)×(n+3) for TPS with n = #GCPs,
+  *    dozens at most for scanned-map control points).
   *
   * Everything operates on GeoJSON-shaped nested arrays:
   * ring = Seq[Seq[Double]] of [lon, lat] points (closed: first == last).
@@ -133,41 +139,176 @@ object Geo {
       sxLat += x * lat; syLat += y * lat; sLat += lat
     }
     val m = Array(Array(sxx, sxy, sx), Array(sxy, syy, sy), Array(sx, sy, n))
-    def solve3(a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
-      val aa = a.map(_.clone()); val bb = b.clone()
-      var col = 0
-      while (col < 3) {
-        var piv = col
-        var r = col + 1
-        while (r < 3) { if (math.abs(aa(r)(col)) > math.abs(aa(piv)(col))) piv = r; r += 1 }
-        if (math.abs(aa(piv)(col)) < 1e-12) return None
-        val tmp = aa(col); aa(col) = aa(piv); aa(piv) = tmp
-        val tb = bb(col); bb(col) = bb(piv); bb(piv) = tb
-        r = col + 1
-        while (r < 3) {
-          val f = aa(r)(col) / aa(col)(col)
-          var c = col
-          while (c < 3) { aa(r)(c) -= f * aa(col)(c); c += 1 }
-          bb(r) -= f * bb(col)
-          r += 1
-        }
-        col += 1
+    for {
+      lonC <- solveN(m, Array(sxLon, syLon, sLon))
+      latC <- solveN(m, Array(sxLat, syLat, sLat))
+    } yield Array(lonC(0), lonC(1), lonC(2), latC(0), latC(1), latC(2))
+  }
+
+  /** Dense Gaussian elimination with partial pivoting; None on a
+    * (near-)singular system. Clones its inputs. */
+  private[geo] def solveN(a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
+    val n = b.length
+    val aa = a.map(_.clone()); val bb = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(aa(r)(col)) > math.abs(aa(piv)(col))) piv = r; r += 1 }
+      if (math.abs(aa(piv)(col)) < 1e-12) return None
+      val tmp = aa(col); aa(col) = aa(piv); aa(piv) = tmp
+      val tb = bb(col); bb(col) = bb(piv); bb(piv) = tb
+      r = col + 1
+      while (r < n) {
+        val f = aa(r)(col) / aa(col)(col)
+        var c = col
+        while (c < n) { aa(r)(c) -= f * aa(col)(c); c += 1 }
+        bb(r) -= f * bb(col)
+        r += 1
       }
-      val x = new Array[Double](3)
-      var i = 2
-      while (i >= 0) {
-        var s = bb(i)
-        var j = i + 1
-        while (j < 3) { s -= aa(i)(j) * x(j); j += 1 }
-        x(i) = s / aa(i)(i)
-        i -= 1
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = bb(i)
+      var j = i + 1
+      while (j < n) { s -= aa(i)(j) * x(j); j += 1 }
+      x(i) = s / aa(i)(i)
+      i -= 1
+    }
+    Some(x)
+  }
+
+  // --- higher-order GCP transforms (GDAL -order 2/3 and -tps) --------
+
+  /** Monomial count of a 2-D polynomial of `order`: 3 / 6 / 10. */
+  def polyTermCount(order: Int): Int = (order + 1) * (order + 2) / 2
+
+  /** Monomial basis [1, x, y, x², xy, y², x³, x²y, xy², y³] truncated
+    * to the order's term count — GDAL's polynomial warp basis. */
+  private def polyTerms(x: Double, y: Double, order: Int): Array[Double] = {
+    val t = new Array[Double](polyTermCount(order))
+    t(0) = 1.0; t(1) = x; t(2) = y
+    if (order >= 2) { t(3) = x * x; t(4) = x * y; t(5) = y * y }
+    if (order >= 3) { t(6) = x * x * x; t(7) = x * x * y; t(8) = x * y * y; t(9) = y * y * y }
+    t
+  }
+
+  /** Polynomial GCP model: per-dimension weights in [[polyTerms]]
+    * order over NORMALIZED pixel coordinates ((x − xOff)/scale). The
+    * normalization is part of the model: raw scanned-map pixels run
+    * to 10³-10⁴, so order-3 monomials hit 10⁹-10¹² and the normal
+    * equations (squared again: 10¹⁸+) lose all double precision —
+    * centering and scaling to O(1) keeps the system conditioned (the
+    * same trick GDAL applies before its polynomial solve). */
+  final case class PolyModel(order: Int, xOff: Double, yOff: Double, scale: Double,
+                             lonW: Array[Double], latW: Array[Double])
+
+  /** Polynomial GCP fit of order 1/2/3 by least squares (normal
+    * equations AᵀA w = Aᵀv per target dimension, on normalized
+    * coordinates). GCP rows are [pixelX, pixelY, lat, lon] as in
+    * [[gcpAffineFit]]. None when there are fewer GCPs than terms or
+    * the configuration is degenerate (e.g. collinear points). */
+  def gcpPolyFit(gcps: Seq[Seq[Double]], order: Int): Option[PolyModel] = {
+    require(order >= 1 && order <= 3, s"polynomial order must be 1..3, got $order")
+    val k = polyTermCount(order)
+    if (gcps.length < k) return None
+    val xOff = gcps.map(_.head).sum / gcps.length
+    val yOff = gcps.map(_(1)).sum / gcps.length
+    val spread = gcps.map(g => math.max(math.abs(g.head - xOff), math.abs(g(1) - yOff))).max
+    val scale = if (spread > 0) spread else 1.0
+    val ata = Array.fill(k)(new Array[Double](k))
+    val atLon = new Array[Double](k)
+    val atLat = new Array[Double](k)
+    gcps.foreach { g =>
+      val t = polyTerms((g.head - xOff) / scale, (g(1) - yOff) / scale, order)
+      val lat = g(2); val lon = g(3)
+      var i = 0
+      while (i < k) {
+        var j = 0
+        while (j < k) { ata(i)(j) += t(i) * t(j); j += 1 }
+        atLon(i) += t(i) * lon
+        atLat(i) += t(i) * lat
+        i += 1
       }
-      Some(x)
     }
     for {
-      lonC <- solve3(m, Array(sxLon, syLon, sLon))
-      latC <- solve3(m, Array(sxLat, syLat, sLat))
-    } yield Array(lonC(0), lonC(1), lonC(2), latC(0), latC(1), latC(2))
+      lonW <- solveN(ata, atLon)
+      latW <- solveN(ata, atLat)
+    } yield PolyModel(order, xOff, yOff, scale, lonW, latW)
+  }
+
+  /** Applies a polynomial model to pixel-space rings → lon/lat rings. */
+  def applyPoly(m: PolyModel, pixelRings: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
+    pixelRings.map(_.map { p =>
+      val t = polyTerms((p.head - m.xOff) / m.scale, (p(1) - m.yOff) / m.scale, m.order)
+      var lon = 0.0; var lat = 0.0; var i = 0
+      while (i < t.length) { lon += m.lonW(i) * t(i); lat += m.latW(i) * t(i); i += 1 }
+      Seq(lon, lat)
+    })
+
+  /** Thin-plate-spline model: source points + per-dimension weights
+    * laid out [w_1..w_n, a0, ax, ay] (Bookstein's affine + warp). */
+  final case class TpsModel(px: Array[Double], py: Array[Double],
+                            lonW: Array[Double], latW: Array[Double])
+
+  /** TPS kernel U as a function of squared distance: r² log r²
+    * (0 at r = 0) — constant factors are absorbed into the weights. */
+  private def tpsU(r2: Double): Double = if (r2 <= 0.0) 0.0 else r2 * math.log(r2)
+
+  /** Thin-plate-spline GCP fit (GDAL `-tps`): exact interpolation
+    * through every control point with minimal bending energy. Solves
+    * the standard (n+3)×(n+3) system [K P; Pᵀ 0][w; a] = [v; 0] per
+    * target dimension. Duplicate pixel coordinates are collapsed
+    * (first wins — K would be singular otherwise); needs ≥ 3 distinct
+    * non-collinear points. */
+  def gcpTpsFit(gcps: Seq[Seq[Double]]): Option[TpsModel] = {
+    val distinct = gcps.groupBy(g => (g.head, g(1))).map(_._2.head).toSeq
+      .sortBy(g => (g.head, g(1))) // deterministic regardless of input order
+    val n = distinct.length
+    if (n < 3) return None
+    val px = distinct.map(_.head).toArray
+    val py = distinct.map(_(1)).toArray
+    val m = n + 3
+    val a = Array.fill(m)(new Array[Double](m))
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        val dx = px(i) - px(j); val dy = py(i) - py(j)
+        a(i)(j) = tpsU(dx * dx + dy * dy)
+        j += 1
+      }
+      a(i)(n) = 1.0; a(i)(n + 1) = px(i); a(i)(n + 2) = py(i)
+      a(n)(i) = 1.0; a(n + 1)(i) = px(i); a(n + 2)(i) = py(i)
+      i += 1
+    }
+    val bLon = new Array[Double](m)
+    val bLat = new Array[Double](m)
+    i = 0
+    while (i < n) { bLat(i) = distinct(i)(2); bLon(i) = distinct(i)(3); i += 1 }
+    for {
+      lonW <- solveN(a, bLon)
+      latW <- solveN(a, bLat)
+    } yield TpsModel(px, py, lonW, latW)
+  }
+
+  /** Applies a TPS model to pixel-space rings → lon/lat rings. */
+  def applyTps(model: TpsModel, pixelRings: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val n = model.px.length
+    def eval(w: Array[Double], x: Double, y: Double): Double = {
+      var s = w(n) + w(n + 1) * x + w(n + 2) * y
+      var i = 0
+      while (i < n) {
+        val dx = x - model.px(i); val dy = y - model.py(i)
+        s += w(i) * tpsU(dx * dx + dy * dy)
+        i += 1
+      }
+      s
+    }
+    pixelRings.map(_.map(p =>
+      Seq(eval(model.lonW, p.head, p(1)), eval(model.latW, p.head, p(1)))))
   }
 
   /** Applies an affine fit to a pixel-space ring set → lon/lat rings. */

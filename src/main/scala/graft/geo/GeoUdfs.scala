@@ -24,31 +24,59 @@ object GeoUdfs {
     udf((coords: Seq[Seq[Seq[Double]]]) =>
       if (coords == null) null else Integer.valueOf(Geo.selfIntersections(coords)))
 
-  /** F12: pixel mask + GCPs → lon/lat GeoJSON Polygon via first-order
-    * (affine) GCP fit — the GDAL-free re-implementation of
-    * mask-to-geojson (/root/reference/mapwarper.js:84-97). The mask
-    * string is "x1,y1 x2,y2 …" pixel pairs; errors are returned in-band
-    * (maskError channel), never thrown. */
+  /** F12: pixel mask + GCPs → lon/lat GeoJSON Polygon via the GCP
+    * transform the map's transform_options requests — the GDAL-free
+    * re-implementation of mask-to-geojson
+    * (/root/reference/mapwarper.js:84-97), supporting the same model
+    * family GDAL warps with: polynomial order 1/2/3 and thin plate
+    * spline. The mask string is "x1,y1 x2,y2 …" pixel pairs; errors
+    * (unknown spec, too few GCPs, degenerate fit, parse failure) are
+    * returned in-band (maskError channel), never thrown. */
   val maskToGeometryUdf: UserDefinedFunction =
-    udf((mask: String, gcps: Seq[Seq[Double]]) => maskToGeometry(mask, gcps))
+    udf((mask: String, gcps: Seq[Seq[Double]], transform: String) =>
+      maskToGeometry(mask, gcps, transform))
 
-  def maskToGeometry(mask: String, gcps: Seq[Seq[Double]]): MaskTransformResult = {
+  /** transform_options spec → fit arity: Right(order 1/2/3), Right(0)
+    * for TPS, Left(error) for anything unrecognized. The accepted
+    * spellings cover mapwarper's stored values (bare order numbers)
+    * plus common aliases; blank/auto means order 1, GDAL's default for
+    * small GCP counts. */
+  private def parseTransform(transform: String): Either[String, Int] =
+    Option(transform).map(_.trim.toLowerCase).getOrElse("") match {
+      case "" | "auto" | "1" | "p1" | "poly1" | "order1" => Right(1)
+      case "2" | "p2" | "poly2" | "order2" => Right(2)
+      case "3" | "p3" | "poly3" | "order3" => Right(3)
+      case "tps" => Right(0)
+      case other =>
+        Left(s"unsupported transform_options '$other': expected order 1/2/3 or tps")
+    }
+
+  def maskToGeometry(mask: String, gcps: Seq[Seq[Double]],
+                     transform: String = null): MaskTransformResult = {
     if (mask == null || mask.trim.isEmpty)
       return MaskTransformResult(null, "empty mask")
-    if (gcps == null || gcps.length < 3)
-      return MaskTransformResult(null, s"need >= 3 gcps, got ${if (gcps == null) 0 else gcps.length}")
+    val spec = parseTransform(transform) match {
+      case Left(err) => return MaskTransformResult(null, err)
+      case Right(s) => s
+    }
+    val minGcps = if (spec == 0) 3 else Geo.polyTermCount(spec)
+    if (gcps == null || gcps.length < minGcps)
+      return MaskTransformResult(null,
+        s"need >= $minGcps gcps, got ${if (gcps == null) 0 else gcps.length}")
     try {
       val pts = mask.trim.split("\\s+").toSeq.map { pair =>
         val xy = pair.split(",")
         Seq(xy(0).toDouble, xy(1).toDouble)
       }
       if (pts.length < 3) return MaskTransformResult(null, s"mask has ${pts.length} points")
-      Geo.gcpAffineFit(gcps) match {
-        case None => MaskTransformResult(null, "degenerate gcps: affine fit unsolvable")
-        case Some(fit) =>
-          val closed = if (pts.head == pts.last) pts else pts :+ pts.head
-          val ring = Geo.applyAffine(fit, Seq(closed)).head
-          MaskTransformResult(Geometry("Polygon", Seq(ring)), null)
+      val closed = if (pts.head == pts.last) pts else pts :+ pts.head
+      val warped: Option[Seq[Seq[Seq[Double]]]] =
+        if (spec == 0) Geo.gcpTpsFit(gcps).map(m => Geo.applyTps(m, Seq(closed)))
+        else if (spec == 1) Geo.gcpAffineFit(gcps).map(f => Seq(Geo.applyAffine(f, Seq(closed)).head))
+        else Geo.gcpPolyFit(gcps, spec).map(m => Geo.applyPoly(m, Seq(closed)))
+      warped match {
+        case None => MaskTransformResult(null, "degenerate gcps: transform fit unsolvable")
+        case Some(rings) => MaskTransformResult(Geometry("Polygon", rings), null)
       }
     } catch {
       case e: Exception => MaskTransformResult(null, s"mask parse failed: ${e.getMessage}")
@@ -57,5 +85,6 @@ object GeoUdfs {
 
   def areaM2(c: Column): Column = areaM2Udf(c)
   def kinks(c: Column): Column = kinksUdf(c)
-  def maskToGeom(mask: Column, gcps: Column): Column = maskToGeometryUdf(mask, gcps)
+  def maskToGeom(mask: Column, gcps: Column, transform: Column): Column =
+    maskToGeometryUdf(mask, gcps, transform)
 }

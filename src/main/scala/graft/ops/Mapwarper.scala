@@ -147,31 +147,26 @@ object Mapwarper {
 
   /** F12, the download-step enrichment (/root/reference/mapwarper.js:79-110):
     * maps that are masked/masking but carry no geometry get one computed
-    * from the pixel mask + GCPs via the affine fit; failures land in the
-    * in-band maskError channel (→ the mask_to_geojson rule), never throw.
+    * from the pixel mask + GCPs; failures land in the in-band maskError
+    * channel (→ the mask_to_geojson rule), never throw.
     *
     * transform_options passthrough (/root/reference/mapwarper.js:86): the
-    * reference forwards the map's transform spec to GDAL, which supports
-    * polynomial order 1/2/3 and TPS. This engine implements only the
-    * order-1 (affine) fit — a DOCUMENTED deviation (SURVEY §7.4) — so a
-    * non-affine transform_options routes to maskError (→ the
-    * mask_to_geojson log) instead of silently fitting the wrong model. */
+    * reference forwards the map's transform spec to GDAL; this engine
+    * implements the same model family natively — polynomial order 1/2/3
+    * least squares and thin plate spline (Geo.gcpPolyFit/gcpTpsFit) —
+    * so every transform the warper stores produces a geometry. An
+    * unrecognized spec still routes to maskError (→ the mask_to_geojson
+    * log) instead of silently fitting the wrong model. */
   def enrichMasks(maps: DataFrame): DataFrame = {
     val need = col("maskGeometry").isNull &&
       col("mask_status").isin("masked", "masking") &&
       col("mask").isNotNull && col("gcps").isNotNull
-    val affineOk = !truthy(col("transform_options")) ||
-      lower(col("transform_options")).isin("auto", "1", "p1", "poly1", "order1")
     maps
-      .withColumn("mt", when(need && affineOk, GeoUdfs.maskToGeom(col("mask"), col("gcps"))))
+      .withColumn("mt", when(need,
+        GeoUdfs.maskToGeom(col("mask"), col("gcps"), col("transform_options"))))
       .withColumn("maskGeometry",
         coalesce(col("maskGeometry"), col("mt.geometry").cast(geometryType)))
-      .withColumn("maskError", coalesce(
-        col("maskError"),
-        when(need && !affineOk,
-          concat(lit("unsupported transform_options '"), col("transform_options"),
-                 lit("': only order-1 (affine) GCP transforms are supported"))),
-        col("mt.error")))
+      .withColumn("maskError", coalesce(col("maskError"), col("mt.error")))
       .drop("mt")
   }
 

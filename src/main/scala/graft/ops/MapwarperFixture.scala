@@ -42,10 +42,13 @@ object MapwarperFixture {
     // 18: truthy-but-unparseable depicts_year → year null, NO fallback
     // to issue_year (reference picks first truthy THEN parseInt)
     s"""{"type":"map","data":{"id":18,"title":"Circa Year","uuid":"uuid-18","nypl_digital_id":"img-18","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","depicts_year":"ca. 1880","issue_year":"1885","maskGeometry":${sq(-74.0, 40.7, -73.97, 40.73)}}}""",
-    // 19: non-affine transform_options → maskError → mask_to_geojson log
+    // 19: TPS transform_options → geometry via the thin-plate-spline
+    // fit (interpolates the 4 GCPs exactly; mask corners = GCP pixels)
     s"""{"type":"map","data":{"id":19,"title":"TPS Warp","uuid":"uuid-19","nypl_digital_id":"img-19","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","transform_options":"tps","mask":"0,0 1000,0 1000,800 0,800","gcps":$gcps}}""",
     // 20: clean map carrying layerErrors → object AND a layer_error log
-    s"""{"type":"map","data":{"id":20,"title":"Layer Fetch Failed","uuid":"uuid-20","nypl_digital_id":"img-20","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","layerErrors":[{"error":"Request timed out","url":"http://maps.nypl.org/warper/api/v1/maps/20/layers.json"}],"maskGeometry":${sq(-74.0, 40.7, -73.96, 40.74)}}}""")
+    s"""{"type":"map","data":{"id":20,"title":"Layer Fetch Failed","uuid":"uuid-20","nypl_digital_id":"img-20","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","layerErrors":[{"error":"Request timed out","url":"http://maps.nypl.org/warper/api/v1/maps/20/layers.json"}],"maskGeometry":${sq(-74.0, 40.7, -73.96, 40.74)}}}""",
+    // 21: unrecognized transform_options → maskError → mask_to_geojson log
+    s"""{"type":"map","data":{"id":21,"title":"Projective Warp","uuid":"uuid-21","nypl_digital_id":"img-21","bbox":"-74,40,-73,41","map_type":"is_map","status":"warped","mask_status":"masked","transform_options":"projective","mask":"0,0 1000,0 1000,800 0,800","gcps":$gcps}}""")
 
   val layerLines: Seq[String] = Seq(
     """{"type":"layer","data":{"id":10,"name":"Manhattan 1893","depicts_year":"1893","maps_count":12,"bbox":"-74.03,40.68,-73.9,40.88"}}""",

@@ -68,6 +68,82 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.gcpAffineFit(collinear).isEmpty)
   }
 
+  test("order-2 polynomial fit recovers a planted quadratic exactly") {
+    // lon = -74 + 1e-4·x + 2e-8·x², lat = 40.8 − 1.25e-4·y + 3e-8·xy
+    def lon(x: Double, y: Double) = -74.0 + 1e-4 * x + 2e-8 * x * x
+    def lat(x: Double, y: Double) = 40.8 - 1.25e-4 * y + 3e-8 * x * y
+    val pts = for (x <- Seq(0.0, 300.0, 700.0, 1000.0); y <- Seq(0.0, 400.0, 800.0))
+      yield Seq(x, y, lat(x, y), lon(x, y))
+    val fit = Geo.gcpPolyFit(pts, 2).get
+    val out = Geo.applyPoly(fit, Seq(Seq(Seq(512.0, 333.0)))).head.head
+    assert(math.abs(out.head - lon(512.0, 333.0)) < 1e-9, s"lon ${out.head}")
+    assert(math.abs(out(1) - lat(512.0, 333.0)) < 1e-9, s"lat ${out(1)}")
+  }
+
+  test("order-3 polynomial fit recovers a planted cubic exactly") {
+    def lon(x: Double, y: Double) = -74.0 + 1e-4 * x + 5e-12 * x * x * x
+    def lat(x: Double, y: Double) = 40.8 - 1.25e-4 * y + 4e-12 * x * y * y
+    // a full 4×4 grid: order-3 needs ≥ 4 distinct values PER AXIS or
+    // the cubic column (y³) is linearly dependent and the fit is
+    // rightly rejected as rank-deficient
+    val pts = for (x <- Seq(0.0, 250.0, 500.0, 1000.0); y <- Seq(0.0, 266.0, 533.0, 800.0))
+      yield Seq(x, y, lat(x, y), lon(x, y))
+    val fit = Geo.gcpPolyFit(pts, 3).get
+    val out = Geo.applyPoly(fit, Seq(Seq(Seq(637.0, 215.0)))).head.head
+    assert(math.abs(out.head - lon(637.0, 215.0)) < 1e-9)
+    assert(math.abs(out(1) - lat(637.0, 215.0)) < 1e-9)
+  }
+
+  test("polynomial fit needs at least as many gcps as terms") {
+    val five = (1 to 5).map(i => Seq(i * 37.0 % 7, i * 13.0 % 5, i * 1.0, i * 2.0))
+    assert(Geo.gcpPolyFit(five, 2).isEmpty)   // 6 terms
+    assert(Geo.gcpPolyFit(five ++ Seq(Seq(9.0, 3.0, 1.0, 2.0)), 3).isEmpty) // 10 terms
+  }
+
+  test("TPS interpolates every control point exactly and matches affine on affine data") {
+    // non-affine control data: a planted local warp on one corner
+    val gcps = Seq(
+      Seq(0.0, 0.0, 40.8, -74.0), Seq(1000.0, 0.0, 40.8, -73.9),
+      Seq(1000.0, 800.0, 40.7, -73.9), Seq(0.0, 800.0, 40.7, -74.0),
+      Seq(500.0, 400.0, 40.76, -73.96)) // center pulled off the affine fit
+    val m = Geo.gcpTpsFit(gcps).get
+    gcps.foreach { g =>
+      val out = Geo.applyTps(m, Seq(Seq(Seq(g.head, g(1))))).head.head
+      assert(math.abs(out.head - g(3)) < 1e-8, s"lon at (${g.head},${g(1)}): ${out.head}")
+      assert(math.abs(out(1) - g(2)) < 1e-8, s"lat at (${g.head},${g(1)}): ${out(1)}")
+    }
+    // exactly-affine control points: TPS must reproduce the affine map
+    // (zero bending energy solution) at a non-control point too
+    val affineGcps = Seq(
+      Seq(0.0, 0.0, 40.8, -74.0), Seq(1000.0, 0.0, 40.8, -73.9),
+      Seq(1000.0, 800.0, 40.7, -73.9), Seq(0.0, 800.0, 40.7, -74.0))
+    val mA = Geo.gcpTpsFit(affineGcps).get
+    val out = Geo.applyTps(mA, Seq(Seq(Seq(250.0, 600.0)))).head.head
+    assert(math.abs(out.head - (-73.975)) < 1e-6)
+    assert(math.abs(out(1) - 40.725) < 1e-6)
+  }
+
+  test("maskToGeometry dispatches on transform spec; unknown specs error in-band") {
+    val gcps = Seq(
+      Seq(0.0, 0.0, 40.8, -74.0), Seq(1000.0, 0.0, 40.8, -73.9),
+      Seq(1000.0, 800.0, 40.7, -73.9), Seq(0.0, 800.0, 40.7, -74.0))
+    val tps = GeoUdfs.maskToGeometry("0,0 1000,0 1000,800 0,800", gcps, "tps")
+    assert(tps.error == null && tps.geometry.`type` == "Polygon")
+    // order-2 with only 4 gcps → in-band error naming the requirement
+    val p2 = GeoUdfs.maskToGeometry("0,0 1000,0 1000,800 0,800", gcps, "2")
+    assert(p2.error != null && p2.error.contains("need >= 6"))
+    val unk = GeoUdfs.maskToGeometry("0,0 1000,0 1000,800 0,800", gcps, "projective")
+    assert(unk.error != null && unk.error.contains("projective"))
+    // order-2 with enough gcps on a quadratic surface → geometry
+    def lonF(x: Double, y: Double) = -74.0 + 1e-4 * x + 2e-8 * x * x
+    def latF(x: Double, y: Double) = 40.8 - 1.25e-4 * y
+    val nine = for (x <- Seq(0.0, 500.0, 1000.0); y <- Seq(0.0, 400.0, 800.0))
+      yield Seq(x, y, latF(x, y), lonF(x, y))
+    val p2ok = GeoUdfs.maskToGeometry("0,0 1000,0 1000,800 0,800", nine, "order2")
+    assert(p2ok.error == null)
+    assert(math.abs(p2ok.geometry.coordinates.head(1).head - lonF(1000, 0)) < 1e-9)
+  }
+
   test("maskToGeometry end-to-end: pixel mask + gcps -> lon/lat polygon") {
     val gcps = Seq(
       Seq(0.0, 0.0, 40.8, -74.0), Seq(1000.0, 0.0, 40.8, -73.9),

@@ -25,10 +25,10 @@ class MapwarperSpec extends AnyFunSuite {
 
   test("routing: clean maps become objects, dirty maps become logs, ineligible dropped") {
     val objIds = objs.map(_.getAs[String]("id")).toSet
-    assert(objIds == Set("1", "13", "14", "15", "16", "18", "20",
+    assert(objIds == Set("1", "13", "14", "15", "16", "18", "19", "20",
                          "layer-10", "layer-11", "layer-12"))
     val logIds = deadLogs.map(_.getAs[String]("id")).toSet
-    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10", "17", "19"))
+    assert(logIds == Set("2", "3", "4", "5", "6", "7", "8", "9", "10", "17", "21"))
     // 11 (is_atlas) and 12 (no bbox) appear nowhere
   }
 
@@ -45,7 +45,7 @@ class MapwarperSpec extends AnyFunSuite {
     assert(byId("9") == Seq("unwarped_but_masked"))
     assert(byId("10") == Seq("mask_missing"))
     assert(byId("17") == Seq("mask_to_geojson")) // F12 error channel
-    assert(byId("19") == Seq("mask_to_geojson")) // non-affine transform_options
+    assert(byId("21") == Seq("mask_to_geojson")) // unrecognized transform_options
   }
 
   test("turf.kinks parity: bowtie reports 2 features (one per segment ordering)") {
@@ -54,12 +54,23 @@ class MapwarperSpec extends AnyFunSuite {
     assert(msg == "Mask has 2 self-intersections")
   }
 
-  test("transform_options: non-affine orders surface as mask_to_geojson, never a silent affine fit") {
-    val l19 = deadLogs.find(_.getAs[String]("id") == "19").get
-    val msg = l19.getSeq[Row](l19.fieldIndex("logs")).head.getAs[String]("message")
-    assert(msg.contains("transform_options 'tps'"), msg)
-    // and the map must NOT have been given a geometry
-    assert(!objs.exists(_.getAs[String]("id") == "19"))
+  test("transform_options: tps warps to a geometry; unrecognized specs dead-letter, never a silent fit") {
+    // map 19 (tps, 4 exact GCPs at the mask corners): TPS interpolates
+    // the control points exactly, so the mask maps to the GCP square
+    val o19 = objs.find(_.getAs[String]("id") == "19").get
+    val geom = o19.getStruct(o19.fieldIndex("geometry"))
+    val ring = geom
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](geom.fieldIndex("coordinates"))
+      .head
+    assert(ring.length == 5, "mask closes to a 5-point ring")
+    assert(ring.exists(p => math.abs(p.head - -74.0) < 1e-6 && math.abs(p(1) - 40.8) < 1e-6),
+      s"TPS must hit the (0,0) GCP exactly, ring: $ring")
+    assert(ring.exists(p => math.abs(p.head - -73.9) < 1e-6 && math.abs(p(1) - 40.7) < 1e-6))
+    // map 21 (unknown spec) dead-letters with the spec named
+    val l21 = deadLogs.find(_.getAs[String]("id") == "21").get
+    val msg = l21.getSeq[Row](l21.fieldIndex("logs")).head.getAs[String]("message")
+    assert(msg.contains("transform_options 'projective'"), msg)
+    assert(!objs.exists(_.getAs[String]("id") == "21"))
   }
 
   test("layerErrors channel: fetch failures surface as layer_error logs without dead-lettering") {
@@ -191,7 +202,7 @@ class MapwarperSpec extends AnyFunSuite {
   test("typed Dataset surface: case-class views round-trip the contract") {
     import graft.model.Typed
     val objects = Typed.objects(spark, out).collect()
-    assert(objects.length == 10)
+    assert(objects.length == 11)
     val m1 = objects.find(_.id == "1").get
     assert(m1.`type` == "st:Map" && m1.validSince.contains(1893))
     assert(m1.data.masked.contains(true) && m1.geometry.`type` == "Polygon")

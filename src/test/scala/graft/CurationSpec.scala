@@ -112,6 +112,29 @@ class CurationSpec extends AnyFunSuite {
       "descending-quality order must also match the single window")
   }
 
+  test("q71: end-to-end pipeline composes its stages consistently") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.q71CurationPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the pipeline only ever drops documents: its per-source doc count
+    // is bounded by the corpus, and its train cut by q63's train count
+    val corpus = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trainTotal = Curation.q63HashSplit(spark, sf).collect()
+      .collectFirst { case r if r.getString(0) == "train" => r.getLong(1) }.get
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= corpus(r.getString(0)))
+      assert(r.getAs[Long]("n_chunks") >= 1 &&
+             r.getAs[Long]("n_chunks") <= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum <= trainTotal,
+      "quality-filtered train subset cannot exceed the full train split")
+    // deterministic across runs (rand-free pipeline)
+    val again = Curation.q71CurationPipeline(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q66: sampling is a per-source subset with a deterministic keep set") {
     val rows = Curation.q66MixSample(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -96,9 +96,12 @@ object Curation {
     *
     *  1. within-bucket prefix sums, windowed over (source, bucket) —
     *     parallel across buckets, task size bounded by bucket width;
-    *  2. per-source bucket offsets: one window over the per-bucket
-    *     TOTALS (|buckets| rows per source, partial-aggregated
-    *     map-side — tiny at any scale);
+    *  2. per-source bucket offsets: bucket totals read off the
+    *     windowed frame itself (max of the within-bucket cum — no
+    *     second aggregation of the INPUT, so both branches share one
+    *     exchange and ReuseExchange evaluates the upstream once even
+    *     when it is expensive, e.g. q71's dedup window), then one
+    *     tiny window over |buckets| rows per source;
     *  3. cum = bucket_offset + within-bucket cum, joined back on
     *     (source, bucket) — co-partitioned with step 1's exchange.
     *
@@ -113,13 +116,13 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = in.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val cum = in.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val offsets = cum.groupBy(col("source"), col("bucket"))
+      .agg(max(col("cum_in")).as("bucket_tokens"))
       .withColumn("bucket_offset",
         coalesce(sum(col("bucket_tokens")).over(wOff), lit(0L)))
       .select(col("source"), col("bucket"), col("bucket_offset"))
-    in.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
-      .join(offsets, Seq("source", "bucket"))
+    cum.join(offsets, Seq("source", "bucket"))
       .withColumn("cum_tokens", col("cum_in") + col("bucket_offset"))
       .drop("cum_in", "bucket_offset")
   }

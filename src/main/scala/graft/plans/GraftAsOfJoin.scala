@@ -391,6 +391,10 @@ object BroadcastAsOfJoinExec {
   private val cache =
     new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Index]]
 
+  /** Observable build count — lets tests pin "index built once per
+    * executor, not once per task" without reaching into the cache. */
+  private[graft] val indexBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[plans] def cachedIndex(bval: AnyRef, shape: String)(build: => Index): Index =
     cache.synchronized {
       var inner = cache.get(bval)
@@ -401,6 +405,7 @@ object BroadcastAsOfJoinExec {
       var idx = inner.get(shape)
       if (idx == null) {
         idx = build
+        indexBuilds.incrementAndGet()
         inner.put(shape, idx)
       }
       idx

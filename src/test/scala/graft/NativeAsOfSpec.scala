@@ -247,6 +247,21 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(a.length == 2)
   }
 
+  test("broadcast probe builds its per-key index once per executor, not once per task") {
+    import graft.plans.BroadcastAsOfJoinExec
+    import spark.implicits._
+    val left = (0 until 1000).map(i => ((i % 13).toLong, i.toLong, i * 1.5))
+      .toDF("k", "t", "lv").repartition(16) // 16 tasks share one JVM = one "executor"
+    val right = (0 until 50).map(i => ((i % 13).toLong, (i * 3).toLong, i * 2.0))
+      .toDF("k", "t", "rv").groupBy("k", "t").agg(max("rv").as("rv"))
+    val before = BroadcastAsOfJoinExec.indexBuilds.get()
+    val n = NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(true)).count()
+    assert(n == 1000)
+    val builds = BroadcastAsOfJoinExec.indexBuilds.get() - before
+    assert(builds == 1L,
+      s"16 tasks over one broadcast must share ONE index build, got $builds")
+  }
+
   test("many keys, many partitions: native ≡ composed under shuffling (property sweep)") {
     import spark.implicits._
     // deterministic synthetic data: 40 keys, interleaved event times

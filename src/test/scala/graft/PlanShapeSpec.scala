@@ -80,6 +80,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q01 read schema should prune unreferenced key columns:\n$p")
   }
 
+  test("q71 pipeline: no exchange ever carries the document text") {
+    val shuffles = sparkPlan(q("q71_curation_pipeline")).collect {
+      case e: ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"curation pipeline scores map-side; no exchange may move text: $cols")
+    }
+  }
+
+  test("q65 prefix sum windows over (source, bucket), never source alone") {
+    // the two-level scan's data-bearing window must partition by the
+    // bucketed key — a bare source partition is the giant-source
+    // serialization this design exists to avoid
+    val winSpecs = sparkPlan(q("q65_pack_chunks")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(winSpecs.nonEmpty)
+    val dataWindows = winSpecs.filter(_.exists(_.contains("bucket")))
+    assert(dataWindows.nonEmpty,
+      s"expected a (source, bucket) window in: $winSpecs")
+    winSpecs.foreach { spec =>
+      assert(spec.exists(_.contains("bucket")) || spec.exists(_.contains("source")),
+        s"unexpected window spec: $spec")
+    }
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

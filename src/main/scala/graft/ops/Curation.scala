@@ -390,6 +390,80 @@ object Curation {
       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM packed GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+
+  /** Shingle width and hit threshold for decontamination. */
+  val DecontamN = 5
+
+  /** Benchmark DECONTAMINATION core: flags training documents sharing
+    * ≥ 1 distinct word n-gram with any benchmark/test document — the
+    * step that keeps eval sets out of the training mix. Split out so
+    * tests can plant contamination.
+    *
+    * Scale shape: both sides map to DISTINCT shingle fingerprints
+    * (md5 here — byte-identical in DuckDB for the oracle; swap
+    * xxhash64 for 8-byte keys in production), so the join shuffles
+    * fixed-size hashes, never text, and the explode factor is
+    * tokens-per-doc. The hit side aggregates to (doc_id, n_hits)
+    * before the broadcast-able rejoin to per-source totals. */
+  def decontaminate(train: DataFrame, test: DataFrame): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(
+          Dedup.shinglesOfTokens(split(col("text"), " "), DecontamN))).as("sh"))
+      .select(col("source"), col("doc_id"), md5(col("sh").cast("binary")).as("fp"))
+    val testFps = shingled(test).select(col("fp")).distinct()
+    val hits = shingled(train)
+      .join(testFps, Seq("fp"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train.select(col("source"), col("doc_id"))
+      .join(hits, Seq("source", "doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+           sum(when(col("n_hits") >= 1, 1).otherwise(0)).as("n_contaminated"),
+           coalesce(max(col("n_hits")), lit(0L)).as("max_hits"))
+      .orderBy(col("source"))
+  }
+
+  /** q72: decontaminate the q63 train split against the q63 test
+    * split over the documents corpus. */
+  def q72Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("doc_id").cast("string"))
+    val docs = documents(s, d).select(col("source"), col("doc_id"), col("text"))
+    decontaminate(docs.filter(b < "cc"), docs.filter(b >= "e6"))
+  }
+
+  val q72Sql: String =
+    s"""WITH train AS (
+      | SELECT source, doc_id, text FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |), test AS (
+      | SELECT text FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      |), test_fp AS (
+      | SELECT DISTINCT md5(sh) AS fp FROM (
+      |   SELECT unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+      |     for i in range(1, len(t) - ${DecontamN - 2})])) AS sh
+      |   FROM (SELECT str_split(text, ' ') AS t FROM test)
+      |   WHERE len(t) >= $DecontamN)
+      |), train_fp AS (
+      | SELECT source, doc_id, unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+      |   FOR i IN range(1, len(t) - ${DecontamN - 2})])) AS sh
+      | FROM (SELECT source, doc_id, str_split(text, ' ') AS t FROM train)
+      | WHERE len(t) >= $DecontamN
+      |), hits AS (
+      | SELECT source, doc_id, count(*) AS n_hits
+      | FROM train_fp JOIN test_fp ON md5(train_fp.sh) = test_fp.fp
+      | GROUP BY source, doc_id
+      |)
+      |SELECT train.source AS source, count(*) AS n_train,
+      |       CAST(sum(CASE WHEN hits.n_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |       coalesce(max(hits.n_hits), 0) AS max_hits
+      |FROM train LEFT JOIN hits
+      |  ON train.source = hits.source AND train.doc_id = hits.doc_id
+      |GROUP BY train.source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -397,5 +471,6 @@ object Curation {
     ("q66_mix_sample", q66MixSample _, Some(q66Sql)),
     ("q68_greedy_pack", q68GreedyPack _, Some(q68Sql)),
     ("q71_curation_pipeline", q71CurationPipeline _, Some(q71Sql)),
+    ("q72_decontaminate", q72Decontaminate _, Some(q72Sql)),
   )
 }

@@ -197,6 +197,52 @@ object Text {
            countDistinct(col("token")).as("exact_tokens"))
       .orderBy(col("source"))
 
+  /** q73: intra-document REPETITION signals — the Gopher-style
+    * quality rules that catch boilerplate/spam before training:
+    * duplicate-word fraction (1 − |distinct|/|tokens|) and the mass of
+    * the single most frequent bigram. The word fraction is MAP-ONLY
+    * (array expressions per row); the bigram mode needs one shuffle of
+    * (doc, bigram-hash) counts — grouped twice, partial-aggregated
+    * both times, never the text. */
+  def q73Repetition(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val base = documents(s, d).filter(col("doc_id") < 300)
+    val wordFrac = base.select(
+      col("doc_id"),
+      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
+        .as("dup_word_frac"))
+    val bigramTop = base
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shinglesOfTokens(t, 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("n")).cast("double") / sum(col("n")), 4)
+        .as("top_bigram_frac"))
+    wordFrac.join(bigramTop, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Sql: String =
+    """WITH base AS (
+      | SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE doc_id < 300
+      |), words AS (
+      | SELECT doc_id,
+      |        round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+      |          AS dup_word_frac
+      | FROM base
+      |), bg AS (
+      | SELECT doc_id, unnest([concat(t[i], ' ', t[i+1]) for i in range(1, len(t))]) AS bg
+      | FROM base WHERE len(t) >= 2
+      |), counts AS (
+      | SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg
+      |), top AS (
+      | SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_frac
+      | FROM counts GROUP BY doc_id
+      |)
+      |SELECT words.doc_id AS doc_id, words.dup_word_frac, top.top_bigram_frac
+      |FROM words LEFT JOIN top ON words.doc_id = top.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -206,5 +252,6 @@ object Text {
     ("q35_lang_id", q35LangId _, Some(q35Sql)),
     ("q36_bpe_tokens", q36BpeTokens _, Some(q36Sql)),
     ("q53_hll_distinct", q53HllDistinct _, None),
+    ("q73_repetition", q73Repetition _, Some(q73Sql)),
   )
 }

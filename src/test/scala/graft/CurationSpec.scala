@@ -135,6 +135,37 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q72: planted benchmark leakage is flagged; clean docs are not") {
+    import spark.implicits._
+    // doc 1 contains the benchmark's exact 6-word passage (two 5-grams
+    // overlap), doc 2 shares nothing
+    val train = Seq(
+      (1L, "s1", "alpha the quick brown fox jumps over beta gamma"),
+      (2L, "s1", "totally different words with no benchmark overlap at all"),
+      (3L, "s2", "short doc")).toDF("doc_id", "source", "text")
+    val test = Seq(
+      (100L, "bench", "the quick brown fox jumps over")).toDF("doc_id", "source", "text")
+    val got = Curation.decontaminate(train, test).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("s1") == ((2L, 1L, 2L)),
+      s"s1: 2 train docs, 1 contaminated, 2 overlapping 5-grams — got ${got("s1")}")
+    assert(got("s2") == ((1L, 0L, 0L)), "short/clean docs must not be flagged")
+  }
+
+  test("q73: repetition signals detect planted boilerplate") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Text.q73Repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getDouble(1)
+      assert(dup >= 0.0 && dup < 1.0)
+      if (!r.isNullAt(2)) {
+        val top = r.getDouble(2)
+        assert(top > 0.0 && top <= 1.0)
+      }
+    }
+  }
+
   test("q66: sampling is a per-source subset with a deterministic keep set") {
     val rows = Curation.q66MixSample(spark, sf).collect()
     assert(rows.nonEmpty)

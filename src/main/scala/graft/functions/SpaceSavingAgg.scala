@@ -1,0 +1,158 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters sketch (Metwally et al. 2005) as a
+  * Catalyst TypedImperativeAggregate — the bounded-memory alternative
+  * to exact top-k term frequency, rounding out the sketch family
+  * (HLL = distinct, MinHash = set overlap, SimHash = near-dup,
+  * SpaceSaving = frequency).
+  *
+  * Why this shape at 100 TB: exact per-group top-k tokens needs the
+  * full (group, token) wordcount shuffle — O(distinct tokens) state.
+  * SpaceSaving keeps exactly `m` counters per group with the
+  * guarantee true ≤ est ≤ true + N/m, Spark partially aggregates the
+  * counter maps map-side, and the exchange moves one m-entry summary
+  * per group per mapper, never the token stream.
+  *
+  * Merge follows the mergeable-summaries discipline (Agarwal et al.,
+  * PODS 2012): a key absent from one summary contributes that
+  * summary's minimum counter as both count and error upper bound,
+  * then the union truncates back to the top m — associative enough
+  * that the estimate bounds survive any partitioning (pinned by the
+  * partition-independence test; when m exceeds the true distinct
+  * count the sketch is EXACT and partitioning-invariant bit-for-bit).
+  *
+  * The per-insert eviction scan is O(m) (m is tens-to-hundreds); a
+  * production Stream-Summary linked structure makes it O(1) — noted,
+  * not needed at this m.
+  */
+case class SpaceSavingAgg(child: Expression, m: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Array[Long]]] {
+
+  require(m >= 2, s"capacity must be >= 2, got $m")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "space_saving_topk"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Array[Long]] =
+    mutable.HashMap.empty
+
+  private def minCount(buf: mutable.HashMap[String, Array[Long]]): Long =
+    if (buf.size < m) 0L else buf.valuesIterator.map(_(0)).min
+
+  override def update(buf: mutable.HashMap[String, Array[Long]],
+                      input: InternalRow): mutable.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.toString
+      buf.get(key) match {
+        case Some(ce) => ce(0) += 1
+        case None if buf.size < m => buf.put(key, Array(1L, 0L))
+        case None =>
+          // evict the minimum counter; the newcomer inherits its count
+          // as the overestimate bound (the SpaceSaving invariant)
+          val (evictKey, evictCe) = buf.minBy { case (k, ce) => (ce(0), k) }
+          buf.remove(evictKey)
+          buf.put(key, Array(evictCe(0) + 1, evictCe(0)))
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[String, Array[Long]],
+                     b2: mutable.HashMap[String, Array[Long]]): mutable.HashMap[String, Array[Long]] = {
+    val min1 = minCount(b1)
+    val min2 = minCount(b2)
+    val merged = mutable.HashMap.empty[String, Array[Long]]
+    (b1.keySet ++ b2.keySet).foreach { k =>
+      val a = b1.get(k)
+      val b = b2.get(k)
+      // a summary where k is absent can have counted it at most its
+      // own min-counter times — that min is k's count AND error bound
+      // from that side
+      val count = a.map(_(0)).getOrElse(min1) + b.map(_(0)).getOrElse(min2)
+      val err = a.map(_(1)).getOrElse(min1) + b.map(_(1)).getOrElse(min2)
+      merged.put(k, Array(count, err))
+    }
+    if (merged.size <= m) merged
+    else {
+      val kept = merged.toSeq.sortBy { case (k, ce) => (-ce(0), k) }.take(m)
+      mutable.HashMap(kept: _*)
+    }
+  }
+
+  override def eval(buf: mutable.HashMap[String, Array[Long]]): Any = {
+    val rows = buf.toSeq
+      .sortBy { case (k, ce) => (-ce(0), k) }
+      .map { case (k, ce) =>
+        InternalRow(UTF8String.fromString(k), ce(0), ce(1)) }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Array[Long]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, ce) =>
+      val bytes = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(ce(0))
+      out.writeLong(ce(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Array[Long]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Array[Long]]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong()
+      val e = in.readLong()
+      buf.put(k, Array(c, e))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SpaceSavingAgg =
+    copy(child = cs.head)
+}
+
+object SpaceSavingAgg {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Aggregate Column: the m-counter SpaceSaving summary of `c`,
+    * returned as array<struct<token, count, err>> sorted by
+    * (count desc, token). */
+  def spaceSavingTopK(c: Column, m: Int): Column =
+    ColumnBridge.column(
+      SpaceSavingAgg(ColumnBridge.expression(c), m).toAggregateExpression())
+}

@@ -243,6 +243,23 @@ object Text {
       |FROM words LEFT JOIN top ON words.doc_id = top.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q74: per-source heavy-hitter tokens via the mergeable SpaceSaving
+    * sketch (graft.functions.SpaceSavingAgg) next to the exact top-5
+    * — the bounded-memory replacement for the full wordcount shuffle
+    * at corpus scale. m=64 exceeds this corpus's vocabulary, so the
+    * sketch is exact here (asserted in SketchSpec with the exact
+    * join); with real vocabularies the est-err interval brackets the
+    * true count. Rows-only: the sketch layout is engine-specific. */
+  def q74HeavyHitters(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSavingTopK(col("token"), 64).as("ss"))
+      .select(col("source"), posexplode(slice(col("ss"), 1, 5)).as(Seq("rank", "hit")))
+      .select(col("source"), col("rank"), col("hit.token").as("token"),
+              col("hit.count").as("est_count"), col("hit.err").as("err"))
+      .orderBy(col("source"), col("rank"))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -253,5 +270,6 @@ object Text {
     ("q36_bpe_tokens", q36BpeTokens _, Some(q36Sql)),
     ("q53_hll_distinct", q53HllDistinct _, None),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
+    ("q74_heavy_hitters", q74HeavyHitters _, None),
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SpaceSavingAgg
+
+class SpaceSavingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("exact regime: m above the vocabulary makes the sketch equal exact counts") {
+    import spark.implicits._
+    val tokens = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .cache()
+    val exact = tokens.groupBy(col("source"), col("token")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sketch = tokens.groupBy(col("source"))
+      .agg(SpaceSavingAgg.spaceSavingTopK(col("token"), 64).as("ss"))
+      .select(col("source"), explode(col("ss")).as("hit"))
+      .collect()
+    assert(sketch.nonEmpty)
+    sketch.foreach { r =>
+      val src = r.getString(0)
+      val hit = r.getStruct(1)
+      val (tok, cnt, err) = (hit.getString(0), hit.getLong(1), hit.getLong(2))
+      assert(err == 0L, s"vocab < m must leave zero error, got $err for $tok")
+      assert(cnt == exact((src, tok)), s"$src/$tok: $cnt vs exact ${exact((src, tok))}")
+    }
+  }
+
+  test("partition independence in the exact regime (1, 4, 16 partitions)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val results = Seq(1, 4, 16).map { n =>
+      docs.repartition(n)
+        .agg(SpaceSavingAgg.spaceSavingTopK(col("token"), 64).as("ss"))
+        .select(explode(col("ss")))
+        .collect().map(_.toString).toSeq
+    }
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
+  test("skew regime: planted heavy hitter wins at tiny m; bounds bracket the truth") {
+    import spark.implicits._
+    // 1000 occurrences of "hot", 50 distinct cold tokens × 10 each
+    val stream = (Seq.fill(1000)("hot") ++
+      (0 until 50).flatMap(i => Seq.fill(10)(s"cold$i")))
+    val df = spark.createDataset(stream).toDF("token").repartition(8)
+    val hits = df.agg(SpaceSavingAgg.spaceSavingTopK(col("token"), 8).as("ss"))
+      .select(explode(col("ss")).as("hit"))
+      .collect().map(_.getStruct(0))
+    val top = hits.head
+    assert(top.getString(0) == "hot", s"heavy hitter must rank first, got ${top.getString(0)}")
+    val (cnt, err) = (top.getLong(1), top.getLong(2))
+    assert(cnt >= 1000L, "SpaceSaving never underestimates")
+    assert(cnt - err <= 1000L, "est - err is a lower bound on the true count")
+  }
+}

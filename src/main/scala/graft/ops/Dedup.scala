@@ -318,6 +318,50 @@ object Dedup {
       |SELECT id AS doc_id, min(comp) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q75: dedup APPLY — the step after cluster resolution: keep each
+    * cluster's canonical representative (the hash-min label IS the min
+    * member id, so representatives are the fixed points label == id)
+    * and emit the surviving corpus slice's per-source shape. Left-semi
+    * join on ids only; the text column never shuffles (it is read on
+    * the probe side and aggregated map-side after the broadcast-able
+    * keep-set join). Same bounded range as q67 → same recursive-CTE
+    * oracle, extended with the keep filter. */
+  def q75DedupApply(s: SparkSession, d: String): DataFrame = {
+    val keep = q67DedupClusters(s, d)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    documents(s, d).filter(col("doc_id") < 60)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(size(split(col("text"), " ")).cast("bigint")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q75Sql: String =
+    s"""WITH RECURSIVE docs AS (
+      | SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+      | FROM documents WHERE doc_id < 60
+      |), pairs AS (
+      | SELECT a.doc_id AS src, b.doc_id AS dst
+      | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |       / len(list_distinct(list_cat(a.ts, b.ts))) >= $ClusterThreshold
+      |), edges AS (
+      | SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), reach(id, comp) AS (
+      | SELECT doc_id, doc_id FROM docs
+      | UNION
+      | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+      |), keep AS (
+      | SELECT id FROM reach GROUP BY id HAVING min(comp) = id
+      |)
+      |SELECT d.source AS source, count(*) AS n_kept,
+      |       CAST(sum(len(str_split(d.text, ' '))) AS BIGINT) AS kept_tokens
+      |FROM documents d JOIN keep ON d.doc_id = keep.id
+      |WHERE d.doc_id < 60
+      |GROUP BY d.source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -326,5 +370,6 @@ object Dedup {
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
     ("q69_lsh_clusters", q69LshClusters _, None),
+    ("q75_dedup_apply", q75DedupApply _, Some(q75Sql)),
   )
 }

@@ -131,6 +131,17 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_docs") > 1))
   }
 
+  test("q75: dedup apply keeps exactly one representative per cluster") {
+    val clusters = Dedup.q67DedupClusters(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nClusters = clusters.map(_._2).distinct.length
+    val kept = Dedup.q75DedupApply(spark, TestSpark.sf0001).collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    assert(kept == nClusters.toLong,
+      s"survivors ($kept) must equal cluster count ($nClusters)")
+    assert(kept < 60, "the bounded range has near-dups, so some docs must drop")
+  }
+
   test("q67: cluster labels are transitively closed, canonical = min member") {
     val labels = Dedup.q67DedupClusters(spark, TestSpark.sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -206,7 +206,9 @@ object Ivf {
     * resolve the Hadoop FS from it). */
   private def indexPath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // v-tag: a layout change invalidates old on-disk indexes instead
+      // of silently probing a stale format across build rounds
+      "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   /** q70: the PERSISTED-index probe, bench-visible — builds the
     * cluster-partitioned on-disk index once per sf dir (first call,

@@ -29,6 +29,39 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SpaceSaving heavy hitters equals the batch sketch (complete mode)") {
+    // the mergeable TypedImperativeAggregate works unchanged as a
+    // streaming aggregate: micro-batch partials merge into the state
+    // store exactly like map-side partials merge at a batch exchange
+    import graft.functions.SpaceSavingAgg
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet").schema
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"))
+      .agg(SpaceSavingAgg.spaceSavingTopK(col("token"), 64).as("ss"))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hh_stream_test")
+      .select(col("source"), explode(col("ss")))
+      .orderBy(col("source"), col("col.count").desc, col("col.token"))
+      .collect().map(_.toString)
+    val batch = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"))
+      .agg(SpaceSavingAgg.spaceSavingTopK(col("token"), 64).as("ss"))
+      .select(col("source"), explode(col("ss")))
+      .orderBy(col("source"), col("col.count").desc, col("col.token"))
+      .collect().map(_.toString)
+    assert(got.length == batch.length && got.nonEmpty)
+    got.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("foreachBatch sink: parquet snapshot converges to the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("events-serve")
     java.nio.file.Files.copy(

@@ -181,10 +181,57 @@ object Similarity {
       .limit(10)
   }
 
+  /** q76: per-label SEMANTIC DIVERSITY — the mean pairwise cosine of a
+    * group's (normalized) embeddings, the signal a mixture designer
+    * reads to judge how redundant a source is. Computed WITHOUT the
+    * O(n²) pair space via the sum-vector identity
+    *
+    *   Σ_{i<j} uᵢ·uⱼ = (‖Σᵢuᵢ‖² − n) / 2   (unit vectors)
+    *
+    * so the whole query is one (label, dim) partial-aggregated shuffle
+    * of scalars — n·dim rows of doubles, never pairs, never vectors.
+    * Brute-force-equal at any n (SimilaritySpec pins it); oracle-
+    * verified against the same identity in DuckDB. */
+  def q76SemanticDiversity(s: SparkSession, d: String): DataFrame = {
+    val unit = emb(s, d)
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .select(col("label"), expr("transform(e, x -> x / nrm)").as("u"))
+    val sums = unit
+      .select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("x")).as("sv"))
+    val ss = sums.groupBy(col("label")).agg(sum(col("sv") * col("sv")).as("ss"))
+    unit.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .join(ss, Seq("label"))
+      .select(col("label"), col("n"),
+        round((col("ss") - col("n")) / (col("n") * (col("n") - 1)), 6)
+          .as("mean_pairwise_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q76Sql: String =
+    """WITH base AS (
+      | SELECT label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+      |), e AS (
+      | SELECT label, list_transform(ed,
+      |   x -> x / sqrt(list_sum(list_transform(ed, y -> y*y)))) AS u
+      | FROM base
+      |), dims AS (
+      | SELECT label, dim, sum(x) AS sv FROM (
+      |   SELECT label, unnest(u) AS x, unnest(range(1, len(u)+1)) AS dim FROM e)
+      | GROUP BY label, dim
+      |), ss AS (
+      | SELECT label, sum(sv*sv) AS ss FROM dims GROUP BY label
+      |), n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+      |SELECT n.label AS label, n.n AS n,
+      |       round((ss.ss - n.n) / (n.n * (n.n - 1)), 6) AS mean_pairwise_cos
+      |FROM n JOIN ss ON n.label = ss.label ORDER BY label""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
     ("q42_embed_neardup", q42EmbedNearDup _, None),
     ("q56_quantized_topk", q56QuantizedTopK _, None),
+    ("q76_semantic_diversity", q76SemanticDiversity _, Some(q76Sql)),
   )
 }

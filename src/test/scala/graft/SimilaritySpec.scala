@@ -168,4 +168,26 @@ class SimilaritySpec extends AnyFunSuite {
     val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("q76: sum-vector identity equals brute-force mean pairwise cosine") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.q76SemanticDiversity(spark, TestSpark.sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.nonEmpty)
+    // brute-force one label's mean pairwise cosine over normalized vectors
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("label") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    val pairs = for (i <- vecs.indices; j <- i + 1 until vecs.length)
+      yield vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum
+    val bf = pairs.sum / pairs.length
+    val (n0, cos0) = got(0)
+    assert(n0 == vecs.length.toLong)
+    assert(math.abs(cos0 - bf) < 1e-6, s"identity $cos0 vs brute force $bf")
+  }
 }

@@ -109,14 +109,17 @@ object Curation {
     * `orderCols`, so that (bucket, orderCols) ordering equals the
     * global orderCols ordering; callers pick bucket = orderkey DIV
     * width. Output = input columns + `cum_tokens`, byte-identical to
-    * `sum(n_tokens) OVER (PARTITION BY source ORDER BY orderCols)`. */
-  def bucketedCumSum(in: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    * `sum(value) OVER (PARTITION BY source ORDER BY orderCols)` —
+    * `value` defaults to n_tokens; `lit(1)` turns the same scan into
+    * a distributed row_number (q77). */
+  def bucketedCumSum(in: DataFrame, orderCols: Seq[Column],
+                     value: Column = col("n_tokens")): DataFrame = {
     val wIn = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = in.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val cum = in.withColumn("cum_in", sum(value).over(wIn))
     val offsets = cum.groupBy(col("source"), col("bucket"))
       .agg(max(col("cum_in")).as("bucket_tokens"))
       .withColumn("bucket_offset",
@@ -464,6 +467,54 @@ object Curation {
       |  ON train.source = hits.source AND train.doc_id = hits.doc_id
       |GROUP BY train.source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+
+  /** q77: ADAPTIVE quality filtering — keep each source's top half by
+    * stopword-ratio rank instead of a fixed global threshold (sources
+    * differ in style; a global cutoff over- or under-prunes). The
+    * per-source rank is NOT one serial window: it is the two-level
+    * scan with value = 1 (a distributed row_number), bucketed on
+    * floor(−swr·256) which is monotone along the (swr DESC, doc_id)
+    * rank order — same skew safety as q64/q65. All comparisons after
+    * scoring are integer (rank vs ⌈n/2⌉), so the oracle is float-safe
+    * by construction. */
+  def q77AdaptiveFilter(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val scored = documents(s, d).select(
+      col("source"), col("doc_id"),
+      round(size(expr(s"filter(split(text, ' '), t -> t IN $PipelineStops)")).cast("double")
+        / nTok, 4).as("swr"))
+    val bucketed = scored.withColumn("bucket",
+      expr("CAST(floor((0 - swr) * 256) AS BIGINT)"))
+    val ranked = bucketedCumSum(bucketed,
+        Seq(col("swr").desc, col("doc_id").asc), lit(1L))
+      .withColumnRenamed("cum_tokens", "rn")
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ranked.join(counts, Seq("source"))
+      .filter(expr("rn <= (n + 1) DIV 2"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
+           min(col("swr")).as("cutoff_swr"))
+      .orderBy(col("source"))
+  }
+
+  val q77Sql: String =
+    s"""WITH scored AS (
+      | SELECT source, doc_id,
+      |   round(CAST(len(list_filter(str_split(text, ' '), t -> t IN $PipelineStops)) AS DOUBLE)
+      |     / len(str_split(text, ' ')), 4) AS swr
+      | FROM documents
+      |), ranked AS (
+      | SELECT source, doc_id, swr,
+      |   row_number() OVER (PARTITION BY source ORDER BY swr DESC, doc_id) AS rn,
+      |   count(*) OVER (PARTITION BY source) AS n
+      | FROM scored
+      |)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs, count(*) AS n_kept,
+      |       min(swr) AS cutoff_swr
+      |FROM ranked WHERE rn <= (n + 1) // 2
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -472,5 +523,6 @@ object Curation {
     ("q68_greedy_pack", q68GreedyPack _, Some(q68Sql)),
     ("q71_curation_pipeline", q71CurationPipeline _, Some(q71Sql)),
     ("q72_decontaminate", q72Decontaminate _, Some(q72Sql)),
+    ("q77_adaptive_filter", q77AdaptiveFilter _, Some(q77Sql)),
   )
 }

@@ -166,6 +166,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q77: adaptive filter keeps exactly the top half per source, by rank") {
+    val rows = Curation.q77AdaptiveFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept == (n + 1) / 2,
+        s"${r.getString(0)}: rank cut must keep exactly ceil(n/2), got $kept of $n")
+    }
+    val again = Curation.q77AdaptiveFilter(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q66: sampling is a per-source subset with a deterministic keep set") {
     val rows = Curation.q66MixSample(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -6,11 +6,38 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   * Queries run in sorted-name order; a failed query contributes its
-  * elapsed time and is reported on stderr (never corrupts the JSON). */
+  * elapsed time and is reported on stderr (never corrupts the JSON).
+  *
+  * The full JSON (including per-query spread) is ALSO written to
+  * BENCH_FULL.json (override: SPARK_GRAFT_BENCH_OUT) because the
+  * driver's stdout capture keeps only the tail of very long lines —
+  * rounds 1-5 lost q01-q15 to that truncation. */
 object Bench {
+
+  /** A query's accepted estimate is the min over its samples, but only
+    * once two samples agree within this factor — one sample alone (or
+    * two that disagree wildly) may both sit inside a noisy-neighbor
+    * burst. */
+  val AgreeFactor = 2.0
+
+  /** Extra re-time rounds after the two base sweeps. */
+  val MaxRetryRounds = 3
+
+  /** Pause before each retry round. The box's bursts are multi-minute,
+    * so a retry fired immediately after a disagreement often lands in
+    * the same burst; a modest gap (plus the other retried queries'
+    * runtime) buys temporal separation without unbounded bench cost. */
+  val RetryPauseMs = 20000L
+
+  def agreed(samples: Seq[Double]): Boolean = {
+    val s = samples.sorted
+    s.length >= 2 && s(1) <= s(0) * AgreeFactor
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,21 +67,52 @@ object Bench {
     }
     // This box has noisy neighbors: a roaming multi-minute burst can
     // inflate a CONTIGUOUS window of queries 20-50× (observed q20
-    // 0.6s → 80s with identical plans). Every query gets the SAME
-    // estimator — two full sweeps with min() — so no query keeps a
-    // single possibly-noisy sample; the second sweep runs AFTER the
-    // whole first one (temporal separation ≈ one suite length), so one
-    // burst can't inflate both measurements of the same query.
+    // 0.6s → 80s, and r5's q72 9.4s → 408s, with identical plans).
+    // Estimator: two full sweeps (the second runs AFTER the whole
+    // first, ≈ one suite length of temporal separation), then ADAPTIVE
+    // re-times for any query whose two samples disagree by more than
+    // AgreeFactor — a burst longer than one sweep defeats min-of-two,
+    // so disagreement is retried (with a pause) until two samples
+    // agree or the retry cap is hit. The reported value is the min;
+    // the per-query spread is emitted so residual noise is visible in
+    // the artifact instead of requiring forensics.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val firstPass = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val secondPass = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = firstPass.zip(secondPass).map { case ((name, t1), (_, t2)) =>
-      name -> math.min(t1, t2)
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+    for (sweep <- 1 to 2; (name, fn) <- ordered)
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ timeOnce(name, fn)
+    var retry = 0
+    while (retry < MaxRetryRounds && ordered.exists { case (n, _) => !agreed(samples(n)) }) {
+      val disagreeing = ordered.filter { case (n, _) => !agreed(samples(n)) }
+      System.err.println(s"[bench] retry round ${retry + 1}: " +
+        disagreeing.map(_._1).mkString(", "))
+      Thread.sleep(RetryPauseMs)
+      for ((name, fn) <- disagreeing)
+        samples(name) = samples(name) :+ timeOnce(name, fn)
+      retry += 1
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val results = ordered.map { case (name, _) => name -> samples(name).min }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val spread = ordered.map { case (name, _) =>
+      val s = samples(name)
+      "\"" + name + "\":[" + fmt(s.min) + "," + fmt(s.max) + "," + s.length +
+        "," + (if (agreed(s)) "true" else "false") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // spread BEFORE queries: the driver's stdout capture keeps the
+    // line's tail, so the contract-critical queries map goes last
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""spread_format":"[min,max,n_samples,agreed]","spread":$spread,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
+    // file first (survives stdout truncation), then the contract line
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -96,12 +96,14 @@ object Curation {
     *
     *  1. within-bucket prefix sums, windowed over (source, bucket) —
     *     parallel across buckets, task size bounded by bucket width;
-    *  2. per-source bucket offsets: bucket totals read off the
-    *     windowed frame itself (max of the within-bucket cum — no
-    *     second aggregation of the INPUT, so both branches share one
-    *     exchange and ReuseExchange evaluates the upstream once even
-    *     when it is expensive, e.g. q71's dedup window), then one
-    *     tiny window over |buckets| rows per source;
+    *  2. per-source bucket offsets: bucket totals aggregated off the
+    *     windowed frame itself (sum of `value` over the same
+    *     (source, bucket) grouping — sign-safe, unlike max(cum_in)
+    *     which assumes non-negative values; no second aggregation of
+    *     the INPUT, so both branches share one exchange and
+    *     ReuseExchange evaluates the upstream once even when it is
+    *     expensive, e.g. q71's dedup window), then one tiny window
+    *     over |buckets| rows per source;
     *  3. cum = bucket_offset + within-bucket cum, joined back on
     *     (source, bucket) — co-partitioned with step 1's exchange.
     *
@@ -121,7 +123,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = in.withColumn("cum_in", sum(value).over(wIn))
     val offsets = cum.groupBy(col("source"), col("bucket"))
-      .agg(max(col("cum_in")).as("bucket_tokens"))
+      .agg(sum(value).as("bucket_tokens"))
       .withColumn("bucket_offset",
         coalesce(sum(col("bucket_tokens")).over(wOff), lit(0L)))
       .select(col("source"), col("bucket"), col("bucket_offset"))
@@ -403,18 +405,23 @@ object Curation {
     * step that keeps eval sets out of the training mix. Split out so
     * tests can plant contamination.
     *
-    * Scale shape: both sides map to DISTINCT shingle fingerprints
-    * (md5 here — byte-identical in DuckDB for the oracle; swap
-    * xxhash64 for 8-byte keys in production), so the join shuffles
+    * Scale shape: both sides map to DISTINCT shingle fingerprints —
+    * xxhash64 BIGINTs, 8 bytes on the wire vs a 32-char md5 hex
+    * string (~4× narrower shuffle keys) — so the join shuffles
     * fixed-size hashes, never text, and the explode factor is
     * tokens-per-doc. The hit side aggregates to (doc_id, n_hits)
-    * before the broadcast-able rejoin to per-source totals. */
+    * before the broadcast-able rejoin to per-source totals. The
+    * oracle compares per-source COUNTS, not fingerprints, so the
+    * hash choice is invisible to it. Collision odds: a 64-bit hash
+    * over n distinct shingles crosses one expected collision around
+    * n ≈ 2³² ≈ 4·10⁹; each collision can only ADD a spurious hit —
+    * decontamination stays conservative (never under-flags). */
   def decontaminate(train: DataFrame, test: DataFrame): DataFrame = {
     def shingled(df: DataFrame) = df
       .select(col("source"), col("doc_id"),
         explode(array_distinct(
           Dedup.shinglesOfTokens(split(col("text"), " "), DecontamN))).as("sh"))
-      .select(col("source"), col("doc_id"), md5(col("sh").cast("binary")).as("fp"))
+      .select(col("source"), col("doc_id"), xxhash64(col("sh")).as("fp"))
     val testFps = shingled(test).select(col("fp")).distinct()
     val hits = shingled(train)
       .join(testFps, Seq("fp"))

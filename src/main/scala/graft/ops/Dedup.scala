@@ -200,23 +200,34 @@ object Dedup {
   val ClusterThreshold = 0.92
 
   /** Connected components of an undirected pair graph by hash-min
-    * label propagation: each round every node takes the min label
+    * label propagation: each relaxation every node takes the min label
     * over itself and its neighbors, converging in graph-diameter
-    * rounds — single-digit on dup graphs, whose components are
+    * relaxations — single-digit on dup graphs, whose components are
     * shallow. (A pointer-jumping variant — label(label(id)) per round
     * — was measured here and REJECTED: it cut q69's rounds 8 → 5 but
     * the extra per-round self-join shuffle cost 6× more wall-clock
-    * under AQE than the rounds it saved. Revisit only for graphs with
-    * genuinely deep components.) The scalable shape:
+    * under AQE than the rounds it saved. The two-hop EDGE relaxation
+    * used instead is different: it re-joins the static cached edge set,
+    * not the evolving label frame, adding one tiny stage to the same
+    * job rather than a second materialized shuffle.) The scalable
+    * shape:
     *
     *  - the pair input is persisted before the reversed-edge union so
     *    an expensive upstream (the LSH candidate pipeline in q69)
     *    evaluates once, not once per union branch;
+    *  - labels loop over EDGE-INCIDENT nodes only; isolated nodes
+    *    (the overwhelming majority of a sparse 100 TB dup graph) skip
+    *    the loop entirely and rejoin as singletons at the end;
     *  - the shuffle carries (id, label) pairs only, never text;
-    *  - change detection rides THROUGH the propagation aggregate (the
-    *    self row carries the previous label, `max(old)` recovers it)
-    *    and the jump join; the convergence count scans checkpointed
-    *    blocks, no recompute;
+    *  - TWO relaxations per materialized round: the per-round fixed
+    *    cost (job scheduling, AQE stage materialization, broadcast,
+    *    convergence count) is the dominant term, so spreading labels
+    *    two hops per checkpoint halves it; monotonicity makes the
+    *    two-hop fixpoint test sound;
+    *  - change detection rides THROUGH the propagation aggregates (the
+    *    self row carries the round-start label, `max(old)` recovers
+    *    it); the convergence count scans checkpointed blocks, no
+    *    recompute;
     *  - each round is `localCheckpoint()`ed: lineage stays O(1)
     *    instead of re-planning a growing join chain every round;
     *  - round N-1's checkpoint blocks are released eagerly
@@ -227,32 +238,78 @@ object Dedup {
     * @param pairs undirected edges, columns `src`/`dst` (one row per
     *              pair; both directions are derived here) */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Observation
     import org.apache.spark.sql.graftbridge.PlanBridge
+    // The edge set is LOCAL-CHECKPOINTED, not merely cached: every loop
+    // stage that scans a cached frame serializes the frame's FULL
+    // upstream RDD lineage (the whole LSH candidate pipeline in q69)
+    // into its task binary every round; the checkpoint truncates that
+    // to a block reference once. The pair input is persisted first so
+    // the expensive upstream evaluates once, not once per union branch
+    // — and released as soon as the checkpoint holds the data.
     val p = pairs.select(col("src"), col("dst")).persist()
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .localCheckpoint()
+    p.unpersist()
+    // Propagate over EDGE-INCIDENT nodes only: an isolated node can
+    // never take a label other than its own id, so carrying it through
+    // every round is pure shuffle waste. Dup graphs are sparse — at
+    // 100 TB the incident set is a small fraction of the corpus, and
+    // every round's shuffle shrinks from |V| to |V_incident|. `edges`
+    // already holds both directions, so src alone covers all endpoints;
+    // isolated nodes rejoin as singleton components at the end.
+    val incident = edges.select(col("src").as("id")).distinct().localCheckpoint()
 
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    // one min-relaxation: every node takes the min label over itself
+    // and its neighbors; the self row carries `old` through so change
+    // detection rides the aggregate (max(old) recovers it — neighbor
+    // rows contribute null)
+    def relax(ls: DataFrame): DataFrame =
+      edges.join(ls, edges("src") === ls("id"))
+        .select(col("dst").as("id"), col("label"), lit(null).cast("long").as("old"))
+        .union(ls.select(col("id"), col("label"),
+          coalesce(col("old"), col("label")).as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+
+    var labels = incident.select(col("id"), col("id").as("label"),
+      col("id").as("old"))
     var prevChk: DataFrame = null
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
-      val chk = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"), lit(null).cast("long").as("old"))
-        .union(labels.select(col("id"), col("label"), col("label").as("old")))
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      // TWO relaxations per materialized round: labels spread two hops
+      // per checkpoint cycle, halving the dominant per-round fixed
+      // cost (job scheduling, AQE stage materialization, broadcast) —
+      // the extra join is one more tiny stage inside the same job.
+      // Convergence stays sound: relaxation is monotone non-increasing,
+      // so relax²(x) = x forces relax(x) = x. The convergence count
+      // rides the SAME job as the eager checkpoint via observe()
+      // (one job per round, not two); coalesce guards the empty-graph
+      // sum, which is NULL. (eager = false was measured and rejected:
+      // it defers lineage truncation in a way that, under AQE, let
+      // each round's plan re-embed the previous rounds' full DAG.)
+      val obs = Observation()
+      val chk = relax(relax(labels))
+        .observe(obs, coalesce(
+          sum(when(col("label") =!= col("old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = chk.filter(col("label") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       if (prevChk != null) PlanBridge.releaseLocalCheckpoint(prevChk)
       prevChk = chk
-      labels = chk.select(col("id"), col("label"))
+      labels = chk.select(col("id"), col("label"), col("label").as("old"))
       rounds += 1
     }
-    edges.unpersist()
-    p.unpersist()
+    PlanBridge.releaseLocalCheckpoint(edges)
+    PlanBridge.releaseLocalCheckpoint(incident)
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    labels
+    // singleton re-union: nodes ⟕ labels, missing label = own id. The
+    // label side is the (small) incident set, so this is broadcast-able
+    // and never re-shuffles the full node set.
+    nodes.join(labels.withColumnRenamed("id", "_cc_id"),
+        nodes("id") === col("_cc_id"), "left")
+      .select(nodes("id"), coalesce(col("label"), nodes("id")).as("label"))
   }
 
   /** q67: dedup CLUSTER resolution — the step every pair-producing

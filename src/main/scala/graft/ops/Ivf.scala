@@ -200,15 +200,37 @@ object Ivf {
   def q48IvfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopK(s, d, NProbe)
 
+  /** Fingerprint of the source table's FILE LISTING — per-file (name,
+    * length, mtime), no data read, sorted for listing-order
+    * independence. Keys the index location so a REGENERATED corpus at
+    * the same path gets a fresh index instead of silently probing a
+    * stale one (the parquet bytes can't change without length/mtime
+    * changing). O(#files) driver cost, same as any scan's planning. */
+  private[graft] def dataFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    var h = 1125899906842597L
+    entries.sorted.foreach(_.foreach { c => h = h * 31 + c })
+    java.lang.Long.toHexString(h)
+  }
+
   /** Deterministic per-sf-dir index location for q70, under the JVM
     * temp dir (the only writable scratch in this sandbox; on a real
     * cluster this is an HDFS/S3 path — writeIndex/probeIndex already
     * resolve the Hadoop FS from it). */
-  private def indexPath(d: String): String =
+  private def indexPath(s: SparkSession, d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       // v-tag: a layout change invalidates old on-disk indexes instead
-      // of silently probing a stale format across build rounds
-      "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // of silently probing a stale format across build rounds; the
+      // data fingerprint does the same for a rewritten source table
+      "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + dataFingerprint(s, d)).toString
 
   /** q70: the PERSISTED-index probe, bench-visible — builds the
     * cluster-partitioned on-disk index once per sf dir (first call,
@@ -218,7 +240,7 @@ object Ivf {
     * q48 amortizes into; rows-only, pinned by IvfSpec: probe ≡ q48
     * result-for-result, and PartitionFilters present in the scan. */
   def q70IvfProbeIndex(s: SparkSession, d: String): DataFrame = {
-    val path = indexPath(d)
+    val path = indexPath(s, d)
     val cFile = new org.apache.hadoop.fs.Path(path, CentroidsFile)
     val fs = cFile.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(cFile)) writeIndex(s, d, path)

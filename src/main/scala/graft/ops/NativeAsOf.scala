@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.Tables._
 import graft.plans.{AsOfPushdownRule, GraftAsOfJoin, GraftAsOfJoinStrategy}
@@ -23,8 +23,9 @@ object NativeAsOf {
     * payload deterministically, and NULL keys never match (SQL ASOF
     * semantics — null-key left rows come back null-extended). The
     * matched right timestamp comes back as `matched_<ts>`. `tolerance`
-    * requires a LongType or TimestampType ts (timestamps measure the
-    * tolerance in MICROSECONDS — their physical representation).
+    * requires a LongType, TimestampType, or TimestampNTZType ts
+    * (timestamps of either flavor measure the tolerance in
+    * MICROSECONDS — their shared physical representation).
     *
     * `broadcast`: None lets the strategy decide from right-side size
     * statistics (same gate as Spark's own JoinSelection —
@@ -52,8 +53,12 @@ object NativeAsOf {
       s"right column names _graft_rk and matched_$ts are reserved by asOfJoin")
     tolerance.foreach { _ =>
       val t = left.schema(ts).dataType
-      require(t == LongType || t == TimestampType,
-        s"tolerance requires a Long or Timestamp $ts column, got $t")
+      // Timestamp and TimestampNTZ both store physical long MICROS, so
+      // AsOfJoinExec's tolerance subtraction (GraftAsOfJoin.scala) is
+      // type-agnostic across all three; tolerance is in µs for both
+      // timestamp flavors
+      require(t == LongType || t == TimestampType || t == TimestampNTZType,
+        s"tolerance requires a Long, Timestamp, or TimestampNTZ $ts column, got $t")
     }
 
     val spark = left.sparkSession

@@ -192,9 +192,19 @@ object Similarity {
     * of scalars — n·dim rows of doubles, never pairs, never vectors.
     * Brute-force-equal at any n (SimilaritySpec pins it); oracle-
     * verified against the same identity in DuckDB. */
-  def q76SemanticDiversity(s: SparkSession, d: String): DataFrame = {
-    val unit = emb(s, d)
+  def q76SemanticDiversity(s: SparkSession, d: String): DataFrame =
+    semanticDiversity(emb(s, d))
+
+  /** q76 core over any (label, e: array&lt;double&gt;) frame — split out so
+    * tests can plant the guard cases. */
+  def semanticDiversity(embs: DataFrame): DataFrame = {
+    // guards (mirrored in the oracle SQL): zero-norm vectors cannot be
+    // normalized (x/0 → NaN poisons the label's whole sum), and a
+    // single-vector label has no pairs (the n·(n−1) denominator is 0),
+    // so both are excluded rather than emitted as null/NaN rows
+    val unit = embs
       .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("nrm") > 0)
       .select(col("label"), expr("transform(e, x -> x / nrm)").as("u"))
     val sums = unit
       .select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
@@ -202,6 +212,7 @@ object Similarity {
       .agg(sum(col("x")).as("sv"))
     val ss = sums.groupBy(col("label")).agg(sum(col("sv") * col("sv")).as("ss"))
     unit.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
       .join(ss, Seq("label"))
       .select(col("label"), col("n"),
         round((col("ss") - col("n")) / (col("n") * (col("n") - 1)), 6)
@@ -216,6 +227,7 @@ object Similarity {
       | SELECT label, list_transform(ed,
       |   x -> x / sqrt(list_sum(list_transform(ed, y -> y*y)))) AS u
       | FROM base
+      | WHERE sqrt(list_sum(list_transform(ed, y -> y*y))) > 0
       |), dims AS (
       | SELECT label, dim, sum(x) AS sv FROM (
       |   SELECT label, unnest(u) AS x, unnest(range(1, len(u)+1)) AS dim FROM e)
@@ -225,7 +237,8 @@ object Similarity {
       |), n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
       |SELECT n.label AS label, n.n AS n,
       |       round((ss.ss - n.n) / (n.n * (n.n - 1)), 6) AS mean_pairwise_cos
-      |FROM n JOIN ss ON n.label = ss.label ORDER BY label""".stripMargin
+      |FROM n JOIN ss ON n.label = ss.label
+      |WHERE n.n >= 2 ORDER BY label""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),

@@ -382,32 +382,44 @@ object BroadcastAsOfJoinExec {
   private type Index =
     java.util.HashMap[UnsafeRow, (Array[InternalRow], Array[InternalRow])]
 
+  /** Per-entry memo cell: the global cache lock only INSTALLS holders
+    * (O(1) map ops); the O(|R| log |R|) index build runs under the
+    * holder's own lazy-val lock, so two tasks building indexes for
+    * DIFFERENT (broadcast, shape) keys proceed concurrently while
+    * tasks sharing a key still build exactly once. */
+  private final class Holder(build: () => Index) {
+    lazy val value: Index = {
+      val idx = build()
+      indexBuilds.incrementAndGet()
+      idx
+    }
+  }
+
   /** Executor-wide per-key-index cache, keyed by broadcast-value
     * identity (outer, weak — entries die with the broadcast block)
     * and operator shape (inner — two execs may consume one broadcast
-    * with different key/ts expressions). Synchronized: concurrent
-    * tasks block briefly while the first builds, then all share one
-    * read-only index — the point of the cache. */
+    * with different key/ts expressions). */
   private val cache =
-    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Index]]
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Holder]]
 
   /** Observable build count — lets tests pin "index built once per
     * executor, not once per task" without reaching into the cache. */
   private[graft] val indexBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[plans] def cachedIndex(bval: AnyRef, shape: String)(build: => Index): Index =
-    cache.synchronized {
+  private[plans] def cachedIndex(bval: AnyRef, shape: String)(build: => Index): Index = {
+    val holder = cache.synchronized {
       var inner = cache.get(bval)
       if (inner == null) {
-        inner = new java.util.HashMap[String, Index]
+        inner = new java.util.HashMap[String, Holder]
         cache.put(bval, inner)
       }
-      var idx = inner.get(shape)
-      if (idx == null) {
-        idx = build
-        indexBuilds.incrementAndGet()
-        inner.put(shape, idx)
+      var h = inner.get(shape)
+      if (h == null) {
+        h = new Holder(() => build)
+        inner.put(shape, h)
       }
-      idx
+      h
     }
+    holder.value
+  }
 }

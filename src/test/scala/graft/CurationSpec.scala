@@ -112,6 +112,27 @@ class CurationSpec extends AnyFunSuite {
       "descending-quality order must also match the single window")
   }
 
+  test("bucketedCumSum: sign-safe — NEGATIVE values still match the single window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // alternating-sign values: bucket totals derived as max(cum_in)
+    // (the pre-fix formulation) would be wrong wherever a bucket's
+    // running sum peaks before its end
+    val docs = spark.range(0, 5000).selectExpr(
+      "concat('s', id % 3) AS source",
+      "id AS doc_id",
+      "CAST(CASE WHEN id % 2 = 0 THEN id % 11 + 1 ELSE -(id % 5) - 1 END AS BIGINT) AS v")
+    val two = docs.withColumn("bucket", expr(s"doc_id DIV ${Curation.CumBucketWidth}"))
+    val got = Curation.bucketedCumSum(two, Seq(col("doc_id").asc), col("v"))
+    val wRef = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("cum_ref", sum(col("v")).over(wRef))
+    val joined = got.select(col("doc_id"), col("cum_tokens"))
+      .join(ref.select(col("doc_id"), col("cum_ref")), "doc_id")
+    assert(joined.filter(col("cum_tokens") =!= col("cum_ref")).count() == 0,
+      "negative values must not break the two-level scan's bucket offsets")
+  }
+
   test("q71: end-to-end pipeline composes its stages consistently") {
     import org.apache.spark.sql.functions._
     val rows = Curation.q71CurationPipeline(spark, sf).collect()

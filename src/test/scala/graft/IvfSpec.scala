@@ -60,6 +60,23 @@ class IvfSpec extends AnyFunSuite {
       s"q70 must partition-prune the index scan:\n$plan")
   }
 
+  test("data fingerprint: deterministic, and a rewritten source table changes it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fp").toString
+    Seq((0L, Seq(1.0, 2.0), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fp1 = Ivf.dataFingerprint(spark, dir)
+    assert(fp1 == Ivf.dataFingerprint(spark, dir), "fingerprint must be deterministic")
+    // overwrite = new part files (names + lengths + mtimes all move):
+    // q70's index path is keyed on this, so a regenerated corpus can
+    // never silently probe the stale index
+    Seq((0L, Seq(9.0, 9.0), 0), (1L, Seq(1.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(fp1 != Ivf.dataFingerprint(spark, dir),
+      "rewritten source must change the fingerprint")
+  }
+
   test("centroids round-trip through the index directory") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
     val written = Ivf.writeIndex(spark, TestSpark.sf0001, dir)

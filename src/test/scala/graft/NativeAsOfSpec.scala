@@ -192,6 +192,29 @@ class NativeAsOfSpec extends AnyFunSuite {
       tolerance = Some(5_000_000L)), "composed")
   }
 
+  test("TimestampNTZType ts with tolerance (µs): both native forms accept and mask") {
+    import spark.implicits._
+    // NTZ shares TimestampType's physical long-micros representation,
+    // so the exec's tolerance subtraction is identical; this pins the
+    // API gate actually admitting it (doc/check consistency)
+    val left = Seq((1L, 100_000_000L), (1L, 12_000_000L)).toDF("k", "us")
+      .select(col("k"), col("us"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("t"))
+    val right = Seq((1L, 10_000_000L, 5.0)).toDF("k", "rus", "v")
+      .select(col("k"),
+        timestamp_micros(col("rus")).cast("timestamp_ntz").as("t"), col("v"))
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val got = df.collect()
+        .map(r => (r.getLong(r.fieldIndex("us")), r.isNullAt(r.fieldIndex("v")))).toMap
+      assert(got(12_000_000L) == false, s"$label: in-tolerance match must survive")
+      assert(got(100_000_000L) == true, s"$label: stale match must mask, row kept")
+    }
+    check(NativeAsOf.asOfJoin(left, right, "k", "t",
+      tolerance = Some(5_000_000L), broadcast = Some(false)), "sort-merge")
+    check(NativeAsOf.asOfJoin(left, right, "k", "t",
+      tolerance = Some(5_000_000L), broadcast = Some(true)), "broadcast")
+  }
+
   test("NULL keys never match on any form: left null-extended, right excluded") {
     import spark.implicits._
     val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))

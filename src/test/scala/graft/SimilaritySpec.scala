@@ -190,4 +190,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n0 == vecs.length.toLong)
     assert(math.abs(cos0 - bf) < 1e-6, s"identity $cos0 vs brute force $bf")
   }
+
+  test("q76 guards: zero-norm vectors and single-vector labels are excluded, not NaN") {
+    import spark.implicits._
+    val embs = Seq(
+      (0, Seq(1.0, 0.0)), (0, Seq(0.0, 1.0)),   // healthy label: cos = 0
+      (0, Seq(0.0, 0.0)),                        // zero norm: must not poison label 0
+      (1, Seq(3.0, 4.0)),                        // n = 1 after nothing dropped
+      (2, Seq(0.0, 0.0)), (2, Seq(1.0, 1.0))     // n = 1 AFTER the zero-norm drop
+    ).toDF("label", "e")
+    val got = Similarity.semanticDiversity(embs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0), s"labels 1 and 2 have < 2 usable vectors, got $got")
+    val (n0, cos0) = got(0)
+    assert(n0 == 2L, "the zero-norm vector must not count toward n")
+    assert(!cos0.isNaN && math.abs(cos0 - 0.0) < 1e-9,
+      s"orthogonal pair must give exactly 0, got $cos0")
+  }
 }

@@ -20,6 +20,12 @@ object Bench {
     * burst. */
   val AgreeFactor = 2.0
 
+  /** Two samples within this many seconds of each other always agree:
+    * scheduling jitter makes sub-second queries violate the ratio test
+    * routinely, and re-timing them buys no information — the burst
+    * this estimator defends against inflates by tens of seconds. */
+  val AgreeFloorSec = 0.5
+
   /** Extra re-time rounds after the two base sweeps. */
   val MaxRetryRounds = 3
 
@@ -29,10 +35,22 @@ object Bench {
     * runtime) buys temporal separation without unbounded bench cost. */
   val RetryPauseMs = 20000L
 
+  /** Slow queries get a mandatory third sample even when the two base
+    * sweeps agree: a burst longer than both sweeps makes two inflated
+    * samples agree with EACH OTHER (observed: a 1.5s query recorded as
+    * [70s, 106s] "agreed"). A third, temporally separated sample either
+    * confirms the cost or exposes the burst via the ratio test. */
+  val SlowThirdSampleSec = 5.0
+
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted
-    s.length >= 2 && s(1) <= s(0) * AgreeFactor
+    s.length >= 2 &&
+      (s(1) - s(0) < AgreeFloorSec || s(1) <= s(0) * AgreeFactor)
   }
+
+  def needsMoreSamples(samples: Seq[Double]): Boolean =
+    !agreed(samples) ||
+      (samples.min > SlowThirdSampleSec && samples.length < 3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,8 +99,9 @@ object Bench {
     for (sweep <- 1 to 2; (name, fn) <- ordered)
       samples(name) = samples.getOrElse(name, Vector.empty) :+ timeOnce(name, fn)
     var retry = 0
-    while (retry < MaxRetryRounds && ordered.exists { case (n, _) => !agreed(samples(n)) }) {
-      val disagreeing = ordered.filter { case (n, _) => !agreed(samples(n)) }
+    while (retry < MaxRetryRounds &&
+           ordered.exists { case (n, _) => needsMoreSamples(samples(n)) }) {
+      val disagreeing = ordered.filter { case (n, _) => needsMoreSamples(samples(n)) }
       System.err.println(s"[bench] retry round ${retry + 1}: " +
         disagreeing.map(_._1).mkString(", "))
       Thread.sleep(RetryPauseMs)

@@ -199,18 +199,62 @@ object Dedup {
     * (chained components larger than any single edge neighborhood). */
   val ClusterThreshold = 0.92
 
-  /** Connected components of an undirected pair graph by hash-min
-    * label propagation: each relaxation every node takes the min label
-    * over itself and its neighbors, converging in graph-diameter
-    * relaxations — single-digit on dup graphs, whose components are
-    * shallow. (A pointer-jumping variant — label(label(id)) per round
-    * — was measured here and REJECTED: it cut q69's rounds 8 → 5 but
-    * the extra per-round self-join shuffle cost 6× more wall-clock
-    * under AQE than the rounds it saved. The two-hop EDGE relaxation
-    * used instead is different: it re-joins the static cached edge set,
-    * not the evolving label frame, adding one tiny stage to the same
-    * job rather than a second materialized shuffle.) The scalable
-    * shape:
+  /** Pair-count ceiling for the single-task union-find fast path:
+    * 4M edges ≈ a few hundred MB of LongMap state — comfortably one
+    * executor's budget. Above it, components resolve via the general
+    * distributed loop. The gate is a RUNTIME count, not an assumption:
+    * at 100 TB a billions-of-pairs graph automatically takes the loop. */
+  val SinglePassMaxPairs = 4000000L
+
+  /** Min-attach union-find over an edge iterator: emits (node, label)
+    * for every node seen, label = the component's MINIMUM member id
+    * (attaching the larger root under the smaller keeps the invariant;
+    * path compression keeps finds near-O(1)). Deterministic in edge
+    * order by construction. State: one LongMap entry per distinct
+    * node — the memory bound [[SinglePassMaxPairs]] guards. */
+  private[graft] def unionFindLabels(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(n => (n, find(n)))
+  }
+
+  /** Connected components of an undirected pair graph.
+    *
+    * Two physical strategies behind one contract, picked by a RUNTIME
+    * pair count (the pair input is persisted, so the count also
+    * pre-materializes it for either path):
+    *
+    *  - pairs ≤ [[SinglePassMaxPairs]]: ONE bounded task runs
+    *    min-attach union-find over the cached pair partitions
+    *    (coalesce(1) — no shuffle, reads cache) and emits every
+    *    incident node's label directly. Θ(E α(E)) work, zero
+    *    iterations, zero per-round job overhead — on a dup graph at
+    *    bench scale this replaces ~5 checkpointed rounds.
+    *  - larger graphs: hash-min label propagation, each relaxation
+    *    every node takes the min label over itself and its neighbors,
+    *    converging in graph-diameter relaxations — single-digit on dup
+    *    graphs, whose components are shallow. (A pointer-jumping
+    *    variant — label(label(id)) per round — was measured here and
+    *    REJECTED: it cut q69's rounds 8 → 5 but the extra per-round
+    *    self-join shuffle cost 6× more wall-clock under AQE than the
+    *    rounds it saved. The two-hop EDGE relaxation used instead is
+    *    different: it re-joins the static cached edge set, not the
+    *    evolving label frame, adding one tiny stage to the same job
+    *    rather than a second materialized shuffle.)
+    *
+    * The scalable shape of the loop path:
     *
     *  - the pair input is persisted before the reversed-edge union so
     *    an expensive upstream (the LSH candidate pipeline in q69)
@@ -236,21 +280,52 @@ object Dedup {
     *
     * @param nodes one row per node, column `id`
     * @param pairs undirected edges, columns `src`/`dst` (one row per
-    *              pair; both directions are derived here) */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    *              pair; both directions are derived here)
+    * @param singlePassMax fast-path ceiling (tests override to force
+    *                      either physical strategy) */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          singlePassMax: Long = SinglePassMaxPairs): DataFrame = {
+    val p = pairs.select(col("src"), col("dst")).persist()
+    val nPairs = p.count()
+    val labels =
+      if (nPairs <= singlePassMax) singleTaskCC(p) else propagationCC(p)
+    p.unpersist()
+    // singleton re-union: nodes ⟕ labels, missing label = own id. The
+    // label side covers only edge-incident nodes (for the loop path, a
+    // small fraction of a sparse 100 TB dup graph), so this is
+    // broadcast-able and never re-shuffles the full node set.
+    nodes.join(labels.withColumnRenamed("id", "_cc_id"),
+        nodes("id") === col("_cc_id"), "left")
+      .select(nodes("id"), coalesce(col("label"), nodes("id")).as("label"))
+  }
+
+  /** Fast path: min-attach union-find in ONE task over the cached pair
+    * partitions. coalesce(1) moves no data (it reads the persisted
+    * blocks); the emitted (id, label) set covers every incident node. */
+  private def singleTaskCC(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions(unionFindLabels)
+      .toDF("id", "label")
+      .localCheckpoint()
+  }
+
+  /** General path: two-hop hash-min label propagation over the
+    * edge-incident subgraph. */
+  private def propagationCC(p: DataFrame): DataFrame = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.graftbridge.PlanBridge
     // The edge set is LOCAL-CHECKPOINTED, not merely cached: every loop
     // stage that scans a cached frame serializes the frame's FULL
     // upstream RDD lineage (the whole LSH candidate pipeline in q69)
     // into its task binary every round; the checkpoint truncates that
-    // to a block reference once. The pair input is persisted first so
-    // the expensive upstream evaluates once, not once per union branch
-    // — and released as soon as the checkpoint holds the data.
-    val p = pairs.select(col("src"), col("dst")).persist()
+    // to a block reference once. (The pair input p arrives persisted
+    // and counted by the caller, so the union's two branches read the
+    // cache.)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    p.unpersist()
     // Propagate over EDGE-INCIDENT nodes only: an isolated node can
     // never take a label other than its own id, so carrying it through
     // every round is pure shuffle waste. Dup graphs are sparse — at
@@ -304,12 +379,7 @@ object Dedup {
     PlanBridge.releaseLocalCheckpoint(edges)
     PlanBridge.releaseLocalCheckpoint(incident)
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    // singleton re-union: nodes ⟕ labels, missing label = own id. The
-    // label side is the (small) incident set, so this is broadcast-able
-    // and never re-shuffles the full node set.
-    nodes.join(labels.withColumnRenamed("id", "_cc_id"),
-        nodes("id") === col("_cc_id"), "left")
-      .select(nodes("id"), coalesce(col("label"), nodes("id")).as("label"))
+    labels.select(col("id"), col("label"))
   }
 
   /** q67: dedup CLUSTER resolution — the step every pair-producing

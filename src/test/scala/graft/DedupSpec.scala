@@ -112,9 +112,42 @@ class DedupSpec extends AnyFunSuite {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3 (no 1-3 edge), pair 4-5, singleton 6
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
-    val labels = Dedup.connectedComponents(nodes, pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    // both physical strategies must give identical components:
+    // single-task union-find (default at this size) ...
+    val fast = Dedup.connectedComponents(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    assert(fast == expect)
+    // ... and the distributed propagation loop (forced via a 0 ceiling)
+    val loop = Dedup.connectedComponents(nodes, pairs, singlePassMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == expect)
+  }
+
+  test("unionFindLabels: min-member labels, edge-order independent") {
+    // a 6-chain fed in two orders, plus an isolated pair
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L))
+    val a = Dedup.unionFindLabels(edges.iterator).toMap
+    val b = Dedup.unionFindLabels(edges.reverse.iterator).toMap
+    val expect = (10L to 15L).map(_ -> 10L).toMap ++ Map(20L -> 20L, 21L -> 20L)
+    assert(a == expect)
+    assert(b == expect, "labels must not depend on edge order")
+  }
+
+  test("connectedComponents strategies agree on the q69 LSH pair graph") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("id"))
+    val pairs = Dedup.minhashCandidatePairs(spark, TestSpark.sf0001)
+      .filter(col("est_jaccard") >= 0.9)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val fast = Dedup.connectedComponents(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponents(docs, pairs, singlePassMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop, "union-find and propagation must agree exactly")
+    assert(fast.exists { case (id, l) => l != id }, "corpus has real dup pairs")
   }
 
   test("q69: LSH-fed clusters partition the full corpus with min-id representatives") {

@@ -109,6 +109,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 decontamination exchanges carry BIGINT fingerprints, never text or md5 hex") {
+    val shuffles = sparkPlan(q("q72_decontaminate")).collect {
+      case e: ShuffleExchangeExec => e.output.map(a => a.name -> a.dataType)
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.exists(_._1 == "text"),
+        s"decontamination must never shuffle document text: $cols")
+      cols.filter(_._1 == "fp").foreach { case (_, dt) =>
+        assert(dt == org.apache.spark.sql.types.LongType,
+          s"fingerprint join key must be the 8-byte xxhash64 LONG, got $dt")
+      }
+    }
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

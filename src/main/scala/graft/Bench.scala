@@ -31,16 +31,22 @@ object Bench {
 
   /** Pause before each retry round. The box's bursts are multi-minute,
     * so a retry fired immediately after a disagreement often lands in
-    * the same burst; a modest gap (plus the other retried queries'
+    * the same burst; a solid gap (plus the other retried queries'
     * runtime) buys temporal separation without unbounded bench cost. */
-  val RetryPauseMs = 20000L
+  val RetryPauseMs = 45000L
 
-  /** Slow queries get a mandatory third sample even when the two base
-    * sweeps agree: a burst longer than both sweeps makes two inflated
-    * samples agree with EACH OTHER (observed: a 1.5s query recorded as
-    * [70s, 106s] "agreed"). A third, temporally separated sample either
-    * confirms the cost or exposes the burst via the ratio test. */
-  val SlowThirdSampleSec = 5.0
+  /** Slow queries keep sampling even when their samples agree: a burst
+    * longer than both sweeps makes inflated samples agree with EACH
+    * OTHER (observed: a 1.5s query recorded as [70s, 106s] "agreed",
+    * and a 2.7s one as [36s, 42s] across THREE samples inside one
+    * burst). Any query whose best sample still exceeds this threshold
+    * gets re-timed, up to [[SlowMaxSamples]] total, hunting for a
+    * clean window; one sub-threshold sample ends the hunt (the ratio
+    * test then anchors on it). Genuinely slow queries pay a bounded
+    * extra cost and come out with five consistent samples — strong
+    * evidence either way. */
+  val SlowThresholdSec = 5.0
+  val SlowMaxSamples = 5
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted
@@ -50,7 +56,7 @@ object Bench {
 
   def needsMoreSamples(samples: Seq[Double]): Boolean =
     !agreed(samples) ||
-      (samples.min > SlowThirdSampleSec && samples.length < 3)
+      (samples.min > SlowThresholdSec && samples.length < SlowMaxSamples)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

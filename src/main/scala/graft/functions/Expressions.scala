@@ -49,6 +49,8 @@ object NativeExprs {
     toCol(NearestCentroid(toExpr(e), centroids))
   def sigMatches(a: Column, b: Column): Column =
     toCol(SigMatches(toExpr(a), toExpr(b)))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    toCol(ShingleHashes(toExpr(tokens), n))
   def quantizeI8(e: Column): Column = toCol(QuantizeI8(toExpr(e)))
   def cosineSimI8(a: Column, b: Column): Column =
     toCol(CosineSimI8(toExpr(a), toExpr(b)))
@@ -82,6 +84,14 @@ object NativeExprs {
       ("sig_matches",
         "sig_matches(a, b) - equal-slot count of two array<bigint> signatures",
         es => SigMatches(es(0), es(1))),
+      ("shingle_hashes",
+        "shingle_hashes(tokens, n) - xxhash64 of each n-token sliding window",
+        {
+          case Seq(t, Literal(n: Int, _)) => ShingleHashes(t, n)
+          case es => throw new IllegalArgumentException(
+            "shingle_hashes expects (tokens, n INTEGER LITERAL); got " +
+              s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
+        }),
       ("quantize_i8",
         "quantize_i8(e) - max-abs int8 quantization of array<double> to binary",
         es => QuantizeI8(es.head)),
@@ -211,6 +221,32 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+}
+
+/** xxhash64 fingerprints of n-token sliding windows — the
+  * allocation-free twin of `transform(sequence…, concat_ws) → hash`:
+  * decontamination (q72 / IncrementalDecontam) needs only the 8-byte
+  * fingerprint of each shingle, never the shingle text, so the
+  * concatenated strings the Column formulation materializes per window
+  * are pure garbage-collector load on a 100 TB scan. One kernel pass:
+  * each token hashed once, windows chain token hashes through the
+  * xxhash64 seed (order-sensitive). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  // input must be array<string> (callers pass split() output)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.shingleHashes(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
 /** Symmetric max-abs int8 quantization: array<double> → binary (one

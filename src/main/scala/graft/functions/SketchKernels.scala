@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** JVM kernels for the sketch expressions. Top-level object ⇒ static
   * forwarders, so generated Java (whole-stage codegen) calls these
@@ -28,6 +28,36 @@ object SketchKernels {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** xxhash64 fingerprints of the n-token sliding windows of a token
+    * array — ONE pass, no shingle strings materialized: each token is
+    * hashed once, then each window chains its token hashes through the
+    * seed (order-sensitive), distinguishing everything the
+    * concatenated-string shingle would. Arrays shorter than n yield an
+    * empty array (the same guard as the string-shingle window). */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](len - n + 1)
+    var w = 0
+    while (w < out.length) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        h = XxHash64Function.hash(th(w + j), LongType, h)
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
   }
 
   def simhash(arr: ArrayData): Long = {

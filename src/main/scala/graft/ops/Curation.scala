@@ -409,19 +409,21 @@ object Curation {
     * xxhash64 BIGINTs, 8 bytes on the wire vs a 32-char md5 hex
     * string (~4× narrower shuffle keys) — so the join shuffles
     * fixed-size hashes, never text, and the explode factor is
-    * tokens-per-doc. The hit side aggregates to (doc_id, n_hits)
-    * before the broadcast-able rejoin to per-source totals. The
-    * oracle compares per-source COUNTS, not fingerprints, so the
-    * hash choice is invisible to it. Collision odds: a 64-bit hash
-    * over n distinct shingles crosses one expected collision around
-    * n ≈ 2³² ≈ 4·10⁹; each collision can only ADD a spurious hit —
-    * decontamination stays conservative (never under-flags). */
+    * tokens-per-doc. The fingerprints come from the native
+    * [[graft.functions.ShingleHashes]] kernel, which hashes token
+    * windows directly instead of materializing every shingle as a
+    * concatenated string first. The hit side aggregates to
+    * (doc_id, n_hits) before the broadcast-able rejoin to per-source
+    * totals. The oracle compares per-source COUNTS, not fingerprints,
+    * so the hash choice is invisible to it. Collision odds: a 64-bit
+    * hash over n distinct shingles crosses one expected collision
+    * around n ≈ 2³² ≈ 4·10⁹; each collision can only ADD a spurious
+    * hit — decontamination stays conservative (never under-flags). */
   def decontaminate(train: DataFrame, test: DataFrame): DataFrame = {
     def shingled(df: DataFrame) = df
       .select(col("source"), col("doc_id"),
-        explode(array_distinct(
-          Dedup.shinglesOfTokens(split(col("text"), " "), DecontamN))).as("sh"))
-      .select(col("source"), col("doc_id"), xxhash64(col("sh")).as("fp"))
+        explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
+          split(col("text"), " "), DecontamN))).as("fp"))
     val testFps = shingled(test).select(col("fp")).distinct()
     val hits = shingled(train)
       .join(testFps, Seq("fp"))

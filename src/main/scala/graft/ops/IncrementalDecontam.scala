@@ -23,12 +23,12 @@ object IncrementalDecontam {
 
   import Curation.DecontamN
 
-  /** Per-doc distinct n-gram fingerprints: (doc_id, fp BIGINT). */
+  /** Per-doc distinct n-gram fingerprints: (doc_id, fp BIGINT), via the
+    * native window-hash kernel (no shingle strings materialized). */
   private def docFps(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(
-          Dedup.shinglesOfTokens(split(col("text"), " "), DecontamN))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("fp"))
+      explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
+        split(col("text"), " "), DecontamN))).as("fp"))
 
   /** (Re)builds the persisted test-set index: the DISTINCT fingerprint
     * set of every document in `test`, bucketed+sorted on fp. Static

@@ -47,9 +47,11 @@ class CodegenSpec extends AnyFunSuite {
           NativeExprs.quantizeI8(col("a")), NativeExprs.quantizeI8(col("b"))).as("ci8"),
         NativeExprs.pqAdc(
           NativeExprs.pqEncode(col("a"), Array(Array(Array(0.4, 0.9)))),
-          Array(Array(1.0))).as("pq")
+          Array(Array(1.0))).as("pq"),
+        NativeExprs.shingleHashes(col("toks"), 2).as("shg")
       ).head()
       assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
+      assert(row.getSeq[Long](row.fieldIndex("shg")).length == 2)
       assert(row.getSeq[Long](row.fieldIndex("mh")).length == 16)
       assert(row.getAs[Long]("sh") >= 0)
       assert(row.getSeq[Long](row.fieldIndex("hp")).length == 1)

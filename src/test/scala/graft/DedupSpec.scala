@@ -107,6 +107,34 @@ class DedupSpec extends AnyFunSuite {
     assert(sims(4L) == simhashOf(z))
   }
 
+  test("shingle_hashes induces the same collision structure as hashed string shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "prefix the quick brown fox jumps elsewhere"),
+      (3L, "no overlap here at all today friends"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val viaStrings = docs.select(col("doc_id"),
+        explode(array_distinct(
+          Dedup.shinglesOfTokens(split(col("text"), " "), 3))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val viaHashes = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
+          split(col("text"), " "), 3))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // same per-doc distinct shingle counts (what n_hits aggregates)
+    assert(viaHashes.groupBy(_._1).view.mapValues(_.length).toMap ==
+      viaStrings.groupBy(_._1).view.mapValues(_.length).toMap)
+    // same cross-doc sharing structure (what the decontamination join sees)
+    val strGroups = viaStrings.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val hashGroups = viaHashes.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(strGroups == hashGroups,
+      "window hashes must group docs exactly as string shingles do")
+    // sub-n docs yield zero shingles on both paths
+    assert(!viaHashes.exists(_._1 == 4L) && !viaStrings.exists(_._1 == 4L))
+  }
+
   test("connectedComponents: planted chain A~B~C clusters together without an A-C edge") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")

@@ -8,10 +8,26 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order; a failed query contributes its
   * elapsed time and is reported on stderr (never corrupts the JSON).
   *
-  * The full JSON (including per-query spread) is ALSO written to
-  * BENCH_FULL.json (override: SPARK_GRAFT_BENCH_OUT) because the
-  * driver's stdout capture keeps only the tail of very long lines —
-  * rounds 1-5 lost q01-q15 to that truncation. */
+  * KILL-PROOF BY CONSTRUCTION (round 6 lost its whole artifact to a
+  * driver timeout at rc 124): the full JSON is rewritten ATOMICALLY to
+  * BENCH_FULL.json (override: SPARK_GRAFT_BENCH_OUT) after EVERY
+  * sample, so a kill at any instant leaves a complete, parseable
+  * artifact covering everything measured so far — and the whole
+  * schedule runs under a hard wall-clock budget
+  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 1140 s):
+  *
+  *  - each sample runs inside a Spark job group with a watchdog that
+  *    cancels it at a cap derived from the remaining budget (an equal
+  *    split over the samples still owed, clamped to [MinCap, MaxCap]),
+  *    so one query stuck inside a noisy-neighbor burst cannot eat the
+  *    suite — the capped sample is recorded at the cap and flagged;
+  *  - sweep 2, retry rounds, and slow-query re-samples are all
+  *    deadline-gated: when the budget nears exhaustion they are
+  *    skipped and whatever is held is emitted, with unrefined queries
+  *    visible in the spread (n_samples / agreed / n_capped).
+  *
+  * The file also exists because the driver's stdout capture keeps only
+  * the tail of very long lines — rounds 1-5 lost q01-q15 to that. */
 object Bench {
 
   /** A query's accepted estimate is the min over its samples, but only
@@ -29,11 +45,14 @@ object Bench {
   /** Extra re-time rounds after the two base sweeps. */
   val MaxRetryRounds = 3
 
-  /** Pause before each retry round. The box's bursts are multi-minute,
-    * so a retry fired immediately after a disagreement often lands in
-    * the same burst; a solid gap (plus the other retried queries'
-    * runtime) buys temporal separation without unbounded bench cost. */
-  val RetryPauseMs = 45000L
+  /** Pause before each retry round, buying temporal separation from
+    * the burst that caused the disagreement. Round 5's 45 s pause was
+    * 2.25 min of guaranteed idle across three rounds — more than two
+    * full clean suites — and contributed to round 6's driver-side
+    * timeout kill; 10 s plus the other retried queries' runtime still
+    * de-correlates from sub-minute bursts, and the deadline gate (not
+    * the pause length) now bounds total spend. */
+  val RetryPauseMs = 10000L
 
   /** Slow queries keep sampling even when their samples agree: a burst
     * longer than both sweeps makes inflated samples agree with EACH
@@ -42,11 +61,35 @@ object Bench {
     * burst). Any query whose best sample still exceeds this threshold
     * gets re-timed, up to [[SlowMaxSamples]] total, hunting for a
     * clean window; one sub-threshold sample ends the hunt (the ratio
-    * test then anchors on it). Genuinely slow queries pay a bounded
-    * extra cost and come out with five consistent samples — strong
-    * evidence either way. */
+    * test then anchors on it). All such hunting is deadline-gated. */
   val SlowThresholdSec = 5.0
   val SlowMaxSamples = 5
+
+  /** Hard wall-clock budget (seconds) for the whole bench run;
+    * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
+    * AFTER SparkSession init, so the driver-observed wall time adds
+    * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
+    * under a 20-min external kill with slack, while leaving ~16
+    * suite-lengths of clean headroom (the full suite is ~63 s clean).
+    * The all-capped worst case still fits: the equal split starts at
+    * (1050-30)/78 ≈ 13.1 s > MinCapSec, and while the split binds it
+    * is budget-preserving (BenchSpec pins this from the constants). */
+  val DefaultDeadlineSec = 1050.0
+
+  /** Budget reserved at the tail for the final artifact write and
+    * spark.stop(). */
+  val FinishReserveSec = 30.0
+
+  /** Per-sample watchdog clamp. The floor keeps every query at least
+    * a few clean-run multiples even when the budget is nearly gone
+    * (clean queries run ≤ 3 s; 12 s only truncates burst-inflated
+    * samples, which are noise by definition). The ceiling bounds the
+    * damage any single burst can do to the schedule. Absolute worst
+    * case overshoot past the deadline is one floor-capped sample plus
+    * cancellation latency — the artifact on disk is already complete
+    * for everything measured before it. */
+  val MinCapSec = 12.0
+  val MaxCapSec = 150.0
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted
@@ -58,10 +101,28 @@ object Bench {
     !agreed(samples) ||
       (samples.min > SlowThresholdSec && samples.length < SlowMaxSamples)
 
+  /** Watchdog cap for the next sample: an equal split of the remaining
+    * budget (minus the finish reserve) across the samples still owed in
+    * the current phase, clamped to [MinCapSec, MaxCapSec]. While the
+    * split term binds, the phase provably finishes inside the budget;
+    * once the floor binds the overshoot is bounded by
+    * MinCapSec × samplesLeft and every sample is flagged capped. */
+  def sampleCap(remainingSec: Double, samplesLeft: Int): Double =
+    math.max(MinCapSec, math.min(MaxCapSec,
+      (remainingSec - FinishReserveSec) / math.max(1, samplesLeft)))
+
+  /** A refinement sample (sweep 2 / retries / slow hunt) is worth
+    * starting only if the budget can still fit a floor-capped run plus
+    * the finish reserve — otherwise emit what's held. */
+  def canRefine(remainingSec: Double): Boolean =
+    remainingSec > FinishReserveSec + MinCapSec
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
+      .map(_.toDouble).getOrElse(DefaultDeadlineSec)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -70,25 +131,95 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val startNs = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
+    def remainingSec: Double = deadlineSec - elapsedSec
     // session warmup: exercise codegen, shuffle, and the parquet reader
     // once so the first timed query measures the query, not JVM warmup
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+    val cappedN = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+    var sampleSeq = 0
+
+    /** One timed run under a job-group watchdog: cancellation at
+      * capSec records the elapsed time (≈ the cap) and flags the
+      * sample capped — a burst-stuck query cannot eat the schedule. */
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 capSec: Double): Unit = {
+      sampleSeq += 1
+      val group = s"bench-$name-$sampleSeq"
+      // interruptOnCancel stays false: cancellation marks stages dead and
+      // tasks exit at their next kill check (per-batch for parquet scans)
+      // without the thread-interrupt/HDFS-client deadlock caveat
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
+      @volatile var fired = false
+      val task = new java.util.TimerTask {
+        def run(): Unit = { fired = true; spark.sparkContext.cancelJobGroup(group) }
+      }
+      watchdog.schedule(task, math.max(1L, (capSec * 1000).toLong))
       val t0 = System.nanoTime()
       // noop-format write: materializes EVERY output column through the
       // full plan (a count() would let Catalyst prune unreferenced
       // projections, flattering map-only queries) without sink IO cost
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val what = if (fired) s"capped at ${capSec.round}s" else s"failed: ${e.getMessage}"
+        System.err.println(s"[bench] $name $what")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      task.cancel()
+      spark.sparkContext.clearJobGroup()
       // queries that cache intermediates (sketch/signature frames) must
       // not leak executor memory into the next measurement
       spark.catalog.clearCache()
-      dt
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      if (fired) cappedN(name) += 1
+      writeArtifact(complete = false)
     }
+
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+    def buildJson(complete: Boolean): String = {
+      val have = ordered.filter { case (n, _) => samples.contains(n) }
+      val qs = have.map { case (n, _) => "\"" + n + "\":" + fmt(samples(n).min) }
+        .mkString("{", ",", "}")
+      val spread = have.map { case (n, _) =>
+        val s = samples(n)
+        "\"" + n + "\":[" + fmt(s.min) + "," + fmt(s.max) + "," + s.length +
+          "," + (if (agreed(s)) "true" else "false") + "," + cappedN(n) + "]"
+      }.mkString("{", ",", "}")
+      val total = have.map { case (n, _) => samples(n).min }.sum
+      // spread BEFORE queries: the driver's stdout capture keeps the
+      // line's tail, so the contract-critical queries map goes last
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries_timed":${have.length},"queries_total":${ordered.length},""" +
+        s""""complete":$complete,"deadline_s":${fmt(deadlineSec)},"elapsed_s":${fmt(elapsedSec)},""" +
+        s""""spread_format":"[min,max,n_samples,agreed,n_capped]","spread":$spread,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
+    }
+
+    /** Atomic rewrite: tmp file + move, so a kill mid-write can never
+      * leave a truncated (unparseable) artifact on disk. */
+    def writeArtifact(complete: Boolean): Unit =
+      try {
+        val out = java.nio.file.Paths.get(outFile)
+        val tmp = java.nio.file.Paths.get(outFile + ".tmp")
+        java.nio.file.Files.writeString(tmp, buildJson(complete) + "\n")
+        try java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
+
     // This box has noisy neighbors: a roaming multi-minute burst can
     // inflate a CONTIGUOUS window of queries 20-50× (observed q20
     // 0.6s → 80s, and r5's q72 9.4s → 408s, with identical plans).
@@ -97,47 +228,32 @@ object Bench {
     // re-times for any query whose two samples disagree by more than
     // AgreeFactor — a burst longer than one sweep defeats min-of-two,
     // so disagreement is retried (with a pause) until two samples
-    // agree or the retry cap is hit. The reported value is the min;
-    // the per-query spread is emitted so residual noise is visible in
-    // the artifact instead of requiring forensics.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
-    for (sweep <- 1 to 2; (name, fn) <- ordered)
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ timeOnce(name, fn)
+    // agree, the retry cap is hit, or the deadline budget runs out.
+    // The reported value is the min; the per-query spread is emitted
+    // so residual noise is visible in the artifact, not forensics.
+    //
+    // Sweep 1 is the only phase that MUST complete (it gives every
+    // query a value in the artifact); its per-sample caps split the
+    // whole remaining budget. Later phases only refine and get gated.
+    for (sweep <- 1 to 2; ((name, fn), idx) <- ordered.zipWithIndex) {
+      if (sweep == 1 || canRefine(remainingSec))
+        timeOnce(name, fn, sampleCap(remainingSec, ordered.length - idx))
+    }
     var retry = 0
-    while (retry < MaxRetryRounds &&
+    while (retry < MaxRetryRounds && canRefine(remainingSec) &&
            ordered.exists { case (n, _) => needsMoreSamples(samples(n)) }) {
       val disagreeing = ordered.filter { case (n, _) => needsMoreSamples(samples(n)) }
-      System.err.println(s"[bench] retry round ${retry + 1}: " +
-        disagreeing.map(_._1).mkString(", "))
-      Thread.sleep(RetryPauseMs)
-      for ((name, fn) <- disagreeing)
-        samples(name) = samples(name) :+ timeOnce(name, fn)
+      System.err.println(s"[bench] retry round ${retry + 1} " +
+        f"(${remainingSec}%.0fs left): " + disagreeing.map(_._1).mkString(", "))
+      if (remainingSec > FinishReserveSec + MinCapSec + RetryPauseMs / 1000.0)
+        Thread.sleep(RetryPauseMs)
+      for (((name, fn), idx) <- disagreeing.zipWithIndex if canRefine(remainingSec))
+        timeOnce(name, fn, sampleCap(remainingSec, disagreeing.length - idx))
       retry += 1
     }
-    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val results = ordered.map { case (name, _) => name -> samples(name).min }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val spread = ordered.map { case (name, _) =>
-      val s = samples(name)
-      "\"" + name + "\":[" + fmt(s.min) + "," + fmt(s.max) + "," + s.length +
-        "," + (if (agreed(s)) "true" else "false") + "]"
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // spread BEFORE queries: the driver's stdout capture keeps the
-    // line's tail, so the contract-critical queries map goes last
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""spread_format":"[min,max,n_samples,agreed]","spread":$spread,""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
-    // file first (survives stdout truncation), then the contract line
-    try {
-      val w = new java.io.PrintWriter(outFile, "UTF-8")
-      try w.println(json) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
-    }
-    println(json)
+    writeArtifact(complete = true)
+    println(buildJson(complete = true))
+    watchdog.cancel()
     spark.stop()
   }
 }

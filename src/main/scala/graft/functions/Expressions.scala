@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -51,6 +52,8 @@ object NativeExprs {
     toCol(SigMatches(toExpr(a), toExpr(b)))
   def shingleHashes(tokens: Column, n: Int): Column =
     toCol(ShingleHashes(toExpr(tokens), n))
+  def sigBandKeys(sig: Column, bands: Int): Column =
+    toCol(SigBandKeys(toExpr(sig), bands))
   def quantizeI8(e: Column): Column = toCol(QuantizeI8(toExpr(e)))
   def cosineSimI8(a: Column, b: Column): Column =
     toCol(CosineSimI8(toExpr(a), toExpr(b)))
@@ -70,7 +73,8 @@ object NativeExprs {
         "cosine_sim(a, b) - fused cosine similarity of two array<double>",
         es => CosineSim(es(0), es(1))),
       ("minhash_sig",
-        "minhash_sig(tokens[, slots]) - MinHash signature of array<string>",
+        "minhash_sig(tokens[, slots]) - MinHash signature of array<string> " +
+          "or pre-hashed array<bigint> (e.g. shingle_hashes output)",
         {
           case Seq(t) => MinHashSig(t, 64)
           case Seq(t, Literal(slots: Int, _)) => MinHashSig(t, slots)
@@ -90,6 +94,14 @@ object NativeExprs {
           case Seq(t, Literal(n: Int, _)) => ShingleHashes(t, n)
           case es => throw new IllegalArgumentException(
             "shingle_hashes expects (tokens, n INTEGER LITERAL); got " +
+              s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
+        }),
+      ("sig_band_keys",
+        "sig_band_keys(sig, bands) - LSH band bucket keys of an array<bigint> signature",
+        {
+          case Seq(t, Literal(b: Int, _)) => SigBandKeys(t, b)
+          case es => throw new IllegalArgumentException(
+            "sig_band_keys expects (sig, bands INTEGER LITERAL); got " +
               s"${es.length} argument(s) ${es.map(_.sql).mkString("(", ", ", ")")}")
         }),
       ("quantize_i8",
@@ -178,24 +190,88 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** MinHash signature: slots longs, slot j = min over tokens of
-  * h1(t) + j·h2(t) (double hashing — one xxhash64 pair per token
-  * instead of `slots` hashes per token). Empty array ⇒ MaxValue fill. */
+/** MinHash signature: slots longs, slot j = min over elements of
+  * h1(e) + j·h2(e) (double hashing — one xxhash64 pair per element
+  * instead of `slots` hashes per element). Empty array ⇒ MaxValue fill.
+  *
+  * Accepts array<string> tokens OR array<bigint> pre-hashed elements:
+  * the long branch makes `minhash_sig(shingle_hashes(tokens, n))` an
+  * n-gram MinHash with zero shingle strings materialized — the same
+  * no-string-allocation discipline the decontamination path uses
+  * ([[ShingleHashes]]), extended to signature computation. The two
+  * branches produce different (incomparable) signatures for the "same"
+  * data — callers must sketch both sides of a comparison through the
+  * same branch. */
 case class MinHashSig(child: Expression, slots: Int)
     extends UnaryExpression {
 
-  // input must be array<string> (callers pass split() output)
+  // analysis-time type gate (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the check is spelled out): the SQL registry
+  // exposes this to arbitrary input, which must fail analysis, not
+  // NPE or misread a running scan
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string> or array<bigint>, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  private lazy val hashedInput = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any =
-    SketchKernels.minhash(v.asInstanceOf[ArrayData], slots)
+    if (hashedInput) SketchKernels.minhashLongs(v.asInstanceOf[ArrayData], slots)
+    else SketchKernels.minhash(v.asInstanceOf[ArrayData], slots)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (hashedInput) "minhashLongs" else "minhash"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.$kernel($c, $slots);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** LSH band bucket keys of an array<bigint> signature: band b = the
+  * xxhash64 chain of its slots·(1/bands) slice, seeded with the band
+  * index — replaces the xxhash64(concat_ws(',', slice(sig, …)), b)
+  * formulation, whose comma-joined 16-long strings were pure allocator
+  * load per doc per band on a 100 TB dedup shuffle. Same collision
+  * structure: equal band slice ⟺ equal key (modulo hash collision).
+  * Null when the signature length is not divisible by bands (a silent
+  * truncated-band key would merge buckets wrongly). */
+case class SigBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sig_band_keys expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sig_band_keys"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    if (sig.numElements() % bands != 0) null
+    else SketchKernels.sigBandKeys(sig, bands)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchKernels.minhash($c, $slots);")
+      s"""
+         |if ($c.numElements() % $bands != 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.sigBandKeys($c, $bands); }
+       """.stripMargin)
 
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override protected def withNewChildInternal(c: Expression): SigBandKeys = copy(child = c)
 }
 
 /** Random-hyperplane LSH signature: for each plane, bit = sign of the
@@ -231,11 +307,20 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
   * are pure garbage-collector load on a 100 TB scan. One kernel pass:
   * each token hashed once, windows chain token hashes through the
   * xxhash64 seed (order-sensitive). */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
-  // input must be array<string> (callers pass split() output)
+  // analysis-time type check: the SQL registry exposes this to
+  // arbitrary input, where a non-string array must fail analysis,
+  // not NPE a running scan (null ELEMENTS hash as the empty string —
+  // see SketchKernels.hashToken)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
@@ -438,7 +523,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 case class SimHash64(child: Expression)
     extends UnaryExpression {
 
-  // input must be array<string>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${other.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels for the sketch expressions. Top-level object ⇒ static
   * forwarders, so generated Java (whole-stage codegen) calls these
@@ -10,14 +11,24 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * stage instead of a CodegenFallback interpreted-eval boundary. */
 object SketchKernels {
 
+  /** Null array elements hash as the empty string across every token
+    * kernel here (minhash / simhash / shingleHashes): the SQL registry
+    * exposes these functions to arbitrary array<string> input, where a
+    * null element must not NPE the scan — and the choice is consistent
+    * on both sides of any join keyed on the result. split() output
+    * (every internal caller) never contains nulls, so internal results
+    * are unaffected. */
+  private def hashToken(s: UTF8String, seed: Long): Long =
+    XxHash64Function.hash(if (s == null) UTF8String.EMPTY_UTF8 else s, StringType, seed)
+
   def minhash(arr: ArrayData, slots: Int): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(slots)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val h1 = XxHash64Function.hash(s, StringType, 42L)
-      val h2 = XxHash64Function.hash(s, StringType, 0x9E3779B9L) | 1L
+      val h1 = hashToken(s, 42L)
+      val h2 = hashToken(s, 0x9E3779B9L) | 1L
       var j = 0
       var h = h1
       while (j < slots) {
@@ -28,6 +39,59 @@ object SketchKernels {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** MinHash over PRE-HASHED elements (array<long> — e.g. the output
+    * of [[shingleHashes]]): the same double-hashing scheme with the
+    * xxhash64 pair derived from the 8-byte fingerprint instead of the
+    * token text. Composing shingle_hashes(tokens, n) → minhash_sig
+    * yields an n-gram MinHash signature with ZERO shingle strings
+    * materialized — each token hashed once, each window one chained
+    * hash, each fingerprint one pair. */
+  def minhashLongs(arr: ArrayData, slots: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(slots)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      val h1 = XxHash64Function.hash(v, LongType, 42L)
+      val h2 = XxHash64Function.hash(v, LongType, 0x9E3779B9L) | 1L
+      var j = 0
+      var h = h1
+      while (j < slots) {
+        if (h < sig(j)) sig(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band bucket keys of a fixed-length signature: band b is the
+    * xxhash64 chain of its slots seeded with the band index — the
+    * string-free twin of xxhash64(concat_ws(',', slice(sig, …)), b).
+    * Two signatures land in the same (band, bucket) iff that band's
+    * slots are all equal (modulo 64-bit hash collision), exactly the
+    * banded-LSH collision structure; no comma-joined strings are
+    * materialized. slots must divide evenly into bands (callers pass
+    * SigLen/Bands constants; the expression nulls out otherwise). */
+  def sigBandKeys(sig: ArrayData, bands: Int): ArrayData = {
+    val slots = sig.numElements()
+    val rows = slots / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rows) {
+        h = XxHash64Function.hash(sig.getLong(b * rows + j), LongType, h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** xxhash64 fingerprints of the n-token sliding windows of a token
@@ -42,7 +106,7 @@ object SketchKernels {
     val th = new Array[Long](len)
     var i = 0
     while (i < len) {
-      th(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      th(i) = hashToken(arr.getUTF8String(i), 42L)
       i += 1
     }
     val out = new Array[Long](len - n + 1)
@@ -65,7 +129,7 @@ object SketchKernels {
     val votes = new Array[Int](63)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val h = hashToken(arr.getUTF8String(i), 42L)
       var j = 0
       while (j < 63) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

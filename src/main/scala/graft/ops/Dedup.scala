@@ -53,12 +53,16 @@ object Dedup {
     graft.functions.NativeExprs.minhashSig(shingleCol, SigLen)
 
   /** Per-doc MinHash signature + banded bucket keys. Always non-empty;
-    * the plumbing that a 100 TB dedup job shuffles. */
+    * the plumbing that a 100 TB dedup job shuffles. Band keys come
+    * from the native [[graft.functions.SigBandKeys]] chain — the old
+    * concat_ws(',', slice(sig, …)) formulation allocated a comma-joined
+    * 16-long string per doc per band before hashing it; bucket VALUES
+    * differ from that formulation but the collision structure (equal
+    * band slice ⟺ same bucket) is identical, so candidate pairs and
+    * est_jaccard are unchanged. */
   def withMinhash(df: DataFrame): DataFrame =
     df.withColumn("sig", minhashSig(tokenSet(col("text"))))
-      .withColumn("bands",
-        expr(s"transform(sequence(0, ${Bands - 1}), " +
-             s"b -> xxhash64(concat_ws(',', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)), b))"))
+      .withColumn("bands", graft.functions.NativeExprs.sigBandKeys(col("sig"), Bands))
 
   /** MinHash-LSH near-duplicate pairs, in the shape that survives 100 TB:
     *  1. fixed-size signatures per doc (shuffle never carries the text);
@@ -278,7 +282,17 @@ object Dedup {
     *    (PlanBridge.releaseLocalCheckpoint) so peak storage is two
     *    rounds of (id, label) pairs regardless of round count.
     *
-    * @param nodes one row per node, column `id`
+    * @param nodes one row per node, column `id`. CONTRACT: every
+    *              src/dst in `pairs` must appear in `nodes` — labels
+    *              are emitted via nodes ⟕ incident-labels, so an
+    *              endpoint absent from `nodes` is silently dropped
+    *              from the output (and could have pulled in-`nodes`
+    *              members' labels below any id present in the
+    *              output). Both physical strategies share this
+    *              contract; every caller here feeds pairs derived
+    *              FROM the node frame, and DedupSpec pins the
+    *              dropped-endpoint behavior so a violating caller
+    *              fails loudly in review, not silently at scale.
     * @param pairs undirected edges, columns `src`/`dst` (one row per
     *              pair; both directions are derived here)
     * @param singlePassMax fast-path ceiling (tests override to force

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental DECONTAMINATION against a persisted test-set fingerprint
@@ -47,4 +47,105 @@ object IncrementalDecontam {
       .join(spark.table(table).hint("MERGE"), Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
+
+  // ------------------------------------------------------------- q78
+
+  /** q63/q72's train/test hash-split rule (substr(md5(id),1,2)). */
+  private def hashBucket(c: Column): Column = substring(md5(c), 1, 2)
+
+  /** File-listing fingerprint of the documents table — same discipline
+    * as the IVF index ([[Ivf.dataFingerprint]]): (name, length, mtime)
+    * per file, sorted, newline-joined, SHA-256 — so a regenerated
+    * corpus keys a FRESH index table instead of silently probing a
+    * stale one across JVMs (the warehouse outlives the in-memory
+    * catalog). */
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def indexTableName(d: String, fp: String): String =
+    ("graft_decontam_idx_v1_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
+      .toLowerCase
+
+  /** Best-effort GC of EVERY index table/directory for this source
+    * dir — superseded fingerprints AND any orphaned copy of the one
+    * about to be rebuilt: the warehouse outlives the in-memory
+    * catalog across JVMs, a catalog-less bucketed directory is
+    * unusable (bucket metadata lives in the catalog), and Spark
+    * refuses to create a managed table over an existing location.
+    * Runs only when a new index is about to be built; losing a race
+    * costs disk, never correctness — live probes resolve through
+    * their own fingerprint-keyed name. */
+  private def gcIndexTables(s: SparkSession, d: String): Unit =
+    try {
+      val prefix = indexTableName(d, "")
+      s.catalog.listTables().collect()
+        .filter(_.name.startsWith(prefix))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whDir = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
+                  else new java.io.File(wh)
+      Option(whDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(deleteRecursively)
+    } catch { case _: Exception => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** q78: the PERSISTED-INDEX decontamination probe, bench-visible —
+    * this path's q70 analogue. Builds the bucketed+sorted test-set
+    * fingerprint index once per (source dir, data fingerprint), then
+    * times what a continuously-ingesting pipeline actually pays per
+    * batch: shingle the incoming slice, merge-join it against the
+    * index WITHOUT shuffling or re-deriving the index side (the
+    * bucketed layout replaces the exchange+sort a plain join would
+    * insert), count distinct contaminated shingles per doc. The
+    * incoming "batch" is a quarter-corpus hash slice — large enough
+    * to time, sliced by the same md5 rule as the q63/q72 splits. The
+    * output is the per-doc ROUTING VERDICT for every batch doc
+    * (n_hits = 0 ⇒ clean → training sink; ≥ 1 ⇒ quarantine — exactly
+    * what screenedIngest decides per micro-batch), so the result is
+    * batch-sized even when a small sf's slice happens to contain no
+    * contamination. Rows-only (the bucketed probe is not
+    * SQL-expressible in DuckDB); PlanShapeSpec pins the
+    * no-shuffle-on-index-side invariant, StreamingDecontamSpec pins
+    * the counting semantics shared with screenBatch. */
+  def q78DecontamProbeIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.documents
+    val fp = dataFingerprint(s, d)
+    val table = indexTableName(d, fp)
+    if (!s.catalog.tableExists(table)) {
+      gcIndexTables(s, d)
+      val test = documents(s, d)
+        .filter(hashBucket(col("doc_id").cast("string")) >= "e6") // q72's test split
+        .select(col("doc_id"), col("text"))
+      buildTestIndex(test, table)
+    }
+    val batch = documents(s, d)
+      .filter(hashBucket(col("doc_id").cast("string")) < "40")
+      .select(col("doc_id"), col("text"))
+    batch.select(col("doc_id"))
+      .join(screenBatch(s, batch, table), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q78_decontam_probe_index", q78DecontamProbeIndex _, None),
+  )
 }

@@ -205,7 +205,12 @@ object Ivf {
     * independence. Keys the index location so a REGENERATED corpus at
     * the same path gets a fresh index instead of silently probing a
     * stale one (the parquet bytes can't change without length/mtime
-    * changing). O(#files) driver cost, same as any scan's planning. */
+    * changing). O(#files) driver cost, same as any scan's planning.
+    * Entries are newline-joined (a field could only contain '\n' via a
+    * file NAME, which HDFS forbids and local filesystems never emit
+    * for parquet parts) and digested with SHA-256 — distinct listings
+    * cannot alias by boundary ambiguity or by the easy polynomial
+    * collisions a 31-multiplier fold admits. */
   private[graft] def dataFingerprint(s: SparkSession, d: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -215,10 +220,18 @@ object Ivf {
       val st = it.next()
       entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
     }
-    var h = 1125899906842597L
-    entries.sorted.foreach(_.foreach { c => h = h * 31 + c })
-    java.lang.Long.toHexString(h)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 16 hex chars (64 bits of SHA-256) keeps the dir name short; the
+    // collision budget is per-sf-dir (a handful of listings ever seen)
+    digest.take(8).map(b => f"$b%02x").mkString
   }
+
+  private def indexDirName(d: String, fingerprint: String): String =
+    // v-tag: a layout change invalidates old on-disk indexes instead
+    // of silently probing a stale format across build rounds; the
+    // data fingerprint does the same for a rewritten source table
+    "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fingerprint
 
   /** Deterministic per-sf-dir index location for q70, under the JVM
     * temp dir (the only writable scratch in this sandbox; on a real
@@ -226,11 +239,32 @@ object Ivf {
     * resolve the Hadoop FS from it). */
   private def indexPath(s: SparkSession, d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      // v-tag: a layout change invalidates old on-disk indexes instead
-      // of silently probing a stale format across build rounds; the
-      // data fingerprint does the same for a rewritten source table
-      "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_") +
-        "_" + dataFingerprint(s, d)).toString
+      indexDirName(d, dataFingerprint(s, d))).toString
+
+  /** Best-effort GC of SUPERSEDED index builds for the same source
+    * dir: fingerprint-keyed locations mean a rewritten corpus gets a
+    * fresh index — and without this sweep the stale ones accumulate
+    * unbounded. Runs only when a NEW index is about to be built (the
+    * steady state never lists the tmp dir), deletes only siblings
+    * matching this source dir's name prefix with a different
+    * fingerprint, and swallows races — losing a delete race costs
+    * disk, never correctness, because live probes resolve through
+    * their own fingerprint path. */
+  private def gcStaleIndexes(d: String, keepFingerprint: String): Unit =
+    try {
+      val prefix = indexDirName(d, "")
+      val keep = indexDirName(d, keepFingerprint)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != keep)
+      stale.foreach(deleteRecursively)
+    } catch { case _: Exception => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** q70: the PERSISTED-index probe, bench-visible — builds the
     * cluster-partitioned on-disk index once per sf dir (first call,
@@ -240,10 +274,14 @@ object Ivf {
     * q48 amortizes into; rows-only, pinned by IvfSpec: probe ≡ q48
     * result-for-result, and PartitionFilters present in the scan. */
   def q70IvfProbeIndex(s: SparkSession, d: String): DataFrame = {
-    val path = indexPath(s, d)
+    val fp = dataFingerprint(s, d)
+    val path = new java.io.File(sys.props("java.io.tmpdir"), indexDirName(d, fp)).toString
     val cFile = new org.apache.hadoop.fs.Path(path, CentroidsFile)
     val fs = cFile.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cFile)) writeIndex(s, d, path)
+    if (!fs.exists(cFile)) {
+      gcStaleIndexes(d, keepFingerprint = fp)
+      writeIndex(s, d, path)
+    }
     val qVec = emb(s, d).filter(col("vec_id") === 0).select(col("e"))
       .head().getSeq[Double](0)
     probeIndex(s, path, qVec, NProbe, excludeVecId = Some(0L))

@@ -34,11 +34,21 @@ object StreamingDecontam {
     *
     * Restart semantics: both sinks are per-batch OVERWRITE into their
     * own `batch_id=<id>/` directory, so a replayed micro-batch
-    * rewrites its directories instead of appending duplicates. */
+    * rewrites its directories instead of appending duplicates — but
+    * that only holds if batch ids and micro-batch BOUNDARIES replay
+    * identically, which requires a durable checkpoint: a restart on a
+    * fresh temp checkpoint restarts ids at 0 and can regroup rows,
+    * leaving the prior run's higher-numbered batch_id dirs as silent
+    * duplicates in the sink. The checkpoint therefore defaults to
+    * `outDir/_checkpoint` (same lifecycle as the sinks it protects);
+    * pass `checkpointDir` to relocate it. Wiping the sinks without
+    * the checkpoint (or vice versa) re-creates the mismatch. */
   def screenedIngest(spark: SparkSession, streamingDocs: DataFrame,
-                     indexTable: String, outDir: String): StreamingQuery =
+                     indexTable: String, outDir: String,
+                     checkpointDir: Option[String] = None): StreamingQuery =
     streamingDocs.writeStream
       .outputMode("append")
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {

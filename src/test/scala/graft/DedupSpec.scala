@@ -135,6 +135,75 @@ class DedupSpec extends AnyFunSuite {
     assert(!viaHashes.exists(_._1 == 4L) && !viaStrings.exists(_._1 == 4L))
   }
 
+  test("sig_band_keys matches the concat_ws band formulation's collision structure") {
+    import org.apache.spark.sql.functions._
+    // docs 1,2 identical token sets (all bands collide), 3 unrelated
+    val x = (1 to 30).map(i => s"w$i").mkString(" ")
+    val y = (1 to 30).reverse.map(i => s"w$i").mkString(" ")
+    val z = (201 to 230).map(i => s"w$i").mkString(" ")
+    val signed = Dedup.withMinhash(docsDf(Seq((1L, x), (2L, y), (3L, z))))
+    val old = signed.withColumn("old_bands",
+        expr(s"transform(sequence(0, ${Dedup.Bands - 1}), " +
+             s"b -> xxhash64(concat_ws(',', slice(sig, b * ${Dedup.RowsPerBand} + 1, " +
+             s"${Dedup.RowsPerBand})), b))"))
+      .select("doc_id", "bands", "old_bands").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    // per band: two docs share the native key iff they share the old key
+    for (b <- 0 until Dedup.Bands; (i, ni, oi) <- old; (j, nj, oj) <- old if i < j) {
+      assert((ni(b) == nj(b)) == (oi(b) == oj(b)),
+        s"band $b collision structure diverged for docs $i,$j")
+    }
+    // and the planted structure holds: 1~2 all bands, 3 none
+    val m = old.map(r => r._1 -> r._2).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L).zip(m(3L)).forall { case (a, c) => a != c })
+  }
+
+  test("minhash over shingle_hashes: string-free n-gram signature estimates n-gram jaccard") {
+    import org.apache.spark.sql.functions._
+    // two docs sharing a long run of 3-grams plus distinct tails
+    val common = (1 to 40).map(i => s"c$i").mkString(" ")
+    val a = common + " " + (100 to 120).map(i => s"a$i").mkString(" ")
+    val b = common + " " + (200 to 220).map(i => s"b$i").mkString(" ")
+    val df = docsDf(Seq((1L, a), (2L, b)))
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.minhashSig(
+          array_distinct(graft.functions.NativeExprs.shingleHashes(
+            split(col("text"), " "), 3)), Dedup.SigLen).as("sig"),
+        array_distinct(Dedup.shinglesOfTokens(split(col("text"), " "), 3)).as("sh"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[String](2))).toMap
+    val est = rows(1L)._1.zip(rows(2L)._1).count { case (p, q) => p == q }
+      .toDouble / Dedup.SigLen
+    val sa = rows(1L)._2.toSet; val sb = rows(2L)._2.toSet
+    val exact = (sa & sb).size.toDouble / (sa | sb).size
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+  }
+
+  test("null-element and type safety of the SQL-registered sketch functions") {
+    graft.functions.NativeExprs.registerAll(spark)
+    // null elements hash as '' — no NPE, and equal to the explicit-empty run
+    val withNull = spark.sql(
+      "SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b')) AS m, " +
+        "simhash64(array('a', CAST(NULL AS STRING))) AS s, " +
+        "shingle_hashes(array('a', CAST(NULL AS STRING), 'b'), 2) AS g").head()
+    val withEmpty = spark.sql(
+      "SELECT minhash_sig(array('a', '', 'b')) AS m, " +
+        "simhash64(array('a', '')) AS s, " +
+        "shingle_hashes(array('a', '', 'b'), 2) AS g").head()
+    assert(withNull.getSeq[Long](0) == withEmpty.getSeq[Long](0))
+    assert(withNull.getLong(1) == withEmpty.getLong(1))
+    assert(withNull.getSeq[Long](2) == withEmpty.getSeq[Long](2))
+    // non-string arrays fail ANALYSIS, not a running scan
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_hashes(array(1, 2, 3), 2)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("shingle_hashes"))
+    // sig_band_keys: signature length not divisible by bands ⇒ null
+    assert(spark.sql("SELECT sig_band_keys(array(1L, 2L, 3L), 2) IS NULL AS n")
+      .head().getBoolean(0))
+  }
+
   test("connectedComponents: planted chain A~B~C clusters together without an A-C edge") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
@@ -150,6 +219,22 @@ class DedupSpec extends AnyFunSuite {
     val loop = Dedup.connectedComponents(nodes, pairs, singlePassMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(loop == expect)
+  }
+
+  test("connectedComponents contract: pair endpoints outside `nodes` are dropped") {
+    import spark.implicits._
+    // endpoint 9 is NOT in nodes: both strategies emit labels only for
+    // the node frame (the documented pairs ⊆ nodes contract) — and the
+    // out-of-frame endpoint still links 1 and 2 transitively through 9
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((1L, 9L), (9L, 2L)).toDF("src", "dst")
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val out = Dedup.connectedComponents(nodes, pairs, singlePassMax = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.keySet == Set(1L, 2L, 3L), s"cap=$cap: exactly the node frame")
+      assert(out(1L) == 1L && out(2L) == 1L, s"cap=$cap: linked through 9")
+      assert(out(3L) == 3L)
+    }
   }
 
   test("unionFindLabels: min-member labels, edge-order independent") {

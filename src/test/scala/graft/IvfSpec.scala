@@ -77,6 +77,30 @@ class IvfSpec extends AnyFunSuite {
       "rewritten source must change the fingerprint")
   }
 
+  test("q70 index GC: rebuilding after a data rewrite leaves exactly one index dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_gc").toString
+    def writeCorpus(shift: Double): Unit =
+      (0L until 8L).map(i => (i, Seq(i + shift, 2.0 * i, 1.0), i % 2))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def indexDirs(): Seq[String] = {
+      val prefix = "graft_ivf_index_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_"
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.startsWith(prefix)).toSeq
+    }
+    writeCorpus(0.0)
+    assert(Ivf.q70IvfProbeIndex(spark, dir).collect().nonEmpty)
+    val first = indexDirs()
+    assert(first.length == 1, s"one index after first build, got $first")
+    // rewrite ⇒ new fingerprint ⇒ fresh build must GC the stale sibling
+    writeCorpus(100.0)
+    assert(Ivf.q70IvfProbeIndex(spark, dir).collect().nonEmpty)
+    val second = indexDirs()
+    assert(second.length == 1, s"stale index must be GC'd, got $second")
+    assert(second.head != first.head, "rebuilt index must live at the new fingerprint")
+  }
+
   test("centroids round-trip through the index directory") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
     val written = Ivf.writeIndex(spark, TestSpark.sf0001, dir)

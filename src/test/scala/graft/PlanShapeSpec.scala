@@ -124,6 +124,37 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 bucketed decontam probe never shuffles the index side") {
+    val p = sparkPlan(q("q78_decontam_probe_index"))
+    // the batch side legitimately shuffles (its fps must co-locate with
+    // the index buckets); the INDEX side must feed its merge join
+    // bucket-aligned — no exchange between the join and the index scan.
+    // (Downstream exchanges — the per-doc aggregation, the final sort —
+    // CONTAIN the index scan in their subtrees; the invariant is about
+    // the join's direct input, so walk from the join node itself.)
+    // restrict to the fp-keyed probe join — the downstream per-doc
+    // left join (on doc_id) also contains the index scan in its
+    // subtree, below its own legitimate aggregation exchange
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.startsWith("fp#")) => j
+    }
+    assert(joins.nonEmpty, s"expected a merge join probing the index:\n$p")
+    joins.foreach { j =>
+      val indexSides = Seq(j.left, j.right)
+        .filter(_.toString.contains("graft_decontam_idx"))
+      assert(indexSides.nonEmpty)
+      indexSides.foreach { side =>
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty,
+          s"index side must stay unshuffled (bucketed layout):\n$side")
+      }
+    }
+    // and the index scan really is the bucketed read
+    assert(p.toString.contains("SelectedBucketsCount"),
+      s"index scan must be bucket-aligned:\n$p")
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

@@ -109,4 +109,40 @@ class StreamingDecontamSpec extends AnyFunSuite {
       s"both planted leaks caught, got $quarantined")
     assert(quarantined.values.forall(_ >= 1L))
   }
+
+  test("restart on the durable checkpoint continues batch ids instead of replaying") {
+    resetTable("decontam_index_restart")
+    import spark.implicits._
+    val test = Seq((0L, s"$evalSpan over the lazy dog")).toDF("doc_id", "text")
+    IncrementalDecontam.buildTestIndex(test, "decontam_index_restart")
+    val streamDir = java.nio.file.Files.createTempDirectory("sdecon_rs_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sdecon_rs_out").toString
+    def writeFile(name: String, id: Long): Unit =
+      Seq((id, s"clean document number $id about nothing relevant"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/$name")
+    def cleanBatchDirs(): Set[String] =
+      Option(new java.io.File(s"$outDir/clean").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    def start() = StreamingDecontam.screenedIngest(spark,
+      spark.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/f*"),
+      "decontam_index_restart", outDir)
+
+    writeFile("f1", 300L); writeFile("f2", 301L)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(new java.io.File(s"$outDir/_checkpoint").exists(),
+      "checkpoint must default to a durable location under outDir")
+    assert(cleanBatchDirs() == Set("batch_id=0", "batch_id=1"))
+
+    // a third file lands while the stream is down; the RESTARTED query
+    // must number it after the processed batches — on a fresh temp
+    // checkpoint it would restart at batch 0 and stomp the first sink dir
+    writeFile("f3", 302L)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(cleanBatchDirs() == Set("batch_id=0", "batch_id=1", "batch_id=2"),
+      "restart must continue numbering, not replay from zero")
+    val docs = spark.read.parquet(s"$outDir/clean").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(docs == Seq(300L, 301L, 302L), s"no duplicates or losses, got $docs")
+  }
 }

@@ -142,6 +142,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
     val cappedN = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val failedN = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val watchdog = new java.util.Timer("bench-watchdog", true)
     var sampleSeq = 0
 
@@ -168,6 +169,7 @@ object Bench {
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable =>
         val what = if (fired) s"capped at ${capSec.round}s" else s"failed: ${e.getMessage}"
+        if (!fired) failedN(name) += 1
         System.err.println(s"[bench] $name $what")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -190,7 +192,8 @@ object Bench {
       val spread = have.map { case (n, _) =>
         val s = samples(n)
         "\"" + n + "\":[" + fmt(s.min) + "," + fmt(s.max) + "," + s.length +
-          "," + (if (agreed(s)) "true" else "false") + "," + cappedN(n) + "]"
+          "," + (if (agreed(s)) "true" else "false") + "," + cappedN(n) +
+          "," + failedN(n) + "]"
       }.mkString("{", ",", "}")
       val total = have.map { case (n, _) => samples(n).min }.sum
       // spread BEFORE queries: the driver's stdout capture keeps the
@@ -198,7 +201,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries_timed":${have.length},"queries_total":${ordered.length},""" +
         s""""complete":$complete,"deadline_s":${fmt(deadlineSec)},"elapsed_s":${fmt(elapsedSec)},""" +
-        s""""spread_format":"[min,max,n_samples,agreed,n_capped]","spread":$spread,""" +
+        s""""spread_format":"[min,max,n_samples,agreed,n_capped,n_failed]","spread":$spread,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
 

@@ -21,14 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf) and convert to a
-    * microsecond timestamp (DIV 1000 — exact integer truncation). */
+  /** The driver has generated events.parquet with ts as TIMESTAMP(NANOS)
+    * in some rounds (which Spark's parquet reader rejects — read nanos
+    * as long via the legacy conf, then DIV 1000 to micros) and as
+    * TIMESTAMP(MICROS) without UTC adjustment in others (which Spark
+    * reads as TIMESTAMP_NTZ). Branch on the dtype that actually arrives
+    * so both vintages land on session-zone TimestampType (session tz is
+    * UTC everywhere in this engine, so the NTZ cast is wall-clock
+    * identity — same instants DuckDB's naive TIMESTAMP oracle sees). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -61,6 +61,8 @@ object NativeExprs {
     toCol(PqEncode(toExpr(e), codebooks))
   def pqAdc(code: Column, lut: Array[Array[Double]]): Column =
     toCol(PqAdc(toExpr(code), lut))
+  def bloomContainsLong(x: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomContainsLong(toExpr(x), filter))
 
   /** One source of truth for the SQL function surface: (name, usage,
     * builder). Both registration paths — programmatic [[registerAll]]
@@ -539,4 +541,40 @@ case class SimHash64(child: Expression)
       s"${ev.value} = graft.functions.SketchKernels.simhash($c);")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Membership probe of a broadcast-style Bloom filter over BIGINT keys,
+  * codegen'd. The filter (built once from the SMALL side — e.g. the
+  * benchmark test-set fingerprints in q80) rides the serialized plan and
+  * ships to every task like a broadcast variable; the probe is one
+  * `mightContainLong` per row inside the scan's codegen span. This is
+  * the map-side pre-screen that keeps a 100 TB corpus from shuffling
+  * fingerprints that cannot possibly join: false positives are possible
+  * (and are removed by the exact join that follows), false negatives are
+  * not, so the rewrite `filter(bloom) → exact join` is semantically
+  * invisible. Mirrors what Spark's InjectRuntimeFilter does for eligible
+  * equi-joins, made explicit so the pre-screen survives any join shape. */
+case class BloomContainsLong(child: Expression,
+                             filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_long expects bigint, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains_long"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Boolean.valueOf(filter.mightContainLong(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsLong =
+    copy(child = c)
 }

@@ -420,15 +420,24 @@ object Curation {
     * around n ≈ 2³² ≈ 4·10⁹; each collision can only ADD a spurious
     * hit — decontamination stays conservative (never under-flags). */
   def decontaminate(train: DataFrame, test: DataFrame): DataFrame = {
-    def shingled(df: DataFrame) = df
-      .select(col("source"), col("doc_id"),
-        explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
-          split(col("text"), " "), DecontamN))).as("fp"))
-    val testFps = shingled(test).select(col("fp")).distinct()
-    val hits = shingled(train)
+    val testFps = shingledFps(test).select(col("fp")).distinct()
+    val hits = shingledFps(train)
       .join(testFps, Seq("fp"))
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
+    contaminationTotals(train, hits)
+  }
+
+  /** (source, doc_id, fp) — one row per DISTINCT n-token window
+    * fingerprint per document (xxhash64 BIGINT, never shingle text). */
+  private def shingledFps(df: DataFrame): DataFrame = df
+    .select(col("source"), col("doc_id"),
+      explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
+        split(col("text"), " "), DecontamN))).as("fp"))
+
+  /** Per-source contamination totals from per-doc hit counts: the
+    * (broadcast-able) rejoin of hits onto the full train id set. */
+  private def contaminationTotals(train: DataFrame, hits: DataFrame): DataFrame =
     train.select(col("source"), col("doc_id"))
       .join(hits, Seq("source", "doc_id"), "left")
       .groupBy(col("source"))
@@ -436,6 +445,43 @@ object Curation {
            sum(when(col("n_hits") >= 1, 1).otherwise(0)).as("n_contaminated"),
            coalesce(max(col("n_hits")), lit(0L)).as("max_hits"))
       .orderBy(col("source"))
+
+  /** False-positive rate for the q80 Bloom pre-screen. At 1% the filter
+    * costs ~9.6 bits per test-set fingerprint (10M fps ≈ 12 MB — well
+    * inside broadcast budget), and the shuffle that follows carries
+    * ~1% of the corpus fingerprints that don't join plus all that do. */
+  val DecontamBloomFpp: Double = 0.01
+
+  /** DECONTAMINATION with a broadcast Bloom-filter pre-screen — the
+    * 100 TB shape of [[decontaminate]]. The exact-join formulation
+    * shuffles EVERY distinct corpus fingerprint even though almost
+    * none join (the test set is a few thousand benchmark docs against
+    * a corpus of billions). Here the small side is collapsed into a
+    * Bloom filter once (driver merge of per-partition filters —
+    * bounded by the test-set size, like IVF's centroid collect), and
+    * the corpus side drops non-members INSIDE its scan's codegen span
+    * ([[graft.functions.BloomContainsLong]]) before any exchange: the
+    * decontamination shuffle shrinks from O(corpus) to
+    * O(matches + fpp·corpus). Bloom false positives survive the
+    * pre-screen but die in the exact join that follows, so results
+    * are bit-identical to [[decontaminate]] — same oracle SQL shape.
+    * This is Spark's runtime-filter idea (InjectRuntimeFilter) applied
+    * explicitly, so it works regardless of join eligibility heuristics. */
+  def decontaminateBloom(train: DataFrame, test: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Persisted: used three times (count for sizing, filter build,
+    // exact join). Test side is small by definition — caching it beats
+    // three corpus-of-test re-scans.
+    val testFps = shingledFps(test).select(col("fp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom = testFps.stat.bloomFilter(
+      "fp", math.max(testFps.count(), 1L), DecontamBloomFpp)
+    val candidates = shingledFps(train)
+      .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bloom))
+    val hits = candidates.join(testFps, Seq("fp"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    contaminationTotals(train, hits)
   }
 
   /** q72: decontaminate the q63 train split against the q63 test
@@ -446,13 +492,30 @@ object Curation {
     decontaminate(docs.filter(b < "cc"), docs.filter(b >= "e6"))
   }
 
-  val q72Sql: String =
+  /** q80: same contamination report via [[decontaminateBloom]] — the
+    * Bloom pre-screen is semantically invisible, so this gets a full
+    * DuckDB hash oracle (the q72 CTE with q80's test split bound).
+    * The test split is wider ('e0' vs q72's 'e6') so the two queries
+    * exercise different filter densities. */
+  def q80BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("doc_id").cast("string"))
+    val docs = documents(s, d).select(col("source"), col("doc_id"), col("text"))
+    decontaminateBloom(docs.filter(b < "cc"), docs.filter(b >= "e0"))
+  }
+
+  val q72Sql: String = decontamSql("e6")
+  val q80Sql: String = decontamSql("e0")
+
+  /** The decontamination oracle CTE, parametrized on the test-split
+    * lower bound (train is always < 'cc'). Shared by q72 (exact) and
+    * q80 (Bloom pre-screened) — identical semantics by construction. */
+  private def decontamSql(testBound: String): String =
     s"""WITH train AS (
       | SELECT source, doc_id, text FROM documents
       | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
       |), test AS (
       | SELECT text FROM documents
-      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '$testBound'
       |), test_fp AS (
       | SELECT DISTINCT md5(sh) AS fp FROM (
       |   SELECT unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
@@ -533,5 +596,6 @@ object Curation {
     ("q71_curation_pipeline", q71CurationPipeline _, Some(q71Sql)),
     ("q72_decontaminate", q72Decontaminate _, Some(q72Sql)),
     ("q77_adaptive_filter", q77AdaptiveFilter _, Some(q77Sql)),
+    ("q80_bloom_decontaminate", q80BloomDecontaminate _, Some(q80Sql)),
   )
 }

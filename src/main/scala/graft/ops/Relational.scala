@@ -782,6 +782,28 @@ object Relational {
       |  AND levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY dist, id_a, id_b""".stripMargin
 
+  /** q79: lineitem⋈orders through [[Skew.saltedJoin]] (16 salts) — the
+    * fact-fact shuffle join shape where a hot order key would
+    * otherwise serialize one reducer. The salt is semantically
+    * invisible (SkewSpec pins bag equality with the plain join), so
+    * this carries a plain-join hash oracle; aggregated to per-status
+    * totals so the oracle compares a stable handful of rows. */
+  def q79SaltedJoin(s: SparkSession, d: String): DataFrame =
+    Skew.saltedJoin(
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+      "l_orderkey", salt = 16)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+
+  val q79Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      | round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -822,5 +844,6 @@ object Relational {
     ("q58_scalar_subquery", q58ScalarSubquery _, q58Sql),
     ("q59_window_range", q59WindowRange _, q59Sql),
     ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
+    ("q79_salted_join", q79SaltedJoin _, q79Sql),
   )
 }

@@ -20,24 +20,36 @@ case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
   */
 object EventStream {
 
-  /** ts as LongType: the source parquet stores TIMESTAMP(NANOS), which
-    * Spark reads only as raw nanos (legacy conf, see Tables.events). */
-  val eventSchema: StructType = StructType(Seq(
+  /** Declared stream-source schema, parametrized on how the generated
+    * parquet stores ts: TIMESTAMP(NANOS) vintages arrive as raw-nanos
+    * LongType (legacy conf, see Tables.events), TIMESTAMP(MICROS)
+    * vintages as TIMESTAMP_NTZ. */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source: the sf dir's events parquet read incrementally. */
+  /** Streaming source: the sf dir's events parquet read incrementally.
+    * readStream needs a declared schema, so sniff the ts physical type
+    * from the parquet footers with a one-off batch read (footer-only —
+    * no data scan), then normalize to session-zone TimestampType the
+    * same way Tables.events does for the batch twin. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** 10-minute tumbling windows per event_type with a 30-minute

@@ -173,6 +173,38 @@ class CurationSpec extends AnyFunSuite {
     assert(got("s2") == ((1L, 0L, 0L)), "short/clean docs must not be flagged")
   }
 
+  test("q80: bloom pre-screen is invisible — agrees with the exact path on planted leakage") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "s1", "alpha the quick brown fox jumps over beta gamma"),
+      (2L, "s1", "totally different words with no benchmark overlap at all"),
+      (3L, "s2", "short doc"),
+      (4L, "s2", "yet another perfectly clean training document about nothing shared"),
+      (5L, "s3", "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "source", "text")
+    val test = Seq(
+      (100L, "bench", "the quick brown fox jumps over")).toDF("doc_id", "source", "text")
+    val exact = Curation.decontaminate(train, test).collect().map(_.toString).toSeq
+    val bloom = Curation.decontaminateBloom(train, test).collect().map(_.toString).toSeq
+    assert(bloom == exact,
+      s"bloom pre-screened result must be bit-identical to the exact join:\n$bloom\nvs\n$exact")
+    // and the planted contamination is actually present in what both agree on
+    val got = Curation.decontaminateBloom(train, test).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("s1") == 1L && got("s3") == 1L && got("s2") == 0L, s"got $got")
+  }
+
+  test("q80: corpus run agrees with decontaminate on the same splits") {
+    val q80 = Curation.q80BloomDecontaminate(spark, sf).collect().map(_.toString).toSeq
+    import org.apache.spark.sql.functions._
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+    val exact = Curation.decontaminate(docs.filter(b < "cc"), docs.filter(b >= "e0"))
+      .collect().map(_.toString).toSeq
+    assert(q80 == exact)
+  }
+
   test("q73: repetition signals detect planted boilerplate") {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.Text.q73Repetition(spark, sf).collect()

@@ -155,6 +155,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"index scan must be bucket-aligned:\n$p")
   }
 
+  /** Plan a query with broadcast joins off: at sf0.001 AQE broadcasts
+    * every small side, which hides the shuffle-partitioning invariants
+    * these tests pin (at 100 TB the sides are NOT broadcast-able —
+    * that regime is exactly what the invariants protect). */
+  private def noBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("q79 salted join shuffles on (key, salt) — the hot key spreads across reducers") {
+    val exchanges = noBroadcast { sparkPlan(q("q79_salted_join")) }.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning.toString
+    }
+    val saltPartitioned = exchanges.filter(p =>
+      p.contains("l_orderkey") && p.contains("_salt"))
+    assert(saltPartitioned.nonEmpty,
+      s"join exchange must partition on (l_orderkey, _salt), found:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q80 bloom pre-screen runs below the corpus-side exchange, keys stay BIGINT") {
+    val p = noBroadcast { sparkPlan(q("q80_bloom_decontaminate")) }
+    // every fp-carrying exchange must have the bloom probe INSIDE its
+    // subtree on the corpus side: the filter runs map-side, before any
+    // data movement — that is the whole point of the pre-screen
+    val fpExchanges = p.collect {
+      case e: ShuffleExchangeExec
+        if e.output.exists(a => a.name == "fp" &&
+          a.dataType == org.apache.spark.sql.types.LongType) => e
+    }
+    assert(fpExchanges.nonEmpty, s"expected fingerprint exchanges:\n$p")
+    val screened = fpExchanges.filter(_.child.toString.contains("bloom_contains_long"))
+    assert(screened.nonEmpty,
+      s"corpus fingerprints must pass bloom_contains_long BEFORE their exchange:\n$p")
+    // and no exchange ever carries the text
+    p.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+      .foreach(cols => assert(!cols.contains("text"),
+        s"decontamination must never shuffle document text: $cols"))
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

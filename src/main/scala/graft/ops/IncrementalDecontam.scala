@@ -30,23 +30,72 @@ object IncrementalDecontam {
       explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
         split(col("text"), " "), DecontamN))).as("fp"))
 
+  /** Sidecar Bloom filter file for an index table — lives next to the
+    * table directory in the warehouse under the same name prefix, so
+    * [[gcIndexTables]]' file sweep collects it with its table. */
+  private def bloomSidecar(s: SparkSession, table: String): java.io.File = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whDir = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
+                else new java.io.File(wh)
+    new java.io.File(whDir, table + "_bloom.bin")
+  }
+
+  /** Best-effort sidecar load: a missing/corrupt file degrades to the
+    * unscreened probe (same results, more shuffle), never to an error. */
+  private def loadBloom(s: SparkSession, table: String):
+      Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val f = bloomSidecar(s, table)
+      if (!f.isFile) None
+      else {
+        val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch { case _: Exception => None }
+
   /** (Re)builds the persisted test-set index: the DISTINCT fingerprint
-    * set of every document in `test`, bucketed+sorted on fp. Static
-    * thereafter — screening never appends to it (unlike the dedup
-    * index); re-run only when the eval suite itself changes. */
-  def buildTestIndex(test: DataFrame, table: String, buckets: Int = 32): Unit =
-    Bucketing.writeBucketed(docFps(test).select(col("fp")).distinct(),
-      table, "fp", buckets)
+    * set of every document in `test`, bucketed+sorted on fp, plus a
+    * Bloom-filter sidecar over the same fingerprints (same role as
+    * q80's in-plan filter: the probe drops non-member batch
+    * fingerprints map-side, BEFORE the bucket-aligning exchange).
+    * Static thereafter — screening never appends to it (unlike the
+    * dedup index); re-run only when the eval suite itself changes. */
+  def buildTestIndex(test: DataFrame, table: String, buckets: Int = 32): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val fps = docFps(test).select(col("fp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      Bucketing.writeBucketed(fps, table, "fp", buckets)
+      val bloom = fps.stat.bloomFilter(
+        "fp", math.max(fps.count(), 1L), Curation.DecontamBloomFpp)
+      val f = bloomSidecar(fps.sparkSession, table)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      try bloom.writeTo(out) finally out.close()
+    } finally fps.unpersist()
+  }
 
   /** Screens a batch against the index: (doc_id, n_hits) for batch
     * docs sharing ≥ 1 distinct n-gram with any indexed test doc.
     * n_hits counts the doc's DISTINCT contaminated shingles — the same
-    * statistic as the batch path's per-doc hit count. */
-  def screenBatch(spark: SparkSession, batch: DataFrame, table: String): DataFrame =
-    docFps(batch)
+    * statistic as the batch path's per-doc hit count. When the index
+    * has a Bloom sidecar, batch fingerprints that cannot possibly join
+    * are dropped inside the shingling scan (codegen'd
+    * BloomContainsLong) before the merge join's exchange — false
+    * positives survive the pre-screen but die in the exact join, so
+    * the screened and unscreened probes return identical rows. */
+  def screenBatch(spark: SparkSession, batch: DataFrame, table: String): DataFrame = {
+    val fps = docFps(batch)
+    val screened = loadBloom(spark, table) match {
+      case Some(bf) =>
+        fps.filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bf))
+      case None => fps
+    }
+    screened
       .join(spark.table(table).hint("MERGE"), Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
+  }
 
   // ------------------------------------------------------------- q78
 
@@ -128,7 +177,9 @@ object IncrementalDecontam {
     import graft.Tables.documents
     val fp = dataFingerprint(s, d)
     val table = indexTableName(d, fp)
-    if (!s.catalog.tableExists(table)) {
+    // a table without its bloom sidecar (e.g. built by an older build)
+    // would degrade every future probe to unscreened — rebuild it
+    if (!s.catalog.tableExists(table) || !bloomSidecar(s, table).isFile) {
       gcIndexTables(s, d)
       val test = documents(s, d)
         .filter(hashBucket(col("doc_id").cast("string")) >= "e6") // q72's test split

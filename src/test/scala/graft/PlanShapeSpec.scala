@@ -141,13 +141,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(joins.nonEmpty, s"expected a merge join probing the index:\n$p")
     joins.foreach { j =>
-      val indexSides = Seq(j.left, j.right)
-        .filter(_.toString.contains("graft_decontam_idx"))
+      val (indexSides, batchSides) = Seq(j.left, j.right)
+        .partition(_.toString.contains("graft_decontam_idx"))
       assert(indexSides.nonEmpty)
       indexSides.foreach { side =>
         val ex = side.collect { case e: ShuffleExchangeExec => e }
         assert(ex.isEmpty,
           s"index side must stay unshuffled (bucketed layout):\n$side")
+      }
+      // and the batch side must pass the index's bloom sidecar BEFORE
+      // its bucket-aligning exchange (map-side pre-screen)
+      batchSides.foreach { side =>
+        assert(side.toString.contains("bloom_contains_long"),
+          s"batch side must be bloom pre-screened below its exchange:\n$side")
       }
     }
     // and the index scan really is the bucketed read

@@ -22,6 +22,7 @@ class StreamingDecontamSpec extends AnyFunSuite {
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
     }
+    new java.io.File(s"/tmp/graft-test-warehouse/${name}_bloom.bin").delete()
   }
 
   // a 5-gram planted verbatim in leaked docs below
@@ -49,6 +50,28 @@ class StreamingDecontamSpec extends AnyFunSuite {
     assert(got.keySet == Set(10L), s"only the leaked doc flags, got $got")
     assert(got(10L) == 4L,
       s"8-token shared span = 4 distinct 5-grams, got ${got(10L)}")
+  }
+
+  test("bloom sidecar: written at build, pre-screen invisible, loss degrades gracefully") {
+    resetTable("decontam_index_bloom")
+    import spark.implicits._
+    val test = Seq((0L, s"alpha beta $evalSpan gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (30L, s"leading $evalSpan trailing words to pad this out"),
+      (31L, "an entirely clean document sharing nothing with the benchmark"))
+      .toDF("doc_id", "text")
+    IncrementalDecontam.buildTestIndex(test, "decontam_index_bloom")
+    val sidecar = new java.io.File("/tmp/graft-test-warehouse/decontam_index_bloom_bloom.bin")
+    assert(sidecar.isFile && sidecar.length() > 0, "build must write the bloom sidecar")
+    val screened = IncrementalDecontam
+      .screenBatch(spark, batch, "decontam_index_bloom")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sidecar.delete())
+    val unscreened = IncrementalDecontam
+      .screenBatch(spark, batch, "decontam_index_bloom")
+      .collect().map(_.toString).sorted.toSeq
+    assert(screened == unscreened,
+      s"bloom pre-screen must not change probe results:\n$screened\nvs\n$unscreened")
   }
 
   test("screenBatch agrees with the batch decontaminate path") {

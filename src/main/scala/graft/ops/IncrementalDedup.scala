@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * the probe join against a batch's buckets is shuffle-free on the
   * index side — the index (the 100 TB side) never moves; only the
   * batch (the small side) shuffles into alignment.
+  *
+  * Deliberately NO Bloom sidecar here (unlike IncrementalDecontam):
+  * this index is append-MUTABLE (appendToIndex), so a filter built at
+  * build time goes stale on the first append — and a stale Bloom
+  * produces false NEGATIVES (batch band keys wrongly dropped before
+  * the join), i.e. silently missed duplicates. The decontam index is
+  * static so its sidecar can never under-match there. The upside is
+  * also small: a probe moves ~bands-per-doc (4) keys per batch doc,
+  * not the ~hundreds of shingle fingerprints decontamination moves.
   */
 object IncrementalDedup {
 

@@ -185,24 +185,42 @@ object Bench {
 
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
+    def queriesJson: String = {
+      val have = ordered.filter { case (n, _) => samples.contains(n) }
+      have.map { case (n, _) => "\"" + n + "\":" + fmt(samples(n).min) }
+        .mkString("{", ",", "}")
+    }
+
+    def totalSec: Double =
+      ordered.collect { case (n, _) if samples.contains(n) => samples(n).min }.sum
+
+    /** The stdout contract line: compact — NO spread — because the
+      * driver's capture keeps only the tail of long lines, and the
+      * ~4.5 KB spread pushed `{"metric":...` past the window for four
+      * rounds running (rc 0 but parsed:null). ~2.5 KB fits; the full
+      * spread diagnostics live in BENCH_FULL.json only. */
+    def buildCompactJson(complete: Boolean): String = {
+      val have = ordered.count { case (n, _) => samples.contains(n) }
+      s"""{"metric":"total","value":${fmt(totalSec)},"unit":"sec",""" +
+        s""""queries_timed":$have,"queries_total":${ordered.length},""" +
+        s""""complete":$complete,"queries":$queriesJson,"sf":"$sfDir"}"""
+    }
+
     def buildJson(complete: Boolean): String = {
       val have = ordered.filter { case (n, _) => samples.contains(n) }
-      val qs = have.map { case (n, _) => "\"" + n + "\":" + fmt(samples(n).min) }
-        .mkString("{", ",", "}")
       val spread = have.map { case (n, _) =>
         val s = samples(n)
         "\"" + n + "\":[" + fmt(s.min) + "," + fmt(s.max) + "," + s.length +
           "," + (if (agreed(s)) "true" else "false") + "," + cappedN(n) +
           "," + failedN(n) + "]"
       }.mkString("{", ",", "}")
-      val total = have.map { case (n, _) => samples(n).min }.sum
       // spread BEFORE queries: the driver's stdout capture keeps the
       // line's tail, so the contract-critical queries map goes last
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt(totalSec)},"unit":"sec",""" +
         s""""queries_timed":${have.length},"queries_total":${ordered.length},""" +
         s""""complete":$complete,"deadline_s":${fmt(deadlineSec)},"elapsed_s":${fmt(elapsedSec)},""" +
         s""""spread_format":"[min,max,n_samples,agreed,n_capped,n_failed]","spread":$spread,""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""queries":$queriesJson,"sf":"$sfDir"}"""
     }
 
     /** Atomic rewrite: tmp file + move, so a kill mid-write can never
@@ -255,7 +273,7 @@ object Bench {
       retry += 1
     }
     writeArtifact(complete = true)
-    println(buildJson(complete = true))
+    println(buildCompactJson(complete = true))
     watchdog.cancel()
     spark.stop()
   }

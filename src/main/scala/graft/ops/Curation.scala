@@ -469,13 +469,18 @@ object Curation {
     * explicitly, so it works regardless of join eligibility heuristics. */
   def decontaminateBloom(train: DataFrame, test: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Persisted: used three times (count for sizing, filter build,
-    // exact join). Test side is small by definition — caching it beats
-    // three corpus-of-test re-scans.
+    // Persisted across the filter build's two jobs only (count for
+    // sizing + the bloom aggregation), then released in finally: the
+    // result DataFrame is lazy, so a cache held into the exact join
+    // has no later unpersist hook and leaks for the JVM lifetime
+    // (r7 ADVICE). The exact join re-derives the test fingerprints at
+    // execution — one extra shingle+distinct of the SMALL side.
     val testFps = shingledFps(test).select(col("fp")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bloom = testFps.stat.bloomFilter(
-      "fp", math.max(testFps.count(), 1L), DecontamBloomFpp)
+    testFps.persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try testFps.stat.bloomFilter(
+        "fp", math.max(testFps.count(), 1L), DecontamBloomFpp)
+      finally testFps.unpersist()
     val candidates = shingledFps(train)
       .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bloom))
     val hits = candidates.join(testFps, Seq("fp"))

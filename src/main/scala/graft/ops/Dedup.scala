@@ -319,6 +319,13 @@ object Dedup {
   private def singleTaskCC(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
+    // coalesce(1) is safe ONLY because p arrives persisted: it reads
+    // the cached blocks. Unpersisted, the coalesce would pull the whole
+    // upstream pipeline (the full LSH candidate generation in q69) into
+    // ONE task — guard the contract so a refactor dropping the
+    // caller's persist() fails every fast-path test, not a cluster.
+    require(p.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "singleTaskCC requires a persisted pair input (coalesce(1) must read cache)")
     p.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions(unionFindLabels)

@@ -32,25 +32,50 @@ object IncrementalDecontam {
 
   /** Sidecar Bloom filter file for an index table — lives next to the
     * table directory in the warehouse under the same name prefix, so
-    * [[gcIndexTables]]' file sweep collects it with its table. */
-  private def bloomSidecar(s: SparkSession, table: String): java.io.File = {
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    val whDir = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
-                else new java.io.File(wh)
-    new java.io.File(whDir, table + "_bloom.bin")
-  }
+    * [[gcIndexTables]]' sweep collects it with its table. Resolved
+    * through the Hadoop FileSystem (like [[Ivf]]'s centroid file), so
+    * an hdfs:// or s3a:// warehouse works the same as file:. */
+  private def bloomSidecarPath(s: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table + "_bloom.bin")
+
+  private def sidecarFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def sidecarExists(s: SparkSession, table: String): Boolean =
+    try {
+      val p = bloomSidecarPath(s, table)
+      sidecarFs(s, p).isFile(p)
+    } catch { case _: Exception => false }
+
+  /** Deserialized-filter memo, keyed by sidecar path and validated by
+    * (mtime, length): steady-state streaming micro-batches screen
+    * against the same static index, and re-reading megabytes of filter
+    * from the FS once per micro-batch is pure waste (r7 ADVICE). A
+    * rebuilt sidecar changes mtime/length and is reloaded. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, org.apache.spark.util.sketch.BloomFilter)]()
 
   /** Best-effort sidecar load: a missing/corrupt file degrades to the
     * unscreened probe (same results, more shuffle), never to an error. */
   private def loadBloom(s: SparkSession, table: String):
       Option[org.apache.spark.util.sketch.BloomFilter] =
     try {
-      val f = bloomSidecar(s, table)
-      if (!f.isFile) None
+      val p = bloomSidecarPath(s, table)
+      val fs = sidecarFs(s, p)
+      if (!fs.isFile(p)) None
       else {
-        val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
-        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-        finally in.close()
+        val st = fs.getFileStatus(p)
+        val cached = bloomCache.get(p.toString)
+        if (cached != null && cached._1 == st.getModificationTime
+            && cached._2 == st.getLen) Some(cached._3)
+        else {
+          val in = fs.open(p)
+          val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                   finally in.close()
+          bloomCache.put(p.toString, (st.getModificationTime, st.getLen, bf))
+          Some(bf)
+        }
       }
     } catch { case _: Exception => None }
 
@@ -60,18 +85,40 @@ object IncrementalDecontam {
     * q80's in-plan filter: the probe drops non-member batch
     * fingerprints map-side, BEFORE the bucket-aligning exchange).
     * Static thereafter — screening never appends to it (unlike the
-    * dedup index); re-run only when the eval suite itself changes. */
+    * dedup index); re-run only when the eval suite itself changes.
+    *
+    * Crash ordering (r7 ADVICE): with a fixed table name, a failure
+    * between the table rewrite and the sidecar rewrite must leave the
+    * probe UNSCREENED (identical results, more shuffle) — never
+    * screened by the OLD filter, whose false negatives would silently
+    * pass contamination. So the stale sidecar is removed BEFORE the
+    * table is touched (and the rebuild aborts if it cannot be), and
+    * the new sidecar is written last, best-effort. */
   def buildTestIndex(test: DataFrame, table: String, buckets: Int = 32): Unit = {
     import org.apache.spark.storage.StorageLevel
+    val s = test.sparkSession
+    val sidecar = bloomSidecarPath(s, table)
+    val fs = sidecarFs(s, sidecar)
+    if (fs.exists(sidecar)) {
+      fs.delete(sidecar, false)
+      bloomCache.remove(sidecar.toString)
+      if (fs.exists(sidecar))
+        sys.error(s"cannot remove stale bloom sidecar $sidecar — " +
+          "aborting rebuild rather than risk a stale pre-screen")
+    }
     val fps = docFps(test).select(col("fp")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       Bucketing.writeBucketed(fps, table, "fp", buckets)
       val bloom = fps.stat.bloomFilter(
         "fp", math.max(fps.count(), 1L), Curation.DecontamBloomFpp)
-      val f = bloomSidecar(fps.sparkSession, table)
-      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
-      try bloom.writeTo(out) finally out.close()
+      try {
+        val out = fs.create(sidecar, true)
+        try bloom.writeTo(out) finally out.close()
+      } catch { case e: Exception =>
+        // no sidecar ⇒ every probe takes the unscreened (correct) path
+        System.err.println(s"[decontam] sidecar write failed, probes run unscreened: ${e.getMessage}")
+      }
     } finally fps.unpersist()
   }
 
@@ -141,19 +188,17 @@ object IncrementalDecontam {
       s.catalog.listTables().collect()
         .filter(_.name.startsWith(prefix))
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val whDir = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
-                  else new java.io.File(wh)
-      Option(whDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(prefix))
-        .foreach(deleteRecursively)
+      // sweep the warehouse (table dirs + bloom sidecars) through the
+      // Hadoop FS so a non-local warehouse GCs the same as file:
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(wh)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach { st =>
+          bloomCache.remove(st.getPath.toString)
+          fs.delete(st.getPath, true)
+        }
     } catch { case _: Exception => () }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
 
   /** q78: the PERSISTED-INDEX decontamination probe, bench-visible —
     * this path's q70 analogue. Builds the bucketed+sorted test-set
@@ -179,7 +224,7 @@ object IncrementalDecontam {
     val table = indexTableName(d, fp)
     // a table without its bloom sidecar (e.g. built by an older build)
     // would degrade every future probe to unscreened — rebuild it
-    if (!s.catalog.tableExists(table) || !bloomSidecar(s, table).isFile) {
+    if (!s.catalog.tableExists(table) || !sidecarExists(s, table)) {
       gcIndexTables(s, d)
       val test = documents(s, d)
         .filter(hashBucket(col("doc_id").cast("string")) >= "e6") // q72's test split

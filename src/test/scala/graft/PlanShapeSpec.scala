@@ -182,6 +182,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"join exchange must partition on (l_orderkey, _salt), found:\n${exchanges.mkString("\n")}")
   }
 
+  test("q79 cold keys see no replication — explode stays confined to the hot branch") {
+    val p = noBroadcast { sparkPlan(q("q79_salted_join")) }
+    // the salt-sequence Generate (explode) must appear below a
+    // (key, _salt)-partitioned exchange ONLY; any exchange partitioned
+    // on the bare key (the cold join, the detection count) replicates
+    // nothing — that is the whole point of hot-key-only salting
+    val coldExchanges = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("l_orderkey") &&
+           !e.outputPartitioning.toString.contains("_salt") => e
+    }
+    assert(coldExchanges.nonEmpty, s"expected bare-key exchanges (cold join):\n$p")
+    coldExchanges.foreach { e =>
+      assert(!e.child.toString.contains("Generate"),
+        s"cold-path exchange must not replicate its input:\n${e.child}")
+    }
+    // exactly the hot build side carries the ×salt replication
+    val generates = p.collect {
+      case g if g.nodeName.contains("Generate") => g
+    }
+    assert(generates.length == 1,
+      s"expected exactly one salt-replication Generate (hot build side), got ${generates.length}")
+  }
+
   test("q80 bloom pre-screen runs below the corpus-side exchange, keys stay BIGINT") {
     val p = noBroadcast { sparkPlan(q("q80_bloom_decontaminate")) }
     // every fp-carrying exchange must have the bloom probe INSIDE its

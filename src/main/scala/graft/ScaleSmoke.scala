@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+/** Dev tool: demonstrates the document operators' scaling beyond the
+  * driver's sf0.1 — the suite's 100 TB claims are argued from plan
+  * shape; this measures one actual scale-up.
+  *
+  * Generates a ×K replica of the documents corpus into
+  * `target/scale{K}x/` with PER-COPY TOKEN SALTING: every token of
+  * copy k is suffixed `~k`, so replicas share no shingles with each
+  * other and the near-dup / contamination DENSITY stays exactly the
+  * base corpus's (naive text replication would instead create K-sized
+  * exact-dup cliques — quadratic pair growth that measures the data
+  * change, not the engine). The honest expectation for the banded-LSH
+  * and decontamination paths is therefore ~linear wall-time in K.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base> runMain graft.ScaleSmoke [K] [q...]
+  * Times each query twice on base and twice on the scaled copy (min
+  * reported), QBench-style noop materialization.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val qs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q43_minhash_pairs", "q69_lsh_clusters",
+               "q72_decontaminate", "q80_bloom_decontaminate")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"target/scale${k}x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, base)
+    val maxId = docs.agg(F.max("doc_id")).head().getLong(0) + 1L
+    val salted = F.array_join(
+      F.transform(F.split(F.col("text"), " "),
+        t => F.concat(t, F.lit("~"), F.col("copy"))), " ")
+    docs.crossJoin(spark.range(k).toDF("copy"))
+      .select(
+        (F.col("doc_id") + F.col("copy") * maxId).as("doc_id"),
+        salted.as("text"),
+        F.col("lang"), F.col("source"),
+        F.length(salted).cast("long").as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"SCALE generated ${k}x corpus at $outDir")
+
+    def time(q: String, dir: String, tag: String): Unit = {
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"SCALE $q $tag min=$best%.2f s")
+    }
+    qs.foreach { q => time(q, base, "base"); time(q, outDir, s"${k}x") }
+    spark.stop()
+  }
+}

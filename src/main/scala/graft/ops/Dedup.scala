@@ -136,6 +136,51 @@ object Dedup {
       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Token-set CONTAINMENT scoring for candidate pairs — the
+    * asymmetric near-dup measure (|A∩B| / |A|): a short document
+    * quoted or templated inside a long one scores ~1 in one direction
+    * while its Jaccard stays low, so Jaccard-thresholded dedup misses
+    * it entirely. Candidates arrive as an (id_a, id_b) frame (at scale
+    * the banded-LSH candidates of [[minhashPairs]] — never all pairs);
+    * scoring joins the token sets back by id, so the pair exchange
+    * carries only ids and the set join is bounded by the candidate
+    * count. */
+  def containmentScores(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val withSets = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+    cands
+      .join(withSets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(withSets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
+              / size(col("ts_a")), 4).as("cont_a_in_b"),
+        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
+              / size(col("ts_b")), 4).as("cont_b_in_a"))
+  }
+
+  /** q81: exact bidirectional containment over a bounded id range —
+    * the oracle anchor for [[containmentScores]] (the same deliberate
+    * all-pairs-on-constant-ids shape as q44/q47: constant work at any
+    * corpus scale; the production path feeds LSH candidates). */
+  def q81Containment(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select(col("doc_id"))
+    val cands = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
+    containmentScores(docs, cands).orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q81Sql: String =
+    """WITH docs AS (
+      | SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+      | FROM documents WHERE doc_id < 60
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts), 4) AS cont_a_in_b,
+      | round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(b.ts), 4) AS cont_b_in_a
+      |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** 63-bit SimHash per document (graft.functions.SimHash64: one pass
     * over the token array — per-bit ±1 votes of token hashes, packed).
     * Emitted with a 16-bit prefix bucket (the banding key for
@@ -515,6 +560,7 @@ object Dedup {
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
     ("q45_simhash", q45Simhash _, None),
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
+    ("q81_containment", q81Containment _, Some(q81Sql)),
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
     ("q69_lsh_clusters", q69LshClusters _, None),

@@ -260,6 +260,69 @@ object Text {
               col("hit.count").as("est_count"), col("hit.err").as("err"))
       .orderBy(col("source"), col("rank"))
 
+  /** q82: corpus-trained bigram language-model scoring — the
+    * perplexity quality filter (the published curation recipe scores
+    * each document against a reference LM and drops the tails; here
+    * the LM is the corpus's own bigram MLE, the self-scoring variant).
+    * P(w2|w1) = c(w1 w2) / c(w1 ·); per doc the mean log2 P over its
+    * bigram OCCURRENCES, plus perplexity 2^(-mean).
+    *
+    * 100 TB shape: every shuffle carries 8-byte xxhash64 keys — docs
+    * explode to (doc_id, bigram-fp, prefix-fp) map-side via the native
+    * window-hash kernel (no bigram strings materialized, same
+    * discipline as decontamination), both count tables are map-side
+    * combined groupBys over those BIGINTs, the probability joins are
+    * fp-keyed (AQE-eligible), and the final per-doc mean shuffles
+    * (doc_id, logp). The LM table is corpus-vocabulary-sized, not
+    * corpus-sized, so at scale it is broadcast-able or hash-joined —
+    * never recomputed per doc. */
+  def q82BigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmScores(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Core of q82 over any (doc_id, text) frame — unit-tested against
+    * hand-computed bigram MLEs in TextSpec. */
+  def bigramLmScores(documents: DataFrame): DataFrame = {
+    val sh = graft.functions.NativeExprs.shingleHashes(_: Column, _: Int)
+    val docs = documents
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val rows = docs.select(col("doc_id"),
+        explode(zip_with(
+          sh(col("t"), 2),
+          sh(slice(col("t"), lit(1), size(col("t")) - 1), 1),
+          (b, p) => struct(b.as("fp12"), p.as("fp1")))).as("bg"))
+      .select(col("doc_id"), col("bg.fp12"), col("bg.fp1"))
+    val c12 = rows.groupBy(col("fp12")).agg(count(lit(1)).as("c12"))
+    val c1 = rows.groupBy(col("fp1")).agg(count(lit(1)).as("c1"))
+    rows.join(c12, Seq("fp12")).join(c1, Seq("fp1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           avg(log2(col("c12").cast("double") / col("c1"))).as("m"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("m"), 3).as("avg_logp2"),
+        round(pow(lit(2.0), -col("m")), 2).as("ppl"))
+  }
+
+  val q82Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, str_split(text, ' ') AS t FROM documents
+      | WHERE len(str_split(text, ' ')) >= 2
+      |), big AS (
+      | SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+      |), c12 AS (
+      | SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+      |), c1 AS (
+      | SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+      |)
+      |SELECT big.doc_id, count(*) AS n_bigrams,
+      | round(avg(log2(CAST(c12.c12 AS DOUBLE) / c1.c1)), 3) AS avg_logp2,
+      | round(pow(2, -avg(log2(CAST(c12.c12 AS DOUBLE) / c1.c1))), 2) AS ppl
+      |FROM big
+      |JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+      |JOIN c1 ON big.w1 = c1.w1
+      |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -271,5 +334,6 @@ object Text {
     ("q53_hll_distinct", q53HllDistinct _, None),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
     ("q74_heavy_hitters", q74HeavyHitters _, None),
+    ("q82_bigram_lm", q82BigramLm _, Some(q82Sql)),
   )
 }

@@ -318,4 +318,22 @@ class DedupSpec extends AnyFunSuite {
     // one multi-doc cluster exists
     assert(labels.groupBy(_._2).exists(_._2.size > 1))
   }
+
+  test("containment is asymmetric: a quoted subset scores 1.0 one way only") {
+    import spark.implicits._
+    // doc 1's tokens are a strict subset of doc 2's; doc 3 is disjoint
+    val docs = docsDf(Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "iota kappa lambda")))
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val rows = Dedup.containmentScores(docs, cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // 1 ⊆ 2: all of 1 inside 2 (cont=1.0) but only 3/8 of 2 inside 1
+    assert(rows.contains((1L, 2L, 1.0, 0.375)))
+    // Jaccard for the same pair is 3/8 — below any dedup threshold;
+    // containment is what catches the quote
+    assert(rows.contains((1L, 3L, 0.0, 0.0)))
+  }
 }

@@ -226,6 +226,21 @@ class PlanShapeSpec extends AnyFunSuite {
         s"decontamination must never shuffle document text: $cols"))
   }
 
+  test("q82 bigram-LM exchanges carry BIGINT hashes, never text or bigram strings") {
+    val shuffles = sparkPlan(q("q82_bigram_lm")).collect {
+      case e: ShuffleExchangeExec => e.output.map(a => a.name -> a.dataType)
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.exists(c => c._1 == "text" || c._1 == "t"),
+        s"LM scoring must never shuffle document text/tokens: $cols")
+      cols.filter(c => c._1 == "fp12" || c._1 == "fp1").foreach { case (_, dt) =>
+        assert(dt == org.apache.spark.sql.types.LongType,
+          s"bigram keys must be 8-byte xxhash64 LONGs, got $dt")
+      }
+    }
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

@@ -292,12 +292,19 @@ object Text {
           sh(slice(col("t"), lit(1), size(col("t")) - 1), 1),
           (b, p) => struct(b.as("fp12"), p.as("fp1")))).as("bg"))
       .select(col("doc_id"), col("bg.fp12"), col("bg.fp1"))
-    val c12 = rows.groupBy(col("fp12")).agg(count(lit(1)).as("c12"))
-    val c1 = rows.groupBy(col("fp1")).agg(count(lit(1)).as("c1"))
-    rows.join(c12, Seq("fp12")).join(c1, Seq("fp1"))
+    // ONE corpus-scale aggregation builds the LM: the prefix totals
+    // c(w1 ·) come from re-aggregating the vocabulary-sized bigram
+    // table (fp12 determines fp1, so first() is exact), NOT from a
+    // second pass over the corpus — the only corpus-sized shuffles
+    // are the c12 groupBy, the scoring join, and the per-doc mean.
+    val c12 = rows.groupBy(col("fp12"))
+      .agg(count(lit(1)).as("c12"), first(col("fp1")).as("fp1"))
+    val c1 = c12.groupBy(col("fp1")).agg(sum(col("c12")).as("c1"))
+    val lm = c12.join(c1, Seq("fp1"))
+      .select(col("fp12"), log2(col("c12").cast("double") / col("c1")).as("logp"))
+    rows.join(lm, Seq("fp12"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-           avg(log2(col("c12").cast("double") / col("c1"))).as("m"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("m"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("m"), 3).as("avg_logp2"),
         round(pow(lit(2.0), -col("m")), 2).as("ppl"))

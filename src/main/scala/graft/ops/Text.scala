@@ -292,15 +292,18 @@ object Text {
           sh(slice(col("t"), lit(1), size(col("t")) - 1), 1),
           (b, p) => struct(b.as("fp12"), p.as("fp1")))).as("bg"))
       .select(col("doc_id"), col("bg.fp12"), col("bg.fp1"))
-    // ONE corpus-scale aggregation builds the LM: the prefix totals
-    // c(w1 ·) come from re-aggregating the vocabulary-sized bigram
-    // table (fp12 determines fp1, so first() is exact), NOT from a
-    // second pass over the corpus — the only corpus-sized shuffles
-    // are the c12 groupBy, the scoring join, and the per-doc mean.
-    val c12 = rows.groupBy(col("fp12"))
-      .agg(count(lit(1)).as("c12"), first(col("fp1")).as("fp1"))
-    val c1 = c12.groupBy(col("fp1")).agg(sum(col("c12")).as("c1"))
-    val lm = c12.join(c1, Seq("fp1"))
+    // ONE corpus-scale aggregation builds the LM. The prefix totals
+    // c(w1 ·) are a window-sum over the vocabulary-sized count table
+    // (fp12 determines fp1, so fp1 rides as a grouping key for free) —
+    // NOT a second aggregation of a separately-referenced c12 frame:
+    // Spark does not reuse the exchange across two consumers of the
+    // same aggregate subtree (measured: the corpus explode ran twice),
+    // and a window keeps the LM a single-consumption subtree by
+    // construction. Corpus-sized shuffles: the count groupBy, the
+    // scoring join, the per-doc mean — exactly three.
+    val c12 = rows.groupBy(col("fp12"), col("fp1")).agg(count(lit(1)).as("c12"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp1"))
+    val lm = c12.withColumn("c1", sum(col("c12")).over(w))
       .select(col("fp12"), log2(col("c12").cast("double") / col("c1")).as("logp"))
     rows.join(lm, Seq("fp12"))
       .groupBy(col("doc_id"))

@@ -592,6 +592,76 @@ object Curation {
       |FROM ranked WHERE rn <= (n + 1) // 2
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+
+  /** Temperature-scaled source mixing — the multilingual/source
+    * REBALANCING recipe (sample source i with probability
+    * p_i ∝ (n_i/N)^α, α<1 flattening the distribution so small
+    * sources are up-weighted), turned into deterministic per-doc keep
+    * rates under a total budget: r_i = min(1, B·N·p_i / n_i). q66
+    * takes the rates as given; this derives them from corpus
+    * statistics — the two-pass shape every rebalancing pipeline runs.
+    *
+    * 100 TB shape: pass 1 is a map-side-combined per-source count
+    * (shuffles one row per source); the tiny stats frame computes
+    * rates through unpartitioned windows (constant rows — one task)
+    * and broadcasts back onto the corpus for a map-side deterministic
+    * keep decision (salted-md5 uniform vs a 32-bit hex threshold, the
+    * q63/q66 discipline — rerunnable, join-free, skew-proof). Docs
+    * never shuffle; the output is per-source accounting. */
+  def temperatureMix(docs: DataFrame, alpha: Double, budget: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_tot", sum(col("n_docs")).over(all))
+      .withColumn("w", pow(col("n_docs").cast("double") / col("n_tot"), lit(alpha)))
+      .withColumn("rate", least(lit(1.0),
+        lit(budget) * col("n_tot") * (col("w") / sum(col("w")).over(all))
+          / col("n_docs")))
+      .select(col("source"), col("n_docs"), col("rate"))
+    // 8-hex-digit uniform per doc vs floor(rate·2^32) as a zero-padded
+    // hex threshold: pure string comparison, identical in any engine.
+    // rate = 1 (budget-capped small source) keeps unconditionally —
+    // its threshold would need 9 digits.
+    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":tmix"))), 1, 8)
+    val thr = lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast("bigint"))), 8, "0")
+    val keep = when(col("rate") >= 1.0, 1).otherwise((u < thr).cast("int"))
+    docs.select(col("source"), col("doc_id"))
+      .join(broadcast(stats), Seq("source"))
+      .select(col("source"), col("n_docs"), col("rate"), keep.as("keep"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+           round(first(col("rate")), 6).as("rate"),
+           sum(col("keep")).cast("bigint").as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** q83: rebalance the documents corpus across sources at α = 0.5
+    * under a 25% budget. */
+  def q83TemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(documents(s, d).select(col("source"), col("doc_id")),
+      alpha = 0.5, budget = 0.25)
+
+  val q83Sql: String =
+    """WITH counts AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+      |), stats AS (
+      | SELECT source, n_docs,
+      |   least(1.0, 0.25 * (SELECT CAST(sum(n_docs) AS DOUBLE) FROM counts)
+      |     * (pow(CAST(n_docs AS DOUBLE) / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM counts), 0.5)
+      |        / (SELECT sum(pow(CAST(n_docs AS DOUBLE) / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM counts), 0.5)) FROM counts))
+      |     / n_docs) AS rate
+      | FROM counts
+      |)
+      |SELECT d.source, any_value(s.n_docs) AS n_docs,
+      | round(any_value(s.rate), 6) AS rate,
+      | CAST(sum(CASE WHEN s.rate >= 1.0 THEN 1
+      |   WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':tmix'), 1, 8) <
+      |     lpad(lower(hex(CAST(floor(s.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents d JOIN stats s ON d.source = s.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -602,5 +672,6 @@ object Curation {
     ("q72_decontaminate", q72Decontaminate _, Some(q72Sql)),
     ("q77_adaptive_filter", q77AdaptiveFilter _, Some(q77Sql)),
     ("q80_bloom_decontaminate", q80BloomDecontaminate _, Some(q80Sql)),
+    ("q83_temperature_mix", q83TemperatureMix _, Some(q83Sql)),
   )
 }

@@ -242,4 +242,40 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.q66MixSample(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("temperature mix: alpha < 1 up-weights small sources, budget holds in expectation") {
+    import spark.implicits._
+    // 10:1 skew — at alpha 0.5 the sampling weights go as sqrt(n), so
+    // the small source's PER-DOC rate is sqrt(10) x the big one's
+    val docs = (Seq.tabulate(2000)(i => ("big", i.toLong)) ++
+                Seq.tabulate(200)(i => ("small", 10000L + i)))
+      .toDF("source", "doc_id")
+    val m = Curation.temperatureMix(docs, alpha = 0.5, budget = 0.25)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val (nBig, rBig, kBig) = m("big")
+    val (nSmall, rSmall, kSmall) = m("small")
+    assert(nBig == 2000 && nSmall == 200)
+    assert(math.abs(rSmall / rBig - math.sqrt(10.0)) < 1e-3,
+      s"rate ratio ${rSmall / rBig} should be ~sqrt(10)")
+    // expected kept = budget * N = 550; hash-uniform within a loose CI
+    val kept = kBig + kSmall
+    assert(kept > 450 && kept < 650, s"expected ~550 kept, got $kept")
+    // per-source keeps track their own expectation n_i * r_i
+    assert(math.abs(kBig - nBig * rBig) < 4 * math.sqrt(nBig * rBig * (1 - rBig)) + 10)
+    assert(math.abs(kSmall - nSmall * rSmall) < 4 * math.sqrt(nSmall * rSmall * (1 - rSmall)) + 10)
+  }
+
+  test("temperature mix: a budget-capped source keeps everything (rate clamps at 1)") {
+    import spark.implicits._
+    // tiny source + huge budget: its raw rate exceeds 1 and must clamp
+    val docs = (Seq.tabulate(1000)(i => ("big", i.toLong)) ++
+                Seq.tabulate(5)(i => ("tiny", 20000L + i)))
+      .toDF("source", "doc_id")
+    val m = Curation.temperatureMix(docs, alpha = 0.3, budget = 0.6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(m("tiny")._2 == 1.0, s"tiny source rate must clamp: ${m("tiny")._2}")
+    assert(m("tiny")._3 == 5L, "clamped source keeps every doc")
+  }
 }

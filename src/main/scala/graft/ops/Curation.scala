@@ -662,6 +662,47 @@ object Curation {
       |FROM documents d JOIN stats s ON d.source = s.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+
+  /** Stratified EXACT-k sampling: exactly `k` documents per source
+    * (every doc of a smaller source), chosen uniformly and
+    * deterministically by ranking on a salted-md5 uniform with doc_id
+    * tie-break — "take exactly 10k docs per language", the quota
+    * sampler that rate-based mixing (q66/q83) cannot express (rates
+    * only hit quotas in expectation). Rerunnable: same corpus, same
+    * sample.
+    *
+    * At scale the row_number window sorts each source's partition;
+    * with k ≪ n_i the 100 TB refinement is a pre-filter on the hash
+    * prefix (keep u < ~2·k/n_i, then rank the survivors exactly) — the
+    * same two-phase shape as the adaptive filter's rank cut; the
+    * fallback full sort is still one shuffle, spilling, never
+    * collecting. */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
+    val w = Window.partitionBy(col("source")).orderBy(u.asc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** q84: exactly 20 docs per source from the documents corpus. */
+  def q84StratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(documents(s, d).select(col("source"), col("doc_id")), 20)
+      .orderBy(col("source"), col("rk"))
+
+  val q84Sql: String =
+    """WITH t AS (
+      | SELECT source, doc_id,
+      |   CAST(row_number() OVER (PARTITION BY source
+      |     ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 16), doc_id)
+      |   AS INT) AS rk
+      | FROM documents
+      |)
+      |SELECT source, doc_id, rk FROM t WHERE rk <= 20
+      |ORDER BY source, rk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -673,5 +714,6 @@ object Curation {
     ("q77_adaptive_filter", q77AdaptiveFilter _, Some(q77Sql)),
     ("q80_bloom_decontaminate", q80BloomDecontaminate _, Some(q80Sql)),
     ("q83_temperature_mix", q83TemperatureMix _, Some(q83Sql)),
+    ("q84_stratified_sample", q84StratifiedSample _, Some(q84Sql)),
   )
 }

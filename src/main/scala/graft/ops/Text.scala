@@ -333,6 +333,61 @@ object Text {
       |JOIN c1 ON big.w1 = c1.w1
       |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin
 
+  /** q85: TF-IDF characteristic terms per source — q34 ranks raw
+    * counts (dominated by corpus-wide common words); IDF weighting
+    * (ln(S/df), df = sources containing the token) surfaces what makes
+    * each source DIFFERENT, the signature-term primitive behind
+    * source-level quality triage and domain tagging.
+    *
+    * 100 TB shape: the text is scanned ONCE into a map-side-combined
+    * (source, token) tf aggregation; df is a token-partitioned window
+    * COUNT over that vocab-×-sources table (single consumption — two
+    * consumers of one aggregate subtree would re-run the corpus
+    * explode, the q82 lesson); the source count comes from a second,
+    * source-column-only pruned scan (dictionary pages, negligible)
+    * broadcast as one row; the final top-3 window sorts the tf table
+    * per source. */
+  def q85TfIdf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nSrc = documents(s, d).select(col("source")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_src"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(nSrc))
+      .select(col("source"), col("token"), col("tf"),
+        round(col("tf").cast("double") * log(col("n_src") / col("df")), 4).as("tf_idf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tf_idf").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("token"), col("tf"), col("tf_idf"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q85Sql: String =
+    """WITH tok AS (
+      | SELECT source, unnest(str_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      | SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      | SELECT token, count(*) AS df FROM tf GROUP BY 1
+      |), ns AS (
+      | SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src FROM tf
+      |), scored AS (
+      | SELECT tf.source, tf.token, tf.tf,
+      |   round(tf.tf * ln(ns.n_src / df.df), 4) AS tf_idf
+      | FROM tf JOIN df USING (token), ns
+      |)
+      |SELECT source, rk, token, tf, tf_idf FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |   ORDER BY tf_idf DESC, token) AS INT) AS rk
+      | FROM scored
+      |) WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -345,5 +400,6 @@ object Text {
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
     ("q74_heavy_hitters", q74HeavyHitters _, None),
     ("q82_bigram_lm", q82BigramLm _, Some(q82Sql)),
+    ("q85_tfidf", q85TfIdf _, Some(q85Sql)),
   )
 }

@@ -278,4 +278,19 @@ class CurationSpec extends AnyFunSuite {
     assert(m("tiny")._2 == 1.0, s"tiny source rate must clamp: ${m("tiny")._2}")
     assert(m("tiny")._3 == 5L, "clamped source keeps every doc")
   }
+
+  test("stratified sample: exactly k per source, all of a smaller source, deterministic") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(100)(i => ("big", i.toLong)) ++
+                Seq.tabulate(7)(i => ("small", 1000L + i)))
+      .toDF("source", "doc_id")
+    val sample = Curation.stratifiedSample(docs, 10).collect()
+    val bySrc = sample.groupBy(_.getString(0))
+    assert(bySrc("big").length == 10, "exactly k from the larger source")
+    assert(bySrc("small").length == 7, "every doc of a sub-k source")
+    assert(bySrc("big").map(_.getInt(2)).sorted.toSeq == (1 to 10), "ranks are 1..k")
+    val again = Curation.stratifiedSample(docs, 10).collect()
+    assert(sample.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
+      "same corpus, same sample")
+  }
 }

@@ -240,11 +240,79 @@ object Similarity {
       |FROM n JOIN ss ON n.label = ss.label
       |WHERE n.n >= 2 ORDER BY label""".stripMargin
 
+  /** q86: per-label embedding OUTLIERS — each label's k vectors least
+    * aligned with the label centroid (cosine of the unit vector
+    * against the mean unit direction). The semantic-outlier triage a
+    * curation pipeline runs on embedded documents: a low
+    * centroid-cosine doc is mislabeled, off-topic, or noise. q76
+    * measures a label's aggregate diversity; this names the
+    * individual offenders.
+    *
+    * 100 TB shape: the centroid table is (labels × dim) scalars built
+    * from one (label, dim) partial-aggregated shuffle (the q76
+    * discipline — never pairs, never vectors), reassembled into
+    * arrays label-side, and broadcast; scoring is then a map-side
+    * zip_with dot per vector, and only the per-label top-k window
+    * shuffles (vec_id, cos) pairs. The vectors themselves are scanned
+    * twice (centroid pass + scoring pass) and shuffled never. */
+  def embeddingOutliers(embs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = embs
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("label"), expr("transform(e, x -> x / nrm)").as("u"))
+    val cent = unit.select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(sum(col("x")).as("sv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), s -> s.sv)").as("c"))
+      .withColumn("cnorm", sqrt(expr("aggregate(c, 0D, (acc, x) -> acc + x * x)")))
+    val scored = unit.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(expr("aggregate(zip_with(u, c, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+          / col("cnorm"), 6).as("cos_centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("cos_centroid"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  def q86CentroidOutliers(s: SparkSession, d: String): DataFrame =
+    embeddingOutliers(emb(s, d), 3)
+
+  val q86Sql: String =
+    """WITH base AS (
+      | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+      |), e AS (
+      | SELECT vec_id, label, list_transform(ed,
+      |   x -> x / sqrt(list_sum(list_transform(ed, y -> y*y)))) AS u
+      | FROM base
+      | WHERE sqrt(list_sum(list_transform(ed, y -> y*y))) > 0
+      |), dims AS (
+      | SELECT label, dim, sum(x) AS sv FROM (
+      |   SELECT label, unnest(u) AS x, unnest(range(1, len(u)+1)) AS dim FROM e)
+      | GROUP BY label, dim
+      |), cent AS (
+      | SELECT label, list(sv ORDER BY dim) AS c FROM dims GROUP BY label
+      |), cn AS (
+      | SELECT label, c, sqrt(list_sum(list_transform(c, y -> y*y))) AS cnorm FROM cent
+      |), scored AS (
+      | SELECT e.label, e.vec_id,
+      |   round(list_sum(list_transform(range(1, len(u)+1), i -> u[i] * c[i])) / cnorm, 6)
+      |     AS cos_centroid
+      | FROM e JOIN cn ON e.label = cn.label
+      |)
+      |SELECT label, rk, vec_id, cos_centroid FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY label
+      |   ORDER BY cos_centroid ASC, vec_id) AS INT) AS rk FROM scored
+      |) WHERE rk <= 3 ORDER BY label, rk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
     ("q42_embed_neardup", q42EmbedNearDup _, None),
     ("q56_quantized_topk", q56QuantizedTopK _, None),
     ("q76_semantic_diversity", q76SemanticDiversity _, Some(q76Sql)),
+    ("q86_centroid_outliers", q86CentroidOutliers _, Some(q86Sql)),
   )
 }

@@ -207,4 +207,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!cos0.isNaN && math.abs(cos0 - 0.0) < 1e-9,
       s"orthogonal pair must give exactly 0, got $cos0")
   }
+
+  test("centroid outliers: the planted off-cluster vector ranks first") {
+    import spark.implicits._
+    // label 0: three vectors hugging +x, one pointing -x (the outlier);
+    // zero-norm vector must be dropped, not scored
+    val embs = Seq(
+      (10L, 0, Seq(1.0, 0.05)), (11L, 0, Seq(1.0, -0.05)), (12L, 0, Seq(1.0, 0.0)),
+      (13L, 0, Seq(-1.0, 0.0)),
+      (14L, 0, Seq(0.0, 0.0)),
+      (20L, 1, Seq(0.0, 2.0)), (21L, 1, Seq(0.0, 3.0))
+    ).toDF("vec_id", "label", "e")
+    val got = Similarity.embeddingOutliers(embs, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val label0 = got.filter(_._1 == 0)
+    assert(label0.head._3 == 13L, s"the -x vector must be rank 1: ${label0.toSeq}")
+    assert(label0.head._4 < 0, "outlier points against the centroid")
+    assert(!got.exists(_._3 == 14L), "zero-norm vectors are excluded")
+    // label 1's two colinear vectors both score cos 1 to their centroid
+    got.filter(_._1 == 1).foreach(r => assert(math.abs(r._4 - 1.0) < 1e-6))
+  }
 }

@@ -293,4 +293,16 @@ class CurationSpec extends AnyFunSuite {
     assert(sample.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
       "same corpus, same sample")
   }
+
+  test("stratified samples nest: the k=10 sample is a prefix of the k=20 sample") {
+    // growing the quota must only ADD docs (rank order is corpus-stable),
+    // so downstream consumers can grow a sample without resampling
+    val docs = graft.Tables.documents(spark, sf).select("source", "doc_id")
+    def ids(k: Int) = Curation.stratifiedSample(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s10 = ids(10)
+    val s20 = ids(20)
+    assert(s10.subsetOf(s20), "smaller quota must be contained in the larger")
+    assert(s10.nonEmpty && s20.size > s10.size)
+  }
 }

@@ -336,4 +336,20 @@ class DedupSpec extends AnyFunSuite {
     // containment is what catches the quote
     assert(rows.contains((1L, 3L, 0.0, 0.0)))
   }
+
+  test("containment dominates jaccard on every corpus pair (|A∩B|/|A| ≥ |A∩B|/|A∪B|)") {
+    val spark2 = spark
+    val jac = Dedup.q44JaccardExact(spark2, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = Dedup.q81Containment(spark2, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(jac.keySet == cont.keySet, "same bounded pair set")
+    assert(jac.nonEmpty)
+    // rounding to 4 decimals can nudge each side by 5e-5
+    jac.foreach { case (k, j) =>
+      val (ca, cb) = cont(k)
+      assert(ca >= j - 1e-4 && cb >= j - 1e-4,
+        s"pair $k: containment ($ca, $cb) must dominate jaccard $j")
+    }
+  }
 }

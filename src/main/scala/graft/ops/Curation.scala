@@ -662,6 +662,81 @@ object Curation {
       |FROM documents d JOIN stats s ON d.source = s.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+
+  /** Span-level decontamination: for every contaminated train doc, the
+    * EXTENT of the contamination — distinct leaked shingles, first and
+    * last contaminated token position, and the affected fraction of
+    * the doc. q72 answers "which docs / how many shingles"; masking
+    * pipelines (cut the leaked span, keep the rest of the document)
+    * need WHERE, which requires per-occurrence positions instead of
+    * the distinct-fp projection the counting paths use.
+    *
+    * 100 TB shape: the corpus side explodes to fixed-width
+    * (ids, n_tokens, pos, fp) rows — text never shuffles, and the
+    * fp join + per-doc aggregation is the q72 plan with two extra
+    * int columns. Only docs with ≥ 1 hit survive to the (small)
+    * output; the q80 Bloom pre-screen composes in front of the join
+    * unchanged if the corpus-side volume warrants it. */
+  def decontaminateSpans(train: DataFrame, test: DataFrame): DataFrame = {
+    val testFps = shingledFps(test).select(col("fp")).distinct()
+    val pos = train.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        posexplode(graft.functions.NativeExprs.shingleHashes(
+          split(col("text"), " "), DecontamN)).as(Seq("pos", "fp")))
+    pos.join(testFps, Seq("fp"))
+      .groupBy(col("source"), col("doc_id"), col("n_tokens"))
+      .agg(countDistinct(col("fp")).as("n_hits"),
+           min(col("pos")).as("first_pos"),
+           max(col("pos")).as("last_pos"))
+      .select(col("source"), col("doc_id"), col("n_hits"),
+        col("first_pos"), col("last_pos"),
+        round((col("last_pos") - col("first_pos") + lit(DecontamN)).cast("double")
+              / col("n_tokens"), 4).as("span_frac"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** q87: contamination spans of the q63 train split vs the q72 test
+    * split. */
+  def q87DecontamSpans(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("doc_id").cast("string"))
+    val docs = documents(s, d).select(col("source"), col("doc_id"), col("text"))
+    decontaminateSpans(docs.filter(b < "cc"), docs.filter(b >= "e6"))
+  }
+
+  val q87Sql: String =
+    s"""WITH train AS (
+      | SELECT source, doc_id, text FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |), test AS (
+      | SELECT text FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      |), test_fp AS (
+      | SELECT DISTINCT md5(sh) AS fp FROM (
+      |   SELECT unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+      |     for i in range(1, len(t) - ${DecontamN - 2})])) AS sh
+      |   FROM (SELECT str_split(text, ' ') AS t FROM test)
+      |   WHERE len(t) >= $DecontamN)
+      |), train_pos AS (
+      | SELECT source, doc_id, len(t) AS n_tokens,
+      |   unnest(range(1, len(t) - ${DecontamN - 2})) AS i, t
+      | FROM (SELECT source, doc_id, str_split(text, ' ') AS t FROM train)
+      | WHERE len(t) >= $DecontamN
+      |), hits AS (
+      | SELECT source, doc_id, n_tokens, i - 1 AS pos,
+      |   md5(array_to_string(t[i:i+${DecontamN - 1}], ' ')) AS fp
+      | FROM train_pos
+      |)
+      |SELECT h.source, h.doc_id,
+      | CAST(count(DISTINCT h.fp) AS BIGINT) AS n_hits,
+      | CAST(min(h.pos) AS INT) AS first_pos,
+      | CAST(max(h.pos) AS INT) AS last_pos,
+      | round(CAST(max(h.pos) - min(h.pos) + $DecontamN AS DOUBLE) / h.n_tokens, 4)
+      |   AS span_frac
+      |FROM hits h JOIN test_fp ON h.fp = test_fp.fp
+      |GROUP BY h.source, h.doc_id, h.n_tokens
+      |ORDER BY h.source, h.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q84
 
   /** Stratified EXACT-k sampling: exactly `k` documents per source
@@ -715,5 +790,6 @@ object Curation {
     ("q80_bloom_decontaminate", q80BloomDecontaminate _, Some(q80Sql)),
     ("q83_temperature_mix", q83TemperatureMix _, Some(q83Sql)),
     ("q84_stratified_sample", q84StratifiedSample _, Some(q84Sql)),
+    ("q87_decontam_spans", q87DecontamSpans _, Some(q87Sql)),
   )
 }

@@ -305,4 +305,26 @@ class CurationSpec extends AnyFunSuite {
     assert(s10.subsetOf(s20), "smaller quota must be contained in the larger")
     assert(s10.nonEmpty && s20.size > s10.size)
   }
+
+  test("decontam spans locate the planted leaked window exactly") {
+    import spark.implicits._
+    // 20-token train doc with a 6-token test run planted at positions
+    // 8..13 → two leaked 5-gram windows, starting at pos 8 and 9
+    val trainToks = (0 until 8).map(i => s"w$i") ++ (0 until 6).map(i => s"s$i") ++
+      (14 until 20).map(i => s"w$i")
+    val train = Seq(
+      ("srcA", 1L, trainToks.mkString(" ")),
+      ("srcA", 2L, (0 until 20).map(i => s"clean$i").mkString(" "))
+    ).toDF("source", "doc_id", "text")
+    val test = Seq(("t", 100L, (0 until 6).map(i => s"s$i").mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    val rows = Curation.decontaminateSpans(train, test).collect()
+    assert(rows.length == 1, s"only the planted doc is contaminated: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getString(0) == "srcA" && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 2L, "two leaked 5-gram windows")
+    assert(r.getInt(3) == 8 && r.getInt(4) == 9, "span starts at the plant site")
+    // affected tokens 8..13 = (9 - 8 + 5) / 20
+    assert(math.abs(r.getDouble(5) - 0.3) < 1e-9)
+  }
 }

@@ -69,11 +69,13 @@ object Bench {
     * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
     * AFTER SparkSession init, so the driver-observed wall time adds
     * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
-    * under a 20-min external kill with slack, while leaving ~16
-    * suite-lengths of clean headroom (the full suite is ~63 s clean).
-    * The all-capped worst case still fits: the equal split starts at
-    * (1050-30)/78 ≈ 13.1 s > MinCapSec, and while the split binds it
-    * is budget-preserving (BenchSpec pins this from the constants). */
+    * under a 20-min external kill with slack, while leaving ~20
+    * suite-lengths of clean headroom (the full suite is ~46 s clean).
+    * The all-capped worst case still fits: at 87 queries the MinCap
+    * floor binds from sample one, so the sweep-1 worst case is
+    * 87·MinCapSec = 957 s, inside the deadline with the finish
+    * reserve intact (BenchSpec pins this from the constants; it
+    * breaks — and should — past ~92 queries). */
   val DefaultDeadlineSec = 1050.0
 
   /** Budget reserved at the tail for the final artifact write and
@@ -82,13 +84,15 @@ object Bench {
 
   /** Per-sample watchdog clamp. The floor keeps every query at least
     * a few clean-run multiples even when the budget is nearly gone
-    * (clean queries run ≤ 3 s; 12 s only truncates burst-inflated
-    * samples, which are noise by definition). The ceiling bounds the
-    * damage any single burst can do to the schedule. Absolute worst
-    * case overshoot past the deadline is one floor-capped sample plus
-    * cancellation latency — the artifact on disk is already complete
-    * for everything measured before it. */
-  val MinCapSec = 12.0
+    * (clean queries run ≤ 3 s; 11 s only truncates burst-inflated
+    * samples, which are noise by definition — was 12 s until the
+    * suite reached 87 queries and 87×12 left only 6 s of the finish
+    * reserve). The ceiling bounds the damage any single burst can do
+    * to the schedule. Absolute worst case overshoot past the deadline
+    * is one floor-capped sample plus cancellation latency — the
+    * artifact on disk is already complete for everything measured
+    * before it. */
+  val MinCapSec = 11.0
   val MaxCapSec = 150.0
 
   def agreed(samples: Seq[Double]): Boolean = {

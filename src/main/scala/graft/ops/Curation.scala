@@ -662,6 +662,54 @@ object Curation {
       |FROM documents d JOIN stats s ON d.source = s.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+
+  /** Intra-doc SLIDING context windows with stride — the overlapping
+    * window shape LLM pretraining actually feeds (window W, stride
+    * S < W, so consecutive windows share W−S tokens of context).
+    * q65/q68 pack documents into disjoint chunks; this is the
+    * orthogonal per-document axis. Pure per-row arithmetic
+    * (sequence + posexplode): map-only, no shuffle but the output
+    * sort — embarrassingly parallel at any corpus size. Emits window
+    * coordinates (start inclusive, end exclusive), not window text:
+    * downstream slicing is a pushed-down projection, and the
+    * coordinates are what an index/loader stores. */
+  def slidingWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0), col("n_tokens") - 1, lit(stride)))
+          .as(Seq("win_idx", "start_tok")))
+      .select(col("doc_id"), col("win_idx"), col("start_tok"),
+        least(col("start_tok") + window, col("n_tokens")).as("end_tok"))
+      .withColumn("n_win_tokens", col("end_tok") - col("start_tok"))
+  }
+
+  /** q88: 16-token windows at stride 12 (4-token overlap) over the
+    * documents corpus — sized to the synthetic corpus's ~54-token
+    * docs so every doc yields several windows. */
+  def q88SlidingWindows(s: SparkSession, d: String): DataFrame =
+    slidingWindows(documents(s, d).filter(col("doc_id") < 300), 16, 12)
+      .orderBy(col("doc_id"), col("win_idx"))
+
+  val q88Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents
+      | WHERE doc_id < 300
+      |), w AS (
+      | SELECT doc_id, n_tokens,
+      |   unnest(range(0, n_tokens, 12)) AS start_tok
+      | FROM t
+      |)
+      |SELECT doc_id,
+      | CAST((start_tok / 12) AS INT) AS win_idx,
+      | CAST(start_tok AS INT) AS start_tok,
+      | CAST(least(start_tok + 16, n_tokens) AS INT) AS end_tok,
+      | CAST(least(start_tok + 16, n_tokens) - start_tok AS INT) AS n_win_tokens
+      |FROM w ORDER BY doc_id, win_idx""".stripMargin
+
   // ---------------------------------------------------------------- q87
 
   /** Span-level decontamination: for every contaminated train doc, the
@@ -791,5 +839,6 @@ object Curation {
     ("q83_temperature_mix", q83TemperatureMix _, Some(q83Sql)),
     ("q84_stratified_sample", q84StratifiedSample _, Some(q84Sql)),
     ("q87_decontam_spans", q87DecontamSpans _, Some(q87Sql)),
+    ("q88_sliding_windows", q88SlidingWindows _, Some(q88Sql)),
   )
 }

@@ -327,4 +327,20 @@ class CurationSpec extends AnyFunSuite {
     // affected tokens 8..13 = (9 - 8 + 5) / 20
     assert(math.abs(r.getDouble(5) - 0.3) < 1e-9)
   }
+
+  test("sliding windows: coverage is complete, overlap is window minus stride") {
+    import spark.implicits._
+    // 30 tokens, W=16, S=12 → starts 0,12,24; ends 16,28,30
+    val docs = Seq((1L, (0 until 30).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = Curation.slidingWindows(docs, 16, 12).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(w.toSeq == Seq((0, 0, 16), (1, 12, 28), (2, 24, 30)))
+    // every token is covered, consecutive windows overlap by W-S
+    assert(w.head._2 == 0 && w.last._3 == 30)
+    w.sliding(2).foreach { case Array((_, _, e1), (_, s2, _)) =>
+      assert(s2 < e1, "consecutive windows must overlap")
+      assert(e1 - s2 <= 16 - 12, s"overlap bounded by W-S: $e1 vs $s2")
+    }
+  }
 }

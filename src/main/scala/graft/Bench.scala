@@ -69,13 +69,15 @@ object Bench {
     * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
     * AFTER SparkSession init, so the driver-observed wall time adds
     * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
-    * under a 20-min external kill with slack, while leaving ~20
-    * suite-lengths of clean headroom (the full suite is ~46 s clean).
-    * The all-capped worst case still fits: at 87 queries the MinCap
-    * floor binds from sample one, so the sweep-1 worst case is
-    * 87·MinCapSec = 957 s, inside the deadline with the finish
-    * reserve intact (BenchSpec pins this from the constants; it
-    * breaks — and should — past ~92 queries). */
+    * under a 20-min external kill with slack, while leaving ~17
+    * suite-lengths of clean headroom (the full suite is ~59 s clean).
+    * The all-capped worst case still fits: while the equal split
+    * (deadline − reserve)/n exceeds MinCapSec the sweep is
+    * budget-preserving by construction, and once the floor binds the
+    * worst case is n·MinCapSec — with MinCapSec 11 the remaining≥0
+    * check in BenchSpec first fails at ⌈1050/11⌉ = 96 queries
+    * (BenchSpec re-derives this from the constants; it breaks — and
+    * should — past 95 queries). */
   val DefaultDeadlineSec = 1050.0
 
   /** Budget reserved at the tail for the final artifact write and
@@ -86,11 +88,11 @@ object Bench {
     * a few clean-run multiples even when the budget is nearly gone
     * (clean queries run ≤ 3 s; 11 s only truncates burst-inflated
     * samples, which are noise by definition — was 12 s until the
-    * suite reached 87 queries and 87×12 left only 6 s of the finish
-    * reserve). The ceiling bounds the damage any single burst can do
-    * to the schedule. Absolute worst case overshoot past the deadline
-    * is one floor-capped sample plus cancellation latency — the
-    * artifact on disk is already complete for everything measured
+    * growing suite pushed the 12 s-floor worst case against the
+    * finish reserve). The ceiling bounds the damage any single burst
+    * can do to the schedule. Absolute worst case overshoot past the
+    * deadline is one floor-capped sample plus cancellation latency —
+    * the artifact on disk is already complete for everything measured
     * before it. */
   val MinCapSec = 11.0
   val MaxCapSec = 150.0

@@ -21,8 +21,10 @@ import org.apache.spark.sql.{SparkSession, functions => F}
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val k = args.headOption.map(_.toInt).getOrElse(10)
-    val qs = if (args.length > 1) args.drop(1).toSeq
+    // leading K is optional: `ScaleSmoke q82_bigram_lm` means 10x
+    val k = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+    val rest = args.dropWhile(_.forall(_.isDigit)).toSeq
+    val qs = if (rest.nonEmpty) rest
       else Seq("q43_minhash_pairs", "q69_lsh_clusters",
                "q72_decontaminate", "q80_bloom_decontaminate")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

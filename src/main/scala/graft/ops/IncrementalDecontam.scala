@@ -48,16 +48,26 @@ object IncrementalDecontam {
       sidecarFs(s, p).isFile(p)
     } catch { case _: Exception => false }
 
-  /** Deserialized-filter memo, keyed by sidecar path and validated by
-    * (mtime, length): steady-state streaming micro-batches screen
-    * against the same static index, and re-reading megabytes of filter
-    * from the FS once per micro-batch is pure waste (r7 ADVICE). A
-    * rebuilt sidecar changes mtime/length and is reloaded. */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Long, org.apache.spark.util.sketch.BloomFilter)]()
+  /** Sidecar format: 8-byte magic + 16-byte per-write UUID + the
+    * serialized filter. The UUID is the file's IDENTITY — (mtime,
+    * length) cannot distinguish an out-of-band rebuild that lands a
+    * same-length file within mtime granularity (a rebuilt filter for a
+    * similar-sized test set IS the same length), and a stale filter's
+    * false negatives silently pass contamination. */
+  private val SidecarMagic = "GFTBLM1\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Best-effort sidecar load: a missing/corrupt file degrades to the
-    * unscreened probe (same results, more shuffle), never to an error. */
+  /** Deserialized-filter memo, keyed by sidecar path and validated by
+    * the header UUID: steady-state streaming micro-batches screen
+    * against the same static index, and re-reading megabytes of filter
+    * from the FS once per micro-batch is pure waste (r7 ADVICE) — the
+    * per-batch cost drops to a 24-byte header read. Any rewrite
+    * changes the UUID and forces a reload. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.util.sketch.BloomFilter)]()
+
+  /** Best-effort sidecar load: a missing/corrupt/old-format file
+    * degrades to the unscreened probe (same results, more shuffle),
+    * never to an error. */
   private def loadBloom(s: SparkSession, table: String):
       Option[org.apache.spark.util.sketch.BloomFilter] =
     try {
@@ -65,17 +75,24 @@ object IncrementalDecontam {
       val fs = sidecarFs(s, p)
       if (!fs.isFile(p)) None
       else {
-        val st = fs.getFileStatus(p)
-        val cached = bloomCache.get(p.toString)
-        if (cached != null && cached._1 == st.getModificationTime
-            && cached._2 == st.getLen) Some(cached._3)
-        else {
-          val in = fs.open(p)
-          val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                   finally in.close()
-          bloomCache.put(p.toString, (st.getModificationTime, st.getLen, bf))
-          Some(bf)
-        }
+        val in = fs.open(p)
+        try {
+          val magic = new Array[Byte](SidecarMagic.length)
+          in.readFully(magic)
+          if (!java.util.Arrays.equals(magic, SidecarMagic)) None
+          else {
+            val uuid = new Array[Byte](16)
+            in.readFully(uuid)
+            val id = uuid.map(b => f"$b%02x").mkString
+            val cached = bloomCache.get(p.toString)
+            if (cached != null && cached._1 == id) Some(cached._2)
+            else {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+              bloomCache.put(p.toString, (id, bf))
+              Some(bf)
+            }
+          }
+        } finally in.close()
       }
     } catch { case _: Exception => None }
 
@@ -113,8 +130,15 @@ object IncrementalDecontam {
       val bloom = fps.stat.bloomFilter(
         "fp", math.max(fps.count(), 1L), Curation.DecontamBloomFpp)
       try {
+        val id = java.util.UUID.randomUUID()
+        val bb = java.nio.ByteBuffer.allocate(16)
+          .putLong(id.getMostSignificantBits).putLong(id.getLeastSignificantBits)
         val out = fs.create(sidecar, true)
-        try bloom.writeTo(out) finally out.close()
+        try {
+          out.write(SidecarMagic)
+          out.write(bb.array())
+          bloom.writeTo(out)
+        } finally out.close()
       } catch { case e: Exception =>
         // no sidecar ⇒ every probe takes the unscreened (correct) path
         System.err.println(s"[decontam] sidecar write failed, probes run unscreened: ${e.getMessage}")

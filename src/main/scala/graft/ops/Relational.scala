@@ -784,12 +784,13 @@ object Relational {
 
   /** q79: lineitem⋈orders through [[Skew.saltedJoin]] (16 salts) — the
     * fact-fact shuffle join shape where a hot order key would
-    * otherwise serialize one reducer. Salting is hot-key-only: a
-    * map-side-combined count detects keys over the threshold, and ONLY
-    * those are salted/replicated — the cold remainder (all of TPC-H's
-    * ≤7-row order keys here) takes the plain join, so on an unskewed
-    * corpus the cost is ≈ the plain join plus a one-column count pass,
-    * not a ×16 build-side replication. The salt is semantically
+    * otherwise serialize one reducer. Salting is hot-key-only and
+    * conditional inside ONE join: a map-side-combined count detects
+    * keys over the threshold, only those are salted/replicated, and
+    * the cold remainder (all of TPC-H's ≤7-row order keys here)
+    * carries the single salt 0 — so on an unskewed corpus the cost is
+    * ≈ the plain join plus a one-column count pass, not a ×16
+    * build-side replication. The salt is semantically
     * invisible (SkewSpec pins bag equality with the plain join in
     * skewed, unskewed, and mixed regimes), so this carries a
     * plain-join hash oracle; aggregated to per-status totals so the

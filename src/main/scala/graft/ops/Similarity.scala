@@ -195,17 +195,24 @@ object Similarity {
   def q76SemanticDiversity(s: SparkSession, d: String): DataFrame =
     semanticDiversity(emb(s, d))
 
+  /** Unit-normalized vectors with zero-norm rows dropped (x/0 → NaN
+    * would poison every downstream sum) — shared by q76 and q86 so
+    * the guard lives in exactly one place. Keeps `keep` columns plus
+    * the normalized array as `u`. */
+  private def unitVectors(embs: DataFrame, keep: String*): DataFrame =
+    embs
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("nrm") > 0)
+      .select(keep.map(col) :+ expr("transform(e, x -> x / nrm)").as("u"): _*)
+
   /** q76 core over any (label, e: array&lt;double&gt;) frame — split out so
     * tests can plant the guard cases. */
   def semanticDiversity(embs: DataFrame): DataFrame = {
-    // guards (mirrored in the oracle SQL): zero-norm vectors cannot be
-    // normalized (x/0 → NaN poisons the label's whole sum), and a
-    // single-vector label has no pairs (the n·(n−1) denominator is 0),
-    // so both are excluded rather than emitted as null/NaN rows
-    val unit = embs
-      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
-      .filter(col("nrm") > 0)
-      .select(col("label"), expr("transform(e, x -> x / nrm)").as("u"))
+    // guards (mirrored in the oracle SQL): zero-norm vectors are
+    // dropped by unitVectors, and a single-vector label has no pairs
+    // (the n·(n−1) denominator is 0), so both are excluded rather
+    // than emitted as null/NaN rows
+    val unit = unitVectors(embs, "label")
     val sums = unit
       .select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
@@ -257,15 +264,16 @@ object Similarity {
     * twice (centroid pass + scoring pass) and shuffled never. */
   def embeddingOutliers(embs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val unit = embs
-      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"), col("label"), expr("transform(e, x -> x / nrm)").as("u"))
+    val unit = unitVectors(embs, "vec_id", "label")
     val cent = unit.select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim")).agg(sum(col("x")).as("sv"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), s -> s.sv)").as("c"))
       .withColumn("cnorm", sqrt(expr("aggregate(c, 0D, (acc, x) -> acc + x * x)")))
+      // a label whose unit vectors cancel exactly has no mean
+      // direction — cosine against it is 0/0; drop the label rather
+      // than emit NaN rows (mirrored in the oracle SQL)
+      .filter(col("cnorm") > 0)
     val scored = unit.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("vec_id"),
         round(expr("aggregate(zip_with(u, c, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
@@ -296,6 +304,7 @@ object Similarity {
       | SELECT label, list(sv ORDER BY dim) AS c FROM dims GROUP BY label
       |), cn AS (
       | SELECT label, c, sqrt(list_sum(list_transform(c, y -> y*y))) AS cnorm FROM cent
+      | WHERE sqrt(list_sum(list_transform(c, y -> y*y))) > 0
       |), scored AS (
       | SELECT e.label, e.vec_id,
       |   round(list_sum(list_transform(range(1, len(u)+1), i -> u[i] * c[i])) / cnorm, 6)

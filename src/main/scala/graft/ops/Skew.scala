@@ -12,17 +12,17 @@ import org.apache.spark.sql.functions._
   * groupBy-count over the probe side finds keys whose row count
   * exceeds `hotThreshold` (or the caller supplies the hot-key set
   * directly — e.g. from yesterday's run or a sample); that tiny set is
-  * broadcast to tag both sides. Hot probe rows get a deterministic
-  * content-derived salt in [0, salt) and the matching build rows are
-  * replicated across all salt values, spreading each hot key over
-  * `salt` reducers; the cold remainder takes the plain shuffle join
-  * untouched and the two halves union. Replicating the WHOLE build
-  * side ×salt (the naive shape) multiplies the build shuffle ×salt
-  * even when no key is hot — on an unskewed corpus that is pure
-  * overhead, and at 100 TB it is the difference between a viable plan
-  * and one that moves 16 copies of a fact table. Row multiplicity is
-  * preserved exactly — SkewSpec asserts bag equality with the plain
-  * join in both the skewed and unskewed regimes.
+  * broadcast to tag both sides. The salt is CONDITIONAL inside one
+  * join — hot probe rows get a deterministic content-derived salt in
+  * [0, salt) and hot build rows explode across all salt values, while
+  * cold rows on both sides carry the single salt 0 — so each side is
+  * scanned exactly once and the join stays one (key, salt) shuffle.
+  * (The two-branch hot/cold-union formulation reads each input twice;
+  * replicating the WHOLE build side ×salt unconditionally — the naive
+  * shape — moves `salt` copies of a fact table even when no key is
+  * hot.) Row multiplicity is preserved exactly — SkewSpec asserts bag
+  * equality with the plain join in skewed, unskewed, and mixed
+  * regimes.
   */
 object Skew {
 
@@ -33,26 +33,24 @@ object Skew {
 
   /** Joins `left` (probe, potentially skewed) with `right` (build) on
     * `key`, salting only the keys in `hotKeys` — every other key joins
-    * plain. `hotKeys` must be a one-column frame of key values small
-    * enough to broadcast (heavy hitters are few by definition). */
+    * plain on salt 0. `hotKeys` must be a one-column frame of key
+    * values small enough to broadcast (heavy hitters are few by
+    * definition). */
   def saltedJoinWithHotKeys(left: DataFrame, right: DataFrame, key: String,
                             salt: Int, hotKeys: DataFrame): DataFrame = {
     val hotSet = broadcast(
       hotKeys.toDF(key).distinct().withColumn("_hot", lit(true)))
-    val lTag = left.join(hotSet, Seq(key), "left")
-    val rTag = right.join(hotSet, Seq(key), "left")
-
-    val hotLeft = lTag.filter(col("_hot").isNotNull).drop("_hot")
-      .withColumn("_salt",
-        pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))
-    val hotRight = rTag.filter(col("_hot").isNotNull).drop("_hot")
-      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
-    val hotJoined = hotLeft.join(hotRight, Seq(key, "_salt")).drop("_salt")
-
-    val coldJoined = lTag.filter(col("_hot").isNull).drop("_hot")
-      .join(rTag.filter(col("_hot").isNull).drop("_hot"), Seq(key))
-
-    hotJoined.unionByName(coldJoined)
+    val salted = left.join(hotSet, Seq(key), "left")
+      .withColumn("_salt", when(col("_hot").isNotNull,
+          pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("_hot")
+    val replicated = right.join(hotSet, Seq(key), "left")
+      .withColumn("_salt", explode(when(col("_hot").isNotNull,
+          sequence(lit(0), lit(salt - 1)))
+        .otherwise(array(lit(0)))))
+      .drop("_hot")
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
   /** Count-based variant: detects the hot-key set from `left` itself.

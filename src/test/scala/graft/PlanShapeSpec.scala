@@ -182,28 +182,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"join exchange must partition on (l_orderkey, _salt), found:\n${exchanges.mkString("\n")}")
   }
 
-  test("q79 cold keys see no replication — explode stays confined to the hot branch") {
+  test("q79 salt replication is conditional — cold keys get one replica, inputs scanned once") {
     val p = noBroadcast { sparkPlan(q("q79_salted_join")) }
-    // the salt-sequence Generate (explode) must appear below a
-    // (key, _salt)-partitioned exchange ONLY; any exchange partitioned
-    // on the bare key (the cold join, the detection count) replicates
-    // nothing — that is the whole point of hot-key-only salting
-    val coldExchanges = p.collect {
-      case e: ShuffleExchangeExec
-        if e.outputPartitioning.toString.contains("l_orderkey") &&
-           !e.outputPartitioning.toString.contains("_salt") => e
-    }
-    assert(coldExchanges.nonEmpty, s"expected bare-key exchanges (cold join):\n$p")
-    coldExchanges.foreach { e =>
-      assert(!e.child.toString.contains("Generate"),
-        s"cold-path exchange must not replicate its input:\n${e.child}")
-    }
-    // exactly the hot build side carries the ×salt replication
-    val generates = p.collect {
-      case g if g.nodeName.contains("Generate") => g
-    }
+    // single-join form: exactly one Generate (the build-side salt
+    // explode), and its generator is the CASE over the hot tag — cold
+    // rows expand over array(0), i.e. one replica, so an unskewed
+    // corpus pays plain-join volume
+    val generates = p.collect { case g if g.nodeName.contains("Generate") => g }
     assert(generates.length == 1,
-      s"expected exactly one salt-replication Generate (hot build side), got ${generates.length}")
+      s"expected exactly one salt-replication Generate, got ${generates.length}:\n$p")
+    assert(generates.head.toString.contains("CASE WHEN"),
+      s"salt expansion must be conditional on the hot tag:\n${generates.head}")
+    // and no hot/cold union: each input is scanned once
+    assert(!p.toString.contains("Union"),
+      s"single-join form must not split into a hot/cold union:\n$p")
   }
 
   test("q80 bloom pre-screen runs below the corpus-side exchange, keys stay BIGINT") {

@@ -216,7 +216,10 @@ class SimilaritySpec extends AnyFunSuite {
       (10L, 0, Seq(1.0, 0.05)), (11L, 0, Seq(1.0, -0.05)), (12L, 0, Seq(1.0, 0.0)),
       (13L, 0, Seq(-1.0, 0.0)),
       (14L, 0, Seq(0.0, 0.0)),
-      (20L, 1, Seq(0.0, 2.0)), (21L, 1, Seq(0.0, 3.0))
+      (20L, 1, Seq(0.0, 2.0)), (21L, 1, Seq(0.0, 3.0)),
+      // label 2's unit vectors cancel exactly: no mean direction, the
+      // label must be dropped rather than emit NaN cosine rows
+      (30L, 2, Seq(1.0, 0.0)), (31L, 2, Seq(-1.0, 0.0))
     ).toDF("vec_id", "label", "e")
     val got = Similarity.embeddingOutliers(embs, 2).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
@@ -226,5 +229,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.exists(_._3 == 14L), "zero-norm vectors are excluded")
     // label 1's two colinear vectors both score cos 1 to their centroid
     got.filter(_._1 == 1).foreach(r => assert(math.abs(r._4 - 1.0) < 1e-6))
+    assert(!got.exists(_._1 == 2), "a zero-norm centroid label is dropped, not NaN")
+    got.foreach(r => assert(!r._4.isNaN, s"no NaN cosines may escape: $r"))
   }
 }

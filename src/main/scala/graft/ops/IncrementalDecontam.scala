@@ -42,12 +42,6 @@ object IncrementalDecontam {
   private def sidecarFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def sidecarExists(s: SparkSession, table: String): Boolean =
-    try {
-      val p = bloomSidecarPath(s, table)
-      sidecarFs(s, p).isFile(p)
-    } catch { case _: Exception => false }
-
   /** Sidecar format: 8-byte magic + 16-byte per-write UUID + the
     * serialized filter. The UUID is the file's IDENTITY — (mtime,
     * length) cannot distinguish an out-of-band rebuild that lands a
@@ -246,9 +240,11 @@ object IncrementalDecontam {
     import graft.Tables.documents
     val fp = dataFingerprint(s, d)
     val table = indexTableName(d, fp)
-    // a table without its bloom sidecar (e.g. built by an older build)
-    // would degrade every future probe to unscreened — rebuild it
-    if (!s.catalog.tableExists(table) || !sidecarExists(s, table)) {
+    // a table whose bloom sidecar is missing, corrupt, or an older
+    // format would degrade every future probe to unscreened — rebuild
+    // it (loadBloom is the authority on readability, not mere
+    // existence)
+    if (!s.catalog.tableExists(table) || loadBloom(s, table).isEmpty) {
       gcIndexTables(s, d)
       val test = documents(s, d)
         .filter(hashBucket(col("doc_id").cast("string")) >= "e6") // q72's test split

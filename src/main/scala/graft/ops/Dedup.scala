@@ -475,6 +475,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q90: dedup apply with a KEEP-BEST representative policy — q67's
+    * clusters, but the survivor is chosen by QUALITY (longest doc,
+    * doc_id tie-break) instead of min id. Min-id is an arbitrary
+    * coin flip; real pipelines keep the best member of a duplicate
+    * cluster (longest, highest quality score, newest), because
+    * near-dup clusters routinely contain truncated variants of the
+    * same document. The ranking is one window over the (small)
+    * clustered-docs frame — the cluster resolution dominates at any
+    * scale, and swapping the orderBy swaps the policy. */
+  def q90DedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    q67DedupClusters(s, d).join(meta, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+           max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+           max(when(col("rk") === 1, col("n_chars"))).as("keep_n_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q90Sql: String =
+    s"""WITH RECURSIVE docs AS (
+      | SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+      | FROM documents WHERE doc_id < 60
+      |), pairs AS (
+      | SELECT a.doc_id AS src, b.doc_id AS dst
+      | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |       / len(list_distinct(list_cat(a.ts, b.ts))) >= $ClusterThreshold
+      |), edges AS (
+      | SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), reach(id, comp) AS (
+      | SELECT doc_id, doc_id FROM docs
+      | UNION
+      | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+      |), clusters AS (
+      | SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+      |), ranked AS (
+      | SELECT c.cluster_id, c.doc_id, d.n_chars,
+      |   row_number() OVER (PARTITION BY c.cluster_id
+      |     ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      | FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+      |)
+      |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+      | max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+      | max(CASE WHEN rk = 1 THEN n_chars END) AS keep_n_chars
+      |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** q69: the unbounded dedup-cluster path — q43's banded MinHash LSH
     * candidates (full corpus, bucket caps intact, no top-k limit) feed
     * the same label-propagation loop as q67. Rows-only: LSH candidate
@@ -563,6 +615,7 @@ object Dedup {
     ("q81_containment", q81Containment _, Some(q81Sql)),
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
+    ("q90_dedup_keep_best", q90DedupKeepBest _, Some(q90Sql)),
     ("q69_lsh_clusters", q69LshClusters _, None),
     ("q75_dedup_apply", q75DedupApply _, Some(q75Sql)),
   )

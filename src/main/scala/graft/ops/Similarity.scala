@@ -316,6 +316,46 @@ object Similarity {
       |   ORDER BY cos_centroid ASC, vec_id) AS INT) AS rk FROM scored
       |) WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
+  /** q89: HARD-NEGATIVE mining — for each query vector, the k corpus
+    * vectors most similar to it that carry a DIFFERENT label. The
+    * contrastive-training data prep step (hard negatives are what make
+    * embedding models learn; random negatives are too easy), and the
+    * complement of q42's same-meaning near-dup search.
+    *
+    * 100 TB shape: the (bounded) query set broadcasts, cosine is the
+    * native codegen'd CosineSim map-side, and only the per-query top-k
+    * window shuffles (qid, scalar) rows — the corpus never shuffles.
+    * For unbounded query sets the IVF probe (q70) composes per query
+    * to cut the scan. */
+  def q89HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qe"))
+    val scored = emb(s, d).crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q89Sql: String =
+    """WITH q AS (
+      | SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qe
+      | FROM embeddings WHERE vec_id < 20
+      |), scored AS (
+      | SELECT q.qid, e.vec_id, e.label,
+      |   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+      | FROM embeddings e, q WHERE e.label <> q.qlabel
+      |)
+      |SELECT qid, rk, vec_id, label, cos_sim FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |   ORDER BY cos_sim DESC, vec_id) AS INT) AS rk FROM scored
+      |) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
@@ -323,5 +363,6 @@ object Similarity {
     ("q56_quantized_topk", q56QuantizedTopK _, None),
     ("q76_semantic_diversity", q76SemanticDiversity _, Some(q76Sql)),
     ("q86_centroid_outliers", q86CentroidOutliers _, Some(q86Sql)),
+    ("q89_hard_negatives", q89HardNegatives _, Some(q89Sql)),
   )
 }

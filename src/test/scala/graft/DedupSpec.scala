@@ -352,4 +352,25 @@ class DedupSpec extends AnyFunSuite {
         s"pair $k: containment ($ca, $cb) must dominate jaccard $j")
     }
   }
+
+  test("keep-best representatives are each cluster's longest member") {
+    import org.apache.spark.sql.functions.col
+    val sf = TestSpark.sf0001
+    val nChars = graft.Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.q67DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val best = Dedup.q90DedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(best.keySet == members.keySet, "one row per cluster")
+    members.foreach { case (cid, ids) =>
+      val (n, keepId, keepChars) = best(cid)
+      assert(n == ids.length)
+      assert(ids.contains(keepId), s"representative $keepId must be a member of $cid")
+      assert(keepChars == ids.map(nChars).max,
+        s"cluster $cid must keep its longest member")
+    }
+  }
 }

@@ -232,4 +232,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 2), "a zero-norm centroid label is dropped, not NaN")
     got.foreach(r => assert(!r._4.isNaN, s"no NaN cosines may escape: $r"))
   }
+
+  test("hard negatives never share the query's label and beat the label's average") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.q89HardNegatives(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, neg, negLabel) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(labels(neg) == negLabel)
+      assert(negLabel != labels(qid),
+        s"negative $neg shares label ${labels(qid)} with query $qid")
+    }
+    // top-3 per query, ranks 1..3, descending similarity
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

@@ -481,21 +481,19 @@ object Dedup {
     * coin flip; real pipelines keep the best member of a duplicate
     * cluster (longest, highest quality score, newest), because
     * near-dup clusters routinely contain truncated variants of the
-    * same document. The ranking is one window over the (small)
-    * clustered-docs frame — the cluster resolution dominates at any
-    * scale, and swapping the orderBy swaps the policy. */
+    * same document. The selection is ONE hash aggregation — max_by
+    * over a (n_chars, −doc_id) struct gives the argmax with a
+    * deterministic tie-break, no window, no per-cluster sort — so the
+    * cluster resolution dominates at any scale and swapping the
+    * max_by key swaps the policy. */
   def q90DedupKeepBest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val meta = documents(s, d).filter(col("doc_id") < 60)
       .select(col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
     q67DedupClusters(s, d).join(meta, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
-           max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
-           max(when(col("rk") === 1, col("n_chars"))).as("keep_n_chars"))
+           expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_id"),
+           max(col("n_chars")).as("keep_n_chars"))
       .orderBy(col("cluster_id"))
   }
 

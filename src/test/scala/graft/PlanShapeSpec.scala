@@ -233,6 +233,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-filtered top-k queries get the WindowGroupLimit pushdown") {
+    // row_number().over(w) <= k must plan as WindowGroupLimit (per-group
+    // top-k retention during the sort) — without it every group's FULL
+    // row set is sorted and materialized through the window, which is
+    // the difference between top-3-per-source and sort-everything at
+    // 100 TB
+    Seq("q84_stratified_sample", "q85_tfidf", "q86_centroid_outliers",
+        "q89_hard_negatives").foreach { name =>
+      val p = sparkPlan(q(name)).toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$name must keep the rank filter pushdown:\n$p")
+    }
+    // q90 deliberately has NO window: its keep-best is a max_by hash
+    // aggregation (all members feed the count anyway, so a rank
+    // window would sort without the group-limit pushdown)
+    assert(!sparkPlan(q("q90_dedup_keep_best")).toString.contains("WindowExec"),
+      "q90 must stay a pure aggregation, not a window")
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

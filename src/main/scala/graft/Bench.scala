@@ -3,10 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every declared query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
-  * Queries run in sorted-name order; a failed query contributes its
-  * elapsed time and is reported on stderr (never corrupts the JSON).
+  * SPARK_GRAFT_SF_DIR and prints ONE totals-only JSON line as the
+  * absolute last stdout line —
+  * {"metric":"total","value":N,"unit":"sec","queries_timed":…,
+  * "queries_total":…,"complete":…,"sf":…} — constant-size in the
+  * query count (see [[totalsLine]]); the per-query map lives in
+  * BENCH_FULL.json only. Queries run in sorted-name order; a failed
+  * query contributes its elapsed time and is reported on stderr
+  * (never corrupts the JSON).
   *
   * KILL-PROOF BY CONSTRUCTION (round 6 lost its whole artifact to a
   * driver timeout at rc 124): the full JSON is rewritten ATOMICALLY to
@@ -74,10 +78,12 @@ object Bench {
     * The all-capped worst case still fits: while the equal split
     * (deadline − reserve)/n exceeds MinCapSec the sweep is
     * budget-preserving by construction, and once the floor binds the
-    * worst case is n·MinCapSec — with MinCapSec 11 the remaining≥0
-    * check in BenchSpec first fails at ⌈1050/11⌉ = 96 queries
-    * (BenchSpec re-derives this from the constants; it breaks — and
-    * should — past 95 queries). */
+    * worst case is n·MinCapSec — with MinCapSec 9 the split stays
+    * binding (and budget-preserving) through n ≤ 113 and the
+    * remaining≥0 check in BenchSpec first fails at ⌈1050/9⌉ = 117
+    * queries, comfortably past the declared [[WorstCaseQueries]] =
+    * 100 (BenchSpec pins both the real suite size and the declared
+    * worst case from the constants alone). */
   val DefaultDeadlineSec = 1050.0
 
   /** Budget reserved at the tail for the final artifact write and
@@ -86,16 +92,23 @@ object Bench {
 
   /** Per-sample watchdog clamp. The floor keeps every query at least
     * a few clean-run multiples even when the budget is nearly gone
-    * (clean queries run ≤ 3 s; 11 s only truncates burst-inflated
-    * samples, which are noise by definition — was 12 s until the
-    * growing suite pushed the 12 s-floor worst case against the
-    * finish reserve). The ceiling bounds the damage any single burst
-    * can do to the schedule. Absolute worst case overshoot past the
-    * deadline is one floor-capped sample plus cancellation latency —
-    * the artifact on disk is already complete for everything measured
-    * before it. */
-  val MinCapSec = 11.0
+    * (clean queries run ≤ 3 s; 9 s only truncates burst-inflated
+    * samples, which are noise by definition — was 11 s until round 9
+    * renegotiated headroom for a declared 100-query worst case:
+    * 100 × 9 s + 30 s reserve = 930 s ≤ 1050 s deadline, spec-pinned
+    * in BenchSpec's WorstCaseQueries test). The ceiling bounds the
+    * damage any single burst can do to the schedule. Absolute worst
+    * case overshoot past the deadline is one floor-capped sample plus
+    * cancellation latency — the artifact on disk is already complete
+    * for everything measured before it. */
+  val MinCapSec = 9.0
   val MaxCapSec = 150.0
+
+  /** The suite size the all-capped sweep-1 worst case is provisioned
+    * for; BenchSpec simulates this many floor-capped samples against
+    * the default deadline, so growth past it fails a test instead of
+    * silently eating the finish reserve. */
+  val WorstCaseQueries = 100
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted
@@ -122,6 +135,22 @@ object Bench {
     * the finish reserve — otherwise emit what's held. */
   def canRefine(remainingSec: Double): Boolean =
     remainingSec > FinishReserveSec + MinCapSec
+
+  /** The stdout contract line — TOTALS ONLY, no per-query map. Five
+    * rounds of BENCH artifacts came back `parsed: null` because the
+    * driver's capture keeps only the tail of long stdout lines: the
+    * ~4.5 KB spread line (rounds 4-7) and even the ~2.6 KB compact
+    * map line (round 8, 90 queries) both decapitated the leading
+    * `{"metric":...`. This line is ~150 bytes and CONSTANT-SIZE in
+    * the query count (pinned by BenchSpec), so it can never outgrow
+    * the capture window again; the per-query map and spread live in
+    * BENCH_FULL.json only. */
+  def totalsLine(totalSec: Double, timed: Int, total: Int,
+                 complete: Boolean, sf: String): String = {
+    val v = BigDecimal(totalSec).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    s"""{"metric":"total","value":$v,"unit":"sec","queries_timed":$timed,""" +
+      s""""queries_total":$total,"complete":$complete,"sf":"$sf"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -200,18 +229,6 @@ object Bench {
     def totalSec: Double =
       ordered.collect { case (n, _) if samples.contains(n) => samples(n).min }.sum
 
-    /** The stdout contract line: compact — NO spread — because the
-      * driver's capture keeps only the tail of long lines, and the
-      * ~4.5 KB spread pushed `{"metric":...` past the window for four
-      * rounds running (rc 0 but parsed:null). ~2.5 KB fits; the full
-      * spread diagnostics live in BENCH_FULL.json only. */
-    def buildCompactJson(complete: Boolean): String = {
-      val have = ordered.count { case (n, _) => samples.contains(n) }
-      s"""{"metric":"total","value":${fmt(totalSec)},"unit":"sec",""" +
-        s""""queries_timed":$have,"queries_total":${ordered.length},""" +
-        s""""complete":$complete,"queries":$queriesJson,"sf":"$sfDir"}"""
-    }
-
     def buildJson(complete: Boolean): String = {
       val have = ordered.filter { case (n, _) => samples.contains(n) }
       val spread = have.map { case (n, _) =>
@@ -279,8 +296,12 @@ object Bench {
       retry += 1
     }
     writeArtifact(complete = true)
-    println(buildCompactJson(complete = true))
+    // the totals-only contract line MUST be the absolute last stdout
+    // line: spark.stop() after it can log to stdout on some configs
     watchdog.cancel()
     spark.stop()
+    println(totalsLine(totalSec,
+      ordered.count { case (n, _) => samples.contains(n) },
+      ordered.length, complete = true, sfDir))
   }
 }

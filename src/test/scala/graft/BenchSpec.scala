@@ -50,6 +50,30 @@ class BenchSpec extends AnyFunSuite {
       s"sweep-1 worst case overshot the deadline by ${-remaining}s for $n queries")
   }
 
+  test("declared 100-query worst case fits the default deadline") {
+    // the suite WILL grow; provision the all-capped sweep for
+    // WorstCaseQueries before the growth, not after the driver's
+    // artifact dies to it (round-8 ask #7)
+    val n = Bench.WorstCaseQueries
+    assert(SparkEntry.queries.size <= n,
+      s"suite (${SparkEntry.queries.size}) outgrew the declared worst case $n — renegotiate the floor/deadline")
+    var remaining = Bench.DefaultDeadlineSec
+    for (idx <- 0 until n) remaining -= Bench.sampleCap(remaining, n - idx)
+    assert(remaining >= 0,
+      s"all-capped worst case overshoots the deadline by ${-remaining}s at $n queries")
+  }
+
+  test("totals line is constant-size in the query count and fits any capture window") {
+    // five rounds of parsed:null came from per-query data on the
+    // contract line; the totals line must stay small no matter how
+    // large the suite or the total gets
+    val line = Bench.totalsLine(123456.7891, 1000, 1000, complete = true,
+      "/root/testdata/sf100.0")
+    assert(line.length < 200, s"totals line grew to ${line.length} bytes: $line")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(!line.contains("\"queries\":"), "per-query map must never ride the stdout line")
+  }
+
   test("refinement phases never start a sample the reserve cannot absorb") {
     assert(!Bench.canRefine(Bench.FinishReserveSec))
     assert(!Bench.canRefine(Bench.FinishReserveSec + Bench.MinCapSec))

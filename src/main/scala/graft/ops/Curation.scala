@@ -723,15 +723,30 @@ object Curation {
     * 100 TB shape: the corpus side explodes to fixed-width
     * (ids, n_tokens, pos, fp) rows — text never shuffles, and the
     * fp join + per-doc aggregation is the q72 plan with two extra
-    * int columns. Only docs with ≥ 1 hit survive to the (small)
-    * output; the q80 Bloom pre-screen composes in front of the join
-    * unchanged if the corpus-side volume warrants it. */
+    * int columns. The q80 Bloom pre-screen IS composed here (round-8
+    * verdict ask #2): the posexploded corpus side is the suite's
+    * largest exchange input — one row per shingle OCCURRENCE, not per
+    * distinct fp — so dropping non-members inside the post-explode
+    * codegen span shrinks the shuffle from O(corpus tokens) to
+    * O(hit occurrences + fpp·corpus tokens). Bloom false positives
+    * die in the exact join that follows, so results stay bit-identical
+    * to the unscreened formulation (same oracle SQL). */
   def decontaminateSpans(train: DataFrame, test: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted only across the filter build's two jobs (count for
+    // sizing + bloom aggregation), released in finally — same
+    // lifecycle discipline as decontaminateBloom (r7 ADVICE)
     val testFps = shingledFps(test).select(col("fp")).distinct()
+    testFps.persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try testFps.stat.bloomFilter(
+        "fp", math.max(testFps.count(), 1L), DecontamBloomFpp)
+      finally testFps.unpersist()
     val pos = train.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
         posexplode(graft.functions.NativeExprs.shingleHashes(
           split(col("text"), " "), DecontamN)).as(Seq("pos", "fp")))
+      .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bloom))
     pos.join(testFps, Seq("fp"))
       .groupBy(col("source"), col("doc_id"), col("n_tokens"))
       .agg(countDistinct(col("fp")).as("n_hits"),

@@ -218,6 +218,30 @@ class PlanShapeSpec extends AnyFunSuite {
         s"decontamination must never shuffle document text: $cols"))
   }
 
+  test("q87 span pre-screen runs below the posexploded corpus exchange") {
+    val p = noBroadcast { sparkPlan(q("q87_decontam_spans")) }
+    // q87's corpus side is one row per shingle OCCURRENCE (posexplode),
+    // the suite's largest exchange input — the bloom probe must sit
+    // INSIDE that exchange's subtree so non-members die map-side,
+    // before any data movement (round-8 verdict ask #2)
+    val fpExchanges = p.collect {
+      case e: ShuffleExchangeExec
+        if e.output.exists(a => a.name == "fp" &&
+          a.dataType == org.apache.spark.sql.types.LongType) => e
+    }
+    assert(fpExchanges.nonEmpty, s"expected fingerprint exchanges:\n$p")
+    val posSide = fpExchanges.filter(_.output.exists(_.name == "pos"))
+    assert(posSide.nonEmpty, s"expected the posexploded corpus exchange:\n$p")
+    posSide.foreach { e =>
+      assert(e.child.toString.contains("bloom_contains_long"),
+        s"posexploded corpus fps must pass bloom_contains_long BEFORE their exchange:\n$e")
+    }
+    // and no exchange ever carries the text
+    p.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+      .foreach(cols => assert(!cols.contains("text"),
+        s"span decontamination must never shuffle document text: $cols"))
+  }
+
   test("q82 bigram-LM exchanges carry BIGINT hashes, never text or bigram strings") {
     val shuffles = sparkPlan(q("q82_bigram_lm")).collect {
       case e: ShuffleExchangeExec => e.output.map(a => a.name -> a.dataType)

@@ -255,6 +255,16 @@ object Dedup {
     * at 100 TB a billions-of-pairs graph automatically takes the loop. */
   val SinglePassMaxPairs = 4000000L
 
+  /** Runtime override for the fast-path ceiling (SPARK_GRAFT_CC_SINGLE_MAX):
+    * lets ScaleSmoke force the distributed propagation path on a corpus
+    * the single-task gate would otherwise absorb — the 100× smoke must
+    * demonstrate the path a real 100 TB graph takes, not the fast path
+    * (round-8 verdict ask #3). Read per call, so tests setting the
+    * parameter explicitly are unaffected. */
+  def singlePassMaxDefault: Long =
+    sys.env.get("SPARK_GRAFT_CC_SINGLE_MAX").map(_.toLong)
+      .getOrElse(SinglePassMaxPairs)
+
   /** Min-attach union-find over an edge iterator: emits (node, label)
     * for every node seen, label = the component's MINIMUM member id
     * (attaching the larger root under the smaller keeps the invariant;
@@ -341,13 +351,17 @@ object Dedup {
     * @param pairs undirected edges, columns `src`/`dst` (one row per
     *              pair; both directions are derived here)
     * @param singlePassMax fast-path ceiling (tests override to force
-    *                      either physical strategy) */
+    *                      either physical strategy); the default −1
+    *                      resolves to [[singlePassMaxDefault]], which
+    *                      honors the SPARK_GRAFT_CC_SINGLE_MAX env
+    *                      override */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          singlePassMax: Long = SinglePassMaxPairs): DataFrame = {
+                          singlePassMax: Long = -1L): DataFrame = {
+    val gate = if (singlePassMax >= 0) singlePassMax else singlePassMaxDefault
     val p = pairs.select(col("src"), col("dst")).persist()
     val nPairs = p.count()
     val labels =
-      if (nPairs <= singlePassMax) singleTaskCC(p) else propagationCC(p)
+      if (nPairs <= gate) singleTaskCC(p) else propagationCC(p)
     p.unpersist()
     // singleton re-union: nodes ⟕ labels, missing label = own id. The
     // label side covers only edge-incident nodes (for the loop path, a
@@ -445,6 +459,10 @@ object Dedup {
     PlanBridge.releaseLocalCheckpoint(edges)
     PlanBridge.releaseLocalCheckpoint(incident)
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    // operational visibility: round count IS the scalability story
+    // (graph-diameter/2 materialized rounds) — surface it in logs so a
+    // scale run records it without instrumentation
+    System.err.println(s"[cc] propagation converged in $rounds rounds (2 relaxations each)")
     labels.select(col("id"), col("label"))
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -100,7 +100,7 @@ object Ivf {
     kmeansFit(sampleVectors(df, sampleN), k, Iters, seed = 42L)
   }
 
-  private[ops] def sqDist(a: Array[Double], b: Seq[Double]): Double = {
+  private[graft] def sqDist(a: Array[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
@@ -274,6 +274,16 @@ object Ivf {
     * q48 amortizes into; rows-only, pinned by IvfSpec: probe ≡ q48
     * result-for-result, and PartitionFilters present in the scan. */
   def q70IvfProbeIndex(s: SparkSession, d: String): DataFrame = {
+    val path = ensureIndex(s, d)
+    val qVec = emb(s, d).filter(col("vec_id") === 0).select(col("e"))
+      .head().getSeq[Double](0)
+    probeIndex(s, path, qVec, NProbe, excludeVecId = Some(0L))
+  }
+
+  /** Idempotent build-or-reuse of the persisted per-sf-dir index;
+    * returns its path. Fingerprint-keyed: a regenerated corpus gets a
+    * fresh build, stale siblings are GC'd. */
+  def ensureIndex(s: SparkSession, d: String): String = {
     val fp = dataFingerprint(s, d)
     val path = new java.io.File(sys.props("java.io.tmpdir"), indexDirName(d, fp)).toString
     val cFile = new org.apache.hadoop.fs.Path(path, CentroidsFile)
@@ -282,13 +292,79 @@ object Ivf {
       gcStaleIndexes(d, keepFingerprint = fp)
       writeIndex(s, d, path)
     }
-    val qVec = emb(s, d).filter(col("vec_id") === 0).select(col("e"))
-      .head().getSeq[Double](0)
-    probeIndex(s, path, qVec, NProbe, excludeVecId = Some(0L))
+    path
   }
+
+  /** Map-side top-nprobe centroid ranking as a Column: the
+    * distributed twin of the driver-side [[rankProbes]] — each QUERY
+    * row computes its own probe set inside the scan, so an unbounded
+    * query frame needs no collect and no broadcast. K is small
+    * (coarse quantizers: K ≈ √corpus), so the struct-array sort over
+    * K entries per row is constant work; ties break on centroid id,
+    * matching rankProbes' stable sort (IvfSpec pins the agreement). */
+  private[graft] def probeClustersCol(e: Column, cents: Array[Array[Double]],
+                                      nprobe: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(typedLit(c.toSeq), e, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i).as("cid"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** HARD-NEGATIVE mining for an UNBOUNDED query set via the persisted
+    * IVF index — the composition q89's doc promises (round-8 verdict
+    * ask #4). q89 broadcasts a bounded query set and scans the full
+    * corpus per query; here every query row computes its nprobe
+    * nearest clusters map-side ([[probeClustersCol]]) and the
+    * candidate generation is one EQUI-JOIN on cluster id against the
+    * cluster-partitioned index — each query scores only ~nprobe/K of
+    * the corpus, and nothing is collected or broadcast-required, so
+    * the query side may be the whole corpus itself (self-mining).
+    *
+    * 100 TB shape: the index side arrives partitioned by cluster on
+    * disk; the join shuffles (cluster, qid, qe) query rows (nprobe
+    * replicas) and corpus rows once — never query × corpus. Join-key
+    * cardinality is K, which scales as √corpus for a coarse quantizer
+    * (thousands at 100 TB), so the shuffle does not collapse onto a
+    * handful of keys; a skewed cluster is AQE's skew-join case. With
+    * nprobe = K this degrades to exact brute force — IvfSpec pins
+    * agreement with q89 there, the same discipline as q48's. */
+  def hardNegativesIvf(s: SparkSession, d: String, queryFilter: Column,
+                       k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = ensureIndex(s, d)
+    val cents = readCentroids(s, path)
+    val probed = emb(s, d).filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qe"))
+      .withColumn("cluster", explode(probeClustersCol(col("qe"), cents, nprobe)))
+    val corpus = s.read.parquet(path)
+      .select(col("vec_id"), col("label"), col("e"), col("cluster"))
+    // a corpus vector lives in exactly ONE cluster, so the equi-join
+    // emits each (query, candidate) pair at most once — no distinct
+    val scored = corpus.join(probed, Seq("cluster"))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(Similarity.cosine(col("e"), col("qe")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** q91: hard negatives for EVERY corpus vector (self-mining over the
+    * whole embeddings table) — the unbounded shape q89 cannot take.
+    * Rows-only (LSH/IVF candidate generation is not SQL-expressible);
+    * IvfSpec pins nprobe=K agreement with q89 on q89's bounded range
+    * and the no-cross-join plan shape. */
+  def q91HardNegativesIvf(s: SparkSession, d: String): DataFrame =
+    hardNegativesIvf(s, d, lit(true), k = 3, nprobe = NProbe)
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q48_ivf_topk", q48IvfTopK _, None),
     ("q70_ivf_probe_index", q70IvfProbeIndex _, None),
+    ("q91_hard_negatives_ivf", q91HardNegativesIvf _, None),
   )
 }

@@ -101,6 +101,50 @@ class IvfSpec extends AnyFunSuite {
     assert(second.head != first.head, "rebuilt index must live at the new fingerprint")
   }
 
+  test("probeClustersCol agrees with the driver-side rankProbes ranking") {
+    val dir = Ivf.ensureIndex(spark, TestSpark.sf0001)
+    val cents = Ivf.readCentroids(spark, dir)
+    val rows = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        Ivf.probeClustersCol(col("e"), cents, Ivf.NProbe).as("probes"), col("e"))
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val got = r.getSeq[Int](1)
+      val want = cents.zipWithIndex
+        .sortBy { case (c, i) => (Ivf.sqDist(c, r.getSeq[Double](2)), i) }
+        .take(Ivf.NProbe).map(_._2).toSeq
+      assert(got == want, s"vec ${r.getLong(0)}: map-side probes $got != driver $want")
+    }
+  }
+
+  test("q91 hard negatives: nprobe=K agrees with q89 brute force on the bounded range") {
+    // nprobe = K probes every cluster, so candidate generation covers
+    // the full corpus and the IVF path must reproduce q89 exactly —
+    // the same degrade-to-exact discipline that pins q48/q70
+    val exact = Similarity.q89HardNegatives(spark, TestSpark.sf0001)
+      .collect().map(_.toString)
+    val ivf = Ivf.hardNegativesIvf(spark, TestSpark.sf0001,
+        col("vec_id") < 20, k = 3, nprobe = Ivf.K)
+      .collect().map(_.toString)
+    assert(exact.nonEmpty && exact.length == ivf.length)
+    exact.zip(ivf).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("q91 plan: equi-join on cluster, never query-cross-corpus") {
+    // the whole point of the IVF composition: an unbounded query set
+    // must not plan as a cartesian/BNLJ against the corpus (q89's
+    // broadcast-crossJoin shape only works for bounded query sets)
+    val plan = Ivf.q91HardNegativesIvf(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"q91 must candidate-cut via the cluster equi-join:\n$plan")
+    assert(Ivf.q91HardNegativesIvf(spark, TestSpark.sf0001).limit(5).count() > 0)
+  }
+
   test("centroids round-trip through the index directory") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cent").toString
     val written = Ivf.writeIndex(spark, TestSpark.sf0001, dir)

@@ -81,8 +81,16 @@ object Dedup {
   /** Unbounded banded-LSH candidate pairs (id_a < id_b, est_jaccard ≥
     * 0.8) — the reusable core of q43, also the edge feed for q69's
     * cluster resolution. */
-  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val signed = withMinhash(documents(s, d))
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidatePairsOf(documents(s, d), minEst = 0.8)
+
+  /** The banded-LSH candidate core over ANY docs frame, with the
+    * post-banding estimate threshold exposed: containment scoring
+    * (q92) wants banded candidates at a LOWER est-Jaccard floor than
+    * near-dup dedup — an asymmetric pair bands on its shared tokens
+    * but its symmetric Jaccard sits well under a dedup threshold. */
+  def minhashCandidatePairsOf(docs: DataFrame, minEst: Double): DataFrame = {
+    val signed = withMinhash(docs)
       .select(col("doc_id"), col("sig"), col("bands")).cache()
     val ex = signed.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "bucket")))
@@ -108,7 +116,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(graft.functions.NativeExprs.sigMatches(col("sig_a"), col("sig_b"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.8)
+      .filter(col("est_jaccard") >= minEst)
   }
 
   /** Exact token-set Jaccard for a bounded id range — the ground truth
@@ -169,6 +177,46 @@ object Dedup {
       .join(ids.select(col("doc_id").as("id_b")), col("id_a") < col("id_b"))
     containmentScores(docs, cands).orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Candidate floor for q92's banded containment candidates: well
+    * under the 0.8 near-dup floor, so asymmetric pairs whose symmetric
+    * Jaccard a dedup threshold would discard still surface. */
+  val ContainmentMinEst = 0.5
+
+  /** Output floor: only pairs where one side is ≥95% contained in the
+    * other are containment findings. */
+  val ContainmentMinCont = 0.95
+
+  /** PRODUCTION containment scoring (round-8 verdict ask #5): q81
+    * anchors the oracle on bounded ids with all-pairs candidates; this
+    * is the unbounded shape — [[containmentScores]] fed by the banded
+    * LSH candidates of [[minhashCandidatePairsOf]], so the pair
+    * exchange carries IDS ONLY and the token-set join is bounded by
+    * the candidate count, never n². The est floor is dropped to
+    * [[ContainmentMinEst]]: a short doc quoted in a long one bands on
+    * its shared tokens but its SYMMETRIC Jaccard (|A|/|B| for A ⊆ B)
+    * sits below any near-dup threshold — exactly the pair class
+    * Jaccard-thresholded dedup misses and containment exists to catch
+    * (DedupSpec plants one and pins both halves of that claim).
+    *
+    * Recall envelope, stated honestly: with 16-row bands a pair must
+    * still share a full band to candidate, which holds reliably only
+    * for moderate-to-high Jaccard (J ≳ 0.85 here). A 10-line doc
+    * quoted inside a 10-page doc (J ≈ 0.05) will NOT band — that
+    * regime belongs to the shingle-fingerprint span index
+    * (q78/q87), which finds cross-length quotation by construction. */
+  def containmentCandidates(docs: DataFrame, minEst: Double,
+                            minCont: Double): DataFrame =
+    containmentScores(docs,
+        minhashCandidatePairsOf(docs, minEst).select(col("id_a"), col("id_b")))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)
+
+  /** q92: unbounded containment findings over the documents corpus.
+    * Rows-only (LSH candidate generation is not SQL-expressible);
+    * q81 is the hash-verified oracle anchor for the scoring math. */
+  def q92ContainmentLsh(s: SparkSession, d: String): DataFrame =
+    containmentCandidates(documents(s, d), ContainmentMinEst, ContainmentMinCont)
+      .orderBy(col("id_a"), col("id_b"))
 
   val q81Sql: String =
     """WITH docs AS (
@@ -629,6 +677,7 @@ object Dedup {
     ("q45_simhash", q45Simhash _, None),
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
     ("q81_containment", q81Containment _, Some(q81Sql)),
+    ("q92_containment_lsh", q92ContainmentLsh _, None),
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
     ("q90_dedup_keep_best", q90DedupKeepBest _, Some(q90Sql)),

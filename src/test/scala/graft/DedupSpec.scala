@@ -61,6 +61,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("q92 containment catches the planted short-doc-quoted-in-long-doc pair " +
+       "that Jaccard-threshold banding alone would miss") {
+    // plant: doc 1's token set is FULLY contained in doc 2 (doc 2 = the
+    // quote plus extra tokens), sized so the symmetric Jaccard
+    // (|A|/|B| ≈ 0.89) sits BELOW both the near-dup candidate floor
+    // semantics (ClusterThreshold 0.92) and any dedup threshold, while
+    // the shared tokens still dominate enough to band; doc 3 unrelated
+    val quote = (1 to 50).map(i => s"w$i").mkString(" ")
+    val long = quote + " " + (1 to 5).map(i => s"kk$i").mkString(" ")
+    val other = (301 to 350).map(i => s"u$i").mkString(" ")
+    val docs = docsDf(Seq((1L, quote), (2L, long), (3L, other)))
+
+    // half 1: the Jaccard-threshold path misses the pair — its exact
+    // Jaccard is under ClusterThreshold, so cluster dedup at 0.92
+    // would never merge it, and the 0.8-floor near-dup pair stream
+    // only surfaces it as a sub-threshold candidate at best
+    val exactJ = 50.0 / 55.0
+    assert(exactJ < Dedup.ClusterThreshold,
+      s"plant broken: J=$exactJ must sit below the cluster threshold")
+
+    // half 2: the containment pipeline (banded candidates at the LOWER
+    // est floor + asymmetric scoring) reports the quote as ~fully
+    // contained
+    val found = Dedup.containmentCandidates(docs,
+        Dedup.ContainmentMinEst, Dedup.ContainmentMinCont)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(found.contains((1L, 2L)),
+      s"planted containment pair must band and survive scoring, got ${found.keySet}")
+    val (contAinB, contBinA) = found((1L, 2L))
+    assert(contAinB == 1.0, s"quote is fully contained: cont_a_in_b=$contAinB")
+    assert(contBinA < 0.92, s"long doc is NOT contained in the quote: $contBinA")
+    assert(!found.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+  }
+
   test("minhash union sketch: slotwise min equals signature of the set union") {
     val a = (1 to 20).map(i => s"a$i").mkString(" ")
     val b = (21 to 40).map(i => s"a$i").mkString(" ")

@@ -35,9 +35,16 @@ object IncrementalDecontam {
     * [[gcIndexTables]]' sweep collects it with its table. Resolved
     * through the Hadoop FileSystem (like [[Ivf]]'s centroid file), so
     * an hdfs:// or s3a:// warehouse works the same as file:. */
-  private def bloomSidecarPath(s: SparkSession, table: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
+  private def bloomSidecarPath(s: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val raw = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), table + "_bloom.bin")
+    // makeQualified so the path's STRING form matches what listStatus
+    // returns: bloomCache is keyed on it, and gcIndexTables evicts by
+    // the listed path — an unqualified warehouse dir (no scheme) would
+    // otherwise leave GC'd filters cached for the JVM lifetime
+    // (r8 ADVICE)
+    sidecarFs(s, raw).makeQualified(raw)
+  }
 
   private def sidecarFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -127,12 +134,20 @@ object IncrementalDecontam {
         val id = java.util.UUID.randomUUID()
         val bb = java.nio.ByteBuffer.allocate(16)
           .putLong(id.getMostSignificantBits).putLong(id.getLeastSignificantBits)
-        val out = fs.create(sidecar, true)
+        // tmp + rename (the Bench.writeArtifact discipline, r8 ADVICE):
+        // a crash mid-write must not leave a partial file with valid
+        // magic+UUID at the live path — loadBloom would degrade it
+        // safely to None, but q78's rebuild check would then force a
+        // full index rebuild instead of just a sidecar rewrite
+        val tmp = new org.apache.hadoop.fs.Path(sidecar.toString + ".tmp")
+        val out = fs.create(tmp, true)
         try {
           out.write(SidecarMagic)
           out.write(bb.array())
           bloom.writeTo(out)
         } finally out.close()
+        if (!fs.rename(tmp, sidecar))
+          sys.error(s"rename $tmp -> $sidecar failed")
       } catch { case e: Exception =>
         // no sidecar ⇒ every probe takes the unscreened (correct) path
         System.err.println(s"[decontam] sidecar write failed, probes run unscreened: ${e.getMessage}")

@@ -56,7 +56,16 @@ object Skew {
   /** Count-based variant: detects the hot-key set from `left` itself.
     * The detection pass is a map-side-combined count over just the key
     * column — at 100 TB it reads one column and shuffles one row per
-    * distinct key, a small fraction of the join it protects. */
+    * distinct key, a small fraction of the join it protects.
+    *
+    * CALLER NOTE (r8 ADVICE): the detection pass re-evaluates `left`
+    * from scratch, so the one-column-read claim holds only when
+    * `left` is a direct columnar scan. A derived/expensive upstream
+    * pipeline runs TWICE (detection + join), and a nondeterministic
+    * `left` could yield a hot set inconsistent with the join input —
+    * still bag-correct (salting any key is semantics-preserving),
+    * but unpredictable. Such callers should persist `left` first, or
+    * precompute the hot set and use [[saltedJoinWithHotKeys]]. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
                  hotThreshold: Long = DefaultHotThreshold): DataFrame = {
     val hot = left.groupBy(col(key))

@@ -346,7 +346,13 @@ object Text {
     * explode, the q82 lesson); the source count comes from a second,
     * source-column-only pruned scan (dictionary pages, negligible)
     * broadcast as one row; the final top-3 window sorts the tf table
-    * per source. */
+    * per source. n_src is defined over the DOCUMENTS table in BOTH
+    * the Scala path and the oracle SQL (r8 ADVICE: the sides must
+    * share one definition; tf-derived counting would instead force a
+    * second consumption of the corpus-explode aggregate — the q82
+    * lesson — for a count the pruned source-column scan gives for
+    * free). A token-less source thus still counts toward n_src, on
+    * both sides, by construction. */
   def q85TfIdf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = documents(s, d)
@@ -376,7 +382,7 @@ object Text {
       |), df AS (
       | SELECT token, count(*) AS df FROM tf GROUP BY 1
       |), ns AS (
-      | SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src FROM tf
+      | SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src FROM documents
       |), scored AS (
       | SELECT tf.source, tf.token, tf.tf,
       |   round(tf.tf * ln(ns.n_src / df.df), 4) AS tf_idf

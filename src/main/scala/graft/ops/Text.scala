@@ -394,6 +394,178 @@ object Text {
       | FROM scored
       |) WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+
+  /** Redaction patterns: email-shaped and 555-prefixed phone-shaped
+    * spans. Both stay inside the regex subset Java and RE2 interpret
+    * identically (literal classes, +, {n} — no backrefs/lookarounds),
+    * so the Spark path and the DuckDB oracle agree by construction. */
+  val EmailPattern = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhonePattern = "555-[0-9]{4}"
+
+  /** PII scrubbing over any (doc_id, text) frame: per-doc match counts
+    * plus the redacted text (emails → &lt;EMAIL&gt;, phones →
+    * &lt;PHONE&gt;). Pure map-side string work — codegen'd
+    * regexp_count/regexp_replace, no shuffle at all until a consumer
+    * aggregates; at 100 TB this is the embarrassingly-parallel scrub
+    * pass every training corpus takes before packing. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"regexp_count(text, '$EmailPattern')").cast("bigint").as("n_emails"),
+      expr(s"regexp_count(text, '$PhonePattern')").cast("bigint").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+
+  /** q94: the scrub pass, oracle-hash-verified down to the redacted
+    * STRINGS. The synthetic corpus contains no PII by construction, so
+    * the query plants a deterministic doc_id-derived contact block
+    * inline (1 email + doc_id%3 phone numbers per doc) — the plant is
+    * part of the query on BOTH sides, so the full match-count and
+    * replacement semantics are exercised and hash-compared end-to-end
+    * rather than trivially zero. */
+  def q94PiiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedact(documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          expr("repeat(concat(' 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))," +
+               " CAST(doc_id % 3 AS INT))")).as("text")))
+      .orderBy(col("doc_id"))
+
+  val q94Sql: String =
+    """WITH aug AS (
+      | SELECT doc_id,
+      |   text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+      |   repeat(' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |          CAST(doc_id % 3 AS INT)) AS t
+      | FROM documents
+      |)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      | regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |                '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+
+  /** Vocabulary cutoff for q95 — the corpus draws from a ~31-token
+    * shared vocabulary, so top-16 leaves a meaningful OOV tail. */
+  val VocabTopV = 16
+
+  /** Per-source OOV-rate scoring against the corpus top-V vocabulary —
+    * the vocabulary-coverage triage a tokenizer-bound pipeline runs:
+    * a source whose tokens fall outside the working vocabulary is
+    * noise, the wrong language, or format junk, and OOV rate is the
+    * cheapest signal for it.
+    *
+    * 100 TB shape: scan 1 builds the (token, count) table with
+    * map-side combine and keeps only the top-V rows (vocab-sized,
+    * broadcast); scan 2 re-explodes tokens and left-joins the
+    * BROADCAST vocab in-partition — corpus tokens never shuffle; the
+    * per-doc aggregation collapses map-side (each doc's tokens live
+    * in one partition post-explode), so the only real exchange
+    * carries per-source scalar partials. Two linear corpus scans,
+    * zero token shuffles. */
+  def vocabCoverage(docs: DataFrame, topV: Int): DataFrame = {
+    val tok = docs.select(col("source"), col("doc_id"),
+      explode(toks(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(topV)
+      .select(col("token"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_oov").cast("double") / col("n_tok")), 4).as("avg_oov"))
+      .orderBy(col("source"))
+  }
+
+  /** q95: OOV-rate per source over the documents corpus. */
+  def q95VocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(documents(s, d), VocabTopV)
+
+  val q95Sql: String =
+    s"""WITH tok AS (
+      | SELECT source, doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+      |), vocab AS (
+      | SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY 1)
+      | ORDER BY c DESC, token LIMIT $VocabTopV
+      |), per_doc AS (
+      | SELECT source, doc_id, count(*) AS n_tok,
+      |   sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      | FROM tok LEFT JOIN vocab v USING (token)
+      | GROUP BY source, doc_id
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      | round(avg(CAST(n_oov AS DOUBLE) / n_tok), 4) AS avg_oov
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+
+  /** Boilerplate span width and the document-frequency floor: spans of
+    * [[BoilerplateN]] tokens appearing in ≥ [[BoilerplateMinDf]]
+    * distinct documents are boilerplate findings. */
+  val BoilerplateN = 8
+  val BoilerplateMinDf = 3L
+
+  /** CROSS-DOCUMENT BOILERPLATE detection — n-token spans repeated
+    * verbatim across many documents (headers, footers, license
+    * blurbs, templated navigation): the repeated-substring filter
+    * every web-scale corpus curation pipeline runs (C4's dedup of
+    * three-sentence spans is this shape). q73 measures repetition
+    * WITHIN a doc; this finds spans shared ACROSS docs.
+    *
+    * 100 TB shape, two phases over two linear scans:
+    *  1. df counting on 8-byte xxhash64 window fingerprints
+    *     ([[graft.functions.ShingleHashes]], distinct per doc) — the
+    *     exchange carries (fp BIGINT, partial count) only, NEVER span
+    *     strings (a string-keyed groupBy would shuffle ~corpus-sized
+    *     text; PlanShapeSpec pins the fp-only exchange). Survivors
+    *     (df ≥ minDf) are a tiny frame.
+    *  2. string recovery for survivors only: re-scan, zip the ALIGNED
+    *     fp and string window arrays, explode, join the BROADCAST
+    *     survivor counts — only matching spans ever materialize as
+    *     strings off the scan, and the final sort handles a
+    *     findings-sized frame. Fp collisions would merge two spans'
+    *     counts (~|spans|²/2⁶⁴ — negligible; the distinct() keeps
+    *     both strings, so a collision is visible, not silent). */
+  def boilerplateSpans(docs: DataFrame, n: Int, minDf: Long): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val fpCounts = docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.NativeExprs.shingleHashes(toksCol, n))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+    docs
+      .select(explode(array_distinct(arrays_zip(
+          graft.functions.NativeExprs.shingleHashes(toksCol, n).as("fp"),
+          Dedup.shinglesOfTokens(toksCol, n).as("span")))).as("z"))
+      .select(col("z.fp").as("fp"), col("z.span").as("span"))
+      .join(broadcast(fpCounts), Seq("fp"))
+      .select(col("span"), col("n_docs"))
+      .distinct()
+      .orderBy(col("n_docs").desc, col("span").asc)
+  }
+
+  /** q96: boilerplate spans over the documents corpus. */
+  def q96Boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateSpans(documents(s, d), BoilerplateN, BoilerplateMinDf)
+
+  val q96Sql: String = {
+    val n = BoilerplateN
+    s"""WITH sh AS (
+      | SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+      |   for i in range(1, len(t) - ${n - 2})])) AS span
+      | FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+      | WHERE len(t) >= $n
+      |)
+      |SELECT span, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM sh GROUP BY span HAVING count(*) >= $BoilerplateMinDf
+      |ORDER BY n_docs DESC, span""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -407,5 +579,8 @@ object Text {
     ("q74_heavy_hitters", q74HeavyHitters _, None),
     ("q82_bigram_lm", q82BigramLm _, Some(q82Sql)),
     ("q85_tfidf", q85TfIdf _, Some(q85Sql)),
+    ("q94_pii_redact", q94PiiRedact _, Some(q94Sql)),
+    ("q95_vocab_coverage", q95VocabCoverage _, Some(q95Sql)),
+    ("q96_boilerplate", q96Boilerplate _, Some(q96Sql)),
   )
 }

@@ -242,6 +242,23 @@ class PlanShapeSpec extends AnyFunSuite {
         s"span decontamination must never shuffle document text: $cols"))
   }
 
+  test("q96 boilerplate df-count exchange carries BIGINT fps, never span strings") {
+    // phase 1's groupBy must aggregate 8-byte window fingerprints: a
+    // string-keyed df count would shuffle ~corpus-sized span text
+    val p = sparkPlan(q("q96_boilerplate"))
+    val aggExchanges = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "fp") => e
+    }
+    assert(aggExchanges.nonEmpty, s"expected the fp df-count exchange:\n$p")
+    aggExchanges.foreach { e =>
+      val fp = e.output.find(_.name == "fp").get
+      assert(fp.dataType == org.apache.spark.sql.types.LongType,
+        s"df counting must key on BIGINT fps, got ${fp.dataType}")
+      assert(!e.output.exists(a => a.name == "span" || a.name == "text"),
+        s"df-count exchange must not carry span strings: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q82 bigram-LM exchanges carry BIGINT hashes, never text or bigram strings") {
     val shuffles = sparkPlan(q("q82_bigram_lm")).collect {
       case e: ShuffleExchangeExec => e.output.map(a => a.name -> a.dataType)

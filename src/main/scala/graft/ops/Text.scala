@@ -410,9 +410,13 @@ object Text {
     * aggregates; at 100 TB this is the embarrassingly-parallel scrub
     * pass every training corpus takes before packing. */
   def piiRedact(docs: DataFrame): DataFrame =
+    // Column-API regexp functions throughout: an expr() formulation
+    // would push the pattern through SQL string-literal unescaping,
+    // where non-ANSI parsing can silently strip the `\.` backslash —
+    // the count and replace paths must read the IDENTICAL pattern
     docs.select(col("doc_id"),
-      expr(s"regexp_count(text, '$EmailPattern')").cast("bigint").as("n_emails"),
-      expr(s"regexp_count(text, '$PhonePattern')").cast("bigint").as("n_phones"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("bigint").as("n_emails"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("bigint").as("n_phones"),
       regexp_replace(regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
         PhonePattern, "<PHONE>").as("redacted"))
 

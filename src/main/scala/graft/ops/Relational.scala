@@ -588,6 +588,30 @@ object Relational {
       | count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Sketch accuracy for q93: rank error ≤ 1/accuracy of the group
+    * size, with O(accuracy · log n) mergeable state per group. */
+  val ApproxPercentileAccuracy = 1000
+
+  /** q93: the 100 TB percentile path (round-8 verdict ask #6) —
+    * `approx_percentile` next to q37's exact anchor. Spark's exact
+    * `percentile` buffers EVERY value per group (the suite's only
+    * unbounded-state aggregation, fine as an oracle anchor, fatal on
+    * a trillion-row group); the approx twin keeps a bounded mergeable
+    * quantile sketch (Greenwald–Khanna) that partial-aggregates
+    * map-side like any other sketch here (q29/q53/q49). Estimates are
+    * engine-specific → rows-only; RelationalSpec bounds the RANK
+    * error of every returned value against the group's true
+    * distribution, the same discipline as q29's 10% bound. */
+  def q93ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5D, $ApproxPercentileAccuracy)").as("ap50"),
+        expr(s"approx_percentile(o_totalprice, 0.9D, $ApproxPercentileAccuracy)").as("ap90"),
+        expr(s"approx_percentile(o_totalprice, 0.99D, $ApproxPercentileAccuracy)").as("ap99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   /** Ranking-window battery: dense_rank / percent_rank / ntile / cume_dist. */
   def q38WindowMisc(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
@@ -843,6 +867,7 @@ object Relational {
     ("q28_sessionize", q28Sessionize _, q28Sql),
     ("q29_approx_distinct", q29ApproxDistinct _, null),
     ("q37_percentiles", q37Percentiles _, q37Sql),
+    ("q93_approx_percentiles", q93ApproxPercentiles _, null),
     ("q38_window_misc", q38WindowMisc _, q38Sql),
     ("q39_array_funcs", q39ArrayFuncs _, q39Sql),
     ("q50_window_values", q50WindowValues _, q50Sql),

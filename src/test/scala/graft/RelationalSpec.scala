@@ -17,6 +17,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q93 approx percentiles: rank error bounded by the sketch accuracy") {
+    // the GK sketch guarantees |rank(approx_p) − p·n| ≤ n/accuracy;
+    // verify every returned value against the group's true
+    // distribution (q29's bound-the-estimator discipline)
+    val byStatus = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted
+      }
+    val got = Relational.q93ApproxPercentiles(spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    val tol = 1.0 / Relational.ApproxPercentileAccuracy
+    got.foreach { r =>
+      val vals = byStatus(r.getString(0))
+      val n = vals.length.toDouble
+      assert(r.getAs[Long]("n") == vals.length)
+      for ((p, field) <- Seq(0.5 -> "ap50", 0.9 -> "ap90", 0.99 -> "ap99")) {
+        val v = r.getAs[Double](field)
+        // rank band of v in the true distribution: [#(< v), #(≤ v)] / n
+        val lo = vals.count(_ < v) / n
+        val hi = vals.count(_ <= v) / n
+        assert(p >= lo - tol - 1 / n && p <= hi + tol + 1 / n,
+          s"${r.getString(0)} $field=$v: rank band [$lo,$hi] misses p=$p beyond ±$tol")
+      }
+    }
+  }
+
   test("top-k equals full-sort head") {
     val topk = Relational.q15TopK(spark, TestSpark.sf0001).collect().map(_.getLong(0))
     val full = Tables.orders(spark, TestSpark.sf0001)

@@ -82,7 +82,7 @@ object Bench {
     * binding (and budget-preserving) through n ≤ 113 and the
     * remaining≥0 check in BenchSpec first fails at ⌈1050/9⌉ = 117
     * queries, comfortably past the declared [[WorstCaseQueries]] =
-    * 100 (BenchSpec pins both the real suite size and the declared
+    * 108 (BenchSpec pins both the real suite size and the declared
     * worst case from the constants alone). */
   val DefaultDeadlineSec = 1050.0
 
@@ -94,8 +94,8 @@ object Bench {
     * a few clean-run multiples even when the budget is nearly gone
     * (clean queries run ≤ 3 s; 9 s only truncates burst-inflated
     * samples, which are noise by definition — was 11 s until round 9
-    * renegotiated headroom for a declared 100-query worst case:
-    * 100 × 9 s + 30 s reserve = 930 s ≤ 1050 s deadline, spec-pinned
+    * renegotiated headroom for a declared 108-query worst case:
+    * 108 × 9 s + 30 s reserve = 1002 s ≤ 1050 s deadline, spec-pinned
     * in BenchSpec's WorstCaseQueries test). The ceiling bounds the
     * damage any single burst can do to the schedule. Absolute worst
     * case overshoot past the deadline is one floor-capped sample plus
@@ -107,8 +107,11 @@ object Bench {
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. */
-  val WorstCaseQueries = 100
+    * silently eating the finish reserve. 108 keeps the equal split
+    * ((1050−30)/108 = 9.44 s) above the 9 s floor, so the sweep stays
+    * budget-preserving by construction; the split first stops binding
+    * at 114 queries — renegotiate the floor or deadline before then. */
+  val WorstCaseQueries = 108
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Distributed clustering + semantic dedup over the embeddings table
+  * (SURVEY §2.9 — the SemDeDup-style curation family).
+  *
+  * Two operators:
+  *
+  *  - q97: DISTRIBUTED Lloyd's k-means. The IVF quantizer
+  *    (`Ivf.trainCentroids`) trains on a driver-bounded sample — right
+  *    for a coarse ANN quantizer, but a curation pipeline also needs
+  *    the full-corpus variant where every vector votes (cluster sizes
+  *    and within-cluster dispersion feed downstream dedup/triage
+  *    decisions, so they must be exact, not sample-estimated). Here
+  *    each Lloyd's iteration is ONE distributed aggregation pass:
+  *    map-side nearest-centroid assignment against broadcast-literal
+  *    centroids (codegen'd `NearestCentroid`), then a partial-aggregated
+  *    (cluster, dim) scalar shuffle — k·dim rows ≈ KB — collected to
+  *    the driver to form the next centroids. Per-iteration driver
+  *    traffic is O(k·dim), INDEPENDENT of corpus size; the vectors
+  *    themselves are scanned once per iteration and shuffled never.
+  *    Seeding is farthest-point (k bounded corpus passes, each a
+  *    1-row TakeOrdered reduction) — deterministic, layout-independent,
+  *    and immune to the collapsed-seed failure a hash-prefix sample
+  *    can hit when the corpus has tight clusters.
+  *
+  *  - q98: SEMANTIC DEDUP (greedy): drop any vector that has a
+  *    smaller-id neighbor with cosine ≥ τ. The oracle anchor runs the
+  *    exact quadratic rule on a bounded id range (DuckDB-hashable);
+  *    the production path `semanticDedupClustered` restricts candidate
+  *    pairs to k-means cluster-mates — the SemDeDup shape: pair cost
+  *    falls from n² to Σ nᵢ², and the pair join carries only
+  *    (vec_id, cluster, unit-vector) with cluster-local shuffle keys.
+  *    Cross-cluster near-dup pairs are the documented recall trade;
+  *    tests pin planted-duplicate recall and τ-monotonicity.
+  *
+  * Cosine parity with the DuckDB oracle: both engines fold the arrays
+  * sequentially in double precision (see Similarity.cosine); the
+  * threshold compares round(cos, 6) on BOTH sides so a last-ulp
+  * disagreement cannot flip a borderline pair.
+  */
+object Cluster {
+
+  val K = 8
+  val Iters = 4
+  val SemDedupTau = 0.30
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+
+  /** Squared L2 distance from an array<double> column to a literal
+    * centroid (HOF form — cold path: seeding + per-iteration cost
+    * bookkeeping, never the hot assignment which uses the codegen'd
+    * NearestCentroid). */
+  private def sqDistTo(e: Column, c: Array[Double]): Column =
+    aggregate(zip_with(e, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def minSqDist(e: Column, cents: Array[Array[Double]]): Column =
+    cents.map(c => sqDistTo(e, c)).reduce(least(_, _))
+
+  /** Farthest-point seeding: seed 1 is the min-content-hash vector
+    * (layout-unbiased, like Ivf.sampleVectors); each further seed is
+    * the vector farthest from the chosen set (hash tie-break). k−1
+    * bounded corpus passes, each returning ONE row to the driver. */
+  private[ops] def farthestPointSeeds(vecs: DataFrame, k: Int): Array[Array[Double]] = {
+    val first = vecs.select(col("e")).orderBy(xxhash64(col("e")), col("e").cast("string"))
+      .limit(1).collect()(0).getSeq[Double](0).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(first)
+    while (seeds.length < k) {
+      val next = vecs
+        .select(col("e"), minSqDist(col("e"), seeds.toArray).as("d2"))
+        .orderBy(col("d2").desc, xxhash64(col("e")).asc)
+        .limit(1).collect()(0)
+      if (next.getDouble(1) == 0.0) return seeds.toArray // < k distinct vectors
+      seeds += next.getSeq[Double](0).toArray
+    }
+    seeds.toArray
+  }
+
+  final case class KmeansModel(centroids: Array[Array[Double]], costs: Seq[Double])
+
+  /** Distributed Lloyd's: `iters` passes, each ONE aggregation job.
+    * The (cluster, dim) grouped sums ride the same shuffle as the
+    * cluster counts and the assignment cost (cost keys on dim 0 so the
+    * ×dim explode doesn't multiply it). Empty clusters keep their
+    * previous centroid, like Ivf.kmeansFit. `costs(t)` is the total
+    * squared distance to the centroids USED for iteration t's
+    * assignment — non-increasing in t by Lloyd's argument, which
+    * ClusterSpec pins. */
+  def kmeansDistributed(vecs: DataFrame, k: Int = K, iters: Int = Iters): KmeansModel = {
+    var cents = farthestPointSeeds(vecs, k)
+    val dim = cents(0).length
+    val costs = scala.collection.mutable.ArrayBuffer[Double]()
+    var it = 0
+    while (it < iters) {
+      val assigned = vecs.select(
+        graft.functions.NativeExprs.nearestCentroid(col("e"), cents).as("c"),
+        minSqDist(col("e"), cents).as("d2"),
+        col("e"))
+      val rows = assigned
+        .select(col("c"), col("d2"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("c"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
+          sum(when(col("dim") === 0, col("d2"))).as("cost0"))
+        .collect()
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var cost = 0.0
+      rows.foreach { r =>
+        val c = r.getInt(0); val dm = r.getInt(1)
+        sums(c)(dm) = r.getDouble(2)
+        if (dm == 0) { counts(c) = r.getLong(3); cost += r.getDouble(4) }
+      }
+      costs += cost
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0L) cents(c) else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    KmeansModel(cents, costs.toSeq)
+  }
+
+  /** q97: full-corpus k-means summary — per-cluster exact size and
+    * mean squared distance under the final model. Rows-only (iterative
+    * refinement is not SQL-expressible); ClusterSpec pins cost
+    * monotonicity, planted-blob recovery, determinism, and the
+    * sizes-sum-to-corpus invariant. */
+  def q97Kmeans(s: SparkSession, d: String): DataFrame = {
+    val vecs = emb(s, d).select(col("vec_id"), col("e"))
+    val m = kmeansDistributed(vecs)
+    vecs.select(
+      graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"),
+      minSqDist(col("e"), m.centroids).as("d2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("d2")), 6).as("mean_sq_dist"))
+      .orderBy(col("cluster"))
+  }
+
+  // ---------------------------------------------------------------- q98
+
+  /** Unit-normalized (id, u) frame; zero-norm vectors dropped (the
+    * q76/q86 guard — cosine against them is 0/0). */
+  private def unit(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+
+  /** Greedy semantic dedup on an explicit candidate-pair frame
+    * (id_a < id_b, cos ≥ τ already applied): a vector is kept iff no
+    * smaller-id candidate neighbor exists. Output (vec_id, kept). */
+  private def applyGreedy(ids: DataFrame, dropped: DataFrame): DataFrame =
+    ids.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+
+  /** Exact quadratic semantic dedup — the oracle anchor. Bounded input
+    * only: the pair space is |vecs|². */
+  def semanticDedupBrute(vecs: DataFrame, tau: Double): DataFrame = {
+    val un = unit(vecs)
+    val a = un.select(col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = un.select(col("vec_id").as("id_b"), col("u").as("ub"))
+    val dropped = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(graft.functions.NativeExprs.cosineSim(col("ua"), col("ub")), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    applyGreedy(un.select(col("vec_id")), dropped)
+  }
+
+  /** SemDeDup production path: candidate pairs restricted to k-means
+    * cluster-mates. The join key is the cluster id, so the shuffle is
+    * cluster-local and the pair cost is Σ nᵢ² — the 100 TB shape when
+    * k scales with corpus size (n/k vectors per cluster). Cross-cluster
+    * pairs are the accepted recall trade (tests measure it). */
+  def semanticDedupClustered(vecs: DataFrame, cents: Array[Array[Double]],
+                             tau: Double): DataFrame = {
+    val un = unit(vecs)
+      .withColumn("cl", graft.functions.NativeExprs.nearestCentroid(col("u"), cents))
+    val a = un.select(col("cl"), col("vec_id").as("id_a"), col("u").as("ua"))
+    val b = un.select(col("cl"), col("vec_id").as("id_b"), col("u").as("ub"))
+    val dropped = a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.NativeExprs.cosineSim(col("ua"), col("ub")), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    applyGreedy(un.select(col("vec_id")), dropped)
+  }
+
+  /** q98: oracle anchor — exact rule on vec_id < 80. */
+  def q98SemanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupBrute(emb(s, d).filter(col("vec_id") < 80)
+      .select(col("vec_id"), col("e")), SemDedupTau)
+
+  val q98Sql: String =
+    """WITH e AS (
+      | SELECT vec_id,
+      |        list_transform(ed, x -> x / sqrt(list_sum(list_transform(ed, y -> y*y)))) AS u
+      | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+      |       FROM embeddings WHERE vec_id < 80)
+      | WHERE sqrt(list_sum(list_transform(ed, y -> y*y))) > 0
+      |), dropped AS (
+      | SELECT DISTINCT b.vec_id
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id
+      | WHERE round(list_cosine_similarity(a.u, b.u), 6) >= 0.30
+      |)
+      |SELECT e.vec_id, (d.vec_id IS NULL) AS kept
+      |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q97_kmeans", q97Kmeans _, None),
+    ("q98_semantic_dedup", q98SemanticDedup _, Some(q98Sql)))
+}

@@ -710,6 +710,52 @@ object Curation {
       | CAST(least(start_tok + 16, n_tokens) - start_tok AS INT) AS n_win_tokens
       |FROM w ORDER BY doc_id, win_idx""".stripMargin
 
+  // --------------------------------------------------------------- q100
+
+  /** q100: deterministic global shuffle-and-shard — the training-order
+    * step of a data pipeline. Every document gets a position drawn
+    * from md5(doc_id:seed): shard = first hex nibble of the key (16
+    * shards here; at scale the nibble count grows with the corpus),
+    * pos = rank of the key within its shard. Hash-derived order is
+    * (a) reproducible across runs and engines (no rand(), no
+    * zipWithIndex), (b) independent of input file layout, and
+    * (c) statistically uniform — the properties a resumable training
+    * run needs from "shuffle the corpus".
+    *
+    * 100 TB shape: NO global sort. The only exchange is the hash
+    * partition by shard, and the per-shard rank is a PARTITIONED
+    * window (external sort within each shard). Shard count is chosen
+    * ≥ executor parallelism, so the window never concentrates the
+    * corpus on one task — unlike a row_number over a global ORDER BY,
+    * which plans a single-partition window. */
+  def shuffleShard(docs: DataFrame, seed: Long): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(s":shuffle:$seed")))
+    docs
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard",
+        (expr("position(substring(k, 1, 1) IN '0123456789abcdef')") - 1).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def q100ShuffleShard(s: SparkSession, d: String): DataFrame =
+    shuffleShard(documents(s, d), 42L).orderBy(col("shard"), col("pos"))
+
+  val q100Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':shuffle:42')) AS k
+      | FROM documents
+      |), sh AS (
+      | SELECT doc_id, k,
+      |   CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS INT) AS shard
+      | FROM t
+      |)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+      |FROM sh ORDER BY shard, pos""".stripMargin
+
   // ---------------------------------------------------------------- q87
 
   /** Span-level decontamination: for every contaminated train doc, the
@@ -855,5 +901,6 @@ object Curation {
     ("q84_stratified_sample", q84StratifiedSample _, Some(q84Sql)),
     ("q87_decontam_spans", q87DecontamSpans _, Some(q87Sql)),
     ("q88_sliding_windows", q88SlidingWindows _, Some(q88Sql)),
+    ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),
   )
 }

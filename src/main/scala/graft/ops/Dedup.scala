@@ -671,6 +671,66 @@ object Dedup {
       |WHERE d.doc_id < 60
       |GROUP BY d.source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+
+  /** q99: inter-source duplication audit — for every source pair, the
+    * count and Jaccard of shared distinct 4-token shingles. The
+    * "which sources copy from each other" report a curation pipeline
+    * runs before deciding mixing weights (a high-overlap pair means
+    * their token budgets double-count).
+    *
+    * 100 TB shape: text leaves the scan as DISTINCT (source, md5(sh))
+    * rows — 16-byte fingerprints, never shingle strings — so the only
+    * large shuffle is the distinct, which partial-aggregates map-side.
+    * The self-join key is the fingerprint; each fingerprint group is
+    * capped by the SOURCE COUNT (≤ #sources rows), so the join output
+    * is bounded by #fps · #sources² with tiny rows, and the final
+    * matrix is #sources² rows. The per-source set sizes broadcast. */
+  def q99SourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(documents(s, d))
+
+  /** q99 core over any (source, text) frame — split out for planted
+    * tests. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"),
+        explode(array_distinct(shinglesOfTokens(split(col("text"), " "), 4))).as("sh"))
+      .select(col("source"), md5(col("sh")).as("fp"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q99Sql: String =
+    """WITH toks AS (SELECT source, str_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      | SELECT DISTINCT source,
+      |   unnest([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])
+      |           for i in range(1, len(t) - 2)]) AS s
+      | FROM toks
+      |), sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+      |inter AS (
+      | SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      | FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      | GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -683,5 +743,6 @@ object Dedup {
     ("q90_dedup_keep_best", q90DedupKeepBest _, Some(q90Sql)),
     ("q69_lsh_clusters", q69LshClusters _, None),
     ("q75_dedup_apply", q75DedupApply _, Some(q75Sql)),
+    ("q99_source_overlap", q99SourceOverlap _, Some(q99Sql)),
   )
 }

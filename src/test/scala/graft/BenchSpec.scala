@@ -50,7 +50,7 @@ class BenchSpec extends AnyFunSuite {
       s"sweep-1 worst case overshot the deadline by ${-remaining}s for $n queries")
   }
 
-  test("declared 100-query worst case fits the default deadline") {
+  test("declared worst-case suite size fits the default deadline") {
     // the suite WILL grow; provision the all-capped sweep for
     // WorstCaseQueries before the growth, not after the driver's
     // artifact dies to it (round-8 ask #7)

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cluster
+
+class ClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def vecsDF(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "e")
+  }
+
+  // two well-separated 3-d blobs around (0,0,0) and (10,10,10)
+  private val blobs = vecsDF(Seq(
+    (0L, Seq(0.1, 0.0, -0.1)), (1L, Seq(-0.2, 0.1, 0.0)),
+    (2L, Seq(0.0, -0.1, 0.2)), (3L, Seq(0.15, 0.05, 0.0)),
+    (4L, Seq(10.1, 9.9, 10.0)), (5L, Seq(9.8, 10.2, 10.0)),
+    (6L, Seq(10.0, 10.0, 9.9)), (7L, Seq(9.9, 9.95, 10.1))))
+
+  test("kmeans recovers planted blobs: partition + centroid means") {
+    val m = Cluster.kmeansDistributed(blobs, k = 2, iters = 4)
+    assert(m.centroids.length == 2)
+    // each centroid sits on one blob mean (order unspecified)
+    val sorted = m.centroids.sortBy(_.sum)
+    val lowMean = Array(0.1 - 0.2 + 0.0 + 0.15, 0.0 + 0.1 - 0.1 + 0.05,
+      -0.1 + 0.0 + 0.2 + 0.0).map(_ / 4)
+    val hiMean = Array(10.1 + 9.8 + 10.0 + 9.9, 9.9 + 10.2 + 10.0 + 9.95,
+      10.0 + 10.0 + 9.9 + 10.1).map(_ / 4)
+    sorted(0).zip(lowMean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    sorted(1).zip(hiMean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // assignment splits the ids exactly by blob
+    val asg = blobs.select(col("vec_id"),
+      graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(0L, 1L, 2L, 3L).map(asg) != Set(4L, 5L, 6L, 7L).map(asg))
+    assert(Set(0L, 1L, 2L, 3L).map(asg).size == 1)
+    assert(Set(4L, 5L, 6L, 7L).map(asg).size == 1)
+  }
+
+  test("kmeans cost sequence is non-increasing (Lloyd's invariant)") {
+    val vecs = vecsDF((0L until 40L).map(i =>
+      (i, Seq((i % 7).toDouble, (i % 5).toDouble, (i % 3).toDouble))))
+    val m = Cluster.kmeansDistributed(vecs, k = 4, iters = 5)
+    m.costs.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"cost increased: ${m.costs}")
+      case _         =>
+    }
+  }
+
+  test("kmeans is deterministic and sizes sum to the corpus") {
+    val d = TestSpark.sf0001
+    val a = Cluster.q97Kmeans(spark, d).collect()
+    val b = Cluster.q97Kmeans(spark, d).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val total = a.map(_.getLong(1)).sum
+    val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+    assert(total == n)
+    // every cluster id within range, mean_sq_dist finite and >= 0
+    a.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < Cluster.K)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("kmeans tolerates fewer distinct vectors than k") {
+    val vecs = vecsDF(Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))))
+    val m = Cluster.kmeansDistributed(vecs, k = 5, iters = 2)
+    assert(m.centroids.length == 2) // farthest-point stops at 0-distance
+  }
+
+  test("semantic dedup drops planted duplicates, keeps the min id") {
+    // 10 is a scaled copy of 2 (cosine exactly 1), 11 is near-copy of 5
+    val base = (0L until 10L).map { i =>
+      val ang = i.toDouble / 3.0
+      (i, Seq(math.cos(ang), math.sin(ang), 0.1 * i))
+    }
+    val planted = base ++ Seq(
+      (10L, base(2)._2.map(_ * 3.0)),
+      (11L, base(5)._2.map(_ * 0.999)))
+    val got = Cluster.semanticDedupBrute(vecsDF(planted), 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!got(10L) && !got(11L), "planted dups must be dropped")
+    assert(got(2L) && got(5L), "smaller-id originals kept")
+  }
+
+  test("clustered semantic dedup with one cluster equals brute force") {
+    val d = TestSpark.sf0001
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") < 80)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val brute = Cluster.semanticDedupBrute(vecs, Cluster.SemDedupTau).collect()
+    // a single centroid puts every vector in the same cluster → same pairs
+    val oneCent = Array(Array.fill(64)(0.0))
+    val clustered = Cluster.semanticDedupClustered(vecs, oneCent, Cluster.SemDedupTau).collect()
+    assert(brute.map(_.toString).toSeq == clustered.map(_.toString).toSeq)
+  }
+
+  test("clustered semantic dedup only misses cross-cluster pairs (recall audit)") {
+    val d = TestSpark.sf0001
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val m = Cluster.kmeansDistributed(vecs, k = 4, iters = 2)
+    val brute = Cluster.semanticDedupBrute(vecs, Cluster.SemDedupTau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val clus = Cluster.semanticDedupClustered(vecs, m.centroids, Cluster.SemDedupTau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // clustered is a SUBSET of brute's drops: anything clustered drops,
+    // brute drops too (same rule over fewer candidate pairs)
+    clus.foreach { case (id, kept) => if (!kept) assert(!brute(id)) }
+    // and τ above every cosine keeps everything
+    val all = Cluster.semanticDedupBrute(vecs, 1.01).collect()
+    assert(all.forall(_.getBoolean(1)))
+  }
+}

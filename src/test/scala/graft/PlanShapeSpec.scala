@@ -293,6 +293,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "q90 must stay a pure aggregation, not a window")
   }
 
+  test("q99 overlap exchanges carry shingle fingerprints, never text") {
+    // the source-overlap matrix must leave the scan as (source, md5)
+    // rows — an exchange holding the raw text or shingle strings is
+    // the O(corpus-bytes) shuffle this design avoids
+    val shuffles = sparkPlan(q("q99_source_overlap")).collect {
+      case e: ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("sh"),
+        s"overlap exchange must move fingerprints only, moves: $cols")
+    }
+  }
+
+  test("q100 shuffle-shard windows are PARTITIONED — no global-sort window") {
+    // pos = row_number over (partition by shard); an empty partition
+    // spec would serialize the whole corpus through one task
+    val winSpecs = sparkPlan(q("q100_shuffle_shard")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty)
+    winSpecs.foreach(spec =>
+      assert(spec.nonEmpty, "shuffle-shard window must partition by shard"))
+  }
+
   test("q35 is map-only: no exchange except the final order") {
     val shuffles = sparkPlan(q("q35_lang_id")).collect {
       case e: ShuffleExchangeExec => e

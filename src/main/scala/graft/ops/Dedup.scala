@@ -731,6 +731,58 @@ object Dedup {
       |JOIN sizes sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------------------------------------- q102
+
+  /** q102: per-document cross-source NOVELTY — the fraction of a doc's
+    * distinct 4-shingles that exist in NO other source. The
+    * complement of the q99 matrix at document granularity: q99 says
+    * which source pairs double-count, this ranks the individual
+    * documents that carry content unavailable anywhere else (high
+    * novelty → protect from aggressive budget cuts; ~0 novelty →
+    * the doc restates other sources and is a cut candidate).
+    *
+    * 100 TB shape mirrors q99: the scan emits (doc_id, source, md5
+    * fp) with per-doc-distinct shingles; the source-count side
+    * aggregates DISTINCT (fp, source) — both exchanges carry
+    * fingerprints, never shingle text — and the per-doc aggregation
+    * collapses map-side to three scalars per document. */
+  def q102Novelty(s: SparkSession, d: String): DataFrame =
+    noveltyScores(documents(s, d))
+
+  /** q102 core over any (doc_id, source, text) frame. */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shinglesOfTokens(split(col("text"), " "), 4))).as("sh"))
+      .select(col("doc_id"), col("source"), md5(col("sh")).as("fp"))
+    val srcCount = sh.select(col("fp"), col("source")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_src"))
+    sh.join(srcCount, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_sh"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q102Sql: String =
+    """WITH sh AS (
+      | SELECT DISTINCT doc_id, source,
+      |   unnest([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])
+      |           for i in range(1, len(t) - 2)]) AS s
+      | FROM (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents)
+      |), src_count AS (
+      | SELECT s, count(DISTINCT source) AS n_src FROM sh GROUP BY s
+      |)
+      |SELECT sh.doc_id,
+      |  count(*) AS n_sh,
+      |  CAST(sum(CASE WHEN c.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN c.n_src = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS novelty
+      |FROM sh JOIN src_count c ON sh.s = c.s
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -744,5 +796,6 @@ object Dedup {
     ("q69_lsh_clusters", q69LshClusters _, None),
     ("q75_dedup_apply", q75DedupApply _, Some(q75Sql)),
     ("q99_source_overlap", q99SourceOverlap _, Some(q99Sql)),
+    ("q102_novelty", q102Novelty _, Some(q102Sql)),
   )
 }

@@ -37,6 +37,32 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got(0).getLong(2) == 1) // only "p q r s" is shared
   }
 
+  test("q102 novelty: unique doc scores 1, cross-source-quoted doc scores its covered fraction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g"),     // 4 shingles, none elsewhere → 1.0
+      (2L, "srcA", "p q r s t u"),       // 3 shingles, "p q r s" also in srcB → 2/3
+      (3L, "srcB", "p q r s"),           // its only shingle is shared → 0.0
+      (4L, "srcB", "p q r s x y z"))     // shares "p q r s" with srcA → 3/4
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((3L, 2L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 3L, 0.75)))
+  }
+
+  test("q102 novelty is within-source-duplication blind (same-source repeats stay novel)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c d"), // same shingle, same source → still novel
+      (3L, "srcB", "m n o u")).toDF("doc_id", "source", "text")
+    val got = Dedup.noveltyScores(docs).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+  }
+
   test("q100 emits every doc exactly once with dense per-shard positions") {
     val got = Curation.shuffleShard(
       spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet"), 42L)

@@ -297,13 +297,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // the source-overlap matrix must leave the scan as (source, md5)
     // rows — an exchange holding the raw text or shingle strings is
     // the O(corpus-bytes) shuffle this design avoids
-    val shuffles = sparkPlan(q("q99_source_overlap")).collect {
-      case e: ShuffleExchangeExec => e.output.map(_.name)
-    }
-    assert(shuffles.nonEmpty)
-    shuffles.foreach { cols =>
-      assert(!cols.contains("text") && !cols.contains("sh"),
-        s"overlap exchange must move fingerprints only, moves: $cols")
+    Seq("q99_source_overlap", "q102_novelty").foreach { name =>
+      val shuffles = sparkPlan(q(name)).collect {
+        case e: ShuffleExchangeExec => e.output.map(_.name)
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { cols =>
+        assert(!cols.contains("text") && !cols.contains("sh"),
+          s"$name exchange must move fingerprints only, moves: $cols")
+      }
     }
   }
 

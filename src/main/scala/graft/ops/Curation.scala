@@ -887,6 +887,69 @@ object Curation {
       |SELECT source, doc_id, rk FROM t WHERE rk <= 20
       |ORDER BY source, rk""".stripMargin
 
+  // --------------------------------------------------------------- q103
+
+  /** q103: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-ES, 2006): per source, the k docs with the largest priority
+    * u^(1/w) — here w = n_chars, so longer documents are
+    * proportionally likelier to survive, the "sample by token mass,
+    * not doc count" selection a mixture builder wants when sources
+    * differ wildly in doc length. q84 is the uniform quota sampler;
+    * rate-based mixing (q66/q83) is Bernoulli per doc — neither can
+    * express "exactly k, weight-proportional".
+    *
+    * Deterministic and engine-portable: u derives from md5(doc_id),
+    * not rand() — first 8 hex chars parsed to an integer v (exact in
+    * a double), u = (v + 0.5) / 2^32 ∈ (0,1). Priorities are ranked
+    * UNROUNDED (both engines feed identical doubles to libm pow; an
+    * order flip would need two priorities within ~2 ulp of each
+    * other) with a doc_id tie-break, and the priority itself is NOT
+    * an output column, so last-ulp pow disagreement cannot reach the
+    * hash compare.
+    *
+    * 100 TB shape: identical to q84 — a per-source rank window with
+    * the rk <= k predicate pushed into WindowGroupLimit (per-partition
+    * top-k heaps map-side, only ~k rows per source shuffle); the
+    * priority itself is map-side arithmetic on the scan. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val v = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":wsamp"))), 1, 8),
+      16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val prio = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
+    val w = Window.partitionBy(col("source")).orderBy(prio.desc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** q103: 25 weight-proportional docs per source. */
+  def q103WeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(documents(s, d), 25).orderBy(col("source"), col("rk"))
+
+  /** DuckDB has no `conv`, so the oracle parses the 8 hex chars with
+    * an explicit strpos polynomial — same integer, same double. */
+  val q103Sql: String =
+    """WITH t AS (
+      | SELECT source, doc_id, n_chars,
+      |   list_sum(list_transform(range(1, 9),
+      |     i -> (strpos('0123456789abcdef',
+      |            substr(substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 8),
+      |                   CAST(i AS INT), 1)) - 1) * power(16, 8 - i))) AS v
+      | FROM documents
+      |), p AS (
+      | SELECT source, doc_id, n_chars,
+      |   pow((v + 0.5) / 4294967296.0,
+      |       1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)) AS prio
+      | FROM t
+      |), r AS (
+      | SELECT source, doc_id, n_chars,
+      |   CAST(row_number() OVER (PARTITION BY source
+      |     ORDER BY prio DESC, doc_id) AS INT) AS rk
+      | FROM p
+      |)
+      |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 25
+      |ORDER BY source, rk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -902,5 +965,6 @@ object Curation {
     ("q87_decontam_spans", q87DecontamSpans _, Some(q87Sql)),
     ("q88_sliding_windows", q88SlidingWindows _, Some(q88Sql)),
     ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),
+    ("q103_weighted_sample", q103WeightedSample _, Some(q103Sql)),
   )
 }

@@ -570,6 +570,108 @@ object Text {
       |ORDER BY n_docs DESC, span""".stripMargin
   }
 
+  // --------------------------------------------------------------- q106
+
+  /** q106: token FREQUENCY SPECTRUM per source — vocabulary size,
+    * hapax (count=1) and dis (count=2) legomena, hapax fraction, and
+    * the top token frequency. The frequency-of-frequencies profile is
+    * a standard corpus-health check: natural text follows Zipf
+    * (hapax_frac ≈ 0.4–0.6); templated or machine-generated text
+    * collapses the spectrum (tiny vocab, low hapax), while OCR noise
+    * or encoding junk inflates it toward 1.0. Complements q95 (OOV
+    * against a global vocab) with a per-source intrinsic signal.
+    *
+    * 100 TB shape: tokens leave the scan as (source, 8-byte xxhash64
+    * fp) — the first groupBy partially aggregates map-side so the
+    * exchange carries (source, fp, partial n), never token strings
+    * (collision odds across a 10^6-token vocab ~1e-7, and a collision
+    * merges two counts without changing the spectrum materially); the
+    * second aggregation reduces a vocab-sized frame to one row per
+    * source. The oracle groups by the token STRING — same counts. */
+  def tokenSpectrum(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .select(col("source"), xxhash64(col("token")).as("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("dis"),
+        round(sum(when(col("n") === 1, 1d).otherwise(0d)) / count(lit(1)), 6)
+          .as("hapax_frac"),
+        max(col("n")).as("top_freq"))
+      .orderBy(col("source"))
+
+  def q106TokenSpectrum(s: SparkSession, d: String): DataFrame =
+    tokenSpectrum(documents(s, d))
+
+  val q106Sql: String =
+    """WITH tf AS (
+      | SELECT source, token, count(*) AS n
+      | FROM (SELECT source, unnest(str_split(text, ' ')) AS token FROM documents)
+      | GROUP BY source, token
+      |)
+      |SELECT source,
+      | CAST(count(*) AS BIGINT) AS vocab,
+      | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      | CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+      | round(sum(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS hapax_frac,
+      | CAST(max(n) AS BIGINT) AS top_freq
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q107
+
+  /** q107: per-document token ENTROPY — H = log2(n) − Σ c·log2(c) / n
+    * over the doc's token counts. Low entropy flags repetitive /
+    * templated / keyword-stuffed text that q73's duplicate-word
+    * fraction expresses more bluntly; it is the Shannon form of the
+    * same "too little information per token" quality gate.
+    *
+    * 100 TB shape: ZERO shuffle — the counts come from row-local
+    * array expressions (distinct tokens × occurrence filter inside
+    * one codegen'd projection), so the pass is embarrassingly
+    * parallel and composes map-side in front of any filter. The
+    * per-row cost is O(distinct·n) — bounded by doc length, the same
+    * trade q73 makes to stay shuffle-free. Bounded ids keep the
+    * oracle's list-comprehension mirror cheap; the operator itself
+    * has no bound. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val cnts = expr(
+      "transform(array_distinct(split(text, ' ')), " +
+        "t -> size(filter(split(text, ' '), x -> x = t)))")
+    val n = size(t).cast("double")
+    docs.select(
+        col("doc_id"),
+        size(t).cast("bigint").as("n_tokens"),
+        size(array_distinct(t)).cast("bigint").as("n_distinct"),
+        round(log2(n) -
+          aggregate(cnts, lit(0.0), (a, c) => a + c * log2(c)) / n, 6)
+          .as("entropy"))
+  }
+
+  def q107TokenEntropy(s: SparkSession, d: String): DataFrame =
+    tokenEntropy(documents(s, d).filter(col("doc_id") < 1200))
+      .orderBy(col("doc_id"))
+
+  val q107Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, str_split(text, ' ') AS t FROM documents WHERE doc_id < 1200
+      |), c AS (
+      | SELECT doc_id, t,
+      |   list_transform(list_distinct(t),
+      |     u -> len(list_filter(t, x -> x = u))) AS cnts
+      | FROM d
+      |)
+      |SELECT doc_id,
+      | CAST(len(t) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      | round(log2(len(t))
+      |   - list_sum(list_transform(cnts, c -> c * log2(c))) / len(t), 6) AS entropy
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -586,5 +688,7 @@ object Text {
     ("q94_pii_redact", q94PiiRedact _, Some(q94Sql)),
     ("q95_vocab_coverage", q95VocabCoverage _, Some(q95Sql)),
     ("q96_boilerplate", q96Boilerplate _, Some(q96Sql)),
+    ("q106_token_spectrum", q106TokenSpectrum _, Some(q106Sql)),
+    ("q107_token_entropy", q107TokenEntropy _, Some(q107Sql)),
   )
 }

@@ -294,6 +294,49 @@ class CurationSpec extends AnyFunSuite {
       "same corpus, same sample")
   }
 
+  test("weighted sample: exactly k per source, a dominant weight always wins, deterministic") {
+    import spark.implicits._
+    // 50 unit-weight docs plus one doc whose weight dwarfs them: its
+    // priority u^(1/w) -> 1 as w grows, so it must rank first
+    val docs = ((0 until 50).map(i => ("s", i.toLong, 200L)) :+
+        (("s", 999L, 2000000000L)))
+      .toDF("source", "doc_id", "n_chars")
+    val sample = Curation.weightedSample(docs, 10).collect()
+    assert(sample.length == 10, "exactly k from a larger source")
+    val first = sample.find(_.getInt(3) == 1).get
+    assert(first.getLong(1) == 999L,
+      s"the dominant-weight doc must rank first, got ${first.getLong(1)}")
+    val again = Curation.weightedSample(docs, 10).collect()
+    assert(sample.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
+      "same corpus, same sample")
+  }
+
+  test("weighted sample: sub-k source keeps every doc; samples nest as k grows") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+    def ids(k: Int) = Curation.weightedSample(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s5 = ids(5)
+    val s15 = ids(15)
+    assert(s5.subsetOf(s15), "smaller quota must be contained in the larger")
+    assert(s5.nonEmpty && s15.size > s5.size)
+  }
+
+  test("weighted sample: weighting shifts mass toward long docs vs the uniform sampler") {
+    // two length classes; the weighted sample must select long docs at
+    // a visibly higher rate than the uniform stratified sampler does
+    import spark.implicits._
+    val docs = ((0 until 200).map(i => ("s", i.toLong, 10L)) ++
+        (200 until 400).map(i => ("s", i.toLong, 4000L)))
+      .toDF("source", "doc_id", "n_chars")
+    val weighted = Curation.weightedSample(docs, 40).collect()
+      .count(_.getLong(2) == 4000L)
+    assert(weighted >= 30,
+      s"with 400x weights the long class should dominate the sample, got $weighted/40")
+  }
+
   test("stratified samples nest: the k=10 sample is a prefix of the k=20 sample") {
     // growing the quota must only ADD docs (rank order is corpus-stable),
     // so downstream consumers can grow a sample without resampling

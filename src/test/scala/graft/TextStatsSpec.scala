@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Text
+
+/** q106 token frequency spectrum + q107 token entropy: hand-computed
+  * planted frames, invariants over the synthetic corpus, and the
+  * zero-shuffle plan claim for the entropy pass. */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def docs(rows: Seq[(String, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("source", "doc_id", "text")
+  }
+
+  test("q106: hand-computed spectrum on a planted corpus") {
+    // srcA tokens: a a a b b c  -> counts {a:3, b:2, c:1}
+    //   vocab 3, hapax 1 (c), dis 1 (b), top 3
+    // srcB tokens: x y          -> counts {x:1, y:1}
+    //   vocab 2, hapax 2, dis 0, top 1
+    val rows = Text.tokenSpectrum(docs(Seq(
+        ("srcA", 1L, "a a a b"),
+        ("srcA", 2L, "b c"),
+        ("srcB", 3L, "x y"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(rows("srcA") == ((3L, 1L, 1L, 1.0 / 3, 3L)) ||
+      (rows("srcA")._1 == 3L && rows("srcA")._2 == 1L && rows("srcA")._3 == 1L &&
+        math.abs(rows("srcA")._4 - 1.0 / 3) < 1e-5 && rows("srcA")._5 == 3L))
+    assert(rows("srcB")._1 == 2L && rows("srcB")._2 == 2L &&
+      rows("srcB")._3 == 0L && rows("srcB")._4 == 1.0 && rows("srcB")._5 == 1L)
+  }
+
+  test("q106: fp-based counts agree with raw-token counts (collision-free regime)") {
+    val d = graft.Tables.documents(spark, sf)
+    val byFp = Text.tokenSpectrum(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toMap
+    val byTok = d
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("dis"),
+        max(col("n")).as("top_freq"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byFp == byTok,
+      "xxhash64 token fingerprints must reproduce the string-keyed spectrum exactly")
+  }
+
+  test("q107: hand-computed entropies") {
+    val rows = Text.tokenEntropy(docs(Seq(
+        ("s", 1L, "a a a a"),          // all same token -> H = 0
+        ("s", 2L, "a b c d"),          // uniform over 4 -> H = 2
+        ("s", 3L, "a a b b"),          // uniform over 2 -> H = 1
+        ("s", 4L, "a a b"))))          // H = log2(3) - (2*1)/3
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) == 0.0)
+    assert(rows(2L) == 2.0)
+    assert(rows(3L) == 1.0)
+    val h4 = math.log(3.0) / math.log(2.0) - 2.0 / 3.0
+    assert(math.abs(rows(4L) - h4) < 1e-6)
+  }
+
+  test("q107: entropy bounds hold over the corpus (0 <= H <= log2(distinct))") {
+    val rows = Text.q107TokenEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(3)
+      val maxH = math.log(r.getLong(2).toDouble) / math.log(2.0)
+      assert(h >= -1e-9, s"doc ${r.getLong(0)}: entropy $h < 0")
+      assert(h <= maxH + 1e-6,
+        s"doc ${r.getLong(0)}: entropy $h > log2(distinct) = $maxH")
+    }
+  }
+
+  test("q107: the entropy pass is map-only (no Exchange below the sort)") {
+    val plan = Text.tokenEntropy(graft.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"tokenEntropy must not shuffle:\n$plan")
+  }
+}

@@ -265,6 +265,30 @@ object SketchKernels {
     best
   }
 
+  /** Count–Min row index for key `s` in row `r`: double hashing with
+    * the same xxhash64 pair the minhash chain uses, so update
+    * (aggregate) and probe (scalar expression) derive identical
+    * indices from one shared kernel. */
+  def cmsIndex(s: UTF8String, r: Int, width: Int): Int = {
+    val h1 = hashToken(s, 42L)
+    val h2 = hashToken(s, 0x9E3779B9L) | 1L
+    java.lang.Math.floorMod(h1 + r.toLong * h2, width.toLong).toInt
+  }
+
+  /** Point estimate: min over the depth rows of the flattened
+    * depth×width counter array (CMS guarantee: true ≤ est). */
+  def cmsEstimate(sketch: ArrayData, s: UTF8String, depth: Int, width: Int): Long = {
+    val key = if (s == null) UTF8String.EMPTY_UTF8 else s
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sketch.getLong(r * width + cmsIndex(key, r, width))
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
   def hyperplane(e: ArrayData, planes: Array[Array[Double]],
                  bitsPerBand: Int): ArrayData = {
     val dim = e.numElements()

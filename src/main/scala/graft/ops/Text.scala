@@ -570,6 +570,53 @@ object Text {
       |ORDER BY n_docs DESC, span""".stripMargin
   }
 
+  // --------------------------------------------------------------- q104
+
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Probe set: the corpus's six stopwords plus two tokens that never
+    * occur — a fixed external vocabulary, the CMS use case (frequency
+    * of tokens CHOSEN AFTER the scan; SpaceSaving can only answer for
+    * tokens the stream itself promoted). */
+  val CmsProbes: Seq[String] = stopwords ++ Seq("zzz_absent", "qqq_absent")
+
+  /** Per-source CMS over ANY (source, token) stream + probe estimates
+    * for `probes` — reusable core so tests can drive planted frames
+    * and tiny widths. Output: (source, token, est_n). */
+  def cmsProbe(tokens: DataFrame, probes: Seq[String],
+               depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    tokens
+      .groupBy(col("source"))
+      .agg(graft.functions.CountMinAgg.countMinSketch(col("token"), depth, width)
+        .as("cms"))
+      .select(col("source"), explode(typedLit(probes)).as("token"), col("cms"))
+      .select(col("source"), col("token"),
+        graft.functions.CountMinAgg.cmsEstimate(col("cms"), col("token"), depth, width)
+          .as("est_n"))
+
+  /** q104: Count–Min point-frequency estimates next to exact counts —
+    * per (source, probe token) the exact occurrence count and the CMS
+    * estimate. The exact side exists to EXHIBIT the guarantee
+    * (true ≤ est ≤ true + εN) at test scale; production probes the
+    * sketch alone — one 32 KB summary per source instead of the full
+    * (source, token) wordcount exchange. Rows-only (DuckDB has no
+    * CMS); CmsSpec pins exact-regime equality, the overestimate-only
+    * direction, partition independence, and the planted-collision
+    * bound. */
+  def q104CmsFreq(s: SparkSession, d: String): DataFrame = {
+    val tokens = documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+    val exact = tokens
+      .filter(col("token").isin(CmsProbes: _*))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("exact_n"))
+    cmsProbe(tokens, CmsProbes)
+      .join(exact, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"), col("est_n"))
+      .orderBy(col("source"), col("token"))
+  }
+
   // --------------------------------------------------------------- q106
 
   /** q106: token FREQUENCY SPECTRUM per source — vocabulary size,
@@ -688,6 +735,7 @@ object Text {
     ("q94_pii_redact", q94PiiRedact _, Some(q94Sql)),
     ("q95_vocab_coverage", q95VocabCoverage _, Some(q95Sql)),
     ("q96_boilerplate", q96Boilerplate _, Some(q96Sql)),
+    ("q104_cms_freq", q104CmsFreq _, None),
     ("q106_token_spectrum", q106TokenSpectrum _, Some(q106Sql)),
     ("q107_token_entropy", q107TokenEntropy _, Some(q107Sql)),
   )

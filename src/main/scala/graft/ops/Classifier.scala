@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables._
+
+/** Distributed logistic-regression quality classifier (SURVEY §2.9 —
+  * the trained-filter step of a curation pipeline: heuristics label a
+  * seed set, a linear model generalizes the decision, the corpus is
+  * scored map-side).
+  *
+  * The published curation recipes (fastText-style quality classifiers)
+  * train a linear model over cheap per-doc features and keep docs the
+  * model scores "reference-like". This is that training loop run
+  * Spark-native, the same iterate-via-aggregation shape as q97's
+  * k-means:
+  *
+  *  - FEATURES are row-local codegen'd expressions (token count,
+  *    stopword ratio, mean word length) — computed once, persisted as
+  *    a slim (id, label, 4-double) frame; the text is read exactly
+  *    once and never again.
+  *  - Each GD iteration is ONE aggregation pass: the current weight
+  *    vector enters as literals, p = σ(w·x) evaluates map-side, and
+  *    the gradient Σ x·(p−y) comes back as dim+1 partial-aggregated
+  *    scalars — O(dim) driver traffic per iteration, independent of
+  *    corpus size. Loss rides dim 0 of the same shuffle (the q97
+  *    cost-bookkeeping trick).
+  *  - SCORING the corpus afterwards is a pure map: σ(w·x) > 0.5
+  *    inside whole-stage codegen, composable in front of any filter.
+  *
+  * Labels here are planted (n_tokens > median, 5% deterministic
+  * hash-flip noise) because the synthetic corpus carries no natural
+  * quality signal — the machinery under test is the distributed
+  * training loop, which ClassifierSpec pins against a driver-computed
+  * gradient, separable-recovery accuracy, loss descent, and
+  * determinism.
+  */
+object Classifier {
+
+  val Dim = 4          // [bias, n_tokens/100, stopword_ratio, avg_word_len/10]
+  val Iters = 24
+  val LearningRate = 1.5
+  val LabelTokenThreshold = 56   // corpus median
+  val NoiseFrac = 13             // flip labels where first md5 byte < 13/256 ≈ 5%
+
+  private val stopwords = Seq("the", "of", "and", "a", "to", "in")
+
+  /** Feature frame over any (doc_id, text) input: (doc_id, y, x) with
+    * x a Dim-length array<double>. Map-only; persisted by the caller
+    * if iterated over. */
+  def features(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val nTok = size(t).cast("double")
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val stopRatio = size(expr(s"filter(split(text, ' '), t -> t IN $stopList)"))
+      .cast("double") / nTok
+    val awl = length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / nTok
+    val noise = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":lbl"))), 1, 2),
+      16, 10).cast("int")
+    val cleanY = (nTok > LabelTokenThreshold).cast("int")
+    val y = when(noise < NoiseFrac, lit(1) - cleanY).otherwise(cleanY).cast("double")
+    docs.select(
+      col("doc_id"), y.as("y"),
+      array(lit(1.0), nTok / 100.0, stopRatio, awl / 10.0).as("x"))
+  }
+
+  private def dot(x: Column, w: Array[Double]): Column =
+    aggregate(zip_with(x, typedLit(w.toSeq), (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  final case class LogregModel(weights: Array[Double], losses: Seq[Double])
+
+  /** Batch gradient descent: `iters` passes, each one distributed
+    * aggregation. Gradient and mean log-loss are computed under the
+    * weights ENTERING the iteration, so `losses` tracks descent
+    * (monotone for a small-enough lr on this convex objective —
+    * pinned loosely by ClassifierSpec). The input must be a features
+    * frame from [[features]]; callers iterating at scale should
+    * persist it (q105 does). */
+  def logregFit(feats: DataFrame, iters: Int = Iters,
+                lr: Double = LearningRate): LogregModel = {
+    var w = new Array[Double](Dim)
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    val eps = 1e-12
+    var it = 0
+    while (it < iters) {
+      val p = sigmoid(dot(col("x"), w))
+      val rows = feats
+        .select(col("y"), p.as("p"), posexplode(col("x")).as(Seq("dim", "xv")))
+        .groupBy(col("dim"))
+        .agg(
+          sum(col("xv") * (col("p") - col("y"))).as("g"),
+          sum(when(col("dim") === 0,
+            -col("y") * log(col("p") + eps)
+              - (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("l0"),
+          count(lit(1)).as("n"))
+        .collect()
+      val n = rows.head.getLong(3).toDouble
+      val grad = new Array[Double](Dim)
+      var loss = 0.0
+      rows.foreach { r =>
+        grad(r.getInt(0)) = r.getDouble(1) / n
+        if (r.getInt(0) == 0) loss = r.getDouble(2) / n
+      }
+      losses += loss
+      var j = 0
+      while (j < Dim) { w(j) -= lr * grad(j); j += 1 }
+      it += 1
+    }
+    LogregModel(w, losses.toSeq)
+  }
+
+  /** q105: train the classifier on the corpus's planted labels, then
+    * report the learned weights, the final training loss, and the
+    * training accuracy of the σ(w·x) > 0.5 decision — the numbers a
+    * pipeline records before applying the filter. Rows-only
+    * (iterative refinement is not SQL-expressible). */
+  def q105LogregQuality(s: SparkSession, d: String): DataFrame = {
+    val feats = features(documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = logregFit(feats)
+      val acc = feats
+        .select(((sigmoid(dot(col("x"), m.weights)) > 0.5).cast("int") ===
+          col("y").cast("int")).cast("double").as("hit"))
+        .agg(avg(col("hit"))).collect()(0).getDouble(0)
+      val rows =
+        m.weights.zipWithIndex.map { case (v, j) => (s"w$j", v) } ++
+          Seq(("final_loss", m.losses.last), ("accuracy", acc))
+      import s.implicits._
+      rows.toSeq.toDF("metric", "value")
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy(col("metric"))
+    } finally feats.unpersist()
+  }
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q105_logreg_quality", q105LogregQuality _, None))
+}

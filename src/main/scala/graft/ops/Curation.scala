@@ -62,12 +62,17 @@ object Curation {
     * engine — assigns the same document to the same split, which is
     * the property that keeps eval sets uncontaminated across ingest
     * batches. Map-only at any scale. */
+  /** The q63 split rule as a reusable column: 'train'/'val'/'test'
+    * from the doc id's md5 bucket (engine-portable — q108's leakage
+    * audit recomputes it in DuckDB byte-identically). */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket(id.cast("string"))
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+  }
+
   def q63HashSplit(s: SparkSession, d: String): DataFrame = {
-    val b = hashBucket(col("doc_id").cast("string"))
     documents(s, d)
-      .select(
-        when(b < "cc", "train").when(b < "e6", "val").otherwise("test").as("split"),
-        col("n_chars"))
+      .select(splitLabel(col("doc_id")).as("split"), col("n_chars"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"))

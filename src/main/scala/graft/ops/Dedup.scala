@@ -783,6 +783,91 @@ object Dedup {
       |FROM sh JOIN src_count c ON sh.s = c.s
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q108
+
+  /** q108: cross-split NEAR-DUP leakage audit — q72/q80/q87
+    * decontaminate against an EXTERNAL benchmark via exact n-gram
+    * fingerprints; this audits the pipeline's OWN train/test split
+    * (q63's hash rule) for near-duplicate leakage that exact-match
+    * checks miss (a test doc paraphrased or partially re-serialized
+    * inside train inflates eval). For every test-split doc in the
+    * anchor range, its best train-split neighbor by exact token-set
+    * Jaccard. Ranked on the UNROUNDED ratio (both engines divide the
+    * same two ints — bit-identical), train_id tie-break; rounded only
+    * for display.
+    *
+    * The anchor is deliberately bounded-id all-pairs (the q44/q81
+    * discipline — constant work at any corpus size);
+    * [[crossSplitLeakageLsh]] is the unbounded production path. */
+  def q108SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), Curation.splitLabel(col("doc_id")).as("split"),
+        tokenSet(col("text")).as("ts"))
+    val train = docs.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("ts").as("ts_a"))
+    val test = docs.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("ts").as("ts_b"))
+    val w = Window.partitionBy(col("test_id"))
+      .orderBy(col("jac").desc, col("train_id").asc)
+    test.crossJoin(train)
+      .select(col("test_id"), col("train_id"),
+        (size(array_intersect(col("ts_b"), col("ts_a"))).cast("double")
+          / size(array_union(col("ts_b"), col("ts_a")))).as("jac"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("test_id"), col("train_id").as("best_train_id"),
+        round(col("jac"), 4).as("best_jaccard"))
+      .orderBy(col("test_id"))
+  }
+
+  val q108Sql: String =
+    """WITH d AS (
+      | SELECT doc_id,
+      |   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |        WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |        ELSE 'test' END AS split,
+      |   list_distinct(str_split(text, ' ')) AS ts
+      | FROM documents WHERE doc_id < 300
+      |), p AS (
+      | SELECT b.doc_id AS test_id, a.doc_id AS train_id,
+      |   CAST(len(list_intersect(b.ts, a.ts)) AS DOUBLE)
+      |     / len(list_distinct(list_cat(b.ts, a.ts))) AS jac
+      | FROM d b JOIN d a ON b.split = 'test' AND a.split = 'train'
+      |), r AS (
+      | SELECT test_id, train_id, jac,
+      |   row_number() OVER (PARTITION BY test_id ORDER BY jac DESC, train_id) AS rk
+      | FROM p
+      |)
+      |SELECT test_id, train_id AS best_train_id, round(jac, 4) AS best_jaccard
+      |FROM r WHERE rk = 1 ORDER BY test_id""".stripMargin
+
+  /** Unbounded production path for q108: banded MinHash candidates
+    * (ids-only exchange, bucket caps intact) restricted to cross-split
+    * pairs, then exact token-set verification of the candidates only —
+    * never test × train. The est floor reuses q92's 0.5 (leakage worth
+    * flagging sits well above it; the banding recall envelope is the
+    * same documented trade). Output: (test_id, train_id, jaccard) for
+    * verified pairs at or above `minJaccard`. */
+  def crossSplitLeakageLsh(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val lab = (id: String) => Curation.splitLabel(col(id))
+    val cross = minhashCandidatePairsOf(docs, minEst = ContainmentMinEst)
+      .select(col("id_a"), col("id_b"), lab("id_a").as("sp_a"), lab("id_b").as("sp_b"))
+      .filter((col("sp_a") === "train" && col("sp_b") === "test") ||
+        (col("sp_a") === "test" && col("sp_b") === "train"))
+      .select(
+        when(col("sp_a") === "test", col("id_a")).otherwise(col("id_b")).as("test_id"),
+        when(col("sp_a") === "test", col("id_b")).otherwise(col("id_a")).as("train_id"))
+    val withSets = docs.select(col("doc_id"), tokenSet(col("text")).as("ts"))
+    cross
+      .join(withSets.select(col("doc_id").as("test_id"), col("ts").as("ts_b")), Seq("test_id"))
+      .join(withSets.select(col("doc_id").as("train_id"), col("ts").as("ts_a")), Seq("train_id"))
+      .select(col("test_id"), col("train_id"),
+        round(size(array_intersect(col("ts_b"), col("ts_a"))).cast("double")
+          / size(array_union(col("ts_b"), col("ts_a"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -797,5 +882,6 @@ object Dedup {
     ("q75_dedup_apply", q75DedupApply _, Some(q75Sql)),
     ("q99_source_overlap", q99SourceOverlap _, Some(q99Sql)),
     ("q102_novelty", q102Novelty _, Some(q102Sql)),
+    ("q108_split_leakage", q108SplitLeakage _, Some(q108Sql)),
   )
 }

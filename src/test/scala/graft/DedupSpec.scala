@@ -389,6 +389,61 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** First two md5 hex chars of the decimal id — the q63 split rule,
+    * recomputed driver-side to pick planted ids per split. */
+  private def mdBucket(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    f"${d(0) & 0xff}%02x"
+  }
+  private def findId(from: Long, p: String => Boolean): Long =
+    Iterator.iterate(from)(_ + 1).find(i => p(mdBucket(i))).get
+
+  test("q108 production path: a planted test-split near-dup of a train doc is caught") {
+    val testId = findId(1L, _ >= "e6")
+    val trainId = findId(testId + 1, _ < "cc")
+    val otherTrain = findId(trainId + 1, _ < "cc")
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (trainId, shared),
+      (testId, shared + " extra"),                        // near-dup across the split
+      (otherTrain, (100 to 130).map(i => s"z$i").mkString(" "))))
+    val rows = Dedup.crossSplitLeakageLsh(docs, minJaccard = 0.8).collect()
+    assert(rows.length == 1, s"exactly the planted pair: ${rows.toSeq}")
+    assert(rows.head.getLong(0) == testId && rows.head.getLong(1) == trainId)
+    assert(rows.head.getDouble(2) > 0.9)
+  }
+
+  test("q108 production path emits only cross-split pairs, each >= the floor") {
+    val d = graft.Tables.documents(spark, TestSpark.sf0001)
+    val rows = Dedup.crossSplitLeakageLsh(d, minJaccard = 0.5).collect()
+    rows.foreach { r =>
+      assert(mdBucket(r.getLong(0)) >= "e6", s"test_id ${r.getLong(0)} not in test split")
+      assert(mdBucket(r.getLong(1)) < "cc", s"train_id ${r.getLong(1)} not in train split")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("q108 anchor: best train neighbor matches a local brute-force scan") {
+    val d = graft.Tables.documents(spark, TestSpark.sf0001)
+    val got = Dedup.q108SplitLeakage(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // local recompute over the same bounded range
+    val local = d.filter(col("doc_id") < 300)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).distinct.toSet)
+    val train = local.filter { case (id, _) => mdBucket(id) < "cc" }
+    val test = local.filter { case (id, _) => mdBucket(id) >= "e6" }
+    assert(got.keySet == test.map(_._1).toSet)
+    test.foreach { case (tid, ts) =>
+      val best = train.map { case (rid, rs) =>
+        (rid, (ts & rs).size.toDouble / (ts | rs).size) }
+        .minBy { case (rid, j) => (-j, rid) }
+      assert(got(tid)._1 == best._1, s"test doc $tid: got ${got(tid)._1}, want ${best._1}")
+      assert(math.abs(got(tid)._2 - best._2) < 5e-4)
+    }
+  }
+
   test("keep-best representatives are each cluster's longest member") {
     import org.apache.spark.sql.functions.col
     val sf = TestSpark.sf0001

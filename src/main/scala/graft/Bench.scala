@@ -78,12 +78,11 @@ object Bench {
     * The all-capped worst case still fits: while the equal split
     * (deadline − reserve)/n exceeds MinCapSec the sweep is
     * budget-preserving by construction, and once the floor binds the
-    * worst case is n·MinCapSec — with MinCapSec 9 the split stays
-    * binding (and budget-preserving) through n ≤ 113 and the
-    * remaining≥0 check in BenchSpec first fails at ⌈1050/9⌉ = 117
-    * queries, comfortably past the declared [[WorstCaseQueries]] =
-    * 108 (BenchSpec pins both the real suite size and the declared
-    * worst case from the constants alone). */
+    * worst case is n·MinCapSec — with MinCapSec 8 the split stays
+    * binding (and budget-preserving) through n ≤ 127, comfortably
+    * past the declared [[WorstCaseQueries]] = 124 (BenchSpec pins
+    * both the real suite size and the declared worst case from the
+    * constants alone). */
   val DefaultDeadlineSec = 1050.0
 
   /** Budget reserved at the tail for the final artifact write and
@@ -92,26 +91,27 @@ object Bench {
 
   /** Per-sample watchdog clamp. The floor keeps every query at least
     * a few clean-run multiples even when the budget is nearly gone
-    * (clean queries run ≤ 3 s; 9 s only truncates burst-inflated
-    * samples, which are noise by definition — was 11 s until round 9
-    * renegotiated headroom for a declared 108-query worst case:
-    * 108 × 9 s + 30 s reserve = 1002 s ≤ 1050 s deadline, spec-pinned
-    * in BenchSpec's WorstCaseQueries test). The ceiling bounds the
+    * (clean queries run ≤ 3 s; 8 s only truncates burst-inflated
+    * samples, which are noise by definition — 11 s → 9 s → 8 s as
+    * round 9 grew the suite, renegotiating headroom for a declared
+    * 124-query worst case: 124 × 8 s + 30 s reserve = 1022 s ≤
+    * 1050 s deadline, spec-pinned in BenchSpec's WorstCaseQueries
+    * test). The ceiling bounds the
     * damage any single burst can do to the schedule. Absolute worst
     * case overshoot past the deadline is one floor-capped sample plus
     * cancellation latency — the artifact on disk is already complete
     * for everything measured before it. */
-  val MinCapSec = 9.0
+  val MinCapSec = 8.0
   val MaxCapSec = 150.0
 
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. 108 keeps the equal split
-    * ((1050−30)/108 = 9.44 s) above the 9 s floor, so the sweep stays
+    * silently eating the finish reserve. 124 keeps the equal split
+    * ((1050−30)/124 = 8.23 s) above the 8 s floor, so the sweep stays
     * budget-preserving by construction; the split first stops binding
-    * at 114 queries — renegotiate the floor or deadline before then. */
-  val WorstCaseQueries = 108
+    * at 128 queries — renegotiate the floor or deadline before then. */
+  val WorstCaseQueries = 124
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

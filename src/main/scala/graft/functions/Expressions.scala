@@ -61,6 +61,8 @@ object NativeExprs {
     toCol(PqEncode(toExpr(e), codebooks))
   def pqAdc(code: Column, lut: Array[Array[Double]]): Column =
     toCol(PqAdc(toExpr(code), lut))
+  def deflateLen(c: Column): Column = toCol(DeflateLen(toExpr(c)))
+
   def bloomContainsLong(x: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     toCol(BloomContainsLong(toExpr(x), filter))
 
@@ -576,5 +578,30 @@ case class BloomContainsLong(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): BloomContainsLong =
+    copy(child = c)
+}
+
+/** DEFLATE byte length of a string — the kernel expression behind the
+  * q113 compressibility quality signal (see [[SketchKernels.deflateLen]]
+  * for determinism notes). A plain UnaryExpression with defineCodeGen:
+  * the projection stays inside the scan's whole-stage-codegen span, so
+  * scoring 100 TB of documents is one codegen'd map-only pass. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.deflateLen(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.deflateLen($c)")
+
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
     copy(child = c)
 }

@@ -21,6 +21,32 @@ object SketchKernels {
   private def hashToken(s: UTF8String, seed: Long): Long =
     XxHash64Function.hash(if (s == null) UTF8String.EMPTY_UTF8 else s, StringType, seed)
 
+  /** DEFLATE length of a UTF-8 string — the compressibility kernel
+    * behind the q113 quality signal (compression ratio ≈ redundancy;
+    * boilerplate/templated text compresses far better than natural
+    * prose). Level 6, raw deflate (nowrap): deterministic for a fixed
+    * zlib build, which this container pins via the JDK. The Deflater
+    * is reused per-thread (reset() between rows) — allocating one per
+    * row would dominate the scan; the output buffer is thrown away,
+    * only the length escapes, so the expression stays allocation-free
+    * after warmup. */
+  private val deflaterTl: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+  private val deflateBufTl: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
+
+  def deflateLen(s: UTF8String): Int = {
+    val in = s.getBytes
+    val d = deflaterTl.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = deflateBufTl.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   def minhash(arr: ArrayData, slots: Int): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(slots)(Long.MaxValue)

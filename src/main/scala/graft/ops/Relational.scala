@@ -835,6 +835,121 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q115: FULL OUTER join — the one outer-join shape the suite lacked
+    * (q04 left, q05 semi, q06 anti). Heavy customers (≥12 orders) full-
+    * outer high-balance customers: the unmatched rows on BOTH sides are
+    * the point (heavy-but-poor vs rich-but-idle vs both), tagged with a
+    * side indicator and null-coalesced into a dense report.
+    *
+    * Scale shape: both inputs pre-aggregate/filter to small keyed
+    * frames before the join, so the full-outer shuffle carries digests,
+    * not fact rows; Catalyst plans it as a sort-merge join (full outer
+    * can't broadcast — both sides must see unmatched keys). */
+  def q115JoinFull(s: SparkSession, d: String): DataFrame = {
+    val heavy = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("spend"))
+      .filter(col("n_orders") >= 12)
+    val rich = customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+    heavy.join(rich, heavy("o_custkey") === rich("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("acctbal"), lit(0.0)).as("acctbal"),
+        when(col("c_custkey").isNull, "heavy_only")
+          .when(col("o_custkey").isNull, "rich_only")
+          .otherwise("both").as("side"))
+      .orderBy(col("custkey"))
+  }
+
+  val q115Sql: String =
+    """WITH heavy AS (
+      | SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |   round(sum(o_totalprice), 2) AS spend
+      | FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+      |), rich AS (
+      | SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      | FROM customer WHERE c_acctbal > 9000
+      |)
+      |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(spend, 0.0) AS spend,
+      |  coalesce(acctbal, 0.0) AS acctbal,
+      |  CASE WHEN c_custkey IS NULL THEN 'heavy_only'
+      |       WHEN o_custkey IS NULL THEN 'rich_only'
+      |       ELSE 'both' END AS side
+      |FROM heavy FULL OUTER JOIN rich ON o_custkey = c_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** q116: UNPIVOT — wide per-flag measures to long (flag, measure,
+    * value) form, the inverse of q54's pivot. Spark plans unpivot as a
+    * map-side Expand (each input row fans out to one row per measure
+    * inside the same stage — no shuffle, no join); the only exchange
+    * is the upstream aggregation's. Measures are rounded BEFORE the
+    * unpivot so both engines unpivot identical doubles. */
+  def q116Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q116Sql: String =
+    """WITH w AS (
+      | SELECT l_returnflag,
+      |   round(sum(l_quantity), 2) AS sum_qty,
+      |   round(sum(l_extendedprice), 2) AS sum_price,
+      |   round(sum(l_discount), 2) AS sum_disc
+      | FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  /** q118: ordered ARRAY AGGREGATION — per nation the top-5 customer
+    * balances as a sorted array column (the list-building aggregate
+    * the suite lacked; q39 consumes arrays, nothing produced one).
+    * Values are rounded BEFORE collection and the array is sorted by
+    * its own values, so both engines materialize identical lists
+    * (ties between equal doubles are order-indistinguishable).
+    *
+    * Scale shape: collect_list per group is bounded here by the
+    * slice(·, 1, 5) — but Spark still collects ALL group values
+    * before slicing; the scale-safe variant for huge groups is q15's
+    * rank-window top-k then collect. Noted on purpose: this query
+    * exists to pin the array-agg SURFACE; nation-sized groups are
+    * small by construction. */
+  def q118ArrayAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_nationkey"), round(col("c_acctbal"), 2).as("bal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           slice(sort_array(collect_list(col("bal")), asc = false), 1, 5)
+             .as("top_bals"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"), col("top_bals"))
+      .orderBy(col("n_name"))
+
+  val q118Sql: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |  (list(round(c_acctbal, 2) ORDER BY round(c_acctbal, 2) DESC))[1:5]
+      |    AS top_bals
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -877,5 +992,8 @@ object Relational {
     ("q59_window_range", q59WindowRange _, q59Sql),
     ("q60_fuzzy_match", q60FuzzyMatch _, q60Sql),
     ("q79_salted_join", q79SaltedJoin _, q79Sql),
+    ("q115_join_full", q115JoinFull _, q115Sql),
+    ("q116_unpivot", q116Unpivot _, q116Sql),
+    ("q118_array_agg", q118ArrayAgg _, q118Sql),
   )
 }

@@ -58,4 +58,46 @@ class RelationalSpec extends AnyFunSuite {
       assert(s >= 1 && s <= e)
     }
   }
+
+  test("q115 full outer: all three side tags populated, unmatched rows survive") {
+    val rows = Relational.q115JoinFull(spark, TestSpark.sf0001).collect()
+    val sides = rows.groupBy(_.getAs[String]("side")).view.mapValues(_.length).toMap
+    assert(sides.keySet == Set("heavy_only", "rich_only", "both"),
+      s"expected all three side tags at sf0.001, got $sides")
+    rows.foreach { r =>
+      val side = r.getAs[String]("side")
+      if (side == "heavy_only") assert(r.getAs[Double]("acctbal") == 0.0)
+      if (side == "rich_only") assert(r.getAs[Long]("n_orders") == 0L)
+      if (side == "both")
+        assert(r.getAs[Long]("n_orders") >= 12 && r.getAs[Double]("acctbal") > 9000)
+    }
+  }
+
+  test("q116 unpivot: three rows per flag, values equal the wide aggregate") {
+    val long = Relational.q116Unpivot(spark, TestSpark.sf0001).collect()
+    val perFlag = long.groupBy(_.getAs[String]("l_returnflag"))
+    perFlag.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("measure")).sorted.toSeq ==
+        Seq("sum_disc", "sum_price", "sum_qty"))
+    }
+    // unpivot(qty) must round-trip the wide aggregation exactly
+    val wideQty = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    long.filter(_.getAs[String]("measure") == "sum_qty").foreach { r =>
+      assert(r.getAs[Double]("value") == wideQty(r.getAs[String]("l_returnflag")))
+    }
+  }
+
+  test("q118 array_agg: arrays are descending, at most 5, and start at the group max") {
+    val rows = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bals = r.getSeq[Double](2)
+      assert(bals.size <= 5 && bals.nonEmpty)
+      assert(bals == bals.sorted.reverse, s"${r.getString(0)}: not descending: $bals")
+      assert(bals.size == math.min(5, r.getAs[Long]("n_customers")).toInt)
+    }
+  }
 }

@@ -53,55 +53,24 @@ case class SpaceSavingAgg(child: Expression, m: Int,
   override def createAggregationBuffer(): mutable.HashMap[String, Array[Long]] =
     mutable.HashMap.empty
 
-  private def minCount(buf: mutable.HashMap[String, Array[Long]]): Long =
-    if (buf.size < m) 0L else buf.valuesIterator.map(_(0)).min
-
+  // insert/evict and mergeable-summaries union live in
+  // SpaceSavingKernel, shared verbatim with the streaming stateful
+  // operator (StreamingTopK) so stream ≡ batch agreement is by
+  // construction
   override def update(buf: mutable.HashMap[String, Array[Long]],
                       input: InternalRow): mutable.HashMap[String, Array[Long]] = {
     val v = child.eval(input)
-    if (v != null) {
-      val key = v.toString
-      buf.get(key) match {
-        case Some(ce) => ce(0) += 1
-        case None if buf.size < m => buf.put(key, Array(1L, 0L))
-        case None =>
-          // evict the minimum counter; the newcomer inherits its count
-          // as the overestimate bound (the SpaceSaving invariant)
-          val (evictKey, evictCe) = buf.minBy { case (k, ce) => (ce(0), k) }
-          buf.remove(evictKey)
-          buf.put(key, Array(evictCe(0) + 1, evictCe(0)))
-      }
-    }
+    if (v != null) SpaceSavingKernel.insert(buf, v.toString, m)
     buf
   }
 
   override def merge(b1: mutable.HashMap[String, Array[Long]],
-                     b2: mutable.HashMap[String, Array[Long]]): mutable.HashMap[String, Array[Long]] = {
-    val min1 = minCount(b1)
-    val min2 = minCount(b2)
-    val merged = mutable.HashMap.empty[String, Array[Long]]
-    (b1.keySet ++ b2.keySet).foreach { k =>
-      val a = b1.get(k)
-      val b = b2.get(k)
-      // a summary where k is absent can have counted it at most its
-      // own min-counter times — that min is k's count AND error bound
-      // from that side
-      val count = a.map(_(0)).getOrElse(min1) + b.map(_(0)).getOrElse(min2)
-      val err = a.map(_(1)).getOrElse(min1) + b.map(_(1)).getOrElse(min2)
-      merged.put(k, Array(count, err))
-    }
-    if (merged.size <= m) merged
-    else {
-      val kept = merged.toSeq.sortBy { case (k, ce) => (-ce(0), k) }.take(m)
-      mutable.HashMap(kept: _*)
-    }
-  }
+                     b2: mutable.HashMap[String, Array[Long]]): mutable.HashMap[String, Array[Long]] =
+    SpaceSavingKernel.merge(b1, b2, m)
 
   override def eval(buf: mutable.HashMap[String, Array[Long]]): Any = {
-    val rows = buf.toSeq
-      .sortBy { case (k, ce) => (-ce(0), k) }
-      .map { case (k, ce) =>
-        InternalRow(UTF8String.fromString(k), ce(0), ce(1)) }
+    val rows = SpaceSavingKernel.top(buf)
+      .map { case (k, c, e) => InternalRow(UTF8String.fromString(k), c, e) }
     new GenericArrayData(rows.toArray[Any])
   }
 

@@ -158,11 +158,13 @@ object Dedup {
     cands
       .join(withSets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
       .join(withSets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      // one O(|A|+|B|) intersect per pair — don't rely on codegen
+      // subexpression elimination to dedup the hot set operation
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
-              / size(col("ts_a")), 4).as("cont_a_in_b"),
-        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double")
-              / size(col("ts_b")), 4).as("cont_b_in_a"))
+        round(col("inter") / size(col("ts_a")), 4).as("cont_a_in_b"),
+        round(col("inter") / size(col("ts_b")), 4).as("cont_b_in_a"))
   }
 
   /** q81: exact bidirectional containment over a bounded id range —
@@ -679,13 +681,18 @@ object Dedup {
     * runs before deciding mixing weights (a high-overlap pair means
     * their token budgets double-count).
     *
-    * 100 TB shape: text leaves the scan as DISTINCT (source, md5(sh))
-    * rows — 16-byte fingerprints, never shingle strings — so the only
-    * large shuffle is the distinct, which partial-aggregates map-side.
-    * The self-join key is the fingerprint; each fingerprint group is
-    * capped by the SOURCE COUNT (≤ #sources rows), so the join output
-    * is bounded by #fps · #sources² with tiny rows, and the final
-    * matrix is #sources² rows. The per-source set sizes broadcast. */
+    * 100 TB shape: text leaves the scan as DISTINCT (source, fp)
+    * rows, where fp is the 8-byte xxhash64 shingle fingerprint
+    * straight from the one-pass ShingleHashes kernel — no shingle
+    * string is ever materialized, and the only large shuffle (the
+    * distinct) partial-aggregates map-side over 8-byte keys (the
+    * q106 fp discipline; the fp never reaches the output, and a
+    * 64-bit collision across even 10^6 distinct shingles has odds
+    * ~1e-7 of perturbing one count by one). The self-join key is the
+    * fingerprint; each fingerprint group is capped by the SOURCE
+    * COUNT (≤ #sources rows), so the join output is bounded by
+    * #fps · #sources² with tiny rows, and the final matrix is
+    * #sources² rows. The per-source set sizes broadcast. */
   def q99SourceOverlap(s: SparkSession, d: String): DataFrame =
     sourceOverlap(documents(s, d))
 
@@ -694,8 +701,9 @@ object Dedup {
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("source"),
-        explode(array_distinct(shinglesOfTokens(split(col("text"), " "), 4))).as("sh"))
-      .select(col("source"), md5(col("sh")).as("fp"))
+        explode(array_distinct(
+          graft.functions.NativeExprs.shingleHashes(split(col("text"), " "), 4)))
+          .as("fp"))
       .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
@@ -741,11 +749,14 @@ object Dedup {
     * novelty → protect from aggressive budget cuts; ~0 novelty →
     * the doc restates other sources and is a cut candidate).
     *
-    * 100 TB shape mirrors q99: the scan emits (doc_id, source, md5
-    * fp) with per-doc-distinct shingles; the source-count side
-    * aggregates DISTINCT (fp, source) — both exchanges carry
-    * fingerprints, never shingle text — and the per-doc aggregation
-    * collapses map-side to three scalars per document. */
+    * 100 TB shape mirrors q99: the scan emits (doc_id, source, fp)
+    * with per-doc-distinct shingles, fp = 8-byte xxhash64 straight
+    * from the ShingleHashes kernel (no shingle strings materialized;
+    * the fp never reaches the output — q106 discipline, collision
+    * odds as documented on q99); the source-count side aggregates
+    * DISTINCT (fp, source) — both exchanges carry fingerprints, never
+    * shingle text — and the per-doc aggregation collapses map-side to
+    * three scalars per document. */
   def q102Novelty(s: SparkSession, d: String): DataFrame =
     noveltyScores(documents(s, d))
 
@@ -753,8 +764,9 @@ object Dedup {
   def noveltyScores(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(shinglesOfTokens(split(col("text"), " "), 4))).as("sh"))
-      .select(col("doc_id"), col("source"), md5(col("sh")).as("fp"))
+        explode(array_distinct(
+          graft.functions.NativeExprs.shingleHashes(split(col("text"), " "), 4)))
+          .as("fp"))
     val srcCount = sh.select(col("fp"), col("source")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("n_src"))
     sh.join(srcCount, Seq("fp"))

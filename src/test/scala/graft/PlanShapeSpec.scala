@@ -294,9 +294,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q99 overlap exchanges carry shingle fingerprints, never text") {
-    // the source-overlap matrix must leave the scan as (source, md5)
-    // rows — an exchange holding the raw text or shingle strings is
-    // the O(corpus-bytes) shuffle this design avoids
+    // the source-overlap matrix must leave the scan as (source, fp)
+    // rows (8-byte xxhash64 shingle fingerprints) — an exchange
+    // holding the raw text or shingle strings is the O(corpus-bytes)
+    // shuffle this design avoids
     Seq("q99_source_overlap", "q102_novelty").foreach { name =>
       val shuffles = sparkPlan(q(name)).collect {
         case e: ShuffleExchangeExec => e.output.map(_.name)

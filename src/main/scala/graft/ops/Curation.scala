@@ -955,6 +955,114 @@ object Curation {
       |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 25
       |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+
+  /** q124: the curation FUNNEL report — per-stage survivor counts and
+    * token retention through raw → exact dedup (q30 keep rule) →
+    * quality filter (q71's heuristics) → decontamination (q72's
+    * 5-shingle rule vs the ≥'e6' test split). q71 runs the pipeline
+    * and reports its OUTPUT (packed chunks); this reports the FUNNEL
+    * ITSELF — the per-stage attrition dashboard a data team watches to
+    * catch a mis-tuned filter eating the corpus (a stage suddenly
+    * dropping 40% is a bug signal long before eval regresses).
+    *
+    * 100 TB shape: every per-doc attribute (fp, n_tokens, swr,
+    * 5-shingle fps) is computed map-side on ONE scan shape and the
+    * text column dropped immediately — the dedup window carries
+    * (fp, id, scalars), the contamination join carries (fp, id), and
+    * each stage is an id-level refinement of the previous frame, so
+    * stage composition never re-touches text. The four stage
+    * aggregates are one row each; raw totals broadcast for the
+    * retention ratios. */
+  def q124CurationFunnel(s: SparkSession, d: String): DataFrame =
+    curationFunnel(documents(s, d))
+
+  /** q124 core over any (doc_id, source, text) frame — split out for
+    * planted-document tests. */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val base = docs.select(
+        col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"),
+        nTok.cast("bigint").as("n_tokens"),
+        (size(expr(s"filter(split(text, ' '), t -> t IN $PipelineStops)")).cast("double")
+          / nTok).as("swr"))
+    val rnW = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val s2 = base.withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") === 1).drop("rn")
+    val s3 = s2.filter(col("n_tokens") >= 20 && col("swr") >= 0.02)
+    // contamination ids: survivors sharing any 5-shingle fp with the
+    // test split — 8-byte xxhash64 fps both sides (q99/q102 collision
+    // argument); ids-only exchange
+    val shingled = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.NativeExprs
+        .shingleHashes(split(col("text"), " "), DecontamN))).as("sfp"))
+    val testFps = shingled
+      .filter(hashBucket(col("doc_id").cast("string")) >= "e6")
+      .select(col("sfp")).distinct()
+    val contaminated = shingled.join(testFps, Seq("sfp"))
+      .select(col("doc_id")).distinct()
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    def stat(df: DataFrame, idx: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+    val raw = base
+    val stages = stat(raw, 1, "raw")
+      .unionByName(stat(s2, 2, "exact_dedup"))
+      .unionByName(stat(s3, 3, "quality"))
+      .unionByName(stat(s4, 4, "decontam"))
+    val totals = stat(raw, 1, "raw")
+      .select(col("n_docs").as("raw_docs"), col("n_tokens").as("raw_tokens"))
+    stages.crossJoin(broadcast(totals))
+      .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("raw_docs"), 6).as("doc_retention"),
+        round(col("n_tokens").cast("double") / col("raw_tokens"), 6).as("token_retention"))
+      .orderBy(col("stage_idx"))
+  }
+
+  val q124Sql: String =
+    s"""WITH base AS (
+      | SELECT source, doc_id, md5(text) AS fp, str_split(text, ' ') AS t,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_filter(str_split(text, ' '), x -> x IN $PipelineStops)) AS DOUBLE)
+      |          / len(str_split(text, ' ')) AS swr
+      | FROM documents
+      |), s2 AS (
+      | SELECT * FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |   FROM base) WHERE rn = 1
+      |), s3 AS (
+      | SELECT * FROM s2 WHERE n_tokens >= 20 AND swr >= 0.02
+      |), sh AS (
+      | SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+      |   for i in range(1, len(t) - ${DecontamN - 2})])) AS s
+      | FROM base WHERE len(t) >= $DecontamN
+      |), test_fp AS (
+      | SELECT DISTINCT s FROM sh
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      |), contaminated AS (
+      | SELECT DISTINCT sh.doc_id FROM sh JOIN test_fp USING (s)
+      |), s4 AS (
+      | SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |), stages AS (
+      | SELECT 1 AS stage_idx, 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM base
+      | UNION ALL
+      | SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s2
+      | UNION ALL
+      | SELECT 3, 'quality', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s3
+      | UNION ALL
+      | SELECT 4, 'decontam', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s4
+      |), raw AS (
+      | SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+      |        CAST(sum(n_tokens) AS BIGINT) AS raw_tokens FROM base
+      |)
+      |SELECT stage_idx, stage, n_docs, n_tokens,
+      |  round(CAST(n_docs AS DOUBLE) / raw_docs, 6) AS doc_retention,
+      |  round(CAST(n_tokens AS DOUBLE) / raw_tokens, 6) AS token_retention
+      |FROM stages, raw ORDER BY stage_idx""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -971,5 +1079,6 @@ object Curation {
     ("q88_sliding_windows", q88SlidingWindows _, Some(q88Sql)),
     ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),
     ("q103_weighted_sample", q103WeightedSample _, Some(q103Sql)),
+    ("q124_curation_funnel", q124CurationFunnel _, Some(q124Sql)),
   )
 }

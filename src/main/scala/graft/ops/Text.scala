@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -719,6 +720,73 @@ object Text {
       |   - list_sum(list_transform(cnts, c -> c * log2(c))) / len(t), 6) AS entropy
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q123
+
+  /** q123: HEAPS-LAW vocabulary growth per source — cumulative
+    * distinct-vocabulary size at each decile of the source's document
+    * stream (doc_id order). Natural text grows vocabulary as a power
+    * law (V ∝ N^β, β ≈ 0.5–0.7 — Heaps 1978); a templated source
+    * flattens almost immediately, and a source whose curve is still
+    * near-linear at the last decile is mostly novel content — the
+    * growth-side complement of q106's static spectrum and a direct
+    * "will more of this source keep adding new tokens" signal for
+    * data mixing.
+    *
+    * 100 TB shape: deciles come from a per-source row_number window
+    * over (id, rank) scalars; tokens leave the scan as (source,
+    * xxhash64 fp, rank) and first-occurrence is a map-side-combined
+    * min — the exchange carries 8-byte fps (q106 discipline, counts
+    * only in the output); everything after operates on the
+    * vocab-sized first-occurrence digest, and the cumulative window
+    * covers ≤10 rows per source. Decile arithmetic is integer
+    * (((fr−1)·10) div n) — bit-identical across engines. */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val ranked = docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val firstRank = ranked
+      .select(col("source"), col("r"),
+        explode(array_distinct(toks(col("text")))).as("tok"))
+      .select(col("source"), col("r"), xxhash64(col("tok")).as("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(min(col("r")).as("fr"))
+    val hist = firstRank.join(broadcast(n), Seq("source"))
+      .select(col("source"),
+        (expr("((fr - 1) * 10) div n_docs") + 1).as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("new_tokens"))
+    hist
+      .withColumn("vocab_cum", sum(col("new_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("decile"))))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  def q123HeapsLaw(s: SparkSession, d: String): DataFrame =
+    heapsLaw(documents(s, d))
+
+  val q123Sql: String =
+    """WITH ranked AS (
+      | SELECT source, str_split(text, ' ') AS t,
+      |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      | FROM documents
+      |), n AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      | FROM documents GROUP BY source
+      |), first AS (
+      | SELECT source, tok, min(r) AS fr
+      | FROM (SELECT source, r, unnest(list_distinct(t)) AS tok FROM ranked)
+      | GROUP BY source, tok
+      |), hist AS (
+      | SELECT f.source, ((fr - 1) * 10) // n_docs + 1 AS decile,
+      |   CAST(count(*) AS BIGINT) AS new_tokens
+      | FROM first f JOIN n USING (source) GROUP BY 1, 2
+      |)
+      |SELECT source, decile, new_tokens,
+      |  CAST(sum(new_tokens) OVER (PARTITION BY source ORDER BY decile) AS BIGINT)
+      |    AS vocab_cum
+      |FROM hist ORDER BY source, decile""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -738,5 +806,8 @@ object Text {
     ("q104_cms_freq", q104CmsFreq _, None),
     ("q106_token_spectrum", q106TokenSpectrum _, Some(q106Sql)),
     ("q107_token_entropy", q107TokenEntropy _, Some(q107Sql)),
+    ("q123_heaps_law", q123HeapsLaw _, Some(q123Sql)),
   )
+
+
 }

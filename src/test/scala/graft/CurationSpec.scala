@@ -386,4 +386,27 @@ class CurationSpec extends AnyFunSuite {
       assert(e1 - s2 <= 16 - 12, s"overlap bounded by W-S: $e1 vs $s2")
     }
   }
+
+  test("q124 funnel: stages are monotone, retentions normalized, planted dup/short docs drop") {
+    import spark.implicits._
+    val good = (1 to 30).map { i =>
+      // ≥20 tokens with stopwords → survives quality
+      (i.toLong, "a", ("the of and " + (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+    }
+    val dup = Seq((100L, "a", good.head._3))          // exact dup of doc 1 → stage 2 drop
+    val short = Seq((101L, "a", "the tiny doc"))      // <20 tokens → stage 3 drop
+    val funnel = Curation.curationFunnel((good ++ dup ++ short).toDF("doc_id", "source", "text"))
+      .collect().sortBy(_.getAs[Int]("stage_idx"))
+    val docsAt = funnel.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(docsAt("raw") == 32)
+    assert(docsAt("exact_dedup") == 31, "the planted exact dup drops at stage 2")
+    assert(docsAt("quality") == 30, "the short doc drops at stage 3")
+    val counts = funnel.map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, "funnel is monotone")
+    assert(funnel.head.getAs[Double]("doc_retention") == 1.0)
+    assert(funnel.forall { r =>
+      val dr = r.getAs[Double]("doc_retention")
+      dr > 0.0 && dr <= 1.0
+    })
+  }
 }

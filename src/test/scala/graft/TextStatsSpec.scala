@@ -87,4 +87,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"tokenEntropy must not shuffle:\n$plan")
   }
+
+  test("q123 heaps law: templated source flattens, novel source keeps growing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // templated: every doc repeats the same 5 tokens → vocab flat after decile 1
+    val templated = (1 to 20).map(i => (i.toLong, "tmpl", "a b c d e"))
+    // novel: every doc contributes fresh tokens → every decile adds vocab
+    val novel = (1 to 20).map(i => (100L + i, "nov", (1 to 5).map(j => s"t${i}_$j").mkString(" ")))
+    val got = graft.ops.Text.heapsLaw((templated ++ novel).toDF("doc_id", "source", "text"))
+      .collect()
+    val tmpl = got.filter(_.getString(0) == "tmpl")
+    assert(tmpl.map(_.getAs[Long]("vocab_cum")).max == 5, "templated vocab caps at 5")
+    assert(tmpl.length == 1 && tmpl.head.getAs[Long]("decile") == 1,
+      "no new tokens past the first decile")
+    val nov = got.filter(_.getString(0) == "nov").sortBy(_.getAs[Long]("decile"))
+    assert(nov.length == 10, "novel source adds vocabulary in every decile")
+    assert(nov.map(_.getAs[Long]("new_tokens")).forall(_ == 10),
+      "2 docs x 5 fresh tokens per decile")
+    val cums = nov.map(_.getAs[Long]("vocab_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a }, "strictly growing")
+    assert(cums.last == 100, "final vocab = all distinct tokens")
+  }
 }

@@ -89,29 +89,32 @@ object Bench {
     * spark.stop(). */
   val FinishReserveSec = 30.0
 
-  /** Per-sample watchdog clamp. The floor keeps every query at least
-    * a few clean-run multiples even when the budget is nearly gone
-    * (clean queries run ≤ 3 s; 8 s only truncates burst-inflated
-    * samples, which are noise by definition — 11 s → 9 s → 8 s as
-    * round 9 grew the suite, renegotiating headroom for a declared
-    * 124-query worst case: 124 × 8 s + 30 s reserve = 1022 s ≤
-    * 1050 s deadline, spec-pinned in BenchSpec's WorstCaseQueries
-    * test). The ceiling bounds the
-    * damage any single burst can do to the schedule. Absolute worst
-    * case overshoot past the deadline is one floor-capped sample plus
+  /** Per-sample watchdog clamp. The floor only binds in the
+    * all-capped degenerate sweep (budget nearly gone, every sample
+    * clamped); in a healthy run the equal split is well above it, so
+    * every clean sample — including the slowest clean query, q92's
+    * ~5 s — runs uncapped. 11 s → 9 s → 8 s → 7 s as round 9 grew the
+    * suite, renegotiating headroom for a declared 140-query worst
+    * case: 140 × 7 s + 30 s reserve = 1010 s ≤ 1050 s deadline,
+    * spec-pinned in BenchSpec's WorstCaseQueries test. (7 s is 1.4×
+    * q92's clean min — in the degenerate sweep a q92 sample may be
+    * flagged capped; that run is already degraded by definition and
+    * the flag records it honestly.) The ceiling bounds the damage any
+    * single burst can do to the schedule. Absolute worst case
+    * overshoot past the deadline is one floor-capped sample plus
     * cancellation latency — the artifact on disk is already complete
     * for everything measured before it. */
-  val MinCapSec = 8.0
+  val MinCapSec = 7.0
   val MaxCapSec = 150.0
 
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. 124 keeps the equal split
-    * ((1050−30)/124 = 8.23 s) above the 8 s floor, so the sweep stays
+    * silently eating the finish reserve. 140 keeps the equal split
+    * ((1050−30)/140 = 7.29 s) above the 7 s floor, so the sweep stays
     * budget-preserving by construction; the split first stops binding
-    * at 128 queries — renegotiate the floor or deadline before then. */
-  val WorstCaseQueries = 124
+    * at 145 queries — renegotiate the floor or deadline before then. */
+  val WorstCaseQueries = 140
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

@@ -955,6 +955,87 @@ object Curation {
       |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 25
       |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+
+  /** Verdict boundary: a doc with ≥20% of its shingles hitting the
+    * test set is `contaminated`; any hit below that is `partial`. */
+  val ContamRatioBound = 0.2
+
+  /** q125: CONTAMINATION RATIO report — the fraction-based verdict the
+    * GPT-3/PaLM decontamination appendices describe: q72 flags a doc
+    * on ANY shared 5-shingle (maximum-recall, but one boilerplate
+    * phrase condemns a whole document); this measures WHAT FRACTION of
+    * each train doc's distinct shingles hit the test set and buckets
+    * docs into clean / partial / contaminated, so the pipeline can
+    * drop true overlaps while keeping docs that merely brush a common
+    * idiom. Output is the per-source × verdict summary a curation
+    * dashboard tracks.
+    *
+    * 100 TB shape: both sides reduce to 8-byte xxhash64 shingle fps
+    * map-side (q99/q102 collision argument — fps never output); the
+    * hit join carries (fp, id), the per-doc totals partial-aggregate,
+    * and the verdict bucketing collapses to ≤ 3 rows per source. The
+    * frac is an exact int/int division and the 0.2 comparison is on
+    * bit-identical doubles in both engines. */
+  def contaminationRatio(train: DataFrame, test: DataFrame): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("source"), col("doc_id"),
+      explode(array_distinct(graft.functions.NativeExprs
+        .shingleHashes(split(col("text"), " "), DecontamN))).as("sfp"))
+    val testFps = sh(test).select(col("sfp")).distinct()
+    val trainSh = sh(train)
+    val hits = trainSh.join(testFps, Seq("sfp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val frac = col("n_hit").cast("double") / col("n_sh")
+    trainSh.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("source"), frac.as("frac"),
+        when(col("n_hit") === 0, "clean")
+          .when(frac < ContamRatioBound, "partial")
+          .otherwise("contaminated").as("verdict"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("frac")), 6).as("avg_frac"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
+  def q125ContaminationRatio(s: SparkSession, d: String): DataFrame = {
+    val b = hashBucket(col("doc_id").cast("string"))
+    val docs = documents(s, d).select(col("source"), col("doc_id"), col("text"))
+    contaminationRatio(docs.filter(b < "cc"), docs.filter(b >= "e6"))
+  }
+
+  val q125Sql: String =
+    s"""WITH sh AS (
+      | SELECT source, doc_id,
+      |   unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+      |     for i in range(1, len(t) - ${DecontamN - 2})])) AS s
+      | FROM (SELECT source, doc_id, str_split(text, ' ') AS t FROM documents)
+      | WHERE len(t) >= $DecontamN
+      |), train_sh AS (
+      | SELECT * FROM sh WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |), test_fp AS (
+      | SELECT DISTINCT s FROM sh
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      |), hits AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      | FROM train_sh JOIN test_fp USING (s) GROUP BY doc_id
+      |), per_doc AS (
+      | SELECT t.source, t.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+      |        coalesce(min(h.n_hit), 0) AS n_hit
+      | FROM train_sh t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      | GROUP BY t.source, t.doc_id
+      |), verdicts AS (
+      | SELECT source, CAST(n_hit AS DOUBLE) / n_sh AS frac,
+      |   CASE WHEN n_hit = 0 THEN 'clean'
+      |        WHEN CAST(n_hit AS DOUBLE) / n_sh < $ContamRatioBound THEN 'partial'
+      |        ELSE 'contaminated' END AS verdict
+      | FROM per_doc
+      |)
+      |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(frac), 6) AS avg_frac
+      |FROM verdicts GROUP BY source, verdict ORDER BY source, verdict""".stripMargin
+
   // ---------------------------------------------------------------- q124
 
   /** q124: the curation FUNNEL report — per-stage survivor counts and
@@ -1080,5 +1161,6 @@ object Curation {
     ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),
     ("q103_weighted_sample", q103WeightedSample _, Some(q103Sql)),
     ("q124_curation_funnel", q124CurationFunnel _, Some(q124Sql)),
+    ("q125_contamination_ratio", q125ContaminationRatio _, Some(q125Sql)),
   )
 }

@@ -387,6 +387,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 contamination ratio: clean / partial / contaminated verdicts by planted overlap") {
+    import spark.implicits._
+    val t = (i: Int) => s"t$i"
+    val train = Seq(
+      (1L, "a", (1 to 10).map(t).mkString(" ")),   // 6 shingles; 1 hits → 1/6 partial
+      (2L, "a", (21 to 30).map(t).mkString(" ")),  // fully copied → contaminated
+      (3L, "a", (41 to 50).map(t).mkString(" ")))  // disjoint → clean
+      .toDF("doc_id", "source", "text")
+    val test = Seq(
+      (90L, "a", (1 to 5).map(t).mkString(" ")),   // exactly train doc 1's first shingle
+      (91L, "a", (21 to 30).map(t).mkString(" "))) // train doc 2 verbatim
+      .toDF("doc_id", "source", "text")
+    val got = Curation.contaminationRatio(train, test).collect()
+      .map(r => r.getString(1) -> (r.getAs[Long]("n_docs"), r.getAs[Double]("avg_frac"))).toMap
+    assert(got("clean") == (1L, 0.0))
+    assert(got("partial")._1 == 1L && math.abs(got("partial")._2 - 1.0 / 6) < 1e-4,
+      s"one of six shingles hit: $got")
+    assert(got("contaminated") == (1L, 1.0), "verbatim copy scores frac 1.0")
+  }
+
   test("q124 funnel: stages are monotone, retentions normalized, planted dup/short docs drop") {
     import spark.implicits._
     val good = (1 to 30).map { i =>

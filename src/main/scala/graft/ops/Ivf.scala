@@ -362,9 +362,85 @@ object Ivf {
   def q91HardNegativesIvf(s: SparkSession, d: String): DataFrame =
     hardNegativesIvf(s, d, lit(true), k = 3, nprobe = NProbe)
 
+  // ---------------------------------------------------------------- q126
+
+  /** q126: IVF RECALL SWEEP — recall@k of the IVF index vs exact
+    * brute-force cosine, per nprobe, over a bounded query set. The
+    * eval harness an ANN deployment ships with: the nprobe knob trades
+    * probe cost for recall, and this measures the actual curve on the
+    * actual corpus instead of trusting folklore (probing all K
+    * clusters is exact by construction, which the spec pins as
+    * recall = 1.0 at nprobe = K).
+    *
+    * 100 TB shape (q89's bounded-broadcast discipline): the query set
+    * and the per-(query, nprobe) allowed-cluster lists are driver-
+    * bounded (#queries × Σnprobe rows) and broadcast; the corpus is
+    * scanned ONCE into per-query scores (codegen'd cosine map-side,
+    * only (qid, id, scalar, cluster) leaves the scan) and both the
+    * exact and every IVF variant rank THAT shared frame — the sweep
+    * costs one corpus pass regardless of how many nprobe settings it
+    * measures. Rows-only: k-means assignment is not SQL-expressible;
+    * IvfSpec pins monotonicity and the exact-at-full-probe identity. */
+  def ivfRecallSweep(s: SparkSession, d: String, nQueries: Int = 8,
+                     probeCounts: Seq[Int] = Seq(1, 2, 4, K),
+                     k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb(s, d)
+    val cents = trainCentroids(corpus)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val scored = corpus.filter(col("vec_id") >= nQueries)
+      .withColumn("cluster",
+        graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"), col("cluster"),
+        Similarity.cosine(col("e"), col("qe")).as("sim"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = scored.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k).select(col("qid"), col("vec_id"))
+    // driver-bounded probe lists: #queries × Σ nprobe rows, broadcast
+    val qVecs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val allowed = {
+      import s.implicits._
+      (for {
+        (qid, qe) <- qVecs.toSeq
+        np <- probeCounts
+        c <- rankProbes(cents, qe, np)
+      } yield (qid, np, c)).toDF("qid", "np", "cluster")
+    }
+    val wqn = Window.partitionBy(col("qid"), col("np"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val ivfTop = scored.join(broadcast(allowed), Seq("qid", "cluster"))
+      .withColumn("rk", row_number().over(wqn))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("np"), col("vec_id"))
+    val grid = {
+      import s.implicits._
+      qVecs.toSeq.flatMap { case (qid, _) => probeCounts.map(np => (qid, np)) }
+        .toDF("qid", "np")
+    }
+    val matches = ivfTop.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid"), col("np")).agg(count(lit(1)).as("n_match"))
+    grid.join(matches, Seq("qid", "np"), "left")
+      .na.fill(0L, Seq("n_match"))
+      .select(col("np"), (col("n_match").cast("double") / k).as("recall"))
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_queries"),
+           round(avg(col("recall")), 4).as("mean_recall"),
+           round(min(col("recall")), 4).as("min_recall"))
+      .select(col("np").as("nprobe"), col("n_queries"),
+              col("mean_recall"), col("min_recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  def q126IvfRecall(s: SparkSession, d: String): DataFrame =
+    ivfRecallSweep(s, d)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q48_ivf_topk", q48IvfTopK _, None),
     ("q70_ivf_probe_index", q70IvfProbeIndex _, None),
     ("q91_hard_negatives_ivf", q91HardNegativesIvf _, None),
+    ("q126_ivf_recall", q126IvfRecall _, None),
   )
 }

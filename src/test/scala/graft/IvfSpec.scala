@@ -154,4 +154,20 @@ class IvfSpec extends AnyFunSuite {
       a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
     }
   }
+
+  test("q126 recall sweep: monotone in nprobe, exact at full probe, bounded") {
+    val rows = Ivf.ivfRecallSweep(spark, TestSpark.sf0001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, Ivf.K))
+    val means = rows.map(_.getAs[Double]("mean_recall"))
+    assert(means.zip(means.tail).forall { case (a, b) => b >= a },
+      s"recall must not fall as nprobe grows: ${means.toSeq}")
+    assert(means.last == 1.0 && rows.last.getAs[Double]("min_recall") == 1.0,
+      "probing all K clusters is exact by construction")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_recall")
+      assert(m >= 0.0 && m <= 1.0)
+      assert(r.getAs[Double]("min_recall") <= m)
+    }
+  }
 }

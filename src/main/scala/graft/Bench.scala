@@ -113,7 +113,8 @@ object Bench {
     * silently eating the finish reserve. 140 keeps the equal split
     * ((1050−30)/140 = 7.29 s) above the 7 s floor, so the sweep stays
     * budget-preserving by construction; the split first stops binding
-    * at 145 queries — renegotiate the floor or deadline before then. */
+    * at 146 queries (1020/146 = 6.99 < 7) — renegotiate the floor or
+    * deadline before then. */
   val WorstCaseQueries = 140
 
   def agreed(samples: Seq[Double]): Boolean = {

@@ -982,7 +982,9 @@ object Curation {
       explode(array_distinct(graft.functions.NativeExprs
         .shingleHashes(split(col("text"), " "), DecontamN))).as("sfp"))
     val testFps = sh(test).select(col("sfp")).distinct()
-    val trainSh = sh(train)
+    // persisted: both the hit join and the per-doc totals consume this
+    // frame — without it the train corpus is shingled twice
+    val trainSh = sh(train).cache()
     val hits = trainSh.join(testFps, Seq("sfp"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     val frac = col("n_hit").cast("double") / col("n_sh")

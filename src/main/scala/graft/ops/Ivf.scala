@@ -389,12 +389,16 @@ object Ivf {
     val cents = trainCentroids(corpus)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // persisted: the exact ranking and every IVF variant rank THIS
+    // frame through different exchanges, which would otherwise re-run
+    // the corpus scan + cosine cross-join per consumer
     val scored = corpus.filter(col("vec_id") >= nQueries)
       .withColumn("cluster",
         graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"), col("cluster"),
         Similarity.cosine(col("e"), col("qe")).as("sim"))
+      .cache()
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     val exact = scored.withColumn("rk", row_number().over(wq))

@@ -262,10 +262,16 @@ object Quality {
   def compressRatio(docs: DataFrame, flagBelow: Double): DataFrame =
     docs
       .select(col("source"),
+        // empty text has no redundancy signal (0/0): ratio stays NULL,
+        // the stats aggregate over scored docs only, and n_empty
+        // reports the population gap explicitly instead of silently
+        // mixing denominators
         (NativeExprs.deflateLen(col("text")).cast("double") /
-          octet_length(col("text"))).as("ratio"))
+          when(octet_length(col("text")) === 0, lit(null))
+            .otherwise(octet_length(col("text")))).as("ratio"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(col("ratio")).as("n_docs"),
+           sum(when(col("ratio").isNull, 1L).otherwise(0L)).as("n_empty"),
            round(avg(col("ratio")), 4).as("mean_ratio"),
            round(min(col("ratio")), 4).as("min_ratio"),
            round(max(col("ratio")), 4).as("max_ratio"),
@@ -310,8 +316,12 @@ object Quality {
       .join(broadcast(gv), Seq("v"))
       .crossJoin(broadcast(nTotal))
       .select(col("source"), col("n_s"),
-        abs(col("r_sv").cast("double") / col("n_s") -
-          (col("r_v") - col("r_sv")).cast("double") / (col("n_total") - col("n_s")))
+        // single-source frame: the "rest" is empty (n_total = n_s) and
+        // 0/0 would be NaN in Spark vs NULL in DuckDB — there is
+        // nothing to drift from, so define D = 0 identically
+        when(col("n_total") === col("n_s"), lit(0.0)).otherwise(
+          abs(col("r_sv").cast("double") / col("n_s") -
+            (col("r_v") - col("r_sv")).cast("double") / (col("n_total") - col("n_s"))))
           .as("diff"))
       .groupBy(col("source"))
       .agg(min(col("n_s")).as("n_docs"), round(max(col("diff")), 6).as("ks"))
@@ -341,8 +351,9 @@ object Quality {
       |   (SELECT v, CAST(sum(c_sv) AS BIGINT) AS c_v FROM hist GROUP BY v)
       |)
       |SELECT run.source, min(run.n_s) AS n_docs,
-      |  round(max(abs(CAST(r_sv AS DOUBLE) / n_s
-      |    - CAST(r_v - r_sv AS DOUBLE) / (n_total - n_s))), 6) AS ks
+      |  round(max(CASE WHEN n_total = n_s THEN 0.0
+      |    ELSE abs(CAST(r_sv AS DOUBLE) / n_s
+      |      - CAST(r_v - r_sv AS DOUBLE) / (n_total - n_s)) END), 6) AS ks
       |FROM run JOIN gv USING (v), total
       |GROUP BY run.source ORDER BY run.source""".stripMargin
 
@@ -404,15 +415,19 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** Replica count shared by the Spark query and the generated oracle
+    * SQL — interpolated into both so they cannot drift. */
+  val BootstrapReplicas = 100
+
   def q117BootstrapCi(s: SparkSession, d: String): DataFrame =
-    bootstrapCi(documents(s, d), 100)
+    bootstrapCi(documents(s, d), BootstrapReplicas)
 
   val q117Sql: String = {
     val cases = poissonCdf.zipWithIndex
       .map { case (c, i) => s"WHEN u < $c THEN $i" }
       .mkString("\n|   CASE ", " ", " ELSE 8 END AS w")
     s"""WITH e AS (
-       | SELECT source, doc_id, n_chars, unnest(range(0, 100)) AS r FROM documents
+       | SELECT source, doc_id, n_chars, unnest(range(0, $BootstrapReplicas)) AS r FROM documents
        |), uu AS (
        | SELECT source, n_chars,
        |  (list_sum(list_transform(range(1, 9),
@@ -500,15 +515,27 @@ object Quality {
     * exchange is a handful of scalars per source per mapper. */
   def lengthTokenCorr(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
+    // degenerate groups break Spark's Corr where DuckDB returns NULL —
+    // under ANSI a zero-variance group even throws DIVIDE_BY_ZERO from
+    // inside the aggregate. Build corr from the stable piecewise
+    // aggregates with an explicit zero/NULL-variance guard instead:
+    // cv/(sd·sd) is Corr's own final division, just guarded, and the
+    // pathological sources this diagnostic exists to surface come out
+    // as NULL in both engines.
+    val cv = covar_samp(col("x"), col("y"))
+    val sx = stddev_samp(col("x"))
+    val sy = stddev_samp(col("y"))
+    val corrSafe = when(sx.isNull || sy.isNull || sx === 0 || sy === 0, lit(null))
+      .otherwise(cv / (sx * sy))
     docs
       .select(col("source"), col("n_chars").cast("double").as("x"),
         size(t).cast("double").as("y"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           round(corr(col("x"), col("y")), 6).as("corr_len_tok"),
-           round(covar_samp(col("x"), col("y")), 4).as("covar"),
-           round(stddev_samp(col("x")), 4).as("sd_chars"),
-           round(stddev_samp(col("y")), 4).as("sd_tokens"))
+           round(corrSafe, 6).as("corr_len_tok"),
+           round(cv, 4).as("covar"),
+           round(sx, 4).as("sd_chars"),
+           round(sy, 4).as("sd_tokens"))
       .orderBy(col("source"))
   }
 

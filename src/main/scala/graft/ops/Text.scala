@@ -741,14 +741,19 @@ object Text {
     * covers ≤10 rows per source. Decile arithmetic is integer
     * (((fr−1)·10) div n) — bit-identical across engines. */
   def heapsLaw(docs: DataFrame): DataFrame = {
-    val ranked = docs
+    // rank over an ids-only frame — ranking the raw docs frame would
+    // drag the text column through the window's by-source exchange
+    // (Catalyst can't prune below a Window); the token fps meet the
+    // ranks in a by-doc_id join where both sides are scalars/fps
+    val ranks = docs.select(col("source"), col("doc_id"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("doc_id"))))
     val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val firstRank = ranked
-      .select(col("source"), col("r"),
+    val firstRank = docs
+      .select(col("doc_id"),
         explode(array_distinct(toks(col("text")))).as("tok"))
-      .select(col("source"), col("r"), xxhash64(col("tok")).as("fp"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("fp"))
+      .join(ranks, Seq("doc_id"))
       .groupBy(col("source"), col("fp"))
       .agg(min(col("r")).as("fr"))
     val hist = firstRank.join(broadcast(n), Seq("source"))

@@ -233,6 +233,32 @@ class QualitySpec extends AnyFunSuite {
     assert(got.exists(r => r.getAs[Int]("bucket") == 15), "global max is in bucket 15")
   }
 
+  test("ksDrift: single-source frame scores a defined 0, not NaN") {
+    import spark.implicits._
+    val got = Quality.ksDrift((1 to 5).map(i => (i.toLong, "only", i * 10L))
+        .toDF("doc_id", "source", "n_chars")).collect()
+    assert(got.map(_.getDouble(2)).toSeq == Seq(0.0), "empty rest → D = 0 by definition")
+  }
+
+  test("lengthTokenCorr: zero-variance and singleton sources yield NULL, not NaN") {
+    val d = docs(
+      (1L, "const", "x y"), (2L, "const", "a b"),   // identical lengths+counts
+      (3L, "solo", "p q r"))                        // single row
+    val got = Quality.lengthTokenCorr(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("const").isNullAt(2), "zero variance → corr NULL (matches DuckDB)")
+    assert(got("solo").isNullAt(4) && got("solo").isNullAt(5),
+      "singleton → sample stddev NULL (matches DuckDB)")
+  }
+
+  test("compressRatio: empty docs are reported in n_empty, not mixed into the stats") {
+    val d = docs((1L, "a", ""), (2L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val r = Quality.compressRatio(d, 0.3).collect().head
+    assert(r.getAs[Long]("n_docs") == 1L, "only the scored doc counts")
+    assert(r.getAs[Long]("n_empty") == 1L)
+    assert(!r.isNullAt(r.fieldIndex("mean_ratio")), "stats come from the scored doc")
+  }
+
   test("ksDrift: two identical sources are exactly zero") {
     import spark.implicits._
     val rows = (1 to 10).map(i => (i.toLong, "a", (i % 10) * 7L)) ++

@@ -880,6 +880,55 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // --------------------------------------------------------------- q129
+
+  /** q129: duplicate-GROUP SIZE SPECTRUM — for each exact-dup group
+    * size k (q30's md5 grouping): how many groups, how many wasted
+    * docs (k−1 per group), and each size's share of the total waste.
+    * The dedup observability report: a healthy crawl shows waste
+    * concentrated in small groups (2–3 copies of real pages); a
+    * spectrum dominated by a few giant groups means a templating bug
+    * or a crawler loop, and the fix differs (drop the template vs fix
+    * the loop) — the single q30 keep-count can't tell them apart.
+    *
+    * 100 TB shape: q30's (16-byte fp, id) exchange, then two more
+    * digest-sized aggregations (fp groups → size histogram → shares);
+    * the waste-share denominator is one broadcast scalar. */
+  def dupGroupSpectrum(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("k"))
+    val hist = groups.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("k").as("group_size"), col("n_groups"),
+        ((col("k") - 1) * col("n_groups")).as("wasted_docs"))
+    val totalWaste = hist.agg(
+      sum(col("wasted_docs")).as("total_waste"))
+    hist.crossJoin(broadcast(totalWaste))
+      .select(col("group_size"), col("n_groups"), col("wasted_docs"),
+        when(col("total_waste") === 0, lit(0.0))
+          .otherwise(round(col("wasted_docs").cast("double") / col("total_waste"), 6))
+          .as("waste_share"))
+      .orderBy(col("group_size"))
+  }
+
+  def q129DupGroupSpectrum(s: SparkSession, d: String): DataFrame =
+    dupGroupSpectrum(documents(s, d))
+
+  val q129Sql: String =
+    """WITH g AS (
+      | SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS k
+      | FROM documents GROUP BY md5(text)
+      |), hist AS (
+      | SELECT k AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+      |   CAST((k - 1) * count(*) AS BIGINT) AS wasted_docs
+      | FROM g GROUP BY k
+      |), tw AS (SELECT CAST(sum(wasted_docs) AS BIGINT) AS total_waste FROM hist)
+      |SELECT group_size, n_groups, wasted_docs,
+      |  CASE WHEN total_waste = 0 THEN 0.0
+      |       ELSE round(CAST(wasted_docs AS DOUBLE) / total_waste, 6) END AS waste_share
+      |FROM hist, tw ORDER BY group_size""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -895,5 +944,6 @@ object Dedup {
     ("q99_source_overlap", q99SourceOverlap _, Some(q99Sql)),
     ("q102_novelty", q102Novelty _, Some(q102Sql)),
     ("q108_split_leakage", q108SplitLeakage _, Some(q108Sql)),
+    ("q129_dupgroup_spectrum", q129DupGroupSpectrum _, Some(q129Sql)),
   )
 }

@@ -594,6 +594,53 @@ object Quality {
       |FROM documents, b
       |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
 
+  // --------------------------------------------------------------- q128
+
+  /** q128: CHARACTER-CLASS PROFILE per source — fractions of
+    * alphabetic / digit / whitespace / other bytes, the C4-style
+    * cleaning signal: encoding junk, markup residue, and table dumps
+    * all shift mass into `other`/`digit` long before token-level
+    * heuristics notice. Counts come from regexp_replace length
+    * arithmetic (no per-char explode — the same count-by-deletion
+    * trick as q35), so the whole profile is one map-side projection
+    * plus a scalar-only aggregation per source. */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def nOf(pattern: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("bigint")
+    docs
+      .select(col("source"), length(col("text")).cast("bigint").as("n"),
+        nOf("[a-zA-Z]").as("alpha"), nOf("[0-9]").as("digit"),
+        nOf("\\s").as("space"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(sum(col("alpha")).cast("double") / sum(col("n")), 6).as("alpha_frac"),
+           round(sum(col("digit")).cast("double") / sum(col("n")), 6).as("digit_frac"),
+           round(sum(col("space")).cast("double") / sum(col("n")), 6).as("space_frac"),
+           round((sum(col("n")) - sum(col("alpha")) - sum(col("digit"))
+             - sum(col("space"))).cast("double") / sum(col("n")), 6).as("other_frac"))
+      .orderBy(col("source"))
+  }
+
+  def q128CharClassProfile(s: SparkSession, d: String): DataFrame =
+    charClassProfile(documents(s, d))
+
+  val q128Sql: String =
+    """WITH c AS (
+      | SELECT source, CAST(length(text) AS BIGINT) AS n,
+      |   CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+      |   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+      |   CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS space
+      | FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(alpha) AS DOUBLE) / sum(n), 6) AS alpha_frac,
+      |  round(CAST(sum(digit) AS DOUBLE) / sum(n), 6) AS digit_frac,
+      |  round(CAST(sum(space) AS DOUBLE) / sum(n), 6) AS space_frac,
+      |  round(CAST(sum(n) - sum(alpha) - sum(digit) - sum(space) AS DOUBLE)
+      |        / sum(n), 6) AS other_frac
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -606,5 +653,6 @@ object Quality {
     ("q117_bootstrap_ci", q117BootstrapCi _, Some(q117Sql)),
     ("q119_mad", q119Mad _, Some(q119Sql)),
     ("q120_length_token_corr", q120LengthTokenCorr _, Some(q120Sql)),
-    ("q121_length_histogram", q121LengthHistogram _, Some(q121Sql)))
+    ("q121_length_histogram", q121LengthHistogram _, Some(q121Sql)),
+    ("q128_charclass_profile", q128CharClassProfile _, Some(q128Sql)))
 }

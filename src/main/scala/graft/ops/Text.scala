@@ -792,6 +792,81 @@ object Text {
       |    AS vocab_cum
       |FROM hist ORDER BY source, decile""".stripMargin
 
+  // --------------------------------------------------------------- q127
+
+  /** Bigram count floor for PMI — rare pairs make PMI explode toward
+    * log2(N) (the classic low-count pathology), so association mining
+    * standardly floors the pair count. */
+  val PmiMinCount = 25L
+
+  /** q127: POINTWISE MUTUAL INFORMATION over adjacent token pairs —
+    * PMI(a,b) = log2(p(ab) / (p(a)p(b))), the classic collocation /
+    * association score (Church & Hanks 1990): high-PMI pairs are
+    * multi-word expressions ("new york"), near-zero pairs co-occur by
+    * chance, negative pairs repel. Corpus-health use: a natural corpus
+    * has a long positive PMI tail; templated text shows a few enormous
+    * PMI pairs and nothing else.
+    *
+    * 100 TB shape: one scan explodes to adjacent pairs (map-side
+    * zip of the token array with its tail — no self-join) and
+    * partial-aggregates the (a, b) counts; unigram counts re-aggregate
+    * the pair digest's margins... no — they need their own count (last
+    * token of each doc joins no pair), so a second map-side-combined
+    * wordcount runs on the same scan shape. Both digests are
+    * vocab-sized; the unigram side broadcasts back onto the pair
+    * frame twice. Token strings cross the exchange once each as
+    * digest keys (bounded by vocab, not corpus — the q34 wordcount
+    * argument; fps would save bytes but the PAIR table is the output
+    * here, so the strings are needed). */
+  def pmiBigrams(docs: DataFrame, minCount: Long): DataFrame = {
+    val t = toks(col("text"))
+    val pairs = docs
+      .select(explode(arrays_zip(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("a"),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))).as("b"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nTotal = uni.agg(sum(col("n_w")).as("n_tokens"))
+    val nPairs = docs.select(
+      sum(greatest(size(t) - 1, lit(0)).cast("bigint")).as("n_pairs"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nTotal)).crossJoin(broadcast(nPairs))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log2((col("n_ab").cast("double") / col("n_pairs")) /
+          ((col("n_a").cast("double") / col("n_tokens")) *
+           (col("n_b").cast("double") / col("n_tokens")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  def q127PmiBigrams(s: SparkSession, d: String): DataFrame =
+    pmiBigrams(documents(s, d), PmiMinCount)
+
+  val q127Sql: String =
+    s"""WITH t AS (SELECT str_split(text, ' ') AS t FROM documents),
+      |pairs AS (
+      | SELECT t[i] AS a, t[i+1] AS b
+      | FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t)
+      |), pc AS (
+      | SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pairs
+      | GROUP BY a, b HAVING count(*) >= $PmiMinCount
+      |), uni AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS n_w
+      | FROM (SELECT unnest(t) AS w FROM t) GROUP BY w
+      |), tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM uni),
+      |np AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_pairs FROM t)
+      |SELECT a, b, n_ab,
+      |  round(log2((CAST(n_ab AS DOUBLE) / n_pairs)
+      |    / ((CAST(ua.n_w AS DOUBLE) / n_tokens)
+      |       * (CAST(ub.n_w AS DOUBLE) / n_tokens))), 6) AS pmi
+      |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w, tot, np
+      |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -812,6 +887,7 @@ object Text {
     ("q106_token_spectrum", q106TokenSpectrum _, Some(q106Sql)),
     ("q107_token_entropy", q107TokenEntropy _, Some(q107Sql)),
     ("q123_heaps_law", q123HeapsLaw _, Some(q123Sql)),
+    ("q127_pmi_bigrams", q127PmiBigrams _, Some(q127Sql)),
   )
 
 

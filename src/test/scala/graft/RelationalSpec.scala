@@ -115,6 +115,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 anomaly: z-scores are centered and flags match the 2-sigma rule") {
+    val rows = Relational.q132DailyAnomaly(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Int]("flagged") == (if (math.abs(z) >= 2) 1 else 0))
+    }
+    // z-scores of the full population sum to ~0 by construction
+    val sumZ = rows.map(_.getAs[Double]("z")).sum
+    assert(math.abs(sumZ) < 0.05 * rows.length, s"z-scores should center near 0: $sumZ")
+  }
+
+  test("q133 transitions: rows of the matrix are probability distributions") {
+    val rows = Relational.q133TransitionMatrix(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val byCur = rows.groupBy(_.getString(0))
+    byCur.foreach { case (cur, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-3, s"P(·|$cur) must sum to 1, got $total")
+      rs.foreach(r => assert(r.getAs[Double]("p") > 0.0))
+    }
+  }
+
   test("q118 array_agg: arrays are descending, at most 5, and start at the group max") {
     val rows = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

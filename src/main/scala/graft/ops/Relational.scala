@@ -1137,6 +1137,99 @@ object Relational {
       |FROM pairs p JOIN totals t ON p.cur = t.cur
       |ORDER BY p.cur, p.nxt""".stripMargin
 
+  /** q134: HOURLY SEASONALITY profile + χ² uniformity statistic per
+    * event type — the χ² against a uniform 24-bin expectation says
+    * WHether a type has diurnal structure (organic traffic does;
+    * machine traffic is flat or single-spiked), and the peak hour
+    * says where. χ² = Σ (obs − exp)² / exp with exp = n/24, computed
+    * on the bounded (type × 24) digest; identical arithmetic both
+    * engines (exact int counts, one division order).
+    *
+    * Scale shape: one combined pass to the (type, hour) digest;
+    * everything after is on ≤ 24·#types rows. */
+  def q134HourlySeasonality(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"))
+    val exp = col("n_total").cast("double") / 24
+    val chi = (col("n") - exp) * (col("n") - exp) / exp
+    // peak hour by explicit (n desc, hr asc) rank — portable arg-max
+    // (composite-key max_by support differs across engines)
+    val peak = hourly.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("hr").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hr").as("peak_hour"), col("n").as("peak_n"))
+    hourly.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(col("n_total")).as("n_events"), round(sum(chi), 4).as("chi2"))
+      .join(broadcast(peak), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val q134Sql: String =
+    """WITH hourly AS (
+      | SELECT event_type, CAST(hour(ts) AS INT) AS hr, CAST(count(*) AS BIGINT) AS n
+      | FROM events GROUP BY 1, 2
+      |), totals AS (
+      | SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM hourly GROUP BY 1
+      |), peak AS (
+      | SELECT event_type, hr AS peak_hour, n AS peak_n FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY event_type
+      |     ORDER BY n DESC, hr ASC) AS rk FROM hourly)
+      | WHERE rk = 1
+      |)
+      |SELECT h.event_type, min(t.n_total) AS n_events,
+      |  round(sum((h.n - t.n_total / 24.0) * (h.n - t.n_total / 24.0)
+      |        / (t.n_total / 24.0)), 4) AS chi2,
+      |  min(p.peak_hour) AS peak_hour, min(p.peak_n) AS peak_n
+      |FROM hourly h JOIN totals t ON h.event_type = t.event_type
+      |JOIN peak p ON p.event_type = h.event_type
+      |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin
+
+  /** q135: GINI CONCENTRATION of token mass across sources — how
+    * unequal the corpus mix is (0 = every source contributes equally,
+    * →1 = one source dominates), the single-number data-mixing
+    * health check that pairs with q112's per-source KL. Computed with
+    * the sorted-cumulative formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    * over the per-source token masses (i = ascending mass rank, ties
+    * broken by source name identically in both engines).
+    *
+    * Scale shape: the corpus reduces to one row per source; the rank
+    * window and the Gini sum run on that dozens-row digest (q83's
+    * bounded-stats-frame justification). */
+  def q135SourceGini(s: SparkSession, d: String): DataFrame =
+    giniOf(documents(s, d))
+
+  /** q135 core over any (source, text) frame — split out for planted
+    * equal-mass / dominant-source tests. */
+  def giniOf(docs: org.apache.spark.sql.DataFrame): DataFrame = {
+    val mass = docs
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("double").as("x"))
+    val ranked = mass.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("source"))))
+    ranked.agg(count(lit(1)).as("n_sources"),
+        sum(col("x")).cast("bigint").as("total_tokens"),
+        round(sum(col("i") * col("x")) * 2 / (count(lit(1)) * sum(col("x")))
+          - (count(lit(1)) + 1).cast("double") / count(lit(1)), 6).as("gini"))
+  }
+
+  val q135Sql: String =
+    """WITH mass AS (
+      | SELECT source, CAST(sum(len(str_split(text, ' '))) AS DOUBLE) AS x
+      | FROM documents GROUP BY source
+      |), ranked AS (
+      | SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM mass
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(x) AS BIGINT) AS total_tokens,
+      |  round(sum(i * x) * 2 / (count(*) * sum(x))
+      |        - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+      |FROM ranked""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -1186,5 +1279,7 @@ object Relational {
     ("q131_retention_cohorts", q131RetentionCohorts _, q131Sql),
     ("q132_daily_anomaly", q132DailyAnomaly _, q132Sql),
     ("q133_transition_matrix", q133TransitionMatrix _, q133Sql),
+    ("q134_hourly_seasonality", q134HourlySeasonality _, q134Sql),
+    ("q135_source_gini", q135SourceGini _, q135Sql),
   )
 }

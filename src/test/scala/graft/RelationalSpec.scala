@@ -138,6 +138,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q134 seasonality: chi2 non-negative, peak hour is a real hour") {
+    val rows = Relational.q134HourlySeasonality(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      val h = r.getAs[Int]("peak_hour")
+      assert(h >= 0 && h <= 23)
+      assert(r.getAs[Long]("peak_n") >= r.getAs[Long]("n_events") / 24,
+        "the peak bin is at least the uniform expectation")
+    }
+  }
+
+  test("q135 gini: equal masses score 0, a dominant source scores near 1") {
+    import spark.implicits._
+    val equal = (1 to 4).map(i => (i.toLong, s"s$i", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    assert(Relational.giniOf(equal).collect().head.getAs[Double]("gini") == 0.0)
+    // one source holds ~1000x the mass of each of 9 tiny peers
+    val skew = ((1 to 9).map(i => (i.toLong, s"tiny$i", "x")) :+
+      ((10L, "giant", Seq.fill(9000)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val g = Relational.giniOf(skew).collect().head.getAs[Double]("gini")
+    assert(g > 0.85, s"dominant source must push gini toward 1 (got $g)")
+    // and the real corpus sits strictly inside (0, 1)
+    val real = Relational.q135SourceGini(spark, TestSpark.sf0001)
+      .collect().head.getAs[Double]("gini")
+    assert(real >= 0.0 && real < 1.0)
+  }
+
   test("q118 array_agg: arrays are descending, at most 5, and start at the group max") {
     val rows = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

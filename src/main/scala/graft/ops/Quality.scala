@@ -609,9 +609,12 @@ object Quality {
       (length(col("text")) -
         length(regexp_replace(col("text"), pattern, ""))).cast("bigint")
     docs
+      // explicit whitespace class, NOT \s: Java's \s matches vertical
+      // tab where RE2's (DuckDB's) does not — the one divergence in
+      // exactly the control-character junk this profile exists to find
       .select(col("source"), length(col("text")).cast("bigint").as("n"),
         nOf("[a-zA-Z]").as("alpha"), nOf("[0-9]").as("digit"),
-        nOf("\\s").as("space"))
+        nOf("[ \\t\\n\\r\\f]").as("space"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            round(sum(col("alpha")).cast("double") / sum(col("n")), 6).as("alpha_frac"),
@@ -630,7 +633,7 @@ object Quality {
       | SELECT source, CAST(length(text) AS BIGINT) AS n,
       |   CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
       |   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
-      |   CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS space
+      |   CAST(length(text) - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS space
       | FROM documents
       |)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -965,7 +965,10 @@ object Relational {
     * monotonically. Rates divide two broadcast scalars. */
   def q130ConversionFunnel(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    val total = e.select(col("user_id")).distinct().count()
+    // one lazy plan, no driver-side count() actions: each stage digest
+    // is aggregated to a one-row count and the four rows union; the
+    // denominator joins back as a broadcast scalar. countDistinct
+    // ignores NULL user_ids — matching the oracle's COUNT(DISTINCT).
     val viewed = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
     val clicked = e.filter(col("event_type") === "click")
@@ -976,13 +979,19 @@ object Relational {
       .join(clicked, Seq("user_id"))
       .filter(col("ts") >= col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    val stages = Seq(
-      ("1_all", total), ("2_viewed", viewed.count()),
-      ("3_clicked", clicked.count()), ("4_purchased", purchased.count()))
-    import s.implicits._
-    stages.toDF("stage", "n_users")
-      .withColumn("rate_vs_all",
-        round(col("n_users").cast("double") / total, 6))
+    val total = e.agg(countDistinct(col("user_id")).as("n_users"))
+      .select(lit("1_all").as("stage"), col("n_users"))
+    def stageCount(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(tag).as("stage"), col("n_users"))
+    val stages = total
+      .unionByName(stageCount(viewed, "2_viewed"))
+      .unionByName(stageCount(clicked, "3_clicked"))
+      .unionByName(stageCount(purchased, "4_purchased"))
+    stages.crossJoin(broadcast(
+        total.select(col("n_users").as("n_all"))))
+      .select(col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_all"), 6).as("rate_vs_all"))
       .orderBy(col("stage"))
   }
 
@@ -1075,10 +1084,12 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
     val stats = daily.agg(avg(col("n_events")).as("mean_n"),
       stddev_samp(col("n_events")).as("sd_n"))
-    val z = when(col("sd_n").isNull || col("sd_n") === 0, lit(0.0))
-      .otherwise((col("n_events") - col("mean_n")) / col("sd_n"))
+    // flag from the ROUNDED z so the output is self-consistent: a true
+    // z of 1.99996 must not print as z=2.0 with flagged=0
+    val z = round(when(col("sd_n").isNull || col("sd_n") === 0, lit(0.0))
+      .otherwise((col("n_events") - col("mean_n")) / col("sd_n")), 4)
     daily.crossJoin(broadcast(stats))
-      .select(col("day"), col("n_events"), round(z, 4).as("z"),
+      .select(col("day"), col("n_events"), z.as("z"),
         when(abs(z) >= 2, 1).otherwise(0).as("flagged"))
       .orderBy(col("day"))
   }
@@ -1090,12 +1101,15 @@ object Relational {
       |), stats AS (
       | SELECT avg(n_events) AS mean_n, stddev_samp(n_events) AS sd_n FROM daily
       |)
-      |SELECT day, n_events,
-      |  round(CASE WHEN sd_n IS NULL OR sd_n = 0 THEN 0.0
-      |        ELSE (n_events - mean_n) / sd_n END, 4) AS z,
-      |  CASE WHEN abs(CASE WHEN sd_n IS NULL OR sd_n = 0 THEN 0.0
-      |        ELSE (n_events - mean_n) / sd_n END) >= 2 THEN 1 ELSE 0 END AS flagged
-      |FROM daily, stats ORDER BY day""".stripMargin
+      |, z AS (
+      | SELECT day, n_events,
+      |   round(CASE WHEN sd_n IS NULL OR sd_n = 0 THEN 0.0
+      |         ELSE (n_events - mean_n) / sd_n END, 4) AS z
+      | FROM daily, stats
+      |)
+      |SELECT day, n_events, z,
+      |  CASE WHEN abs(z) >= 2 THEN 1 ELSE 0 END AS flagged
+      |FROM z ORDER BY day""".stripMargin
 
   /** q133: event-type TRANSITION MATRIX — P(next = b | current = a)
     * over each user's time-ordered event sequence (first-order Markov
@@ -1137,6 +1151,12 @@ object Relational {
       |FROM pairs p JOIN totals t ON p.cur = t.cur
       |ORDER BY p.cur, p.nxt""".stripMargin
 
+  /** The 24-hour grid frame (0..23) for q134's bin completion. */
+  private def spark24(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 to 23).toDF("hr")
+  }
+
   /** q134: HOURLY SEASONALITY profile + χ² uniformity statistic per
     * event type — the χ² against a uniform 24-bin expectation says
     * WHether a type has diurnal structure (organic traffic does;
@@ -1148,9 +1168,16 @@ object Relational {
     * Scale shape: one combined pass to the (type, hour) digest;
     * everything after is on ≤ 24·#types rows. */
   def q134HourlySeasonality(s: SparkSession, d: String): DataFrame = {
-    val hourly = events(s, d)
+    val observed = events(s, d)
       .groupBy(col("event_type"), hour(col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
+    // complete the 24-bin grid: empty hours contribute (0−exp)²/exp to
+    // χ² — omitting them understates the statistic exactly in the
+    // single-spike case this query exists to flag
+    val grid = observed.select(col("event_type")).distinct()
+      .crossJoin(spark24(s))
+    val hourly = grid.join(observed, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("n"))
     val totals = hourly.groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_total"))
     val exp = col("n_total").cast("double") / 24
@@ -1170,9 +1197,17 @@ object Relational {
   }
 
   val q134Sql: String =
-    """WITH hourly AS (
+    """WITH observed AS (
       | SELECT event_type, CAST(hour(ts) AS INT) AS hr, CAST(count(*) AS BIGINT) AS n
       | FROM events GROUP BY 1, 2
+      |), grid AS (
+      | SELECT t.event_type, CAST(g.hr AS INT) AS hr
+      | FROM (SELECT DISTINCT event_type FROM observed) t,
+      |      (SELECT unnest(range(0, 24)) AS hr) g
+      |), hourly AS (
+      | SELECT grid.event_type, grid.hr, coalesce(o.n, 0) AS n
+      | FROM grid LEFT JOIN observed o
+      |   ON o.event_type = grid.event_type AND o.hr = grid.hr
       |), totals AS (
       | SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM hourly GROUP BY 1
       |), peak AS (

@@ -829,9 +829,12 @@ object Text {
       .filter(col("n_ab") >= minCount)
     val uni = docs.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    // n_pairs = Σ(len−1) = n_tokens − n_docs (split() output is never
+    // empty): derived from the unigram digest + a metadata-only row
+    // count instead of a third corpus tokenization
     val nTotal = uni.agg(sum(col("n_w")).as("n_tokens"))
-    val nPairs = docs.select(
-      sum(greatest(size(t) - 1, lit(0)).cast("bigint")).as("n_pairs"))
+    val nPairs = nTotal.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select((col("n_tokens") - col("n_docs")).as("n_pairs"))
     pairs
       .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))), Seq("a"))
       .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))), Seq("b"))
@@ -859,7 +862,7 @@ object Text {
       | SELECT w, CAST(count(*) AS BIGINT) AS n_w
       | FROM (SELECT unnest(t) AS w FROM t) GROUP BY w
       |), tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM uni),
-      |np AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_pairs FROM t)
+      |np AS (SELECT n_tokens - (SELECT count(*) FROM documents) AS n_pairs FROM tot)
       |SELECT a, b, n_ab,
       |  round(log2((CAST(n_ab AS DOUBLE) / n_pairs)
       |    / ((CAST(ua.n_w AS DOUBLE) / n_tokens)

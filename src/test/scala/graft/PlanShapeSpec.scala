@@ -310,6 +310,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q123/q124/q125 exchanges never carry document text") {
+    // the round-9 quality family's shared discipline: text is reduced
+    // to fps/scalars map-side before anything shuffles (q123's first
+    // revision violated this by ranking the raw docs frame — pinned
+    // here so it cannot regress)
+    Seq("q123_heaps_law", "q124_curation_funnel",
+        "q125_contamination_ratio").foreach { name =>
+      val shuffles = sparkPlan(q(name)).collect {
+        case e: ShuffleExchangeExec => e.output.map(_.name)
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { cols =>
+        assert(!cols.contains("text"),
+          s"$name exchange must not move document text, moves: $cols")
+      }
+    }
+  }
+
   test("q100 shuffle-shard windows are PARTITIONED — no global-sort window") {
     // pos = row_number over (partition by shard); an empty partition
     // spec would serialize the whole corpus through one task

@@ -356,6 +356,51 @@ object Similarity {
       |   ORDER BY cos_sim DESC, vec_id) AS INT) AS rk FROM scored
       |) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+
+  /** Dead-dimension threshold: a coordinate whose stddev falls below
+    * this is carrying (almost) no information. */
+  val DeadDimSd = 1e-4
+
+  /** q136: per-DIMENSION embedding statistics — mean, stddev, and a
+    * dead-dimension flag for every coordinate. The vector-hygiene
+    * audit an embedding pipeline runs on every model refresh:
+    * collapsed dimensions (sd ≈ 0) waste index space and silently
+    * degrade PQ/IVF quantizers (their per-subspace codebooks train on
+    * noise); a shifted mean signals a normalization bug upstream.
+    * Whole-norm audits can't see either (this corpus is exactly
+    * unit-norm — per-dim is where the structure lives).
+    *
+    * 100 TB shape: posexplode emits (pos, value) scalars map-side and
+    * the per-dim aggregation partial-aggregates to ≤ dim rows per
+    * task — the exchange carries dim × tasks scalar partials, never
+    * vectors. Output is dim rows. */
+  def dimStats(embs: DataFrame): DataFrame =
+    embs
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .select((col("pos") + 1).as("dim"), col("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("v")), 5).as("mean"),
+           round(stddev_samp(col("v")), 5).as("sd"),
+           when(stddev_samp(col("v")) < DeadDimSd, 1).otherwise(0).as("dead"))
+      .orderBy(col("dim"))
+
+  def q136DimStats(s: SparkSession, d: String): DataFrame =
+    dimStats(graft.Tables.embeddings(s, d))
+
+  val q136Sql: String =
+    """WITH v AS (
+      | SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+      |)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(v), 5) AS mean,
+      |  round(stddev_samp(v), 5) AS sd,
+      |  CASE WHEN stddev_samp(v) < 1e-4 THEN 1 ELSE 0 END AS dead
+      |FROM v GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
@@ -364,5 +409,6 @@ object Similarity {
     ("q76_semantic_diversity", q76SemanticDiversity _, Some(q76Sql)),
     ("q86_centroid_outliers", q86CentroidOutliers _, Some(q86Sql)),
     ("q89_hard_negatives", q89HardNegatives _, Some(q89Sql)),
+    ("q136_dim_stats", q136DimStats _, Some(q136Sql)),
   )
 }

@@ -253,4 +253,21 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("q136 dim stats: planted dead and shifted dimensions are flagged") {
+    import spark.implicits._
+    // dim 1 constant (dead), dim 2 spread, dim 3 shifted mean
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array(0.5f, (i % 10).toFloat / 10, 3.0f + (i % 3).toFloat / 100))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.dimStats(df).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("sd"), r.getAs[Int]("dead"))).toMap
+    assert(got(1)._3 == 1, "constant dimension is dead")
+    assert(got(1)._2 == 0.0)
+    assert(got(2)._3 == 0, "varying dimension is alive")
+    assert(got(3)._1 > 3.0, "shifted mean is visible")
+    assert(got.size == 3)
+  }
 }

@@ -1265,6 +1265,66 @@ object Relational {
       |        - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
       |FROM ranked""".stripMargin
 
+  /** q137: 5-WAY STAR JOIN — region → nation → customer → orders →
+    * lineitem, revenue by region/year. The join-reorder and
+    * broadcast-decision stress the 2–3-way queries (q02/q03) don't
+    * exercise: Catalyst must broadcast the three dimension digests
+    * (region/nation pre-joined, customer) and shuffle only the two
+    * fact tables on their join keys; AQE re-plans the orders⋈lineitem
+    * side from runtime stats. This is the canonical plan shape the
+    * engine must produce at 100 TB — dims broadcast, facts
+    * co-partition, one aggregation pass with map-side partials. */
+  def q137StarJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"))
+      .orderBy(col("r_name"), col("yr"))
+
+  val q137Sql: String =
+    """SELECT r_name, year(o_orderdate) AS yr, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, year(o_orderdate) ORDER BY r_name, yr""".stripMargin
+
+  /** q138: correlated EXISTS / NOT EXISTS through the spark.sql entry
+    * point — customers with at least one high-value order but no
+    * low-value one. Catalyst rewrites the correlated subqueries into
+    * a semi join + an anti join (the decorrelation the SQL surface
+    * must guarantee — q05/q06 pin the DataFrame forms, this pins the
+    * SQL form); both rewritten joins shuffle on the correlation key
+    * only. */
+  def q138ExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("q138_customer")
+    orders(s, d).createOrReplaceTempView("q138_orders")
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM q138_customer c
+        |WHERE EXISTS (SELECT 1 FROM q138_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM q138_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q138Sql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -1316,5 +1376,7 @@ object Relational {
     ("q133_transition_matrix", q133TransitionMatrix _, q133Sql),
     ("q134_hourly_seasonality", q134HourlySeasonality _, q134Sql),
     ("q135_source_gini", q135SourceGini _, q135Sql),
+    ("q137_star_join", q137StarJoin _, q137Sql),
+    ("q138_exists_subquery", q138ExistsSubquery _, q138Sql),
   )
 }

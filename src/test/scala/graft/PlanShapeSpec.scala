@@ -328,6 +328,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 star join: dimension sides broadcast, no cartesian") {
+    val plan = sparkPlan(q("q137_star_join")).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation/region dimensions must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q138 correlated EXISTS decorrelates to semi + anti joins") {
+    val plan = sparkPlan(q("q138_exists_subquery")).toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must become a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$plan")
+  }
+
   test("q100 shuffle-shard windows are PARTITIONED — no global-sort window") {
     // pos = row_number over (partition by shard); an empty partition
     // spec would serialize the whole corpus through one task

@@ -929,6 +929,49 @@ object Dedup {
       |       ELSE round(CAST(wasted_docs AS DOUBLE) / total_waste, 6) END AS waste_share
       |FROM hist, tw ORDER BY group_size""".stripMargin
 
+  // --------------------------------------------------------------- q139
+
+  /** q139: MINHASH CALIBRATION CURVE — estimator error vs exact
+    * Jaccard, bucketed by true similarity, over a bounded id range
+    * (the q44/q81 constant-work anchor shape). The eval harness for
+    * the dedup estimator, pairing q126's nprobe↔recall curve for ANN:
+    * the 64-slot signature's standard error is √(J(1−J)/64) ≤ 0.0625,
+    * and this measures the ACTUAL per-bucket bias and error on the
+    * actual corpus — the number that justifies (or indicts) the 0.8
+    * banding threshold q43/q69 build on.
+    *
+    * 100 TB shape: bounded ids ⇒ constant work at any corpus size;
+    * the production estimator this calibrates runs in q43's banded
+    * pipeline. Rows-only: the signature estimator is not
+    * SQL-expressible; DedupSpec pins the error-within-3-SE envelope
+    * and exactness at J = 1. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val base = withMinhash(docs)
+      .select(col("doc_id"), tokenSet(col("text")).as("ts"), col("sig"))
+    val a = base.select(col("doc_id").as("id_a"), col("ts").as("ts_a"),
+      col("sig").as("sig_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("ts").as("ts_b"),
+      col("sig").as("sig_b"))
+    val est = graft.functions.NativeExprs.sigMatches(col("sig_a"), col("sig_b"))
+      .cast("double") / SigLen
+    val exact = size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+      size(array_union(col("ts_a"), col("ts_b")))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(exact.as("j"), est.as("est"))
+      .select(floor(col("j") * 10).cast("int").as("bucket"),
+        abs(col("est") - col("j")).as("abs_err"),
+        (col("est") - col("j")).as("err"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg(col("abs_err")), 4).as("mean_abs_err"),
+           round(avg(col("err")), 4).as("mean_bias"),
+           round(max(col("abs_err")), 4).as("max_abs_err"))
+      .orderBy(col("bucket"))
+  }
+
+  def q139MinhashCalibration(s: SparkSession, d: String): DataFrame =
+    minhashCalibration(documents(s, d).filter(col("doc_id") < 120))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -945,5 +988,6 @@ object Dedup {
     ("q102_novelty", q102Novelty _, Some(q102Sql)),
     ("q108_split_leakage", q108SplitLeakage _, Some(q108Sql)),
     ("q129_dupgroup_spectrum", q129DupGroupSpectrum _, Some(q129Sql)),
+    ("q139_minhash_calibration", q139MinhashCalibration _, None),
   )
 }

@@ -464,4 +464,24 @@ class DedupSpec extends AnyFunSuite {
         s"cluster $cid must keep its longest member")
     }
   }
+
+  test("q139 calibration: per-bucket error within the 64-slot SE envelope, exact at J=1") {
+    val rows = Dedup.minhashCalibration(
+      graft.Tables.documents(spark, TestSpark.sf0001)
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 120)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mae = r.getAs[Double]("mean_abs_err")
+      // SE of a 64-slot estimator peaks at √(0.25/64) = 0.0625; the
+      // mean |err| of an unbiased estimator sits at ~0.8·SE — 1.2×SE
+      // is a generous-but-meaningful envelope
+      assert(mae <= 0.075, s"bucket ${r.getInt(0)}: mean |err| $mae breaks the SE envelope")
+      assert(math.abs(r.getAs[Double]("mean_bias")) <= 0.05,
+        s"bucket ${r.getInt(0)}: estimator bias too large")
+    }
+    rows.find(_.getInt(0) == 10).foreach { r =>
+      assert(r.getAs[Double]("max_abs_err") == 0.0,
+        "identical token sets estimate exactly 1")
+    }
+  }
 }

@@ -52,22 +52,31 @@ object ScaleSmoke {
     println(s"SCALE generated ${k}x corpus at $outDir")
 
     // events scale-up for the analytics family (q130–q134): each copy
-    // is time-shifted a month and gets fresh user/event ids, so daily
-    // and hourly PROFILES stay the base corpus's while user count,
-    // cohort count, and the time range all grow ×K — the realistic
-    // "same workload, K months later" growth, not a same-key pile-up.
-    val ev = Tables.events(spark, base)
-    val maxUser = ev.agg(F.max("user_id")).head().getLong(0) + 1L
-    val maxEid = ev.agg(F.max("event_id")).head().getLong(0) + 1L
-    ev.crossJoin(spark.range(k).toDF("copy"))
-      .select(
-        (F.col("event_id") + F.col("copy") * maxEid).as("event_id"),
-        F.expr("timestampadd(DAY, CAST(copy * 31 AS INT), ts)").as("ts"),
-        (F.col("user_id") + F.col("copy") * maxUser).as("user_id"),
-        F.col("event_type"), F.col("value"), F.col("props"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    println(s"SCALE generated ${k}x events at $outDir")
+    // is time-shifted past the base window (shift DERIVED from the
+    // actual span, so copies stay disjoint under any generator
+    // vintage) and gets fresh user/event ids — daily and hourly
+    // PROFILES stay the base corpus's while user count, cohort count,
+    // and the time range all grow ×K: the realistic "same workload,
+    // K months later" growth, not a same-key pile-up. Skipped when no
+    // selected query reads events.
+    if (qs.exists(q => Seq("q130", "q131", "q132", "q133", "q134", "q24",
+        "q28", "q59").exists(q.startsWith))) {
+      val ev = Tables.events(spark, base)
+      val b = ev.agg(F.max("user_id"), F.max("event_id"),
+        F.expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")).head()
+      val maxUser = b.getLong(0) + 1L
+      val maxEid = b.getLong(1) + 1L
+      val shiftDays = b.getInt(2) + 2
+      ev.crossJoin(spark.range(k).toDF("copy"))
+        .select(
+          (F.col("event_id") + F.col("copy") * maxEid).as("event_id"),
+          F.expr(s"timestampadd(DAY, CAST(copy * $shiftDays AS INT), ts)").as("ts"),
+          (F.col("user_id") + F.col("copy") * maxUser).as("user_id"),
+          F.col("event_type"), F.col("value"), F.col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      println(s"SCALE generated ${k}x events at $outDir (shift $shiftDays d/copy)")
+    }
 
     def time(q: String, dir: String, tag: String): Unit = {
       val best = (1 to 2).map { _ =>

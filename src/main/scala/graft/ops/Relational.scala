@@ -1268,12 +1268,13 @@ object Relational {
   /** q137: 5-WAY STAR JOIN — region → nation → customer → orders →
     * lineitem, revenue by region/year. The join-reorder and
     * broadcast-decision stress the 2–3-way queries (q02/q03) don't
-    * exercise: Catalyst must broadcast the three dimension digests
-    * (region/nation pre-joined, customer) and shuffle only the two
-    * fact tables on their join keys; AQE re-plans the orders⋈lineitem
-    * side from runtime stats. This is the canonical plan shape the
-    * engine must produce at 100 TB — dims broadcast, facts
-    * co-partition, one aggregation pass with map-side partials. */
+    * exercise: the two small dimensions (nation, region) broadcast by
+    * explicit hint — threshold-independent, plan-test-pinned; customer
+    * is left to Catalyst's size-based choice (it auto-broadcasts at
+    * test scale and correctly co-partitions at 100 TB, where customer
+    * is fact-sized); the orders⋈lineitem fact join shuffles on its
+    * key with AQE re-planning from runtime stats. One aggregation
+    * pass with map-side partials on top. */
   def q137StarJoin(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))

@@ -392,8 +392,10 @@ object Similarity {
 
   val q136Sql: String =
     """WITH v AS (
-      | SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS v
-      | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+      | SELECT u.dim AS dim, CAST(u.v AS DOUBLE) AS v FROM (
+      |   SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |     i -> struct_pack(dim := i, v := embedding[i]))) AS u
+      |   FROM embeddings)
       |)
       |SELECT dim, CAST(count(*) AS BIGINT) AS n,
       |  round(avg(v), 5) AS mean,

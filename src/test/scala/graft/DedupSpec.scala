@@ -479,9 +479,12 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("mean_bias")) <= 0.05,
         s"bucket ${r.getInt(0)}: estimator bias too large")
     }
-    rows.find(_.getInt(0) == 10).foreach { r =>
-      assert(r.getAs[Double]("max_abs_err") == 0.0,
-        "identical token sets estimate exactly 1")
-    }
+    val j1 = rows.find(_.getInt(0) == 10)
+    assert(j1.nonEmpty,
+      "the J=1 bucket must exist in the anchor slice — a testdata " +
+        "regeneration without exact dups under doc_id<120 would make " +
+        "the exactness check silently vacuous")
+    assert(j1.get.getAs[Double]("max_abs_err") == 0.0,
+      "identical token sets estimate exactly 1")
   }
 }

@@ -94,8 +94,8 @@ object Bench {
     * clamped); in a healthy run the equal split is well above it, so
     * every clean sample — including the slowest clean query, q92's
     * ~5 s — runs uncapped. 11 s → 9 s → 8 s → 7 s as round 9 grew the
-    * suite, renegotiating headroom for a declared 140-query worst
-    * case: 140 × 7 s + 30 s reserve = 1010 s ≤ 1050 s deadline,
+    * suite, renegotiating headroom for a declared 145-query worst
+    * case: 145 × 7 s + 30 s reserve = 1045 s ≤ 1050 s deadline,
     * spec-pinned in BenchSpec's WorstCaseQueries test. (7 s is 1.4×
     * q92's clean min — in the degenerate sweep a q92 sample may be
     * flagged capped; that run is already degraded by definition and
@@ -110,12 +110,12 @@ object Bench {
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. 140 keeps the equal split
-    * ((1050−30)/140 = 7.29 s) above the 7 s floor, so the sweep stays
+    * silently eating the finish reserve. 145 keeps the equal split
+    * ((1050−30)/145 = 7.03 s) above the 7 s floor, so the sweep stays
     * budget-preserving by construction; the split first stops binding
-    * at 146 queries (1020/146 = 6.99 < 7) — renegotiate the floor or
-    * deadline before then. */
-  val WorstCaseQueries = 140
+    * at 146 queries (1020/146 = 6.99 < 7) — the floor (or deadline)
+    * must be renegotiated for any growth past 145. */
+  val WorstCaseQueries = 145
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

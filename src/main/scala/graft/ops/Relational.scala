@@ -1326,6 +1326,31 @@ object Relational {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q141: DAILY P95 TREND — exact interpolated p50/p95 of the event
+    * value per (event_type, day), the SLA-style percentile trend every
+    * ops dashboard plots (a p95 step-change on one day/type localizes
+    * a regression that daily means smear out; q132 flags volume, this
+    * flags magnitude). Exact percentile buffers per-group values —
+    * bounded here by events-per-day-per-type; the q93
+    * approx_percentile swap applies verbatim when a group outgrows
+    * memory (q37's documented caveat).
+    *
+    * Scale shape: one combined aggregation to (type, day) groups;
+    * group count is bounded by types × days, not corpus size. */
+  def q141DailyP95(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+           round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+           round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+      .orderBy(col("event_type"), col("day"))
+
+  val q141Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -1379,5 +1404,6 @@ object Relational {
     ("q135_source_gini", q135SourceGini _, q135Sql),
     ("q137_star_join", q137StarJoin _, q137Sql),
     ("q138_exists_subquery", q138ExistsSubquery _, q138Sql),
+    ("q141_daily_p95", q141DailyP95 _, q141Sql),
   )
 }

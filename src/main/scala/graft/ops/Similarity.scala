@@ -403,6 +403,70 @@ object Similarity {
       |  CASE WHEN stddev_samp(v) < 1e-4 THEN 1 ELSE 0 END AS dead
       |FROM v GROUP BY dim ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+
+  /** q140: LABEL SEPARATION audit — mean intra-label vs inter-label
+    * cosine over a bounded id range, per label, plus the margin
+    * between them. The embedding-space health check behind every
+    * retrieval/classification use of the vectors: labels whose
+    * intra-mean barely exceeds their inter-mean are not separable in
+    * this space, and a NEGATIVE margin means the embedding actively
+    * confuses that class (q86 finds individual outliers; this grades
+    * the geometry per class). Bounded ids = the q44/q81 constant-work
+    * anchor shape; the production-scale estimate samples pairs per
+    * label instead. */
+  def labelSeparation(embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"))
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("l_a"),
+      col("e").as("e_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("l_b"),
+      col("e").as("e_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("l_a"), col("l_b"), cosine(col("e_a"), col("e_b")).as("cos"))
+    val intra = pairs.filter(col("l_a") === col("l_b"))
+      .groupBy(col("l_a").as("label"))
+      .agg(count(lit(1)).as("n_intra"), round(avg(col("cos")), 6).as("mean_intra"))
+    val inter = pairs.filter(col("l_a") =!= col("l_b"))
+      .select(col("l_a").as("label"), col("cos"))
+      .unionByName(pairs.filter(col("l_a") =!= col("l_b"))
+        .select(col("l_b").as("label"), col("cos")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_inter"), round(avg(col("cos")), 6).as("mean_inter"))
+    intra.join(inter, Seq("label"))
+      .select(col("label"), col("n_intra"), col("n_inter"),
+        col("mean_intra"), col("mean_inter"),
+        round(col("mean_intra") - col("mean_inter"), 6).as("margin"))
+      .orderBy(col("label"))
+  }
+
+  def q140LabelSeparation(s: SparkSession, d: String): DataFrame =
+    labelSeparation(graft.Tables.embeddings(s, d).filter(col("vec_id") < 100))
+
+  val q140Sql: String =
+    """WITH e AS (
+      | SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 100
+      |), pairs AS (
+      | SELECT a.label AS l_a, b.label AS l_b,
+      |   list_cosine_similarity(a.embedding, b.embedding) AS cos
+      | FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |), intra AS (
+      | SELECT l_a AS label, CAST(count(*) AS BIGINT) AS n_intra,
+      |   round(avg(cos), 6) AS mean_intra
+      | FROM pairs WHERE l_a = l_b GROUP BY l_a
+      |), inter AS (
+      | SELECT label, CAST(count(*) AS BIGINT) AS n_inter,
+      |   round(avg(cos), 6) AS mean_inter
+      | FROM (
+      |   SELECT l_a AS label, cos FROM pairs WHERE l_a <> l_b
+      |   UNION ALL
+      |   SELECT l_b AS label, cos FROM pairs WHERE l_a <> l_b
+      | ) GROUP BY label
+      |)
+      |SELECT label, n_intra, n_inter, mean_intra, mean_inter,
+      |  round(mean_intra - mean_inter, 6) AS margin
+      |FROM intra JOIN inter USING (label) ORDER BY label""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
@@ -412,5 +476,6 @@ object Similarity {
     ("q86_centroid_outliers", q86CentroidOutliers _, Some(q86Sql)),
     ("q89_hard_negatives", q89HardNegatives _, Some(q89Sql)),
     ("q136_dim_stats", q136DimStats _, Some(q136Sql)),
+    ("q140_label_separation", q140LabelSeparation _, Some(q140Sql)),
   )
 }

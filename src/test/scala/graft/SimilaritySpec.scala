@@ -254,6 +254,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q140 label separation: planted clusters score ~1 margin, mixed labels ~0") {
+    import spark.implicits._
+    // two tight orthogonal clusters: intra ≈ 1, inter ≈ 0
+    val rows =
+      (1 to 10).map(i => (i.toLong, 0, Array(1.0f, (i % 3).toFloat / 100))) ++
+      (11 to 20).map(i => (i.toLong, 1, Array((i % 3).toFloat / 100, 1.0f)))
+    val got = graft.ops.Similarity.labelSeparation(
+        rows.toDF("vec_id", "label", "embedding")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("margin")).toMap
+    assert(got(0) > 0.9 && got(1) > 0.9,
+      s"orthogonal clusters must separate cleanly: $got")
+    // one cluster split across two labels: margin collapses toward 0
+    val mixed = (1 to 20).map(i =>
+      (i.toLong, i % 2, Array(1.0f, (i % 5).toFloat / 100)))
+    val gotMixed = graft.ops.Similarity.labelSeparation(
+        mixed.toDF("vec_id", "label", "embedding")).collect()
+      .map(_.getAs[Double]("margin"))
+    assert(gotMixed.forall(m => math.abs(m) < 0.01),
+      s"labels drawn from ONE cluster have no separation: ${gotMixed.toSeq}")
+  }
+
   test("q136 dim stats: planted dead and shifted dimensions are flagged") {
     import spark.implicits._
     // dim 1 constant (dead), dim 2 spread, dim 3 shifted mean

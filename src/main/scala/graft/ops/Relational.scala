@@ -1351,6 +1351,83 @@ object Relational {
       |  round(quantile_cont(value, 0.95), 4) AS p95
       |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 
+  /** q142: ROLLING 7-DAY ACTIVE USERS — per day, the distinct users
+    * active in the trailing week (the WAU curve; windowed DISTINCT,
+    * which no window frame expresses directly). Standard reduction:
+    * the scan collapses to the DISTINCT (user, day) activity digest,
+    * then each activity row contributes to the ≤7 report days in
+    * [day, day+6] via a bounded Generate, and a distinct count per
+    * report day finishes — the exchange carries (user, day) ids, the
+    * fan-out is a constant ×7, and report days are bounded by the
+    * time range. Report days come from the OBSERVED day domain (a day
+    * with no activity in its trailing week would not appear — none
+    * such exists in a dense stream). */
+  def q142RollingWau(s: SparkSession, d: String): DataFrame = {
+    val activity = events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val days = activity.select(col("day")).distinct()
+    val contrib = activity
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+      .join(days.select(col("day").as("report_day")), Seq("report_day"))
+    contrib.groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("report_day"))
+  }
+
+  val q142Sql: String =
+    """WITH activity AS (
+      | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), days AS (SELECT DISTINCT day FROM activity)
+      |SELECT d.day AS report_day,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+      |FROM days d JOIN activity a
+      |  ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |GROUP BY d.day ORDER BY report_day""".stripMargin
+
+  /** q143: INTER-ARRIVAL GAP statistics per event type — median and
+    * p90 seconds between a user's consecutive events of that type,
+    * plus the burst fraction (gaps under 60 s). The cadence
+    * fingerprint: bots and retry storms collapse the median gap;
+    * instrumentation loss inflates it. Gaps come from one lag window
+    * over (user, type)-partitioned scalar rows (ts, ids); the
+    * percentile runs on the gap digest per type (q37's buffering
+    * caveat + q93 swap apply). Tie-break on event_id, like q133, so
+    * consecutive pairs are identical across engines. */
+  def q143ArrivalGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+          .cast("double").as("gap_s"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+           round(percentile(col("gap_s"), lit(0.5)), 2).as("median_gap_s"),
+           round(percentile(col("gap_s"), lit(0.9)), 2).as("p90_gap_s"),
+           round(sum(when(col("gap_s") < 60, 1L).otherwise(0L)).cast("double")
+             / count(lit(1)), 6).as("burst_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  val q143Sql: String =
+    """WITH gaps AS (
+      | SELECT event_type,
+      |   CAST(date_diff('second', lag(ts) OVER (PARTITION BY user_id, event_type
+      |     ORDER BY ts, event_id), ts) AS DOUBLE) AS gap_s
+      | FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s,
+      |  round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
+      |  round(CAST(sum(CASE WHEN gap_s < 60 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS burst_frac
+      |FROM gaps WHERE gap_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -1405,5 +1482,7 @@ object Relational {
     ("q137_star_join", q137StarJoin _, q137Sql),
     ("q138_exists_subquery", q138ExistsSubquery _, q138Sql),
     ("q141_daily_p95", q141DailyP95 _, q141Sql),
+    ("q142_rolling_wau", q142RollingWau _, q142Sql),
+    ("q143_arrival_gaps", q143ArrivalGaps _, q143Sql),
   )
 }

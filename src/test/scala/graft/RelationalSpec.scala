@@ -167,6 +167,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(real >= 0.0 && real < 1.0)
   }
 
+  test("q142 rolling WAU: weekly actives dominate daily actives and are monotone at the ramp") {
+    val wau = Relational.q142RollingWau(spark, TestSpark.sf0001).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("wau")).toMap
+    val dau = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("count")).toMap
+    assert(wau.nonEmpty && wau.keySet == dau.keySet)
+    wau.foreach { case (day, w) =>
+      assert(w >= dau(day), s"$day: WAU $w must dominate DAU ${dau(day)}")
+    }
+  }
+
+  test("q143 arrival gaps: non-negative, median <= p90, burst fraction in [0,1]") {
+    val rows = Relational.q143ArrivalGaps(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("median_gap_s"); val p90 = r.getAs[Double]("p90_gap_s")
+      assert(med >= 0 && p90 >= med, s"${r.getString(0)}: median $med p90 $p90")
+      val bf = r.getAs[Double]("burst_frac")
+      assert(bf >= 0.0 && bf <= 1.0)
+      assert(r.getAs[Long]("n_gaps") > 0)
+    }
+  }
+
   test("q118 array_agg: arrays are descending, at most 5, and start at the group max") {
     val rows = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

@@ -1428,6 +1428,52 @@ object Relational {
       |FROM gaps WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q144: TOP BRANDS BY SUPPLIER NATION — lineitem ⋈ part ⋈ supplier
+    * ⋈ nation, revenue per (nation, brand), top-3 brands per nation by
+    * rank window. Closes the last dimension-surface gap (part and
+    * supplier joined through the fact's l_partkey/l_suppkey — the
+    * TPC-H shape q137's customer-side star doesn't touch) and stacks
+    * a WindowGroupLimit-eligible rank on a 4-way join.
+    *
+    * Scale shape: all three dimensions broadcast (bounded); the fact
+    * scans once, aggregates map-side to the (nation, brand) digest,
+    * and the top-3 window runs on that digest. */
+  def q144BrandByNation(s: SparkSession, d: String): DataFrame = {
+    val joined = lineitem(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"))
+    joined
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_name"))
+          .orderBy(col("revenue").desc, col("p_brand"))))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("p_brand"), col("n_items"), col("revenue"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  val q144Sql: String =
+    """WITH agg AS (
+      | SELECT n_name, p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      | FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | GROUP BY n_name, p_brand
+      |)
+      |SELECT n_name, rk, p_brand, n_items, revenue FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+      |   ORDER BY revenue DESC, p_brand) AS INT) AS rk FROM agg)
+      |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
+
   /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
@@ -1484,5 +1530,6 @@ object Relational {
     ("q141_daily_p95", q141DailyP95 _, q141Sql),
     ("q142_rolling_wau", q142RollingWau _, q142Sql),
     ("q143_arrival_gaps", q143ArrivalGaps _, q143Sql),
+    ("q144_brand_by_nation", q144BrandByNation _, q144Sql),
   )
 }

@@ -346,6 +346,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$plan")
   }
 
+  test("q144: all three hinted dimensions broadcast, no cartesian") {
+    val plan = sparkPlan(q("q144_brand_by_nation")).toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"part, supplier AND nation must broadcast (saw $nBroadcast)")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q100 shuffle-shard windows are PARTITIONED — no global-sort window") {
     // pos = row_number over (partition by shard); an empty partition
     // spec would serialize the whole corpus through one task

@@ -943,10 +943,26 @@ object Relational {
       .select(col("n_name"), col("n_customers"), col("top_bals"))
       .orderBy(col("n_name"))
 
+  /** Driver-comparable form of q118: the verification harness hashes
+    * result cells after a pandas sort, and pandas cannot sort an
+    * array<double> column — so the registry entry serializes the
+    * array to a deterministic comma-joined "%.2f" string (values are
+    * already rounded to 2 decimals, so the format is lossless). The
+    * array-typed form above stays the library surface and keeps its
+    * unit test. */
+  def q118ArrayAggStr(s: SparkSession, d: String): DataFrame =
+    q118ArrayAgg(s, d)
+      .select(col("n_name"), col("n_customers"),
+              concat_ws(",", transform(col("top_bals"),
+                b => format_string("%.2f", b))).as("top_bals"))
+
   val q118Sql: String =
     """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
-      |  (list(round(c_acctbal, 2) ORDER BY round(c_acctbal, 2) DESC))[1:5]
-      |    AS top_bals
+      |  array_to_string(
+      |    list_transform(
+      |      (list(round(c_acctbal, 2) ORDER BY round(c_acctbal, 2) DESC))[1:5],
+      |      x -> printf('%.2f', x)),
+      |    ',') AS top_bals
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
@@ -1518,7 +1534,7 @@ object Relational {
     ("q79_salted_join", q79SaltedJoin _, q79Sql),
     ("q115_join_full", q115JoinFull _, q115Sql),
     ("q116_unpivot", q116Unpivot _, q116Sql),
-    ("q118_array_agg", q118ArrayAgg _, q118Sql),
+    ("q118_array_agg", q118ArrayAggStr _, q118Sql),
     ("q130_conversion_funnel", q130ConversionFunnel _, q130Sql),
     ("q131_retention_cohorts", q131RetentionCohorts _, q131Sql),
     ("q132_daily_anomaly", q132DailyAnomaly _, q132Sql),

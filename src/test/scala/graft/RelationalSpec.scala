@@ -202,4 +202,17 @@ class RelationalSpec extends AnyFunSuite {
       assert(bals.size == math.min(5, r.getAs[Long]("n_customers")).toInt)
     }
   }
+
+  test("q118 string form serializes exactly the array form, %.2f comma-joined") {
+    val arr = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    val str = Relational.q118ArrayAggStr(spark, TestSpark.sf0001).collect()
+    assert(str.nonEmpty)
+    assert(str.head.schema("top_bals").dataType ==
+      org.apache.spark.sql.types.StringType)
+    str.foreach { r =>
+      val want = arr(r.getString(0)).map(b => f"$b%.2f").mkString(",")
+      assert(r.getString(2) == want, s"${r.getString(0)}: ${r.getString(2)} != $want")
+    }
+  }
 }

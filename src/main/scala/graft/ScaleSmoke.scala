@@ -64,6 +64,11 @@ object ScaleSmoke {
       val ev = Tables.events(spark, base)
       val b = ev.agg(F.max("user_id"), F.max("event_id"),
         F.expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")).head()
+      // an empty events table (or all-null ts) yields null maxes —
+      // fail with a message instead of an opaque NPE on unboxing
+      require(!b.isNullAt(0) && !b.isNullAt(1) && !b.isNullAt(2),
+        s"events table at $base is empty or has null user_id/event_id/ts; " +
+          "cannot derive scale-up shift")
       val maxUser = b.getLong(0) + 1L
       val maxEid = b.getLong(1) + 1L
       val shiftDays = b.getInt(2) + 2

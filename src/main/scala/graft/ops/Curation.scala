@@ -982,16 +982,16 @@ object Curation {
       explode(array_distinct(graft.functions.NativeExprs
         .shingleHashes(split(col("text"), " "), DecontamN))).as("sfp"))
     val testFps = sh(test).select(col("sfp")).distinct()
-    // persisted: both the hit join and the per-doc totals consume this
-    // frame — without it the train corpus is shingled twice
-    val trainSh = sh(train).cache()
-    val hits = trainSh.join(testFps, Seq("sfp"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // single consumption of the train shingles (r9 ADVICE: the old
+    // two-consumer formulation cached trainSh and leaked the cached
+    // partitions for the rest of the session): a left join marks each
+    // shingle hit/miss (testFps is distinct, so no fan-out) and ONE
+    // groupBy computes both the shingle total and the hit count.
+    val trainSh = sh(train)
     val frac = col("n_hit").cast("double") / col("n_sh")
-    trainSh.groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"))
-      .join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_hit"))
+    trainSh.join(testFps.withColumn("_hit", lit(true)), Seq("sfp"), "left")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("n_hit"))
       .select(col("source"), frac.as("frac"),
         when(col("n_hit") === 0, "clean")
           .when(frac < ContamRatioBound, "partial")

@@ -426,9 +426,19 @@ object Ivf {
     }
     val matches = ivfTop.join(exact, Seq("qid", "vec_id"))
       .groupBy(col("qid"), col("np")).agg(count(lit(1)).as("n_match"))
-    grid.join(matches, Seq("qid", "np"), "left")
+    // denominator is the per-query EXACT result count, not a fixed k:
+    // a post-filter corpus smaller than k would otherwise cap recall
+    // below 1.0 and spuriously break the exact-at-full-probe invariant
+    // (r9 ADVICE). An empty exact set makes recall vacuously 1.0.
+    val nExact = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val out = grid.join(matches, Seq("qid", "np"), "left")
       .na.fill(0L, Seq("n_match"))
-      .select(col("np"), (col("n_match").cast("double") / k).as("recall"))
+      .join(nExact, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_exact"))
+      .select(col("np"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_match").cast("double") / col("n_exact"))
+          .as("recall"))
       .groupBy(col("np"))
       .agg(count(lit(1)).as("n_queries"),
            round(avg(col("recall")), 4).as("mean_recall"),
@@ -436,6 +446,13 @@ object Ivf {
       .select(col("np").as("nprobe"), col("n_queries"),
               col("mean_recall"), col("min_recall"))
       .orderBy(col("nprobe"))
+    // the sweep's result is a bounded digest (one row per nprobe), so
+    // materialize it and release the cached per-query score frame —
+    // the bench runs 143 queries in one session and a leaked cache
+    // holds corpus-sized partitions in executor storage (r9 ADVICE)
+    val rows = out.collect().toSeq
+    scored.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   def q126IvfRecall(s: SparkSession, d: String): DataFrame =

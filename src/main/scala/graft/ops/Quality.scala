@@ -270,7 +270,11 @@ object Quality {
           when(octet_length(col("text")) === 0, lit(null))
             .otherwise(octet_length(col("text")))).as("ratio"))
       .groupBy(col("source"))
-      .agg(count(col("ratio")).as("n_docs"),
+      // n_scored, not n_docs: everywhere else in the suite n_docs is
+      // the full group population; this count excludes empty docs, and
+      // a dashboard joining it against q111/q119 would silently compare
+      // different denominators under the same name (r9 ADVICE)
+      .agg(count(col("ratio")).as("n_scored"),
            sum(when(col("ratio").isNull, 1L).otherwise(0L)).as("n_empty"),
            round(avg(col("ratio")), 4).as("mean_ratio"),
            round(min(col("ratio")), 4).as("min_ratio"),

@@ -254,7 +254,7 @@ class QualitySpec extends AnyFunSuite {
   test("compressRatio: empty docs are reported in n_empty, not mixed into the stats") {
     val d = docs((1L, "a", ""), (2L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"))
     val r = Quality.compressRatio(d, 0.3).collect().head
-    assert(r.getAs[Long]("n_docs") == 1L, "only the scored doc counts")
+    assert(r.getAs[Long]("n_scored") == 1L, "only the scored doc counts")
     assert(r.getAs[Long]("n_empty") == 1L)
     assert(!r.isNullAt(r.fieldIndex("mean_ratio")), "stats come from the scored doc")
   }

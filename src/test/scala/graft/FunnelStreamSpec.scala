@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+import graft.streaming.{StreamingAnomaly, StreamingFunnel}
+
+/** Streaming twins of the events-analytics family (round-9 verdict ask
+  * #5): the q130 funnel via order-independent flatMapGroupsWithState
+  * and the q132 daily anomaly via a watermarked daily digest + the
+  * batch scorer verbatim. */
+class FunnelStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Stage the sf0.001 events into `n` parquet files so the file
+    * source (maxFilesPerTrigger=1) delivers them as n micro-batches
+    * in arbitrary row order — cross-batch state is exercised for real. */
+  private def stagedEventsDir(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-funnel")
+    Tables.events(spark, TestSpark.sf0001).repartition(n)
+      .write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  test("streaming funnel stage counts equal batch q130 across 5 micro-batches") {
+    val dir = stagedEventsDir(5)
+    val q = StreamingFunnel.funnelStages(
+        graft.streaming.EventStream.readEvents(spark, dir))
+      .toDF("_1", "_2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = StreamingFunnel.stageCounts(spark.table("funnel_stream_test"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = Relational.q130ConversionFunnel(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream $streamed != batch $batch")
+  }
+
+  test("funnel state is order-independent: pre-view clicks/purchases kept " +
+       "until a later-arriving earlier view makes them eligible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingFunnel.funnelStages(
+        mem.toDF().toDF("user_id", "event_type", "ts"))
+      .toDF("_1", "_2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_order_test").start()
+    // user 7: click@100 and purchase@50 arrive BEFORE the view@40 —
+    // the click must be retained as a candidate and become the stage-3
+    // answer once the view lowers the floor; the purchase@50 < click
+    // answer must NOT count (purchase must follow the click)
+    // user 8: purchase@200, then click@150, then view@100 → full funnel
+    // user 9: view@10 then click@5 (click BEFORE the view, never after)
+    mem.addData((7L, "click", ts(100)), (7L, "purchase", ts(50)),
+                (8L, "purchase", ts(200)), (9L, "view", ts(10)))
+    q.processAllAvailable()
+    mem.addData((7L, "view", ts(40)), (8L, "click", ts(150)), (9L, "click", ts(5)))
+    q.processAllAvailable()
+    mem.addData((8L, "view", ts(100)))
+    q.processAllAvailable()
+    q.stop()
+    val em = spark.table("funnel_order_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val settled = em.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    assert(settled == Map(7L -> 3, 8L -> 4, 9L -> 2), s"settled=$settled em=${em.toSeq}")
+    // monotone emission: per user, stages never decrease in arrival order
+    em.groupBy(_._1).values.foreach { xs =>
+      assert(xs.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"non-monotone stage emission: ${xs.toSeq}")
+    }
+  }
+
+  test("streaming daily anomaly equals batch q132 (scorer shared verbatim)") {
+    val dir = stagedEventsDir(4)
+    val streamed = StreamingAnomaly.runToCompletion(spark, dir, "anomaly_stream_test")
+      .collect().map(_.toString)
+    val batch = Relational.q132DailyAnomaly(spark, TestSpark.sf0001)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+}

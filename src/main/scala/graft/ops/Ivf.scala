@@ -295,6 +295,179 @@ object Ivf {
     path
   }
 
+  // --- managed index: drift-gated incremental lifecycle (r9 ask #6) --
+
+  /** Train-time per-dimension (mean, sd) profile sidecar. */
+  private val DimStatsFile = "_dimstats.csv"
+
+  /** File manifest at last sync: which source files the index covers. */
+  private val ManifestFile = "_manifest.txt"
+
+  /** Rebuild when new data's per-dim mean shifts by at least this many
+    * TRAIN-TIME stddevs on any dimension (or any dimension flips
+    * dead↔alive): below it the trained coarse quantizer still
+    * partitions the new data sensibly and append-assign preserves
+    * probe quality; above it inverted lists go lopsided and recall
+    * decays — that's a quantizer problem, not an assignment problem. */
+  val DriftRebuildSds = 0.5
+
+  /** Per-dimension (mean, sd) of an embeddings frame — the q136 digest
+    * (Similarity.dimStats), unrounded, collected: dim rows, driver-
+    * bounded like the centroids themselves. One combined map-side
+    * pass; the exchange carries dim × tasks scalar partials. */
+  private[graft] def dimProfile(embs: DataFrame): Array[(Double, Double)] =
+    embs
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(avg(col("v")).as("m"),
+           coalesce(stddev_samp(col("v")), lit(0.0)).as("sd"))
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** (max per-dim normalized mean shift, count of dead↔alive flips)
+    * between the train-time profile and a batch of new data. Shift is
+    * measured in train-time stddevs (floored at the dead-dim
+    * threshold so a near-constant dimension can't divide by ~0). */
+  def geometryDrift(train: Array[(Double, Double)],
+                    current: Array[(Double, Double)]): (Double, Int) = {
+    require(train.length == current.length,
+      s"dimension count changed: trained ${train.length}, incoming ${current.length}")
+    var maxShift = 0.0
+    var deadFlips = 0
+    var i = 0
+    while (i < train.length) {
+      val (tm, tsd) = train(i); val (cm, csd) = current(i)
+      maxShift = math.max(maxShift,
+        math.abs(cm - tm) / math.max(tsd, Similarity.DeadDimSd))
+      if ((tsd < Similarity.DeadDimSd) != (csd < Similarity.DeadDimSd)) deadFlips += 1
+      i += 1
+    }
+    (maxShift, deadFlips)
+  }
+
+  /** One managed-index location per source dir (its own prefix — the
+    * fingerprint-keyed q70 GC sweep must never collect it). */
+  private def managedIndexPath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_managed_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  /** Source file listing as (path, len, mtime) entries. */
+  private def listSource(s: SparkSession, d: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  private def writeSidecar(s: SparkSession, path: String, name: String,
+                           text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(s: SparkSession, path: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(bytes) finally in.close()
+      Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private def manifestText(entries: Seq[(String, Long, Long)]): String =
+    entries.map { case (p, l, m) => s"$l:$m:$p" }.mkString("\n")
+
+  private def parseManifest(text: String): Seq[(String, Long, Long)] =
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(l, m, p) = line.split(":", 3)
+      (p, l.toLong, m.toLong)
+    }
+
+  private def dimStatsText(prof: Array[(Double, Double)]): String =
+    prof.map { case (m, sd) => s"$m,$sd" }.mkString("\n")
+
+  private def parseDimStats(text: String): Array[(Double, Double)] =
+    text.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(m, sd) = line.split(",")
+      (m.toDouble, sd.toDouble)
+    }
+
+  /** Drift-gated incremental sync of the managed per-source IVF index
+    * (round-9 verdict ask #6: compose q136's dim-stats drift flags
+    * with the persisted-index lifecycle). Returns (path, action):
+    *
+    *  - "build":   no index yet → full train + assign + sidecars
+    *               (centroids, train-time dim profile, file manifest);
+    *  - "reuse":   source listing unchanged → zero work (the steady
+    *               state: no data read at all, one listing);
+    *  - "append":  PURE file append whose NEW data's dim profile sits
+    *               within [[DriftRebuildSds]] of the trained one →
+    *               assign ONLY the new files with the EXISTING
+    *               centroids and append them into the partitioned
+    *               index — the 100 TB shape: an hourly embedding drop
+    *               costs one scan of the drop, never a retrain or a
+    *               corpus rescan, and probe results stay exact w.r.t.
+    *               the union corpus because assignment (not training)
+    *               determines which inverted list a vector lives in;
+    *  - "rebuild": geometry drifted (mean shift ≥ threshold or a
+    *               dead↔alive dimension flip, incl. dim-count change)
+    *               OR files were rewritten/removed → full retrain.
+    *
+    * Drift is profiled on the NEW FILES ONLY: cheaper than a corpus
+    * pass and more sensitive (a drifted drop diluted 1000:1 by the
+    * old corpus would pass a whole-corpus test while its inverted
+    * lists all land in two clusters). */
+  def syncIndex(s: SparkSession, d: String): (String, String) = {
+    val path = managedIndexPath(d)
+
+    def fullBuild(action: String): (String, String) = {
+      writeIndex(s, d, path)
+      writeSidecar(s, path, DimStatsFile, dimStatsText(dimProfile(embeddings(s, d))))
+      writeSidecar(s, path, ManifestFile, manifestText(listSource(s, d)))
+      (path, action)
+    }
+
+    val existing = readSidecar(s, path, ManifestFile)
+    if (existing.isEmpty) return fullBuild("build")
+
+    val old = parseManifest(existing.get)
+    val cur = listSource(s, d)
+    if (old == cur) return (path, "reuse")
+
+    val curByPath = cur.map(e => e._1 -> e).toMap
+    val pureAppend = old.forall(e => curByPath.get(e._1).contains(e))
+    if (!pureAppend) return fullBuild("rebuild")
+
+    val oldPaths = old.map(_._1).toSet
+    val newFiles = cur.filterNot(e => oldPaths.contains(e._1)).map(_._1)
+    val newDf = s.read.parquet(newFiles: _*)
+    val trainProf = parseDimStats(readSidecar(s, path, DimStatsFile).get)
+    val newProf = dimProfile(newDf)
+    if (newProf.length != trainProf.length) return fullBuild("rebuild")
+    val (shift, deadFlips) = geometryDrift(trainProf, newProf)
+    if (shift >= DriftRebuildSds || deadFlips > 0) return fullBuild("rebuild")
+
+    val cents = readCentroids(s, path)
+    newDf.withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    writeSidecar(s, path, ManifestFile, manifestText(cur))
+    (path, "append")
+  }
+
   /** Map-side top-nprobe centroid ranking as a Column: the
     * distributed twin of the driver-side [[rankProbes]] — each QUERY
     * row computes its own probe set inside the scan, so an unbounded

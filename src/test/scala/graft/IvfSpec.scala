@@ -155,6 +155,78 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("managed index lifecycle: build → reuse → drift-gated append → rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_managed").toString
+    def rows(ids: Range, f: Long => Seq[Double]) =
+      ids.map(i => (i.toLong, f(i.toLong), i % 2)).toDF("vec_id", "embedding", "label")
+    // base: 3-dim corpus, dim 3 constant (dead)
+    rows(0 until 8, i => Seq((i % 8).toDouble, 2.0 * (i % 8), 1.0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val (path, a1) = Ivf.syncIndex(spark, dir)
+    assert(a1 == "build")
+    val centsAfterBuild = Ivf.readCentroids(spark, path)
+    assert(Ivf.syncIndex(spark, dir) == (path, "reuse"), "unchanged listing is a no-op")
+
+    // pure append, same distribution (values are i%8 → identical dim
+    // profile) → assign-only append, centroids BIT-identical
+    rows(8 until 16, i => Seq((i % 8).toDouble, 2.0 * (i % 8), 1.0))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val (_, a2) = Ivf.syncIndex(spark, dir)
+    assert(a2 == "append", "in-distribution pure append must not retrain")
+    val centsAfterAppend = Ivf.readCentroids(spark, path)
+    assert(centsAfterBuild.map(_.toSeq).toSeq == centsAfterAppend.map(_.toSeq).toSeq,
+      "append must keep the trained quantizer untouched")
+    assert(spark.read.parquet(path).count() == 16,
+      "appended vectors must be in the index")
+    assert(Ivf.syncIndex(spark, dir)._2 == "reuse", "append settles the manifest")
+
+    // full-probe exactness over the UNION corpus: assignment, not
+    // training, decides which inverted list a vector lives in
+    val qVec = Seq(0.0, 0.0, 1.0)
+    val got = Ivf.probeIndex(spark, path, qVec, nprobe = centsAfterAppend.length, k = 16)
+      .collect().map(_.getLong(0)).toSet
+    val brute = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .select(col("vec_id"),
+        graft.ops.Similarity.cosine(col("e"), typedlit(qVec)).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(16)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"full probe must be exact on the union corpus: $got vs $brute")
+
+    // drifted append (dim-1 mean shifted ~20 train-time sds) → rebuild
+    rows(16 until 24, i => Seq((i % 8).toDouble + 50.0, 2.0 * (i % 8), 1.0))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val (_, a3) = Ivf.syncIndex(spark, dir)
+    assert(a3 == "rebuild", "a mean shift past the threshold must retrain")
+    assert(spark.read.parquet(path).count() == 24, "rebuild covers the union")
+
+    // dead→alive dimension flip → rebuild even with tiny mean shift
+    rows(24 until 32, i => Seq((i % 8).toDouble + 50.0, 2.0 * (i % 8), 1.0 + 0.01 * (i % 8)))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Ivf.syncIndex(spark, dir)._2 == "rebuild",
+      "a dimension coming alive invalidates the quantizer geometry")
+
+    // rewritten (non-append) source → rebuild
+    rows(0 until 8, i => Seq((i % 8).toDouble, 2.0 * (i % 8), 1.0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Ivf.syncIndex(spark, dir)._2 == "rebuild",
+      "a rewritten source cannot be served by the old lists")
+  }
+
+  test("geometryDrift: zero on identical profiles, scales by train-time sd, counts dead flips") {
+    val train = Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.0))
+    assert(Ivf.geometryDrift(train, train) == (0.0, 0))
+    val (shift, flips) = Ivf.geometryDrift(train, Array((1.0, 2.0), (5.0, 1.0), (1.0, 0.0)))
+    assert(math.abs(shift - 0.5) < 1e-12 && flips == 0, s"1.0 shift at sd 2.0 = 0.5: $shift")
+    val (_, f2) = Ivf.geometryDrift(train, Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.5)))
+    assert(f2 == 1, "dead dim came alive")
+    intercept[IllegalArgumentException] {
+      Ivf.geometryDrift(train, Array((0.0, 2.0)))
+    }
+  }
+
   test("q126 recall sweep: monotone in nprobe, exact at full probe, bounded") {
     val rows = Ivf.ivfRecallSweep(spark, TestSpark.sf0001)
       .collect().sortBy(_.getAs[Int]("nprobe"))

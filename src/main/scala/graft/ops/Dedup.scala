@@ -1019,6 +1019,35 @@ object Dedup {
   def q139MinhashCalibration(s: SparkSession, d: String): DataFrame =
     minhashCalibration(documents(s, d).filter(col("doc_id") < 120))
 
+  /** q152: CROSS-SOURCE NEAR-DUP PRESSURE matrix — banded MinHash
+    * near-dup pairs (est ≥ 0.8, the q43 stream) rolled up to ordered
+    * source pairs with counts and mean estimated Jaccard. The
+    * provenance audit behind dedup policy: heavy (cc, wiki) cells mean
+    * one crawl mirrors the other and the dedup keep-rule needs a
+    * source priority; a heavy diagonal is ordinary within-source
+    * duplication q30/q43 already handle.
+    *
+    * 100 TB shape: the pair stream carries ids only; the doc→source
+    * side is (id, dictionary-coded source) — joined per pair id, then
+    * collapsed map-side to the ≤ sources² digest. Rows-only (LSH);
+    * DedupSpec plants a cross-source duplicate and pins its cell. */
+  def crossSourceNeardup(docs: DataFrame, minEst: Double): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    minhashCandidatePairsOf(docs, minEst)
+      .join(srcs.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(srcs.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+              greatest(col("src_a"), col("src_b")).as("source_hi"),
+              col("est_jaccard"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg(col("est_jaccard")), 4).as("mean_est"))
+      .orderBy(col("n_pairs").desc, col("source_lo"), col("source_hi"))
+  }
+
+  def q152CrossSourceNeardup(s: SparkSession, d: String): DataFrame =
+    crossSourceNeardup(documents(s, d), minEst = 0.8)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -1026,6 +1055,7 @@ object Dedup {
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
     ("q81_containment", q81Containment _, Some(q81Sql)),
     ("q92_containment_lsh", q92ContainmentLsh _, None),
+    ("q152_crosssource_neardup", q152CrossSourceNeardup _, None),
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
     ("q90_dedup_keep_best", q90DedupKeepBest _, Some(q90Sql)),

@@ -631,10 +631,37 @@ object Ivf {
   def q126IvfRecall(s: SparkSession, d: String): DataFrame =
     ivfRecallSweep(s, d)
 
+  /** q150: INVERTED-LIST BALANCE audit of the persisted index — per
+    * cluster, the list size and its ratio to the even split. The index
+    * observability report the managed lifecycle ([[syncIndex]]) acts
+    * on: drifted data piling into two lists shows up here as balance
+    * ≫ 1 long before probe latency regresses (probing a hot list
+    * reads its whole partition; a 10× lopsided list makes nprobe/K
+    * cost scale by the hot list, not the average).
+    *
+    * Scale shape: one columnar scan of the index reading ONLY the
+    * cluster partition column, map-side-combined to ≤ K rows; the
+    * totals broadcast back. Rows-only (k-means assignment is not
+    * SQL-expressible); IvfSpec pins conservation and the balance
+    * identity. */
+  def q150IvfBalance(s: SparkSession, d: String): DataFrame = {
+    val path = ensureIndex(s, d)
+    val lists = s.read.parquet(path)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    val tot = lists.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_lists"))
+    lists.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("n_vecs").cast("double") * col("n_lists") / col("n_total"), 4)
+          .as("balance"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q48_ivf_topk", q48IvfTopK _, None),
     ("q70_ivf_probe_index", q70IvfProbeIndex _, None),
     ("q91_hard_negatives_ivf", q91HardNegativesIvf _, None),
     ("q126_ivf_recall", q126IvfRecall _, None),
+    ("q150_ivf_balance", q150IvfBalance _, None),
   )
 }

@@ -648,6 +648,53 @@ object Quality {
       |        / sum(n), 6) AS other_frac
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q151
+
+  /** q151: LANGUAGE-MIX audit per source — language count, dominant-
+    * language share, and the Shannon entropy (bits) of the language
+    * distribution. The corpus-mixing report behind multilingual data
+    * budgets: a "multilingual" source with entropy ≈ 0 is monolingual
+    * in practice; a crawler bucket whose dominant share suddenly drops
+    * changed its upstream. Degenerate single-lang sources score
+    * entropy 0 exactly in both engines (p=1 → p·log2(p)=0, no log(0)
+    * path is evaluated).
+    *
+    * 100 TB shape: the corpus collapses to the (source, lang) count
+    * digest in one map-side-combined pass; shares and entropy are
+    * digest-level arithmetic (≤ sources × langs rows). */
+  def q151LangMix(s: SparkSession, d: String): DataFrame =
+    langMix(documents(s, d))
+
+  def langMix(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    cnt
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+           max(col("n")).as("n_dom"),
+           sum(col("n") * log2(col("n"))).as("sum_nlogn"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(col("n_dom").cast("double") / col("n_docs"), 6).as("dom_share"),
+        // H = log2(N) - (1/N)·Σ n·log2(n): one pass, no per-row p
+        // column, exact 0 for the single-lang source
+        round(log2(col("n_docs")) - col("sum_nlogn") / col("n_docs"), 6)
+          .as("lang_entropy_bits"))
+      .orderBy(col("source"))
+  }
+
+  val q151Sql: String =
+    """WITH c AS (
+      | SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      | FROM documents GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_langs,
+      |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS dom_share,
+      |  round(log2(CAST(sum(n) AS DOUBLE))
+      |        - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 6) AS lang_entropy_bits
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -661,5 +708,6 @@ object Quality {
     ("q119_mad", q119Mad _, Some(q119Sql)),
     ("q120_length_token_corr", q120LengthTokenCorr _, Some(q120Sql)),
     ("q121_length_histogram", q121LengthHistogram _, Some(q121Sql)),
-    ("q128_charclass_profile", q128CharClassProfile _, Some(q128Sql)))
+    ("q128_charclass_profile", q128CharClassProfile _, Some(q128Sql)),
+    ("q151_lang_mix", q151LangMix _, Some(q151Sql)))
 }

@@ -1500,6 +1500,252 @@ object Relational {
       |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
 
   /** All relational queries, keyed as they appear in SparkEntry. */
+  /** q145: ORDERED STRING AGGREGATION (listagg/string_agg surface —
+    * q118's string sibling): per nation, the comma-joined names of its
+    * top-5 customers by balance, in rank order. collect_list gives no
+    * ordering guarantee under parallel merge, so the deterministic
+    * form collects (rk, name) structs and sort_array's them — the
+    * struct sort is the engine-portable ORDER BY inside the aggregate.
+    *
+    * Scale shape: rank window per nation partition (bounded groups),
+    * then a 5-row-per-group collect — the exchange carries (nation,
+    * rk, name) only. */
+  def q145StringAgg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    customer(s, d)
+      .select(col("c_nationkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rk"), col("c_name")))),
+          x => x.getField("c_name")), ",").as("top_names"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("top_names"))
+      .orderBy(col("n_name"))
+  }
+
+  val q145Sql: String =
+    """WITH r AS (
+      | SELECT c_nationkey, c_name,
+      |   row_number() OVER (PARTITION BY c_nationkey
+      |     ORDER BY c_acctbal DESC, c_name) AS rk
+      | FROM customer
+      |)
+      |SELECT n_name, string_agg(c_name, ',' ORDER BY rk) AS top_names
+      |FROM r JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rk <= 5 GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q146: LINEAR TREND per event type — regr_slope / regr_intercept /
+    * regr_r2 of the daily event count over the day index. The ops
+    * trend detector (is this event type growing, collapsing, or
+    * flat?) and the regression-aggregate surface (Spark's regr_*
+    * family ≡ DuckDB's, both the textbook closed forms).
+    *
+    * Scale shape: the corpus collapses to the (type, day) digest in
+    * one combined pass; the regression aggregates run on the digest
+    * (days × types rows). Slope/intercept/r2 are rounded above FP
+    * noise; r2 guards the flat-series 0/0 with a coalesce to 1.0 in
+    * BOTH engines (a constant series is perfectly explained). */
+  def q146RegrTrend(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("regr_slope(CAST(n AS DOUBLE), CAST(day_idx AS DOUBLE))"), 6).as("slope"),
+        round(expr("regr_intercept(CAST(n AS DOUBLE), CAST(day_idx AS DOUBLE))"), 6).as("intercept"),
+        round(expr("coalesce(regr_r2(CAST(n AS DOUBLE), CAST(day_idx AS DOUBLE)), 1.0D)"), 6).as("r2"))
+      .orderBy(col("event_type"))
+
+  val q146Sql: String =
+    """WITH daily AS (
+      | SELECT event_type,
+      |   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+      |   CAST(count(*) AS DOUBLE) AS n
+      | FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  round(regr_slope(n, CAST(day_idx AS DOUBLE)), 6) AS slope,
+      |  round(regr_intercept(n, CAST(day_idx AS DOUBLE)), 6) AS intercept,
+      |  round(coalesce(regr_r2(n, CAST(day_idx AS DOUBLE)), 1.0), 6) AS r2
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q147: BLAME THE LAST SHIPPER (TPC-H Q21 shape, adapted to this
+    * schema's dates): per supplier nation, the count of multi-supplier
+    * orders where that nation's supplier was the UNIQUE last to ship.
+    * The classic "who held the order up" double-correlated-subquery
+    * query, expressed as Spark-idiomatic aggregation instead of
+    * EXISTS + NOT EXISTS self-joins: per (order, supplier) max
+    * shipdate, then per-order supplier count / max / tie count, and
+    * blame only where suppliers ≥ 2 and exactly one supplier hit the
+    * max.
+    *
+    * Scale shape: the fact collapses to the (order, supplier) digest
+    * in one map-side-combined pass; the per-order verdict is a second
+    * digest-level aggregation; the blamed pairs join supplier/nation
+    * broadcast. The two aggregations replace the Q21 formulation's two
+    * extra fact self-joins — the plan a 100 TB run wants. */
+  def q147WaitingOrders(s: SparkSession, d: String): DataFrame = {
+    val perSupp = lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), max(col("supp_last")).as("order_last"))
+    perSupp.join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2)
+      .groupBy(col("l_orderkey"), col("order_last"))
+      .agg(count(lit(1)).as("n_supp_again"),
+           sum(when(col("supp_last") === col("order_last"), 1L).otherwise(0L)).as("n_at_max"),
+           max(when(col("supp_last") === col("order_last"), col("l_suppkey"))).as("blamed_supp"))
+      .filter(col("n_at_max") === 1)
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("blamed_supp") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_blamed_orders"))
+      .orderBy(col("n_blamed_orders").desc, col("n_name"))
+  }
+
+  val q147Sql: String =
+    """WITH per_supp AS (
+      | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+      | FROM lineitem GROUP BY 1, 2
+      |), per_order AS (
+      | SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+      |   max(supp_last) AS order_last
+      | FROM per_supp GROUP BY 1
+      |), verdict AS (
+      | SELECT p.l_orderkey,
+      |   CAST(sum(CASE WHEN p.supp_last = o.order_last THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max,
+      |   max(CASE WHEN p.supp_last = o.order_last THEN p.l_suppkey END) AS blamed_supp
+      | FROM per_supp p JOIN per_order o ON p.l_orderkey = o.l_orderkey
+      | WHERE o.n_supp >= 2 GROUP BY p.l_orderkey
+      |)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_blamed_orders
+      |FROM verdict JOIN supplier ON blamed_supp = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_at_max = 1
+      |GROUP BY n_name ORDER BY n_blamed_orders DESC, n_name""".stripMargin
+
+  /** q148: POWER-USER CONCENTRATION — the share of all events produced
+    * by users at or above the p99 per-user event count. The bot/whale
+    * audit a training pipeline runs before trusting engagement-derived
+    * weights: a healthy corpus has the top 1% carrying a few percent;
+    * a scraper or a stuck client shows up as a dominating share.
+    *
+    * Scale shape: one map-side-combined (user, count) digest; the p99
+    * is the exact interpolated percentile over that digest (q37's
+    * engine-identity); the share is two broadcast scalars. Output is
+    * ONE row. */
+  def q148PowerUsers(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val cut = perUser.agg(
+      expr("percentile(CAST(cnt AS DOUBLE), 0.99D)").as("p99"),
+      count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+    perUser.crossJoin(broadcast(cut))
+      .groupBy(col("p99"), col("n_users"), col("n_events"))
+      .agg(sum(when(col("cnt") >= col("p99"), 1L).otherwise(0L)).as("n_power"),
+           sum(when(col("cnt") >= col("p99"), col("cnt")).otherwise(0L)).as("power_events"))
+      .select(col("n_users"), col("n_events"), round(col("p99"), 4).as("p99_cnt"),
+        col("n_power"),
+        round(col("power_events").cast("double") / col("n_events"), 6).as("power_share"))
+  }
+
+  val q148Sql: String =
+    """WITH per_user AS (
+      | SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      | FROM events GROUP BY 1
+      |), cut AS (
+      | SELECT quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99,
+      |   CAST(count(*) AS BIGINT) AS n_users,
+      |   CAST(sum(cnt) AS BIGINT) AS n_events
+      | FROM per_user
+      |)
+      |SELECT n_users, n_events, round(p99, 4) AS p99_cnt,
+      |  CAST(sum(CASE WHEN cnt >= p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_power,
+      |  round(CAST(sum(CASE WHEN cnt >= p99 THEN cnt ELSE 0 END) AS DOUBLE)
+      |        / n_events, 6) AS power_share
+      |FROM per_user, cut GROUP BY p99, n_users, n_events""".stripMargin
+
+  /** q149: EVENT-PATH MINING — the top 20 event-type trigrams over
+    * each user's time-ordered stream (lead ×2 within user). The
+    * journey/sequence query behind funnel DISCOVERY: q130 measures a
+    * funnel you already hypothesized; this surfaces which 3-step paths
+    * actually dominate, including the pathological ones (error→error→
+    * error = a retry storm).
+    *
+    * Scale shape: the window carries (user, type, ts, id) scalars
+    * partitioned by user; paths aggregate map-side to the ≤|types|³
+    * digest before the final top-k sort. event_id tie-break (q133
+    * discipline) keeps simultaneous events deterministic. */
+  def q149EventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val q149Sql: String =
+    """WITH seq AS (
+      | SELECT event_type AS t1,
+      |   lead(event_type, 1) OVER w AS t2,
+      |   lead(event_type, 2) OVER w AS t3
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** q153: EQUI-DEPTH PRICE BANDS — ntile(10) over order totals, per
+    * band count/min/max. The quantile-bucketing sibling of q121's
+    * equi-WIDTH histogram (equal population per band vs equal span) —
+    * what a partitioner uses to pick balanced range boundaries.
+    * Deterministic under ties via the o_orderkey tie-break in BOTH
+    * engines (ntile assigns by row position, so the ORDER BY must be
+    * a total order).
+    *
+    * Scale note, stated honestly: a single unpartitioned ntile is the
+    * didactic form; at 100 TB the same bands come from
+    * approx-percentile boundaries (q93) + a map-side bucket join —
+    * this query pins the exact-semantics SURFACE. */
+  def q153EquidepthBands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("band", ntile(10).over(w))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+           round(min(col("o_totalprice")), 2).as("lo"),
+           round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("band"))
+  }
+
+  val q153Sql: String =
+    """SELECT CAST(band AS INT) AS band, CAST(count(*) AS BIGINT) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM (
+      | SELECT o_totalprice,
+      |   ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS band
+      | FROM orders
+      |) GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -1556,5 +1802,11 @@ object Relational {
     ("q142_rolling_wau", q142RollingWau _, q142Sql),
     ("q143_arrival_gaps", q143ArrivalGaps _, q143Sql),
     ("q144_brand_by_nation", q144BrandByNation _, q144Sql),
+    ("q145_string_agg", q145StringAgg _, q145Sql),
+    ("q146_regr_trend", q146RegrTrend _, q146Sql),
+    ("q147_waiting_orders", q147WaitingOrders _, q147Sql),
+    ("q148_power_users", q148PowerUsers _, q148Sql),
+    ("q149_event_paths", q149EventPaths _, q149Sql),
+    ("q153_equidepth_bands", q153EquidepthBands _, q153Sql),
   )
 }

@@ -395,6 +395,85 @@ object Text {
       | FROM scored
       |) WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 
+  // --------------------------------------------------------------- q154
+
+  /** BM25 parameters (Robertson/Sparck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** q154: BM25 RETRIEVAL SCORING — the top-20 documents for the
+    * corpus's own 3 most frequent tokens, scored with the classic
+    * Okapi BM25 (idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))).
+    * Completes the retrieval-scoring ladder above q85's TF-IDF: BM25's
+    * tf saturation and length normalization are what production
+    * retrieval (and hard-negative mining for embedding training)
+    * actually uses. The query terms are derived IN-QUERY
+    * (count desc, token asc — deterministic from exact ints), so the
+    * query is self-contained on any corpus vintage.
+    *
+    * idf uses the +1-inside-the-log form, ln(1 + (N−df+0.5)/(df+0.5)),
+    * so stop-word-grade terms (df ≈ N) score small-positive instead of
+    * negative (the Lucene convention). Scores are sums of ≤3 exact-
+    * rational-input terms evaluated identically in both engines;
+    * rounded at 4 decimals and ORDERED BY THE ROUNDED score + doc_id
+    * so the top-20 cut cannot straddle an ulp.
+    *
+    * 100 TB shape: one token explode feeding both the doc-length
+    * digest and the (doc, term) tf digest (the term filter is a
+    * 3-row broadcast); df and avglen are one-row broadcasts; scoring
+    * and top-k run on the ≤ 3·N-row tf digest, never the text. */
+  def q154Bm25(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avglen"))
+    val qTerms = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(3)
+      .select(col("token"))
+    val tf = tok.join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfd = col("tf").cast("double")
+    val norm = tfd * (Bm25K1 + 1.0) /
+      (tfd + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("len") / col("avglen")))
+    tf
+      .join(broadcast(df), Seq("token"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * norm), 4).as("bm25"),
+           count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q154Sql: String =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+      |), dlen AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tok GROUP BY 1
+      |), stats AS (
+      | SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avglen FROM dlen
+      |), qterms AS (
+      | SELECT token FROM tok GROUP BY token
+      | ORDER BY count(*) DESC, token LIMIT 3
+      |), tf AS (
+      | SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      | FROM tok JOIN qterms USING (token) GROUP BY 1, 2
+      |), df AS (
+      | SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |    * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75
+      |        + 0.75 * dlen.len / stats.avglen)))), 4) AS bm25,
+      |  CAST(count(*) AS BIGINT) AS n_terms_hit
+      |FROM tf JOIN df USING (token) JOIN dlen USING (doc_id), stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q94
 
   /** Redaction patterns: email-shaped and 555-prefixed phone-shaped
@@ -891,6 +970,7 @@ object Text {
     ("q107_token_entropy", q107TokenEntropy _, Some(q107Sql)),
     ("q123_heaps_law", q123HeapsLaw _, Some(q123Sql)),
     ("q127_pmi_bigrams", q127PmiBigrams _, Some(q127Sql)),
+    ("q154_bm25", q154Bm25 _, Some(q154Sql)),
   )
 
 

@@ -96,6 +96,22 @@ class DedupSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("q152 cross-source matrix: planted cross-source dup lands in its ordered cell") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "aa", base),                       // original in source aa
+      (2L, "bb", base + " extra1"),           // near-dup copied into bb
+      (3L, "cc", (101 to 160).map(i => s"u$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "source", "text")
+    val cells = Dedup.crossSourceNeardup(docs, minEst = 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs")).toMap
+    assert(cells.contains(("aa", "bb")), s"planted cross-source dup missing: $cells")
+    assert(cells(("aa", "bb")) == 1L)
+    assert(!cells.keySet.exists { case (a, b) => a == "cc" || b == "cc" },
+      "unrelated source must not appear")
+  }
+
   test("hashed containment scoring equals the string form on every corpus pair") {
     val spark2 = spark
     val docs = graft.Tables.documents(spark2, TestSpark.sf0001)

@@ -227,6 +227,20 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 balance audit: list sizes conserve the corpus, balance identity holds") {
+    val rows = Ivf.q150IvfBalance(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= Ivf.K)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = Tables.embeddings(spark, TestSpark.sf0001).count()
+    assert(total == corpus, s"lists must conserve the corpus: $total vs $corpus")
+    val nLists = rows.length
+    rows.foreach { r =>
+      val want = BigDecimal(r.getAs[Long]("n_vecs").toDouble * nLists / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("balance") - want) < 1e-9)
+    }
+  }
+
   test("q126 recall sweep: monotone in nprobe, exact at full probe, bounded") {
     val rows = Ivf.ivfRecallSweep(spark, TestSpark.sf0001)
       .collect().sortBy(_.getAs[Int]("nprobe"))

@@ -307,4 +307,25 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(_.getDouble(2)).toSeq
     assert(got == Seq(0.0, 0.0))
   }
+
+  // ------------------------------------------------------------- q151
+
+  test("langMix: monolingual source scores entropy 0; uniform 2-lang scores 1 bit") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mono", "en", "x"), (2L, "mono", "en", "x"),
+      (3L, "duo", "en", "x"), (4L, "duo", "de", "x"),
+      (5L, "skewed", "en", "x"), (6L, "skewed", "en", "x"),
+      (7L, "skewed", "en", "x"), (8L, "skewed", "de", "x"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = Quality.langMix(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("mono").getAs[Double]("lang_entropy_bits") == 0.0)
+    assert(got("mono").getAs[Double]("dom_share") == 1.0)
+    assert(got("duo").getAs[Double]("lang_entropy_bits") == 1.0)
+    assert(got("duo").getAs[Double]("dom_share") == 0.5)
+    val h = got("skewed").getAs[Double]("lang_entropy_bits")
+    assert(h > 0.0 && h < 1.0, s"3:1 mix sits strictly between: $h")
+    assert(got("skewed").getAs[Long]("n_langs") == 2L)
+  }
 }

@@ -203,6 +203,82 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q145 string_agg: <=5 names in rank order, first is the nation's top balance") {
+    val rows = Relational.q145StringAgg(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val topByNation = Tables.customer(spark, TestSpark.sf0001)
+      .join(Tables.nation(spark, TestSpark.sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+      .collect().groupBy(_.getAs[String]("n_name"))
+      .map { case (n, rs) => n -> rs.head.getAs[String]("c_name") }
+    rows.foreach { r =>
+      val names = r.getString(1).split(",")
+      assert(names.length <= 5 && names.nonEmpty)
+      assert(names.head == topByNation(r.getString(0)),
+        s"${r.getString(0)}: first must be the top-balance customer")
+    }
+  }
+
+  test("q146 regr trend: one row per event type, r2 in [0,1], finite slope") {
+    val rows = Relational.q146RegrTrend(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 1)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+      assert(!r.getAs[Double]("slope").isNaN && !r.getAs[Double]("intercept").isNaN)
+    }
+  }
+
+  test("q147 waiting orders: blamed orders are a subset of multi-supplier orders") {
+    val rows = Relational.q147WaitingOrders(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    val blamed = rows.map(_.getAs[Long]("n_blamed_orders")).sum
+    val multiSupp = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).count().filter(col("count") >= 2).count()
+    assert(blamed > 0 && blamed <= multiSupp,
+      s"blamed $blamed must be within the $multiSupp multi-supplier orders")
+  }
+
+  test("q148 power users: one row, p99 <= max count, share consistent") {
+    val r = Relational.q148PowerUsers(spark, TestSpark.sf0001).collect().head
+    val share = r.getAs[Double]("power_share")
+    assert(r.getAs[Long]("n_power") >= 1)
+    assert(share > 0.0 && share <= 1.0)
+    // power users are at most ~1% + ties of the population
+    assert(r.getAs[Long]("n_power") <= r.getAs[Long]("n_users"))
+    val maxCnt = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("user_id")).count().agg(max(col("count"))).head().getLong(0)
+    assert(r.getAs[Double]("p99_cnt") <= maxCnt)
+  }
+
+  test("q149 event paths: trigrams of known types, counts non-increasing") {
+    val types = Set("view", "click", "purchase", "signup", "error")
+    val rows = Relational.q149EventPaths(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.length == 3 && segs.forall(types.contains), r.getString(0))
+    }
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "top-k must be sorted")
+  }
+
+  test("q153 equi-depth bands: equal population within 1, contiguous ascending ranges") {
+    val rows = Relational.q153EquidepthBands(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1, s"equi-depth means counts differ by <=1: ${ns.toSeq}")
+    rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0).getAs[Double]("hi") <= p(1).getAs[Double]("lo"),
+          "bands must not overlap")
+    }
+  }
+
   test("q118 string form serializes exactly the array form, %.2f comma-joined") {
     val arr = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap

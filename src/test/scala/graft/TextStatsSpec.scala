@@ -109,4 +109,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(cums.zip(cums.tail).forall { case (a, b) => b > a }, "strictly growing")
     assert(cums.last == 100, "final vocab = all distinct tokens")
   }
+
+  // ------------------------------------------------------------- q154
+
+  test("q154 bm25: positive non-increasing scores, <=3 terms hit, saturation beats raw tf") {
+    val rows = graft.ops.Text.q154Bm25(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0.0), "idf uses the +1-inside-log form, never negative")
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-k must be score-sorted")
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_terms_hit")
+      assert(hit >= 1 && hit <= 3)
+    }
+    // tf saturation: with k1 = 1.2 a single term's contribution is
+    // bounded by idf·(k1+1) — the whole 3-term score by 3·idf_max·2.2.
+    // idf_max ≤ ln(1 + (N+0.5)/1.5) ≈ ln(N); sanity-bound the scores.
+    val n = Tables.documents(spark, TestSpark.sf0001).count().toDouble
+    val bound = 3.0 * math.log(1.0 + (n + 0.5) / 1.5) * 2.2
+    assert(scores.head <= bound, s"score ${scores.head} exceeds saturation bound $bound")
+  }
 }

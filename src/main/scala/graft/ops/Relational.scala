@@ -1585,18 +1585,21 @@ object Relational {
     * max.
     *
     * Scale shape: the fact collapses to the (order, supplier) digest
-    * in one map-side-combined pass; the per-order verdict is a second
-    * digest-level aggregation; the blamed pairs join supplier/nation
-    * broadcast. The two aggregations replace the Q21 formulation's two
-    * extra fact self-joins — the plan a 100 TB run wants. */
+    * in ONE map-side-combined pass; the per-order totals come from a
+    * window over that digest (partitioned by order key — bounded
+    * groups), NOT a groupBy + self-rejoin, which the plan audit showed
+    * re-derives the digest from a second full fact scan; the blamed
+    * pairs join supplier/nation broadcast. One fact scan total — the
+    * plan a 100 TB run wants (the Q21 EXISTS formulation costs two
+    * extra fact self-joins on top). */
   def q147WaitingOrders(s: SparkSession, d: String): DataFrame = {
     val perSupp = lineitem(s, d)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("supp_last"))
-    val perOrder = perSupp
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), max(col("supp_last")).as("order_last"))
-    perSupp.join(perOrder, Seq("l_orderkey"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("order_last", max(col("supp_last")).over(w))
       .filter(col("n_supp") >= 2)
       .groupBy(col("l_orderkey"), col("order_last"))
       .agg(count(lit(1)).as("n_supp_again"),
@@ -1616,16 +1619,16 @@ object Relational {
     """WITH per_supp AS (
       | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
       | FROM lineitem GROUP BY 1, 2
-      |), per_order AS (
-      | SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
-      |   max(supp_last) AS order_last
-      | FROM per_supp GROUP BY 1
+      |), windowed AS (
+      | SELECT l_orderkey, l_suppkey, supp_last,
+      |   count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+      |   max(supp_last) OVER (PARTITION BY l_orderkey) AS order_last
+      | FROM per_supp
       |), verdict AS (
-      | SELECT p.l_orderkey,
-      |   CAST(sum(CASE WHEN p.supp_last = o.order_last THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max,
-      |   max(CASE WHEN p.supp_last = o.order_last THEN p.l_suppkey END) AS blamed_supp
-      | FROM per_supp p JOIN per_order o ON p.l_orderkey = o.l_orderkey
-      | WHERE o.n_supp >= 2 GROUP BY p.l_orderkey
+      | SELECT l_orderkey,
+      |   CAST(sum(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max,
+      |   max(CASE WHEN supp_last = order_last THEN l_suppkey END) AS blamed_supp
+      | FROM windowed WHERE n_supp >= 2 GROUP BY l_orderkey
       |)
       |SELECT n_name, CAST(count(*) AS BIGINT) AS n_blamed_orders
       |FROM verdict JOIN supplier ON blamed_supp = s_suppkey

@@ -76,6 +76,54 @@ class FunnelStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel state survives a checkpointed restart: stages built across the stop") {
+    // deterministic split: run on half the files, STOP, add the rest,
+    // restart from the same checkpoint — users whose later stages
+    // arrive after the restart only settle correctly if the state
+    // store recovered (a fresh state would lose their earlier view)
+    val allParts = java.nio.file.Files.createTempDirectory("events-funnel-all")
+    Tables.events(spark, TestSpark.sf0001).repartition(4)
+      .write.mode("overwrite").parquet(allParts.toString)
+    val parts = java.nio.file.Files.list(allParts).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(parts.length == 4)
+    val src = java.nio.file.Files.createTempDirectory("events-funnel-src")
+    val cp = java.nio.file.Files.createTempDirectory("events-funnel-cp").toString
+    def copyIn(ps: Seq[String]): Unit = ps.foreach { p =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(p),
+        src.resolve(java.nio.file.Paths.get(p).getFileName))
+    }
+    // memory sink can't recover from a checkpoint — spool update
+    // emissions to parquet via foreachBatch (the StreamingDecontam
+    // restart pattern: fault-tolerant sink + durable batch ids)
+    val out = java.nio.file.Files.createTempDirectory("events-funnel-out").toString
+    def run(): Unit = {
+      val q = StreamingFunnel.funnelStages(
+          graft.streaming.EventStream.readEvents(spark, src.toString))
+        .toDF("user_id", "stage")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    copyIn(parts.take(2)); run()
+    copyIn(parts.drop(2)); run()
+    val settled = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    // derive expected stage counts from batch q130 (stage k counts
+    // users at stage >= k)
+    val batch = Relational.q130ConversionFunnel(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val got = (1 to 4).map(k => settled.values.count(_ >= k).toLong)
+    val want = Seq(batch("1_all"), batch("2_viewed"), batch("3_clicked"),
+      batch("4_purchased"))
+    assert(got == want, s"restart-settled stage counts $got != batch $want")
+  }
+
   test("streaming daily anomaly equals batch q132 (scorer shared verbatim)") {
     val dir = stagedEventsDir(4)
     val streamed = StreamingAnomaly.runToCompletion(spark, dir, "anomaly_stream_test")

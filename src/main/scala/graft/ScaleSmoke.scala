@@ -83,6 +83,34 @@ object ScaleSmoke {
       println(s"SCALE generated ${k}x events at $outDir (shift $shiftDays d/copy)")
     }
 
+    // lineitem (+ passthrough orders/supplier/nation/part/customer)
+    // scale-up for the fact-side relational family (q147/q79/q01…):
+    // copies get fresh order keys (shifted by the base max) so order
+    // GROUPS multiply rather than deepen — per-order supplier fan-in,
+    // the thing q147's verdict aggregation keys on, stays the base
+    // corpus's. Dimensions are NOT scaled (that's the point of a
+    // dimension at 100 TB: it stays broadcastable while facts grow).
+    if (qs.exists(q => Seq("q147", "q79", "q01", "q15").exists(q.startsWith))) {
+      val li = Tables.lineitem(spark, base)
+      val b = li.agg(F.max("l_orderkey")).head()
+      require(!b.isNullAt(0), s"lineitem table at $base is empty")
+      val maxOk = b.getLong(0) + 1L
+      li.crossJoin(spark.range(k).toDF("copy"))
+        .select(
+          (F.col("l_orderkey") + F.col("copy") * maxOk).as("l_orderkey"),
+          F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber"),
+          F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount"),
+          F.col("l_tax"), F.col("l_returnflag"), F.col("l_linestatus"),
+          F.col("l_shipdate"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      Seq("orders", "supplier", "nation", "region", "part", "customer").foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      println(s"SCALE generated ${k}x lineitem (+passthrough dims) at $outDir")
+    }
+
     def time(q: String, dir: String, tag: String): Unit = {
       val best = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

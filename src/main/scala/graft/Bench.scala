@@ -73,16 +73,16 @@ object Bench {
     * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
     * AFTER SparkSession init, so the driver-observed wall time adds
     * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
-    * under a 20-min external kill with slack, while leaving ~17
-    * suite-lengths of clean headroom (the full suite is ~59 s clean).
-    * The all-capped worst case still fits: while the equal split
-    * (deadline − reserve)/n exceeds MinCapSec the sweep is
-    * budget-preserving by construction, and once the floor binds the
-    * worst case is n·MinCapSec — with MinCapSec 8 the split stays
-    * binding (and budget-preserving) through n ≤ 127, comfortably
-    * past the declared [[WorstCaseQueries]] = 124 (BenchSpec pins
-    * both the real suite size and the declared worst case from the
-    * constants alone). */
+    * under a 20-min external kill with slack, while leaving ~10
+    * suite-lengths of clean headroom (the full suite is ~99 s clean
+    * at 153 queries). The all-capped worst case still fits: while the
+    * equal split (deadline − reserve)/n exceeds MinCapSec the sweep
+    * is budget-preserving by construction, and once the floor binds
+    * the worst case is n·MinCapSec — with MinCapSec 6 the split stays
+    * binding (and budget-preserving) through n ≤ 170, exactly the
+    * declared [[WorstCaseQueries]] = 170 (BenchSpec pins both the
+    * real suite size and the declared worst case from the constants
+    * alone). */
   val DefaultDeadlineSec = 1050.0
 
   /** Budget reserved at the tail for the final artifact write and

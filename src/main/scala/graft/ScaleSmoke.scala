@@ -83,13 +83,17 @@ object ScaleSmoke {
       println(s"SCALE generated ${k}x events at $outDir (shift $shiftDays d/copy)")
     }
 
-    // lineitem (+ passthrough orders/supplier/nation/part/customer)
-    // scale-up for the fact-side relational family (q147/q79/q01…):
-    // copies get fresh order keys (shifted by the base max) so order
-    // GROUPS multiply rather than deepen — per-order supplier fan-in,
-    // the thing q147's verdict aggregation keys on, stays the base
-    // corpus's. Dimensions are NOT scaled (that's the point of a
-    // dimension at 100 TB: it stays broadcastable while facts grow).
+    // lineitem AND orders scale-up for the fact-side relational family
+    // (q147/q79/q01/q15…): BOTH facts shift order keys by the same
+    // base max per copy, so the lineitem↔orders join keys stay
+    // consistent across copies (scaling only lineitem would orphan
+    // every copied row at the join and silently measure a 1× probe —
+    // round-10 review finding) while order GROUPS multiply rather than
+    // deepen: per-order supplier fan-in, the thing q147's verdict
+    // aggregation keys on, stays the base corpus's. Dimensions are NOT
+    // scaled (that's the point of a dimension at 100 TB: it stays
+    // broadcastable while facts grow); o_custkey passes through, so
+    // customers just own k× the orders.
     if (qs.exists(q => Seq("q147", "q79", "q01", "q15").exists(q.startsWith))) {
       val li = Tables.lineitem(spark, base)
       val b = li.agg(F.max("l_orderkey")).head()
@@ -104,11 +108,19 @@ object ScaleSmoke {
           F.col("l_shipdate"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-      Seq("orders", "supplier", "nation", "region", "part", "customer").foreach { t =>
+      spark.read.parquet(s"$base/orders.parquet")
+        .crossJoin(spark.range(k).toDF("copy"))
+        .select(
+          (F.col("o_orderkey") + F.col("copy") * maxOk).as("o_orderkey"),
+          F.col("o_custkey"), F.col("o_orderstatus"), F.col("o_totalprice"),
+          F.col("o_orderdate"), F.col("o_orderpriority"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      Seq("supplier", "nation", "region", "part", "customer").foreach { t =>
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       }
-      println(s"SCALE generated ${k}x lineitem (+passthrough dims) at $outDir")
+      println(s"SCALE generated ${k}x lineitem+orders (+passthrough dims) at $outDir")
     }
 
     def time(q: String, dir: String, tag: String): Unit = {

@@ -255,6 +255,15 @@ object Dedup {
     * regime belongs to the shingle-fingerprint span index
     * (q78/q87), which finds cross-length quotation by construction. */
   def containmentCandidates(docs: DataFrame, minCont: Double): DataFrame = {
+    // cache scope, stated deliberately (the r9-ADVICE leak class): the
+    // cached frame is digest-width (id + 4 band longs ≈ 40 B/doc, not
+    // text), it saves a second full minhash pass (the banding explode
+    // and the bucket-count agg both consume it), and the result here
+    // is ~100k rows — too large for the eager collect-and-release
+    // pattern. Session lifetime is bounded by the harnesses'
+    // clearCache between queries; a REPEATED-query deployment should
+    // persist signatures as a table (the IncrementalDedup index) and
+    // skip this path's in-session cache entirely.
     val signed = withMinhash(docs).select(col("doc_id"), col("bands")).cache()
     containmentScoresHashed(docs, bandedPairs(signed))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)

@@ -142,8 +142,14 @@ object Ivf {
     * cluster id (one directory per inverted list), centroids spooled
     * alongside. Amortizes training + assignment over every subsequent
     * probe; probes then read only nprobe/k of the files. */
-  def writeIndex(s: SparkSession, d: String, path: String, k: Int = K): Array[Array[Double]] = {
-    val corpus = emb(s, d)
+  def writeIndex(s: SparkSession, d: String, path: String, k: Int = K): Array[Array[Double]] =
+    writeIndexOf(emb(s, d), path, k)
+
+  /** [[writeIndex]] over an explicit corpus frame — the managed
+    * lifecycle passes the exact file set its manifest records, so the
+    * build can never index a file the manifest doesn't cover. */
+  private[graft] def writeIndexOf(corpus: DataFrame, path: String,
+                                  k: Int = K): Array[Array[Double]] = {
     val cents = trainCentroids(corpus, k)
     corpus
       .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
@@ -153,7 +159,8 @@ object Ivf {
     // FS resolved from the index path) — a java.nio local write would
     // silently strand the centroids when the index lives on HDFS/S3
     val p = new org.apache.hadoop.fs.Path(path, CentroidsFile)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -432,11 +439,30 @@ object Ivf {
     * lists all land in two clusters). */
   def syncIndex(s: SparkSession, d: String): (String, String) = {
     val path = managedIndexPath(d)
+    // list ONCE, up front, and build from EXACTLY that file set: the
+    // manifest must record what the build actually read — listing
+    // after the build would record a mid-build straggler file as
+    // covered while its vectors were never indexed (silent permanent
+    // hole), and letting the build re-plan its own scan could index a
+    // straggler the manifest omits (double-indexed when the next sync
+    // appends it). Round-10 review finding. A mid-build arrival now
+    // shows up as a pure append on the NEXT sync, exactly once.
+    val cur = listSource(s, d)
+    require(cur.nonEmpty, s"no embeddings files under $d")
+    def listedCorpus(entries: Seq[(String, Long, Long)]): DataFrame =
+      s.read.parquet(entries.map(_._1): _*)
+        .withColumn("e", col("embedding").cast("array<double>"))
 
     def fullBuild(action: String): (String, String) = {
-      writeIndex(s, d, path)
-      writeSidecar(s, path, DimStatsFile, dimStatsText(dimProfile(embeddings(s, d))))
-      writeSidecar(s, path, ManifestFile, manifestText(listSource(s, d)))
+      val corpus = listedCorpus(cur)
+      writeIndexOf(corpus, path)
+      // dimProfile is a third full-corpus pass per (re)build, on top
+      // of writeIndex's sample + assignment scans — accepted: builds
+      // are rare by design (the whole point of the drift gate) and
+      // folding per-dim moments into the assignment write would need a
+      // custom commit hook for one pass saved.
+      writeSidecar(s, path, DimStatsFile, dimStatsText(dimProfile(corpus)))
+      writeSidecar(s, path, ManifestFile, manifestText(cur))
       (path, action)
     }
 
@@ -444,7 +470,6 @@ object Ivf {
     if (existing.isEmpty) return fullBuild("build")
 
     val old = parseManifest(existing.get)
-    val cur = listSource(s, d)
     if (old == cur) return (path, "reuse")
 
     val curByPath = cur.map(e => e._1 -> e).toMap
@@ -452,8 +477,7 @@ object Ivf {
     if (!pureAppend) return fullBuild("rebuild")
 
     val oldPaths = old.map(_._1).toSet
-    val newFiles = cur.filterNot(e => oldPaths.contains(e._1)).map(_._1)
-    val newDf = s.read.parquet(newFiles: _*)
+    val newDf = listedCorpus(cur.filterNot(e => oldPaths.contains(e._1)))
     val trainProf = parseDimStats(readSidecar(s, path, DimStatsFile).get)
     val newProf = dimProfile(newDf)
     if (newProf.length != trainProf.length) return fullBuild("rebuild")
@@ -461,7 +485,7 @@ object Ivf {
     if (shift >= DriftRebuildSds || deadFlips > 0) return fullBuild("rebuild")
 
     val cents = readCentroids(s, path)
-    newDf.withColumn("e", col("embedding").cast("array<double>"))
+    newDf
       .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
       .write.mode("append").partitionBy("cluster").parquet(path)
     writeSidecar(s, path, ManifestFile, manifestText(cur))

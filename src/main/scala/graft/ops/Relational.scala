@@ -1602,8 +1602,7 @@ object Relational {
       .withColumn("order_last", max(col("supp_last")).over(w))
       .filter(col("n_supp") >= 2)
       .groupBy(col("l_orderkey"), col("order_last"))
-      .agg(count(lit(1)).as("n_supp_again"),
-           sum(when(col("supp_last") === col("order_last"), 1L).otherwise(0L)).as("n_at_max"),
+      .agg(sum(when(col("supp_last") === col("order_last"), 1L).otherwise(0L)).as("n_at_max"),
            max(when(col("supp_last") === col("order_last"), col("l_suppkey"))).as("blamed_supp"))
       .filter(col("n_at_max") === 1)
       .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),

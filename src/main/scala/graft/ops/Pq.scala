@@ -89,7 +89,53 @@ object Pq {
       .limit(k)
   }
 
+  /** q156: PQ DISTORTION eval — for a bounded query set, how well the
+    * 8-byte ADC estimate tracks the true cosine over the whole corpus:
+    * per query, mean/max absolute error and the Pearson correlation
+    * between estimate and truth. Completes the ANN eval-harness trio
+    * (q126 IVF recall sweep, q139 MinHash calibration) — recall@k says
+    * whether the top-k survives quantization; THIS says how much
+    * headroom the candidate margin has (a corr ≈ 1, mae ≈ 0.02 code
+    * can cut candidates aggressively; a noisy code needs q57's wide
+    * re-rank buffer).
+    *
+    * 100 TB shape: the corpus is scanned ONCE — every row encodes to
+    * its m-byte code once and evaluates all queries' ADC LUTs +
+    * cosines map-side (queries and LUTs are driver-bounded plan
+    * literals, the q126 discipline); the exchange carries the
+    * per-(query, row) scalar pairs' partial aggregates only. Rows-only
+    * (k-means codebooks are not SQL-expressible); PqSpec pins the
+    * corr/mae envelope and self-consistency. */
+  def pqDistortion(s: SparkSession, d: String, nQueries: Int = 8): DataFrame = {
+    val corpus = emb(s, d)
+    val codebooks = trainCodebooks(corpus)
+    val qRows = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val code = graft.functions.NativeExprs.pqEncode(col("e"), codebooks)
+    val perQ = qRows.map { case (qid, qVec) =>
+      val lut = buildLut(normalize(qVec), codebooks)
+      struct(lit(qid).as("qid"),
+        graft.functions.NativeExprs.pqAdc(col("code"), lut).as("adc"),
+        Similarity.cosine(col("e"), typedLit(qVec.toSeq)).as("cos"))
+    }
+    corpus.filter(col("vec_id") >= nQueries)
+      .withColumn("code", code)
+      .select(explode(array(perQ.toIndexedSeq: _*)).as("x"))
+      .select(col("x.qid").as("qid"), col("x.adc").as("adc"), col("x.cos").as("cos"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(abs(col("adc") - col("cos"))), 4).as("mae"),
+           round(max(abs(col("adc") - col("cos"))), 4).as("max_err"),
+           round(corr(col("adc"), col("cos")), 4).as("corr"))
+      .orderBy(col("qid"))
+  }
+
+  def q156PqDistortion(s: SparkSession, d: String): DataFrame =
+    pqDistortion(s, d)
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q57_pq_topk", (s: SparkSession, d: String) => q57PqTopK(s, d), None),
+    ("q156_pq_distortion", q156PqDistortion _, None),
   )
 }

@@ -1748,6 +1748,54 @@ object Relational {
       | FROM orders
       |) GROUP BY band ORDER BY band""".stripMargin
 
+  /** q155: JOIN-KEY SKEW AUDIT — per candidate join column of the
+    * fact, the key-multiplicity profile (distinct keys, max/p99/mean
+    * multiplicity, the heaviest key's share of all rows, and how many
+    * keys exceed [[Skew.DefaultHotThreshold]]). This is the
+    * operational report that DECIDES the q79 salted-join deployment:
+    * hot_keys > 0 means the plain shuffle join will serialize a
+    * reducer and salting pays; all-zeros means salting is pure
+    * overhead. The audit a 100 TB pipeline runs once per corpus
+    * vintage, not per query.
+    *
+    * Scale shape: ONE fact scan reading only the three key columns,
+    * exploded to (col, key) pairs map-side; the multiplicity digest
+    * partial-aggregates before its exchange, and the profile is a
+    * second digest-level aggregation (3 output rows). */
+  def q155KeySkewAudit(s: SparkSession, d: String): DataFrame = {
+    val ex = lineitem(s, d).select(explode(array(
+        struct(lit("l_orderkey").as("key_col"), col("l_orderkey").as("k")),
+        struct(lit("l_partkey").as("key_col"), col("l_partkey").as("k")),
+        struct(lit("l_suppkey").as("key_col"), col("l_suppkey").as("k")))).as("kv"))
+      .select(col("kv.key_col").as("key_col"), col("kv.k").as("k"))
+    ex.groupBy(col("key_col"), col("k")).agg(count(lit(1)).as("m"))
+      .groupBy(col("key_col"))
+      .agg(count(lit(1)).as("n_keys"),
+           max(col("m")).as("max_mult"),
+           round(expr("percentile(CAST(m AS DOUBLE), 0.99D)"), 4).as("p99_mult"),
+           round(avg(col("m")), 4).as("mean_mult"),
+           round(max(col("m")).cast("double") / sum(col("m")), 6).as("top_share"),
+           sum(when(col("m") > Skew.DefaultHotThreshold, 1L).otherwise(0L))
+             .as("hot_keys"))
+      .orderBy(col("key_col"))
+  }
+
+  val q155Sql: String =
+    """WITH kv AS (
+      | SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+      | UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      | UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      |), mult AS (
+      | SELECT key_col, k, CAST(count(*) AS BIGINT) AS m FROM kv GROUP BY 1, 2
+      |)
+      |SELECT key_col, CAST(count(*) AS BIGINT) AS n_keys,
+      |  max(m) AS max_mult,
+      |  round(quantile_cont(CAST(m AS DOUBLE), 0.99), 4) AS p99_mult,
+      |  round(avg(m), 4) AS mean_mult,
+      |  round(CAST(max(m) AS DOUBLE) / sum(m), 6) AS top_share,
+      |  CAST(sum(CASE WHEN m > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
+      |FROM mult GROUP BY key_col ORDER BY key_col""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -1810,5 +1858,6 @@ object Relational {
     ("q148_power_users", q148PowerUsers _, q148Sql),
     ("q149_event_paths", q149EventPaths _, q149Sql),
     ("q153_equidepth_bands", q153EquidepthBands _, q153Sql),
+    ("q155_key_skew_audit", q155KeySkewAudit _, q155Sql),
   )
 }

@@ -418,38 +418,37 @@ object Text {
     * rounded at 4 decimals and ORDERED BY THE ROUNDED score + doc_id
     * so the top-20 cut cannot straddle an ulp.
     *
-    * 100 TB shape: TWO token passes total (lazy plans don't share an
-    * uncached explode across consumers — round-10 review finding):
-    * pass 1 derives the query terms (map-side-combined token totals),
-    * pass 2 left-marks query-term tokens and folds each doc to its
-    * (doc, qtok, count) digest in one aggregation — doc length is the
-    * digest's row-group sum, tf its non-null rows, so neither needs
-    * its own pass. That ≤ 4-rows-per-doc digest is cached (ids +
-    * 3 terms wide), the one-row stats and 3-row df frames broadcast,
-    * and the top-20 result is materialized eagerly so the cache
-    * releases before return (the ivfRecallSweep discipline). */
+    * 100 TB shape: THREE bounded token passes, each a map-side-
+    * combined explode (doc lengths, corpus term totals, and the
+    * query-term tf — the last filters to 3 terms via broadcast inner
+    * join INSIDE the scan, so its aggregation is tiny). Lazy plans
+    * don't share an uncached explode across consumers, and this is
+    * deliberate: the round-10 review proposed folding passes 1+3 into
+    * one left-join + (doc, marked-token) aggregation, and the
+    * measurement REGRESSED 0.76 → 1.72 s at sf0.1 — hashing every
+    * exploded token through a nullable-string group key costs more
+    * than a second pure-long-keyed pass plus a filtered tiny pass.
+    * Three cheap scans beat two expensive ones; measured, not
+    * assumed. df and avglen are one-row broadcasts; scoring and
+    * top-k run on the ≤ 3·N-row tf digest, never the text. */
   def q154Bm25(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      avg(col("len")).as("avglen"))
     val qTerms = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(3)
       .select(col("token"))
-    val g = tok
-      .join(broadcast(qTerms.withColumn("_q", lit(true))), Seq("token"), "left")
-      .groupBy(col("doc_id"), when(col("_q"), col("token")).as("qtok"))
-      .agg(count(lit(1)).as("c"))
-      .cache()
-    val dlen = g.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
-    val stats = dlen.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
-    val tf = g.filter(col("qtok").isNotNull)
-      .select(col("doc_id"), col("qtok").as("token"), col("c").as("tf"))
+    val tf = tok.join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfd = col("tf").cast("double")
     val norm = tfd * (Bm25K1 + 1.0) /
       (tfd + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("len") / col("avglen")))
-    val out = tf
+    tf
       .join(broadcast(df), Seq("token"))
       .join(dlen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -458,9 +457,6 @@ object Text {
            count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
-    val rows = out.collect().toSeq
-    g.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   val q154Sql: String =

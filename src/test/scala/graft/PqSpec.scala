@@ -72,4 +72,18 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q156 distortion: ADC tracks true cosine (corr, mae, full corpus covered)") {
+    val corpus = Tables.embeddings(spark, TestSpark.sf0001).count()
+    val rows = Pq.pqDistortion(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == corpus - 8, "every non-query vector scored")
+      val (mae, mx, c) = (r.getAs[Double]("mae"), r.getAs[Double]("max_err"),
+        r.getAs[Double]("corr"))
+      assert(mae >= 0.0 && mae < 0.15, s"qid ${r.getLong(0)}: mae $mae")
+      assert(mx >= mae && mx < 0.6, s"qid ${r.getLong(0)}: max_err $mx")
+      assert(c > 0.5 && c <= 1.0, s"qid ${r.getLong(0)}: corr $c")
+    }
+  }
 }

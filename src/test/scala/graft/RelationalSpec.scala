@@ -279,6 +279,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 skew audit: profile ordering invariants, exact distinct counts, no hot keys here") {
+    val rows = Relational.q155KeySkewAudit(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    rows.foreach { case (k, r) =>
+      assert(r.getAs[Long]("n_keys") == li.select(col(k)).distinct().count())
+      val mx = r.getAs[Long]("max_mult")
+      assert(mx >= r.getAs[Double]("p99_mult") &&
+        r.getAs[Double]("p99_mult") >= 1.0 &&
+        r.getAs[Double]("mean_mult") >= 1.0 && mx >= r.getAs[Double]("mean_mult").toLong)
+      val share = r.getAs[Double]("top_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("hot_keys") == 0L,
+        "TPC-H-ish keys sit far under the 100k hot threshold")
+    }
+    // the audit's verdict matches q79's observed regime: no salting needed
+    assert(rows("l_orderkey").getAs[Long]("max_mult") < graft.ops.Skew.DefaultHotThreshold)
+  }
+
   test("q118 string form serializes exactly the array form, %.2f comma-joined") {
     val arr = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap

@@ -77,6 +77,20 @@ object StreamingFunnel {
     if (answerAtOrAfter(st.purchases, aC) == NoTs) 3 else 4
   }
 
+  /** One micro-batch's fold — the pure core of the stateful operator,
+    * extracted so FunnelStreamSpec can property-test the pruning
+    * claim directly: for ANY partition of a user's events into
+    * batches, in ANY order, the folded state's stage equals the
+    * all-at-once brute-force stage. */
+  private[graft] def fold(st: FunnelState, views: Seq[Long],
+                          clicks: Seq[Long], purchases: Seq[Long]): FunnelState = {
+    val tView = math.min(st.tView, views.foldLeft(NoTs)(math.min))
+    val newClicks = mergePrune(st.clicks, clicks, tView)
+    val aC = answerAtOrAfter(newClicks, tView)
+    val newPurchases = mergePrune(st.purchases, purchases, aC)
+    FunnelState(tView, newClicks, newPurchases)
+  }
+
   /** events must carry (user_id, event_type, ts). Emits the user's
     * current (user_id, stage) after every micro-batch that touched
     * them (Update mode — stages are monotone, take the max). */
@@ -90,18 +104,12 @@ object StreamingFunnel {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, String, Long)],
          state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(
-            FunnelState(NoTs, Array.empty, Array.empty))
           val buf = rows.toSeq
-          val tView = math.min(st.tView,
-            buf.iterator.filter(_._2 == "view").map(_._3)
-              .foldLeft(NoTs)(math.min))
-          val clicks = mergePrune(st.clicks,
-            buf.collect { case (_, "click", t) => t }, tView)
-          val aC = answerAtOrAfter(clicks, tView)
-          val purchases = mergePrune(st.purchases,
-            buf.collect { case (_, "purchase", t) => t }, aC)
-          st = FunnelState(tView, clicks, purchases)
+          val st = fold(
+            state.getOption.getOrElse(FunnelState(NoTs, Array.empty, Array.empty)),
+            buf.collect { case (_, "view", t) => t },
+            buf.collect { case (_, "click", t) => t },
+            buf.collect { case (_, "purchase", t) => t })
           state.update(st)
           Iterator.single((uid, stageOf(st)))
       }

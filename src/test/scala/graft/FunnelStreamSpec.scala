@@ -124,6 +124,42 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(got == want, s"restart-settled stage counts $got != batch $want")
   }
 
+  test("funnel fold property: any batch split in any order equals brute force " +
+       "(3000 random cases)") {
+    // attacks the pruning proof directly on the pure core: stage after
+    // batch-by-batch folding must equal the all-at-once answer for
+    // EVERY partition of the events into batches, in EVERY order
+    val rnd = new scala.util.Random(20260814L)
+    def brute(v: Seq[Long], c: Seq[Long], p: Seq[Long]): Int = {
+      if (v.isEmpty) return 1
+      val tv = v.min
+      val ac = c.filter(_ >= tv)
+      if (ac.isEmpty) return 2
+      if (p.exists(_ >= ac.min)) 4 else 3
+    }
+    (1 to 3000).foreach { caseN =>
+      // small ts domain → dense ties, the adversarial regime for >= logic
+      def evs(n: Int) = Seq.fill(rnd.nextInt(n))(rnd.nextInt(8).toLong)
+      val (v, c, p) = (evs(4), evs(5), evs(4))
+      val tagged = rnd.shuffle(
+        v.map(("view", _)) ++ c.map(("click", _)) ++ p.map(("purchase", _)))
+      // random partition into 1..5 batches (possibly empty)
+      val nb = 1 + rnd.nextInt(5)
+      val batches = tagged.groupBy(_ => rnd.nextInt(nb)).values.toSeq
+      val folded = batches.foldLeft(
+        graft.streaming.FunnelState(StreamingFunnel.NoTs, Array.empty, Array.empty)) {
+        (st, b) => StreamingFunnel.fold(st,
+          b.collect { case ("view", t) => t },
+          b.collect { case ("click", t) => t },
+          b.collect { case ("purchase", t) => t })
+      }
+      val want = brute(v, c, p)
+      assert(StreamingFunnel.stageOf(folded) == want,
+        s"case $caseN: v=$v c=$c p=$p batches=$batches got " +
+          s"${StreamingFunnel.stageOf(folded)} want $want")
+    }
+  }
+
   test("streaming daily anomaly equals batch q132 (scorer shared verbatim)") {
     val dir = stagedEventsDir(4)
     val streamed = StreamingAnomaly.runToCompletion(spark, dir, "anomaly_stream_test")

@@ -1146,6 +1146,81 @@ object Curation {
       |  round(CAST(n_tokens AS DOUBLE) / raw_tokens, 6) AS token_retention
       |FROM stages, raw ORDER BY stage_idx""".stripMargin
 
+  // --------------------------------------------------------------- q158
+
+  /** q158: TARGET-DISTRIBUTION REBALANCING — downsample buckets so the
+    * kept corpus matches an explicit target share per bucket (here:
+    * uniform across languages), keeping as much data as possible.
+    * q83's temperature mix SOFTENS the observed distribution (shares
+    * derive from the data); this matches a distribution you CHOSE —
+    * the "20% code, 40% web, …" data-mixing spec every training run
+    * ships with. Downsampling-only: rate_b = (t_b/a_b) / max_c(t_c/a_c)
+    * puts the scarcest-vs-target bucket at rate 1 (kept whole) and
+    * scales everything else down proportionally, so E[share_after] =
+    * t_b exactly and no bucket needs upsampling.
+    *
+    * 100 TB shape (q83's): the per-bucket stats digest broadcasts back
+    * onto an (id, bucket) projection — docs never shuffle; the keep
+    * decision is the engine-portable md5-hex-vs-threshold comparison
+    * (q83's trick, ':rebal' salt so decisions are independent of every
+    * other sampler's). Target buckets absent from the data are
+    * ignored; data buckets absent from the target drop to rate 0. */
+  def matchDistribution(docs: DataFrame, bucketCol: String,
+                        target: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val tgt = typedLit(target)
+    val stats = docs.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_tot", sum(col("n_docs")).over(all))
+      .withColumn("t", coalesce(element_at(tgt, col(bucketCol)), lit(0.0)))
+      .withColumn("ratio",
+        col("t") / (col("n_docs").cast("double") / col("n_tot")))
+      .withColumn("rate", col("ratio") / max(col("ratio")).over(all))
+      .select(col(bucketCol), col("n_docs"), col("rate"))
+    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":rebal"))), 1, 8)
+    val thr = lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast("bigint"))), 8, "0")
+    val keep = when(col("rate") >= 1.0, 1).otherwise((u < thr).cast("int"))
+    val kept = docs.select(col(bucketCol), col("doc_id"))
+      .join(broadcast(stats), Seq(bucketCol))
+      .select(col(bucketCol), col("n_docs"), col("rate"), keep.as("keep"))
+      .groupBy(col(bucketCol))
+      .agg(first(col("n_docs")).as("n_docs"),
+           round(first(col("rate")), 6).as("rate"),
+           sum(col("keep")).cast("bigint").as("n_kept"))
+    kept
+      .withColumn("share_after",
+        round(col("n_kept").cast("double") / sum(col("n_kept")).over(all), 6))
+      .orderBy(col(bucketCol))
+  }
+
+  /** Uniform language target over the five corpus languages. */
+  def q158MatchDistribution(s: SparkSession, d: String): DataFrame =
+    matchDistribution(documents(s, d), "lang",
+      Map("en" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
+
+  val q158Sql: String =
+    """WITH stats AS (
+      | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |   CAST(sum(count(*)) OVER () AS BIGINT) AS n_tot
+      | FROM documents GROUP BY lang
+      |), rated AS (
+      | SELECT lang, n_docs,
+      |   (0.2 / (CAST(n_docs AS DOUBLE) / n_tot))
+      |     / max(0.2 / (CAST(n_docs AS DOUBLE) / n_tot)) OVER () AS rate
+      | FROM stats
+      |), kept AS (
+      | SELECT d.lang, r.n_docs, r.rate,
+      |   CAST(sum(CASE WHEN r.rate >= 1.0 THEN 1
+      |     WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':rebal'), 1, 8)
+      |          < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      | FROM documents d JOIN rated r ON d.lang = r.lang
+      | GROUP BY d.lang, r.n_docs, r.rate
+      |)
+      |SELECT lang, n_docs, round(rate, 6) AS rate, n_kept,
+      |  round(CAST(n_kept AS DOUBLE) / sum(n_kept) OVER (), 6) AS share_after
+      |FROM kept ORDER BY lang""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -1163,6 +1238,7 @@ object Curation {
     ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),
     ("q103_weighted_sample", q103WeightedSample _, Some(q103Sql)),
     ("q124_curation_funnel", q124CurationFunnel _, Some(q124Sql)),
+    ("q158_match_distribution", q158MatchDistribution _, Some(q158Sql)),
     ("q125_contamination_ratio", q125ContaminationRatio _, Some(q125Sql)),
   )
 }

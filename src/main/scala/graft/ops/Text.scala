@@ -483,6 +483,90 @@ object Text {
       |FROM tf JOIN df USING (token) JOIN dlen USING (doc_id), stats
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q157
+
+  /** Number of merge rules q157 learns. */
+  val BpeMerges = 8
+
+  /** Greedy leftmost application of ONE merge rule (a, b) → a+b over a
+    * symbol array, as a codegen'd higher-order fold: "aaa" under (a,a)
+    * becomes [aa, a] — the original BPE paper's semantics for a single
+    * rule. No escaping pitfalls: the pair arrives as Column literals,
+    * never spliced into SQL text. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+           element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+      .otherwise(concat(acc, array(x))))
+
+  /** q157: BPE MERGE TRAINING (Sennrich et al., ACL 2016) — learn the
+    * top [[BpeMerges]] byte-pair merges from the corpus and report the
+    * merge table (rank, left, right, merged, weighted pair count).
+    * q36 counts tokens under a FIXED BPE-ish rule; this LEARNS the
+    * rules — the tokenizer-induction step at the head of every LLM
+    * data pipeline.
+    *
+    * 100 TB shape (how real trainers work, distributed): the corpus
+    * collapses ONCE to the (word, count) vocabulary digest — the only
+    * full-text pass — and every merge iteration runs on that persisted
+    * digest: adjacent-pair explode weighted by word count, map-side-
+    * combined pair sum, top-1 to the driver (ONE row per iteration,
+    * the k-means/logreg iterate-via-aggregation discipline), then the
+    * merge applies lazily as a fold expression for the next
+    * iteration's pairs. Expression depth grows by one fold per learned
+    * rule — bounded by BpeMerges, not the corpus. The digest is
+    * unpersisted after the merge table materializes (nMerges rows).
+    * Ties break (count desc, left asc, right asc) so the learned
+    * table is deterministic on any engine. Rows-only: the iterative
+    * argmax is not single-query SQL; TextStatsSpec pins the table
+    * against a reference in-memory trainer and on a hand-computable
+    * planted corpus. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val vocab = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .persist()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val syms = learned.foldLeft(col("syms")) { case (c, (_, a, b, _)) =>
+        applyMerge(c, a, b)
+      }
+      // the pair explode reads the CURRENT symbols — alias the folded
+      // expression to `s` for the SQL-string transform below
+      val topNow = vocab.select(col("wc"), syms.as("s"))
+        // sequence(1, 0) counts DOWN (the shinglesOfTokens trap), so
+        // single-symbol words need the explicit empty branch
+        .select(col("wc"), explode(expr(
+          "CASE WHEN size(s) < 2 THEN array() ELSE " +
+          "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r)) END")
+        ).as("p"))
+        .select(col("wc"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (topNow.isEmpty) done = true
+      else {
+        val r = topNow.head
+        learned += ((rank, r.getString(0), r.getString(1), r.getLong(2)))
+      }
+    }
+    vocab.unpersist()
+    import s.implicits._
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+      .orderBy(col("rank"))
+  }
+
+  def q157BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(documents(s, d), BpeMerges)
+
   // ---------------------------------------------------------------- q94
 
   /** Redaction patterns: email-shaped and 555-prefixed phone-shaped
@@ -980,6 +1064,7 @@ object Text {
     ("q123_heaps_law", q123HeapsLaw _, Some(q123Sql)),
     ("q127_pmi_bigrams", q127PmiBigrams _, Some(q127Sql)),
     ("q154_bm25", q154Bm25 _, Some(q154Sql)),
+    ("q157_bpe_train", q157BpeTrain _, None),
   )
 
 

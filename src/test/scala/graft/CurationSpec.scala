@@ -429,4 +429,31 @@ class CurationSpec extends AnyFunSuite {
       dr > 0.0 && dr <= 1.0
     })
   }
+
+  test("q158 match distribution: scarcest bucket kept whole, shares land on target") {
+    import spark.implicits._
+    // 800 'a' / 150 'b' / 50 'c' docs; uniform target 1/3 each →
+    // 'c' is scarcest vs target (ratio max) → rate 1; E[kept] ≈ 50 each
+    val docs = ((1 to 800).map(i => (i.toLong, "a")) ++
+      (801 to 950).map(i => (i.toLong, "b")) ++
+      (951 to 1000).map(i => (i.toLong, "c")))
+      .toDF("doc_id", "lang")
+    val got = Curation.matchDistribution(docs, "lang",
+        Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("c").getAs[Double]("rate") == 1.0, "scarcest-vs-target bucket keeps all")
+    assert(got("c").getAs[Long]("n_kept") == 50L)
+    // sampled buckets: binomial(n, 50/n) → expect ~50 ± 4σ(≈27)
+    Seq("a", "b").foreach { b =>
+      val kept = got(b).getAs[Long]("n_kept")
+      assert(math.abs(kept - 50L) <= 27, s"$b kept $kept, expected ~50")
+      val share = got(b).getAs[Double]("share_after")
+      assert(share > 0.2 && share < 0.47, s"$b share_after $share far from 1/3")
+    }
+    // deterministic: same inputs, same decisions
+    val again = Curation.matchDistribution(docs, "lang",
+        Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(again == got.map { case (k, r) => k -> r.getAs[Long]("n_kept") })
+  }
 }

@@ -110,6 +110,69 @@ class TextStatsSpec extends AnyFunSuite {
     assert(cums.last == 100, "final vocab = all distinct tokens")
   }
 
+  // ------------------------------------------------------------- q157
+
+  /** Reference in-memory BPE trainer with the SAME pair-count and
+    * greedy-leftmost-merge semantics as the distributed one. */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    def applyM(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    while (r <= n) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.sliding(2).withPartial(false).foreach { p =>
+          counts((p(0), p(1))) += c
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      out += ((r, a, b, cnt))
+      vocab = vocab.map { case (syms, c) => (applyM(syms, a, b), c) }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  test("q157 bpe: distributed trainer equals the reference on a planted corpus") {
+    import spark.implicits._
+    // hand-checkable plant: 'ab' dominates, then 'abc' builds on it
+    val docs = Seq(
+      (1L, "abc abc abc ab"), (2L, "abc ab xy"), (3L, "ab xy xy"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Text.bpeTrain(docs, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val words = Map("abc" -> 4L, "ab" -> 3L, "xy" -> 3L)
+    val want = refBpe(words, 4).map { case (r, a, b, c) => (r, a, b, c) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // first merge is (a, b) with count 7 (4 'abc' + 3 'ab'), second
+    // builds hierarchically: ('ab', c) with count 4
+    assert(got(0) == ((1, "a", "b", 7L)))
+    assert(got(1) == ((2, "ab", "c", 4L)))
+  }
+
+  test("q157 bpe: equals the reference on the real sf0.001 corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = graft.ops.Text.bpeTrain(docs, graft.ops.Text.BpeMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val words = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .where("length(w) > 0")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(words, graft.ops.Text.BpeMerges)
+    assert(got.length == graft.ops.Text.BpeMerges)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // merged column is the concatenation, ranks are 1..n
+    val rows = graft.ops.Text.bpeTrain(docs, 3).collect()
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
   // ------------------------------------------------------------- q154
 
   test("q154 bm25: positive non-increasing scores, <=3 terms hit, saturation beats raw tf") {

@@ -1641,9 +1641,14 @@ object Relational {
     * weights: a healthy corpus has the top 1% carrying a few percent;
     * a scraper or a stuck client shows up as a dominating share.
     *
-    * Scale shape: one map-side-combined (user, count) digest; the p99
-    * is the exact interpolated percentile over that digest (q37's
-    * engine-identity); the share is two broadcast scalars. Output is
+    * Scale shape: the (user, count) digest is derived twice — once for
+    * the percentile cut (one broadcast row), once for the share pass —
+    * i.e. TWO one-column map-side-combined scans of the fact. Stated
+    * deliberately: the q147-style window fix doesn't apply (the cut is
+    * GLOBAL, so the window would be unpartitioned over a user-
+    * cardinality frame — billions of rows in one task at 100 TB),
+    * and caching a user-cardinality digest is exactly the leaked-cache
+    * class r9 ADVICE flagged; two cheap columnar scans win. Output is
     * ONE row. */
   def q148PowerUsers(s: SparkSession, d: String): DataFrame = {
     val perUser = events(s, d)

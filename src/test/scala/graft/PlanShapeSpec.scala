@@ -373,4 +373,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles.length <= 1,
       s"lang-id scoring must not shuffle data, found ${shuffles.length}")
   }
+
+  test("q147 derives per-order totals from ONE fact scan (window, not rejoin)") {
+    // the groupBy+self-join formulation re-scanned lineitem; the window
+    // over the digest must keep it at a single fact scan (+2 dims)
+    val p = plan(q("q147_waiting_orders"))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 3, s"expected lineitem + supplier + nation = 3 scans, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast")
+  }
+
+  test("q155 skew audit reads the fact once, exploded map-side") {
+    val p = plan(q("q155_key_skew_audit"))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"the 3-key profile must come from ONE scan, got $scans:\n$p")
+    assert(p.contains("Generate"), "keys explode map-side under the scan")
+  }
+
+  test("q152 cross-source matrix: no cartesian product, no text in any exchange") {
+    val sp = sparkPlan(q("q152_crosssource_neardup"))
+    assert(!plan(q("q152_crosssource_neardup")).contains("CartesianProduct"))
+    sp.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+      .foreach { cols =>
+        assert(!cols.contains("text"),
+          s"pair stream must be ids/sketches only, moves: $cols")
+      }
+  }
+
+  test("q158 rebalance: per-bucket stats broadcast; docs never shuffle for the join") {
+    val p = plan(q("q158_match_distribution"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row rate frame must broadcast onto the doc scan:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

@@ -174,6 +174,80 @@ object Multimodal {
       (h * scale).cast("int").as("out_height"))
   }
 
+  /** Perceptual-hash dim: 64 sign bits over 64 luminance bands (the
+    * classic aHash shape — bit i set iff band i is brighter than the
+    * image mean). FeatureDim=8 is for embedding-style features; a
+    * dedup key needs the finer grid. */
+  val PhashDim = 64
+
+  /** Batch (fp, phash) extraction for media dedup: one pass, one
+    * decoder per partition — emits the exact 128-bit payload
+    * fingerprint and the 64-bit perceptual hash per doc. A one-pixel
+    * retouch keeps the phash (the band mean barely moves) while the
+    * md5 changes — exactly the near-dup class exact dedup misses. */
+  def extractPhash(spark: SparkSession, packed: DataFrame,
+                   decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.mapPartitions { rows =>
+      val dec = decoder
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val media = r.getStruct(r.fieldIndex("media"))
+        val payload = media.getAs[Array[Byte]]("payload")
+        md.reset()
+        val fp = md.digest(payload).map(b => f"$b%02x").mkString
+        val f = dec.features(payload, PhashDim)
+        var mean = 0.0f
+        var i = 0
+        while (i < f.length) { mean += f(i); i += 1 }
+        mean /= f.length
+        var h = 0L
+        i = 0
+        while (i < f.length) { if (f(i) > mean) h |= (1L << i); i += 1 }
+        Row(r.getLong(r.fieldIndex("doc_id")), fp, h)
+      }
+    }(enc)
+  }
+
+  /** q159: MEDIA DEDUP via perceptual hash — q30's keeper-decision
+    * shape over the multimodal frame: per doc, its phash bucket's
+    * keeper (min doc_id), whether the doc is a perceptual duplicate,
+    * and whether it's byte-identical to the keeper's payload group.
+    * The image-dedup step every multimodal pretraining pipeline runs:
+    * is_dup && !is_exact flags retouches/re-encodes ONLY the
+    * perceptual bucket catches. (This deliberately unduplicated corpus
+    * yields all-keepers — the decision column, not a dup census, is
+    * the operator surface; MultimodalSpec plants the dup cases.)
+    *
+    * 100 TB shape: decode happens once per payload in the partition-
+    * batched extraction; the dedup decision is a bucket-keyed window
+    * over (8 B phash, 16 B fp, 8 B id) — never payload bytes (q30's
+    * discipline on binary columns). Rows-only (mapPartitions decode);
+    * MultimodalSpec plants a one-pixel PNG retouch (same bucket,
+    * different fp ⇒ perceptual-only dup) and an inverted image
+    * (different bucket). */
+  def mediaPhashDedup(s: SparkSession, packed: DataFrame,
+                      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("phash"))
+    extractPhash(s, packed, decoder)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("keep_fp", first(col("fp")).over(
+        w.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("phash"), col("keep_id"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"),
+        ((col("doc_id") =!= col("keep_id")) && col("fp") === col("keep_fp"))
+          .cast("int").as("is_exact"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q159MediaPhashDedup(s: SparkSession, d: String): DataFrame =
+    mediaPhashDedup(s, packMedia(documents(s, d)))
+
   /** Multimodal pipeline query: pack → batch-decode → per-source feature
     * aggregation. Rows-only check (binary/mapPartitions not in DuckDB). */
   def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
@@ -187,5 +261,6 @@ object Multimodal {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q46_multimodal_features", q46MultimodalFeatures _, None),
+    ("q159_media_phash_dedup", q159MediaPhashDedup _, None),
   )
 }

@@ -79,6 +79,56 @@ class MultimodalSpec extends AnyFunSuite {
       s"white PNG must decode to all-ones luminance bands, got $f")
   }
 
+  test("q159 phash dedup: one-pixel retouch is a perceptual-only dup; " +
+       "byte copy is exact; inverted image is no dup") {
+    import java.awt.image.BufferedImage
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def png(lum: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = lum(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val grad = png((x, y) => (y * 16 + x))                        // base gradient
+    val gradCopy = grad.clone()                                   // byte-identical
+    val retouch = png((x, y) => if (x == 15 && y == 15) 253 else y * 16 + x)
+    val inverted = png((x, y) => 255 - (y * 16 + x))
+    assert(!java.util.Arrays.equals(grad, retouch))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", Multimodal.mediaSchema, nullable = false),
+      StructField("source", StringType, nullable = true)))
+    def row(id: Long, p: Array[Byte]) =
+      Row(id, Row(p, Row("image/png", 16, 16, null)), "imgs")
+    val packed = spark.createDataFrame(
+      java.util.List.of(row(1L, grad), row(2L, gradCopy),
+        row(3L, retouch), row(4L, inverted)), schema)
+    val got = Multimodal.mediaPhashDedup(spark, packed, Multimodal.ImageIODecoder)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) == ((1L, 0, 0)), s"keeper: ${got(1L)}")
+    assert(got(2L) == ((1L, 1, 1)), s"byte copy must be an exact dup: ${got(2L)}")
+    assert(got(3L) == ((1L, 1, 0)),
+      s"one-pixel retouch: perceptual dup, NOT exact: ${got(3L)}")
+    assert(got(4L) == ((4L, 0, 0)), s"inverted image is its own bucket: ${got(4L)}")
+  }
+
+  test("q159 on the real corpus: one decision row per doc, keepers consistent") {
+    val rows = Multimodal.q159MediaPhashDedup(spark, TestSpark.sf0001).collect()
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(0), "keeper is the bucket min")
+      if (r.getInt(4) == 1) assert(r.getInt(3) == 1, "exact implies dup")
+      if (r.getLong(2) == r.getLong(0)) assert(r.getInt(3) == 0)
+    }
+  }
+
   test("frameSample: n frames per doc, in-bounds offsets, binary frames") {
     val packed = Multimodal.packMedia(
       graft.Tables.documents(spark, TestSpark.sf0001))

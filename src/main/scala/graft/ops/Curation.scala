@@ -624,21 +624,31 @@ object Curation {
         lit(budget) * col("n_tot") * (col("w") / sum(col("w")).over(all))
           / col("n_docs")))
       .select(col("source"), col("n_docs"), col("rate"))
-    // 8-hex-digit uniform per doc vs floor(rate·2^32) as a zero-padded
-    // hex threshold: pure string comparison, identical in any engine.
-    // rate = 1 (budget-capped small source) keeps unconditionally —
-    // its threshold would need 9 digits.
-    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":tmix"))), 1, 8)
+    sampleByRate(docs, stats, "source", ":tmix").orderBy(col("source"))
+  }
+
+  /** Shared rate-sampler accounting for the deterministic per-bucket
+    * samplers (q83's temperature mix, q158's target matching): given a
+    * broadcastable (bucket, n_docs, rate) stats frame, count kept docs
+    * per bucket under the engine-portable md5 acceptance — an
+    * 8-hex-digit uniform per doc vs floor(rate·2^32) as a zero-padded
+    * hex threshold: pure string comparison, identical in any engine.
+    * rate = 1 (a kept-whole bucket) keeps UNCONDITIONALLY — its
+    * threshold would need 9 digits (the trap lives here once, not
+    * once per sampler). `salt` keys each sampler's decisions
+    * independently. Returns (bucket, n_docs, rate(rounded 6), n_kept). */
+  private def sampleByRate(docs: DataFrame, stats: DataFrame,
+                           bucketCol: String, salt: String): DataFrame = {
+    val u = substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 8)
     val thr = lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast("bigint"))), 8, "0")
     val keep = when(col("rate") >= 1.0, 1).otherwise((u < thr).cast("int"))
-    docs.select(col("source"), col("doc_id"))
-      .join(broadcast(stats), Seq("source"))
-      .select(col("source"), col("n_docs"), col("rate"), keep.as("keep"))
-      .groupBy(col("source"))
+    docs.select(col(bucketCol), col("doc_id"))
+      .join(broadcast(stats), Seq(bucketCol))
+      .select(col(bucketCol), col("n_docs"), col("rate"), keep.as("keep"))
+      .groupBy(col(bucketCol))
       .agg(first(col("n_docs")).as("n_docs"),
            round(first(col("rate")), 6).as("rate"),
            sum(col("keep")).cast("bigint").as("n_kept"))
-      .orderBy(col("source"))
   }
 
   /** q83: rebalance the documents corpus across sources at α = 0.5
@@ -1177,17 +1187,7 @@ object Curation {
         col("t") / (col("n_docs").cast("double") / col("n_tot")))
       .withColumn("rate", col("ratio") / max(col("ratio")).over(all))
       .select(col(bucketCol), col("n_docs"), col("rate"))
-    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":rebal"))), 1, 8)
-    val thr = lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast("bigint"))), 8, "0")
-    val keep = when(col("rate") >= 1.0, 1).otherwise((u < thr).cast("int"))
-    val kept = docs.select(col(bucketCol), col("doc_id"))
-      .join(broadcast(stats), Seq(bucketCol))
-      .select(col(bucketCol), col("n_docs"), col("rate"), keep.as("keep"))
-      .groupBy(col(bucketCol))
-      .agg(first(col("n_docs")).as("n_docs"),
-           round(first(col("rate")), 6).as("rate"),
-           sum(col("keep")).cast("bigint").as("n_kept"))
-    kept
+    sampleByRate(docs, stats, bucketCol, ":rebal")
       .withColumn("share_after",
         round(col("n_kept").cast("double") / sum(col("n_kept")).over(all), 6))
       .orderBy(col(bucketCol))

@@ -233,15 +233,18 @@ object Multimodal {
   def mediaPhashDedup(s: SparkSession, packed: DataFrame,
                       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("phash"))
+    // is_exact keys on the doc's OWN fp group (not the bucket keeper's
+    // fp — round-10 review: a byte copy of a non-keeper would otherwise
+    // read as a retouch). Exact implies perceptual: same payload ⇒
+    // same phash, and the fp-group min can't precede the bucket min.
+    val wP = Window.partitionBy(col("phash"))
+    val wF = Window.partitionBy(col("fp"))
     extractPhash(s, packed, decoder)
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .withColumn("keep_fp", first(col("fp")).over(
-        w.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("keep_id", min(col("doc_id")).over(wP))
+      .withColumn("fp_keep", min(col("doc_id")).over(wF))
       .select(col("doc_id"), col("phash"), col("keep_id"),
         (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"),
-        ((col("doc_id") =!= col("keep_id")) && col("fp") === col("keep_fp"))
-          .cast("int").as("is_exact"))
+        (col("doc_id") =!= col("fp_keep")).cast("int").as("is_exact"))
       .orderBy(col("doc_id"))
   }
 

@@ -517,8 +517,11 @@ object Text {
     * iteration's pairs. Expression depth grows by one fold per learned
     * rule — bounded by BpeMerges, not the corpus. The digest is
     * unpersisted after the merge table materializes (nMerges rows).
-    * Ties break (count desc, left asc, right asc) so the learned
-    * table is deterministic on any engine. Rows-only: the iterative
+    * Ties break (count desc, left asc, right asc) under Spark's
+    * binary (UTF-8 byte) string ordering — the spec's reference
+    * trainer compares UTF-8 bytes too, since Java's natural String
+    * order (UTF-16 code units) disagrees for supplementary-plane
+    * symbols. Rows-only: the iterative
     * argmax is not single-query SQL; TextStatsSpec pins the table
     * against a reference in-memory trainer and on a hand-computable
     * planted corpus. */
@@ -533,7 +536,7 @@ object Text {
       .persist()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
-    for (rank <- 1 to nMerges if !done) {
+    try for (rank <- 1 to nMerges if !done) {
       val syms = learned.foldLeft(col("syms")) { case (c, (_, a, b, _)) =>
         applyMerge(c, a, b)
       }
@@ -556,7 +559,9 @@ object Text {
         learned += ((rank, r.getString(0), r.getString(1), r.getLong(2)))
       }
     }
-    vocab.unpersist()
+    // finally: a failed/cancelled iteration job must not pin the
+    // cached vocabulary digest for the rest of the session
+    finally vocab.unpersist()
     import s.implicits._
     learned.toSeq.toDF("rank", "left", "right", "pair_count")
       .select(col("rank"), col("left"), col("right"),

@@ -107,7 +107,7 @@ class MultimodalSpec extends AnyFunSuite {
       Row(id, Row(p, Row("image/png", 16, 16, null)), "imgs")
     val packed = spark.createDataFrame(
       java.util.List.of(row(1L, grad), row(2L, gradCopy),
-        row(3L, retouch), row(4L, inverted)), schema)
+        row(3L, retouch), row(4L, inverted), row(5L, retouch.clone())), schema)
     val got = Multimodal.mediaPhashDedup(spark, packed, Multimodal.ImageIODecoder)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
@@ -116,6 +116,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1, 0)),
       s"one-pixel retouch: perceptual dup, NOT exact: ${got(3L)}")
     assert(got(4L) == ((4L, 0, 0)), s"inverted image is its own bucket: ${got(4L)}")
+    // byte copy of a NON-keeper: exact dup of doc 3's fp group, not a
+    // retouch (the round-10 review case)
+    assert(got(5L) == ((1L, 1, 1)), s"copy-of-retouch must be exact: ${got(5L)}")
   }
 
   test("q159 on the real corpus: one decision row per doc, keepers consistent") {

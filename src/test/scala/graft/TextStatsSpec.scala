@@ -113,7 +113,21 @@ class TextStatsSpec extends AnyFunSuite {
   // ------------------------------------------------------------- q157
 
   /** Reference in-memory BPE trainer with the SAME pair-count and
-    * greedy-leftmost-merge semantics as the distributed one. */
+    * greedy-leftmost-merge semantics as the distributed one. Ties
+    * compare UTF-8 BYTES (Spark's binary collation) — Java's natural
+    * String order is UTF-16 code units, which disagrees for
+    * supplementary-plane symbols. */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < x.length && i < y.length) {
+      r = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1
+    }
+    if (r != 0) r else x.length - y.length
+  }
+
   private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
     def applyM(syms: Vector[String], a: String, b: String): Vector[String] =
       syms.foldLeft(Vector.empty[String]) { (acc, x) =>
@@ -131,7 +145,8 @@ class TextStatsSpec extends AnyFunSuite {
         }
       }
       if (counts.isEmpty) return out.toSeq
-      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }(
+        Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
       out += ((r, a, b, cnt))
       vocab = vocab.map { case (syms, c) => (applyM(syms, a, b), c) }
       r += 1

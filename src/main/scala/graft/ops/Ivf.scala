@@ -489,7 +489,53 @@ object Ivf {
       .withColumn("cluster", graft.functions.NativeExprs.nearestCentroid(col("e"), cents))
       .write.mode("append").partitionBy("cluster").parquet(path)
     writeSidecar(s, path, ManifestFile, manifestText(cur))
+    compactIndex(s, path)
     (path, "append")
+  }
+
+  /** Fragmentation bound for [[compactIndex]]: an inverted list
+    * holding more parquet files than this gets rewritten. Every
+    * append adds up to one file per touched cluster, so a daily-drop
+    * pipeline fragments lists linearly in time — and a probe opens
+    * every file of every probed list, so probe latency degrades with
+    * file COUNT even when data volume doesn't grow. */
+  val MaxFilesPerList = 8
+
+  /** Compact the managed index in place when any inverted list exceeds
+    * [[MaxFilesPerList]] parquet files: one read of the index, one
+    * partitioned rewrite, sidecars preserved (centroids, train-time
+    * dim profile, manifest — compaction changes the LAYOUT, never the
+    * contents, so the manifest still describes exactly the covered
+    * source files and the quantizer is untouched). Returns true when a
+    * rewrite happened. Called by [[syncIndex]] after every append, so
+    * steady-state file counts stay bounded without a separate
+    * maintenance job. */
+  def compactIndex(s: SparkSession, path: String,
+                   maxFilesPerList: Int = MaxFilesPerList): Boolean = {
+    // java.io file ops: the managed index lives under the LOCAL tmp dir
+    // by construction (managedIndexPath); an HDFS/S3 deployment swaps
+    // these for FileSystem calls the sidecar helpers already use
+    val root = new java.io.File(path)
+    val clusterDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    val worst = clusterDirs.map { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet"))
+    }.foldLeft(0)(math.max)
+    if (worst <= maxFilesPerList) return false
+    val sidecars = Seq(CentroidsFile, DimStatsFile, ManifestFile)
+      .flatMap(n => readSidecar(s, path, n).map(n -> _))
+    // stage the rewrite through a sibling dir: reading and overwriting
+    // the SAME path in one job would delete the input mid-scan
+    val tmp = path + ".compact"
+    s.read.parquet(path)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    deleteRecursively(new java.io.File(path))
+    require(new java.io.File(tmp).renameTo(root),
+      s"compaction rename failed: $tmp -> $path")
+    sidecars.foreach { case (n, text) => writeSidecar(s, path, n, text) }
+    true
   }
 
   /** Map-side top-nprobe centroid ranking as a Column: the

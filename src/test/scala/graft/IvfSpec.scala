@@ -215,6 +215,40 @@ class IvfSpec extends AnyFunSuite {
       "a rewritten source cannot be served by the old lists")
   }
 
+  test("managed index compaction: repeated appends keep per-list file counts bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    def rows(ids: Range) =
+      ids.map(i => (i.toLong, Seq((i % 8).toDouble, 2.0 * (i % 8), 1.0), i % 2))
+        .toDF("vec_id", "embedding", "label")
+    rows(0 until 8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (path, _) = Ivf.syncIndex(spark, dir)
+    val centsBefore = Ivf.readCentroids(spark, path)
+    // 10 in-distribution appends — unbounded, lists would hold 11 files
+    (1 to 10).foreach { k =>
+      rows(k * 8 until (k + 1) * 8)
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(Ivf.syncIndex(spark, dir)._2 == "append")
+    }
+    def maxFiles: Int = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("cluster=")).map { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))
+      }.foldLeft(0)(math.max)
+    assert(maxFiles <= Ivf.MaxFilesPerList,
+      s"append-time compaction must bound list fragmentation, got $maxFiles files")
+    // compaction changes layout only: quantizer, row count, and probe
+    // results over the union corpus are untouched
+    val centsAfter = Ivf.readCentroids(spark, path)
+    assert(centsBefore.map(_.toSeq).toSeq == centsAfter.map(_.toSeq).toSeq)
+    assert(spark.read.parquet(path).count() == 88)
+    val got = Ivf.probeIndex(spark, path, Seq(0.0, 0.0, 1.0),
+        nprobe = centsAfter.length, k = 88).collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 88L).toSet, "full probe covers the whole union corpus")
+    // idempotent: nothing left to compact
+    assert(!Ivf.compactIndex(spark, path))
+  }
+
   test("geometryDrift: zero on identical profiles, scales by train-time sd, counts dead flips") {
     val train = Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.0))
     assert(Ivf.geometryDrift(train, train) == (0.0, 0))

@@ -123,6 +123,34 @@ object ScaleSmoke {
       println(s"SCALE generated ${k}x lineitem+orders (+passthrough dims) at $outDir")
     }
 
+    // embeddings scale-up for the ANN/cluster family (q40/q48/q86/
+    // q97/q98…): copies get fresh vec_ids and a tiny deterministic
+    // per-(vector, copy, dim) jitter (≤1e-3, hash-derived) so the
+    // scaled corpus has NO exact-duplicate vectors (pure replication
+    // would make every top-k a tie pile-up and semantic dedup a
+    // degenerate clique) while the cluster geometry — what IVF
+    // training and outlier scoring key on — stays the base corpus's.
+    if (qs.exists(q => Seq("q40", "q48", "q86", "q97", "q98", "q156")
+        .exists(q.startsWith))) {
+      val raw = spark.read.parquet(s"$base/embeddings.parquet")
+      val elemSql = raw.schema("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.sql
+      val b = raw.agg(F.max("vec_id")).head()
+      require(!b.isNullAt(0), s"embeddings table at $base is empty")
+      val maxVid = b.getLong(0) + 1L
+      raw.crossJoin(spark.range(k).toDF("copy"))
+        .select(
+          (F.col("vec_id") + F.col("copy") * maxVid).as("vec_id"),
+          F.expr(s"""transform(embedding, (x, i) ->
+              CAST(x + CAST(pmod(xxhash64(vec_id, copy, i), 2000) - 1000 AS DOUBLE)
+                       / 1000000.0 AS $elemSql))""").as("embedding"),
+          F.col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"SCALE generated ${k}x embeddings (jittered copies) at $outDir")
+    }
+
     def time(q: String, dir: String, tag: String): Unit = {
       val best = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

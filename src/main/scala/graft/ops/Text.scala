@@ -525,14 +525,25 @@ object Text {
     * argmax is not single-query SQL; TextStatsSpec pins the table
     * against a reference in-memory trainer and on a hand-computable
     * planted corpus. */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+  /** End-of-word marker symbol (multi-char, so it can never collide
+    * with a single-character base symbol). */
+  val BpeEow = "</w>"
+
+  /** `endOfWord = true` is the actual Sennrich setup: each word's
+    * symbol sequence ends with [[BpeEow]], so the trainer can learn
+    * word-FINAL units (suffixes like "s</w>", "ing</w>") distinctly
+    * from word-internal ones — without it "s" mid-word and "s" at
+    * word end are the same symbol and suffix structure is invisible. */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               endOfWord: Boolean = false): DataFrame = {
     val s = docs.sparkSession
+    val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    val symsCol = if (endOfWord) concat(chars, array(lit(BpeEow))) else chars
     val vocab = docs
       .select(explode(toks(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(col("wc"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .select(col("wc"), symsCol.as("syms"))
       .persist()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false

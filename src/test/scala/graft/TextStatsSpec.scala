@@ -128,13 +128,17 @@ class TextStatsSpec extends AnyFunSuite {
     if (r != 0) r else x.length - y.length
   }
 
-  private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+  private def refBpe(words: Map[String, Long], n: Int,
+                     endOfWord: Boolean = false): Seq[(Int, String, String, Long)] = {
     def applyM(syms: Vector[String], a: String, b: String): Vector[String] =
       syms.foldLeft(Vector.empty[String]) { (acc, x) =>
         if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
         else acc :+ x
       }
-    var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    var vocab = words.toSeq.map { case (w, c) =>
+      val syms = w.map(_.toString).toVector
+      (if (endOfWord) syms :+ graft.ops.Text.BpeEow else syms, c)
+    }
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     while (r <= n) {
@@ -169,6 +173,26 @@ class TextStatsSpec extends AnyFunSuite {
     // builds hierarchically: ('ab', c) with count 4
     assert(got(0) == ((1, "a", "b", 7L)))
     assert(got(1) == ((2, "ab", "c", 4L)))
+  }
+
+  test("bpe end-of-word marker: learns a word-final suffix invisible without it") {
+    import spark.implicits._
+    // four distinct words all ending in 's', no other repeated pair:
+    // with the marker, (s, </w>) weight 8 dominates; without it,
+    // word-final 's' is indistinguishable from any other symbol
+    val docs = Seq((1L, "cats dogs runs hogs"), (2L, "cats dogs runs hogs"))
+      .toDF("doc_id", "text")
+    val withM = graft.ops.Text.bpeTrain(docs, 3, endOfWord = true).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(withM.head == ((1, "s", graft.ops.Text.BpeEow, 8L)),
+      s"word-final s must be the top merge: ${withM.toSeq}")
+    // and the whole table equals the marker-aware reference
+    val words = Map("cats" -> 2L, "dogs" -> 2L, "runs" -> 2L, "hogs" -> 2L)
+    assert(withM.toSeq == refBpe(words, 3, endOfWord = true))
+    // without the marker the top merge is 'gs'/'og'-class (weight 4) —
+    // word-final structure is invisible
+    val without = graft.ops.Text.bpeTrain(docs, 1).collect()
+    assert(without.head.getLong(4) == 4L)
   }
 
   test("q157 bpe: equals the reference on the real sf0.001 corpus") {

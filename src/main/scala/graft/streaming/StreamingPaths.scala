@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user path state: the ≤2 most recent FINALIZED event types (the
+  * trigram bridge across batches), the finalization horizon, and the
+  * buffer of events still inside the lateness window — parallel arrays
+  * for a flat product encoder. */
+case class PathState(lastTypes: Array[String], lastFinalTs: Long,
+                     bufTs: Array[Long], bufId: Array[Long],
+                     bufType: Array[String])
+
+/** Streaming EVENT-PATH MINING — the streaming twin of q149's
+  * trigram counting, and the suite's demonstration of the
+  * WATERMARK-ORDERED REPLAY pattern: unlike the funnel (whose state is
+  * an order-independent sufficient statistic), a PATH is inherently
+  * order-DEPENDENT — "view>click>purchase" and "click>view>purchase"
+  * are different journeys — so out-of-order arrival cannot be absorbed
+  * into a clever statistic. The standard answer: buffer events per
+  * user while they're inside the watermark's lateness window, and
+  * FINALIZE (sort by event time + tie-break, fold, emit) only the
+  * prefix the advancing watermark proves complete.
+  *
+  *  - State per user: the ≤2 last finalized event types (the trigram
+  *    bridge) + the buffered suffix — bounded by rate × lateness
+  *    window, NOT stream length.
+  *  - An event-time timeout at the earliest buffered timestamp flushes
+  *    users the data stopped touching (otherwise a user's tail would
+  *    finalize only when they next produce an event).
+  *  - Disorder BEYOND the lateness window (an event older than the
+  *    finalized horizon) is dropped and counted in the state's
+  *    contract — same semantics as Spark's own watermarked aggregates,
+  *    stated explicitly because flatMapGroupsWithState does NOT drop
+  *    late rows for you.
+  *
+  * Emits one (user_id, "a>b>c") row per finalized trigram occurrence
+  * (Update mode); a consumer aggregates counts. PathStreamSpec pins
+  * stream ≡ batch trigram multisets under controlled disorder within
+  * the lateness bound.
+  */
+object StreamingPaths {
+
+  private val NoTs = Long.MinValue
+
+  /** Finalize everything at or below `horizonUs`: sort the ready
+    * buffer, fold it after the bridge, emit one trigram per event that
+    * has two finalized predecessors. Returns (emitted, newState). */
+  private[graft] def finalizeUpTo(st: PathState, horizonUs: Long)
+      : (Seq[String], PathState) = {
+    val (ready, rest) =
+      (0 until st.bufTs.length).partition(i => st.bufTs(i) <= horizonUs)
+    if (ready.isEmpty) return (Nil, st)
+    val ordered = ready.sortBy(i => (st.bufTs(i), st.bufId(i)))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var t2 = if (st.lastTypes.length >= 2) st.lastTypes(0) else null
+    var t1 = if (st.lastTypes.length >= 2) st.lastTypes(1)
+             else if (st.lastTypes.length == 1) st.lastTypes(0) else null
+    ordered.foreach { i =>
+      val t0 = st.bufType(i)
+      if (t2 != null && t1 != null) out += s"$t2>$t1>$t0"
+      t2 = t1; t1 = t0
+    }
+    val last = (Option(t2).toSeq :+ t1).takeRight(2).toArray
+    val newSt = PathState(last, st.bufTs(ordered.last),
+      rest.map(st.bufTs).toArray, rest.map(st.bufId).toArray,
+      rest.map(st.bufType).toArray)
+    (out.toSeq, newSt)
+  }
+
+  /** events must carry (user_id, event_type, ts, event_id) with a
+    * watermark already declared on ts (the caller picks the lateness
+    * bound — it IS the disorder tolerance). */
+  def pathTrigrams(events: DataFrame): Dataset[(Long, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+         state: GroupState[PathState]) =>
+          val st0 = state.getOption.getOrElse(
+            PathState(Array.empty, NoTs, Array.empty, Array.empty, Array.empty))
+          // ingest, dropping disorder beyond the already-finalized
+          // horizon (FMGWS does not late-filter for us)
+          val fresh = rows.map(r => (r._3.getTime * 1000L + (r._3.getNanos / 1000) % 1000,
+            r._4, r._2)).filter(_._1 > st0.lastFinalTs).toSeq
+          val st1 = PathState(st0.lastTypes, st0.lastFinalTs,
+            st0.bufTs ++ fresh.map(_._1), st0.bufId ++ fresh.map(_._2),
+            st0.bufType ++ fresh.map(_._3))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (emitted, st2) = finalizeUpTo(st1, wmUs)
+          state.update(st2)
+          if (st2.bufTs.nonEmpty) {
+            // flush the tail when the watermark passes it, even if this
+            // user never produces another event; must be strictly
+            // beyond the current watermark
+            val wakeMs = math.max(state.getCurrentWatermarkMs() + 1,
+              st2.bufTs.min / 1000L)
+            state.setTimeoutTimestamp(wakeMs)
+          }
+          emitted.iterator.map(p => (uid, p))
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingPaths
+
+/** Streaming twin of q149 (event-path trigrams) — the watermark-ordered
+  * replay pattern: buffer inside the lateness window, finalize the
+  * watermark-proven prefix in (ts, event_id) order. */
+class PathStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def runStream(name: String,
+      batches: Seq[Seq[(Long, String, java.sql.Timestamp, Long)]]): Map[(Long, String), Int] = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = StreamingPaths.pathTrigrams(
+        mem.toDF().toDF("user_id", "event_type", "ts", "event_id")
+          .withWatermark("ts", "10 seconds"))
+      .toDF("user_id", "path")
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    // two sentinel batches: the first advances the watermark past every
+    // real event, the second triggers the micro-batch in which the
+    // event-time timeouts actually fire
+    mem.addData((999L, "flush", ts(100000), 999001L)); q.processAllAvailable()
+    mem.addData((999L, "flush", ts(100001), 999002L)); q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 != 999L)
+      .groupBy(identity).map { case (k, xs) => k -> xs.length }
+  }
+
+  test("out-of-order within the lateness window finalizes in event-time order") {
+    val got = runStream("paths_order_test", Seq(
+      // 'b' (ts 101) arrives AFTER 'c' (ts 103) but within 10 s
+      Seq((1L, "a", ts(100), 1L), (1L, "c", ts(103), 3L)),
+      Seq((1L, "b", ts(101), 2L), (1L, "d", ts(120), 4L))))
+    assert(got == Map((1L, "a>b>c") -> 1, (1L, "b>c>d") -> 1),
+      s"late-but-in-window 'b' must land between a and c: $got")
+  }
+
+  test("equal timestamps break ties on event_id, matching q149's window order") {
+    val got = runStream("paths_tie_test", Seq(
+      Seq((2L, "y", ts(50), 12L), (2L, "x", ts(50), 11L), (2L, "z", ts(51), 13L))))
+    assert(got == Map((2L, "x>y>z") -> 1), s"tie must order by event_id: $got")
+  }
+
+  test("disorder beyond the lateness window is dropped, not misordered") {
+    val got = runStream("paths_late_test", Seq(
+      Seq((3L, "a", ts(100), 1L), (3L, "b", ts(101), 2L), (3L, "c", ts(102), 3L)),
+      Seq((3L, "d", ts(300), 4L)),        // watermark jumps to ~290
+      Seq((3L, "x", ts(150), 5L)),        // beyond lateness: dropped
+      Seq((3L, "e", ts(301), 6L))))
+    assert(!got.keySet.exists(_._2.contains("x")),
+      s"an event older than the finalized horizon must be dropped: $got")
+    assert(got((3L, "a>b>c")) == 1 && got((3L, "c>d>e")) == 1, s"got $got")
+  }
+
+  test("stream ≡ batch trigram counts for in-order feeds (200 events, 10 users)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val events = (1 to 200).map { i =>
+      ((rnd.nextInt(10) + 1).toLong, types(rnd.nextInt(5)),
+        ts(1000 + i), i.toLong) // strictly increasing ts: disorder 0
+    }
+    val batches = events.grouped(37).toSeq
+    val got = runStream("paths_equiv_test", batches)
+    // batch reference: q149's lead-window shape over the same rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = events.toDF("user_id", "event_type", "ts", "event_id")
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length }
+    assert(got == want, s"stream ${got.size} cells != batch ${want.size} cells")
+  }
+}

@@ -59,8 +59,8 @@ object ScaleSmoke {
     // and the time range all grow ×K: the realistic "same workload,
     // K months later" growth, not a same-key pile-up. Skipped when no
     // selected query reads events.
-    if (qs.exists(q => Seq("q130", "q131", "q132", "q133", "q134", "q24",
-        "q28", "q59").exists(q.startsWith))) {
+    if (qs.exists(q => Seq("q130_", "q131_", "q132_", "q133_", "q134_", "q24_",
+        "q28_", "q59_").exists(q.startsWith))) {
       val ev = Tables.events(spark, base)
       val b = ev.agg(F.max("user_id"), F.max("event_id"),
         F.expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")).head()
@@ -94,7 +94,7 @@ object ScaleSmoke {
     // scaled (that's the point of a dimension at 100 TB: it stays
     // broadcastable while facts grow); o_custkey passes through, so
     // customers just own k× the orders.
-    if (qs.exists(q => Seq("q147", "q79", "q01", "q15").exists(q.startsWith))) {
+    if (qs.exists(q => Seq("q147_", "q79_", "q01_", "q15_").exists(q.startsWith))) {
       val li = Tables.lineitem(spark, base)
       val b = li.agg(F.max("l_orderkey")).head()
       require(!b.isNullAt(0), s"lineitem table at $base is empty")
@@ -130,7 +130,7 @@ object ScaleSmoke {
     // would make every top-k a tie pile-up and semantic dedup a
     // degenerate clique) while the cluster geometry — what IVF
     // training and outlier scoring key on — stays the base corpus's.
-    if (qs.exists(q => Seq("q40", "q48", "q86", "q97", "q98", "q156")
+    if (qs.exists(q => Seq("q40_", "q48_", "q86_", "q97_", "q98_", "q156_")
         .exists(q.startsWith))) {
       val raw = spark.read.parquet(s"$base/embeddings.parquet")
       val elemSql = raw.schema("embedding").dataType

@@ -501,41 +501,60 @@ object Ivf {
     * file COUNT even when data volume doesn't grow. */
   val MaxFilesPerList = 8
 
-  /** Compact the managed index in place when any inverted list exceeds
-    * [[MaxFilesPerList]] parquet files: one read of the index, one
-    * partitioned rewrite, sidecars preserved (centroids, train-time
-    * dim profile, manifest — compaction changes the LAYOUT, never the
-    * contents, so the manifest still describes exactly the covered
-    * source files and the quantizer is untouched). Returns true when a
-    * rewrite happened. Called by [[syncIndex]] after every append, so
-    * steady-state file counts stay bounded without a separate
-    * maintenance job. */
+  /** Compact ONLY the inverted lists exceeding [[MaxFilesPerList]]
+    * parquet files — each offending `cluster=N` directory is read,
+    * rewritten to one file, and swapped in with a rename sequence that
+    * keeps the list readable at every instant (dir → dir.old,
+    * tmp → dir, delete dir.old): a crash mid-compaction strands at
+    * worst a leftover .old/.compact sibling (swept on the next call),
+    * never a missing or half-written list. Cost is O(fragmented
+    * lists), not O(index) — an hourly drop touching one hot cluster
+    * must not trigger a periodic full-corpus rewrite (that would
+    * reintroduce the rescan the drift-gated lifecycle exists to
+    * avoid). Sidecars are untouched: compaction changes layout, never
+    * contents. Returns true when any list was rewritten. Called by
+    * [[syncIndex]] after every append. */
   def compactIndex(s: SparkSession, path: String,
                    maxFilesPerList: Int = MaxFilesPerList): Boolean = {
     // java.io file ops: the managed index lives under the LOCAL tmp dir
     // by construction (managedIndexPath); an HDFS/S3 deployment swaps
     // these for FileSystem calls the sidecar helpers already use
     val root = new java.io.File(path)
-    val clusterDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
-    val worst = clusterDirs.map { d =>
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .count(f => f.getName.endsWith(".parquet"))
-    }.foldLeft(0)(math.max)
-    if (worst <= maxFilesPerList) return false
-    val sidecars = Seq(CentroidsFile, DimStatsFile, ManifestFile)
-      .flatMap(n => readSidecar(s, path, n).map(n -> _))
-    // stage the rewrite through a sibling dir: reading and overwriting
-    // the SAME path in one job would delete the input mid-scan
-    val tmp = path + ".compact"
-    s.read.parquet(path)
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
-    deleteRecursively(new java.io.File(path))
-    require(new java.io.File(tmp).renameTo(root),
-      s"compaction rename failed: $tmp -> $path")
-    sidecars.foreach { case (n, text) => writeSidecar(s, path, n, text) }
-    true
+    val all = Option(root.listFiles()).getOrElse(Array.empty)
+    // recover/sweep debris from a previous crashed compaction:
+    //  - a .old dir WITHOUT its live sibling = crash between the two
+    //    renames — the old data is authoritative, restore it;
+    //  - a .old dir WITH a live sibling = crash after the second
+    //    rename — the live dir is the fresh data, drop the old;
+    //  - a .compact dir is a staged rewrite that never swapped in —
+    //    never authoritative, always safe to drop.
+    all.filter(_.getName.endsWith(".old")).foreach { o =>
+      val live = new java.io.File(root, o.getName.stripSuffix(".old"))
+      if (!live.exists())
+        require(o.renameTo(live), s"crash recovery failed: $o -> $live")
+      else deleteRecursively(o)
+    }
+    all.filter(_.getName.endsWith(".compact")).foreach(deleteRecursively)
+    // fresh listing: recovery above may have renamed/removed entries
+    val offenders = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster=") &&
+        !f.getName.endsWith(".old") && !f.getName.endsWith(".compact"))
+      .filter { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.getName.endsWith(".parquet")) > maxFilesPerList
+      }
+    offenders.foreach { d =>
+      val tmp = new java.io.File(root, d.getName + ".compact")
+      val old = new java.io.File(root, d.getName + ".old")
+      // files inside a partition dir carry no `cluster` column (it is
+      // directory-encoded), so a plain read+coalesce round-trips them
+      s.read.parquet(d.getPath).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      require(d.renameTo(old), s"compaction swap failed: $d -> $old")
+      require(tmp.renameTo(d), s"compaction swap failed: $tmp -> $d")
+      deleteRecursively(old)
+    }
+    offenders.nonEmpty
   }
 
   /** Map-side top-nprobe centroid ranking as a Column: the

@@ -488,6 +488,16 @@ object Text {
   /** Number of merge rules q157 learns. */
   val BpeMerges = 8
 
+  /** End-of-word marker symbol: a single SPACE. Collision-proof by
+    * construction on both sides — words come from splitting text ON
+    * SPACES, so no base symbol can ever be a space; and a MERGED
+    * symbol is always the concatenation of ≥2 base symbols (length
+    * ≥ 2, so it can never equal any 1-char string). A printable
+    * multi-char marker like "</w>" would NOT be safe: three merges
+    * over HTML-ish text build the literal symbol "</w>" and silently
+    * alias it. */
+  val BpeEow = " "
+
   /** Greedy leftmost application of ONE merge rule (a, b) → a+b over a
     * symbol array, as a codegen'd higher-order fold: "aaa" under (a,a)
     * becomes [aa, a] — the original BPE paper's semantics for a single
@@ -525,15 +535,12 @@ object Text {
     * argmax is not single-query SQL; TextStatsSpec pins the table
     * against a reference in-memory trainer and on a hand-computable
     * planted corpus. */
-  /** End-of-word marker symbol (multi-char, so it can never collide
-    * with a single-character base symbol). */
-  val BpeEow = "</w>"
-
   /** `endOfWord = true` is the actual Sennrich setup: each word's
     * symbol sequence ends with [[BpeEow]], so the trainer can learn
-    * word-FINAL units (suffixes like "s</w>", "ing</w>") distinctly
-    * from word-internal ones — without it "s" mid-word and "s" at
-    * word end are the same symbol and suffix structure is invisible. */
+    * word-FINAL units (suffixes) distinctly from word-internal ones —
+    * without it "s" mid-word and "s" at word end are the same symbol
+    * and suffix structure is invisible. See the q157 scaladoc above
+    * for the distributed shape and tie-break contract. */
   def bpeTrain(docs: DataFrame, nMerges: Int,
                endOfWord: Boolean = false): DataFrame = {
     val s = docs.sparkSession

@@ -30,10 +30,11 @@ case class PathState(lastTypes: Array[String], lastFinalTs: Long,
   *    users the data stopped touching (otherwise a user's tail would
   *    finalize only when they next produce an event).
   *  - Disorder BEYOND the lateness window (an event older than the
-  *    finalized horizon) is dropped and counted in the state's
-  *    contract — same semantics as Spark's own watermarked aggregates,
-  *    stated explicitly because flatMapGroupsWithState does NOT drop
-  *    late rows for you.
+  *    finalized horizon) is dropped — same semantics as Spark's own
+  *    watermarked aggregates. The operator enforces this itself (the
+  *    ingest guard) rather than relying on whether the engine
+  *    late-filters flatMapGroupsWithState input (Spark 4 was observed
+  *    to; the contract must not depend on it).
   *
   * Emits one (user_id, "a>b>c") row per finalized trigram occurrence
   * (Update mode); a consumer aggregates counts. PathStreamSpec pins
@@ -44,14 +45,20 @@ object StreamingPaths {
 
   private val NoTs = Long.MinValue
 
-  /** Finalize everything at or below `horizonUs`: sort the ready
-    * buffer, fold it after the bridge, emit one trigram per event that
-    * has two finalized predecessors. Returns (emitted, newState). */
+  /** Finalize everything STRICTLY BELOW `horizonUs` (the watermark
+    * proves completeness below itself; an event AT the horizon may
+    * still gain same-timestamp, later-event_id peers, so it waits for
+    * the watermark to pass it — finalizing inclusively would drop a
+    * boundary tie's later member and diverge from the batch
+    * tie-break). The new state's lastFinalTs records the HORIZON, not
+    * the last event's timestamp — the drop contract is "older than
+    * anything proven final", independent of whether an event sat at
+    * the boundary. Returns (emitted, newState). */
   private[graft] def finalizeUpTo(st: PathState, horizonUs: Long)
       : (Seq[String], PathState) = {
+    val newHorizon = math.max(st.lastFinalTs, horizonUs)
     val (ready, rest) =
-      (0 until st.bufTs.length).partition(i => st.bufTs(i) <= horizonUs)
-    if (ready.isEmpty) return (Nil, st)
+      (0 until st.bufTs.length).partition(i => st.bufTs(i) < horizonUs)
     val ordered = ready.sortBy(i => (st.bufTs(i), st.bufId(i)))
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var t2 = if (st.lastTypes.length >= 2) st.lastTypes(0) else null
@@ -62,8 +69,10 @@ object StreamingPaths {
       if (t2 != null && t1 != null) out += s"$t2>$t1>$t0"
       t2 = t1; t1 = t0
     }
-    val last = (Option(t2).toSeq :+ t1).takeRight(2).toArray
-    val newSt = PathState(last, st.bufTs(ordered.last),
+    val last =
+      if (t1 == null) st.lastTypes
+      else (Option(t2).toSeq :+ t1).takeRight(2).toArray
+    val newSt = PathState(last, newHorizon,
       rest.map(st.bufTs).toArray, rest.map(st.bufId).toArray,
       rest.map(st.bufType).toArray)
     (out.toSeq, newSt)
@@ -85,9 +94,14 @@ object StreamingPaths {
           val st0 = state.getOption.getOrElse(
             PathState(Array.empty, NoTs, Array.empty, Array.empty, Array.empty))
           // ingest, dropping disorder beyond the already-finalized
-          // horizon (FMGWS does not late-filter for us)
+          // horizon. Spark 4's flatMapGroupsWithState was OBSERVED to
+          // late-filter input rows itself, but that behavior is not
+          // part of this operator's contract — the guard enforces the
+          // drop semantics regardless of engine version/config. An
+          // event AT the horizon is kept (nothing at the horizon has
+          // been finalized — see finalizeUpTo's strict bound).
           val fresh = rows.map(r => (r._3.getTime * 1000L + (r._3.getNanos / 1000) % 1000,
-            r._4, r._2)).filter(_._1 > st0.lastFinalTs).toSeq
+            r._4, r._2)).filter(_._1 >= st0.lastFinalTs).toSeq
           val st1 = PathState(st0.lastTypes, st0.lastFinalTs,
             st0.bufTs ++ fresh.map(_._1), st0.bufId ++ fresh.map(_._2),
             st0.bufType ++ fresh.map(_._3))
@@ -97,9 +111,10 @@ object StreamingPaths {
           if (st2.bufTs.nonEmpty) {
             // flush the tail when the watermark passes it, even if this
             // user never produces another event; must be strictly
-            // beyond the current watermark
+            // beyond the current watermark AND beyond the buffered
+            // timestamp (finalization is strict-below-horizon)
             val wakeMs = math.max(state.getCurrentWatermarkMs() + 1,
-              st2.bufTs.min / 1000L)
+              st2.bufTs.min / 1000L + 1)
             state.setTimeoutTimestamp(wakeMs)
           }
           emitted.iterator.map(p => (uid, p))

@@ -73,9 +73,9 @@ object Bench {
     * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
     * AFTER SparkSession init, so the driver-observed wall time adds
     * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
-    * under a 20-min external kill with slack, while leaving ~10
-    * suite-lengths of clean headroom (the full suite is ~99 s clean
-    * at 153 queries). The all-capped worst case still fits: while the
+    * under a 20-min external kill with slack, while leaving ~11
+    * suite-lengths of clean headroom (the full suite is ~90 s clean
+    * at 158 queries). The all-capped worst case still fits: while the
     * equal split (deadline − reserve)/n exceeds MinCapSec the sweep
     * is budget-preserving by construction, and once the floor binds
     * the worst case is n·MinCapSec — with MinCapSec 6 the split stays
@@ -97,8 +97,9 @@ object Bench {
     * declared 170-query worst case (round-9 verdict ask #4 — the old
     * 145 provision had 2 free slots left). 6 s became safe to declare
     * only after round 10 cut the slowest clean query, q92, from a
-    * ~4.5 s to a ~2.4 s min — the floor is now ~2.5× the slowest
-    * clean sample, same margin the 7 s floor had over the old q92.
+    * ~4.5 s to a ~2.7 s in-suite min — the floor keeps ≳2× margin
+    * over the slowest clean sample, near the margin the 7 s floor
+    * had over the old q92.
     * The ceiling bounds the damage any single burst can do to the
     * schedule. Absolute worst case overshoot past the deadline is one
     * floor-capped sample plus cancellation latency — the artifact on

@@ -331,32 +331,50 @@ object Ivf {
       .orderBy(col("pos"))
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
 
-  /** (max per-dim normalized mean shift, count of dead↔alive flips)
-    * between the train-time profile and a batch of new data. Shift is
-    * measured in train-time stddevs (floored at the dead-dim
-    * threshold so a near-constant dimension can't divide by ~0). */
+  /** (max per-dim normalized mean shift, dead→alive flips, alive→dead
+    * flips) between the train-time profile and a batch of new data.
+    * Shift is measured in train-time stddevs (floored at the dead-dim
+    * threshold so a near-constant dimension can't divide by ~0). The
+    * two flip directions are reported SEPARATELY because their
+    * evidential weight differs with sample size: observed variance on
+    * a trained-dead dim is positive evidence at any n, while absence
+    * of variance on a trained-alive dim is only meaningful when the
+    * batch is large enough to have witnessed it (the caller gates). */
   def geometryDrift(train: Array[(Double, Double)],
-                    current: Array[(Double, Double)]): (Double, Int) = {
+                    current: Array[(Double, Double)]): (Double, Int, Int) = {
     require(train.length == current.length,
       s"dimension count changed: trained ${train.length}, incoming ${current.length}")
     var maxShift = 0.0
-    var deadFlips = 0
+    var deadToAlive = 0
+    var aliveToDead = 0
     var i = 0
     while (i < train.length) {
       val (tm, tsd) = train(i); val (cm, csd) = current(i)
       maxShift = math.max(maxShift,
         math.abs(cm - tm) / math.max(tsd, Similarity.DeadDimSd))
-      if ((tsd < Similarity.DeadDimSd) != (csd < Similarity.DeadDimSd)) deadFlips += 1
+      val tDead = tsd < Similarity.DeadDimSd
+      val cDead = csd < Similarity.DeadDimSd
+      if (tDead && !cDead) deadToAlive += 1
+      if (!tDead && cDead) aliveToDead += 1
       i += 1
     }
-    (maxShift, deadFlips)
+    (maxShift, deadToAlive, aliveToDead)
   }
 
   /** One managed-index location per source dir (its own prefix — the
-    * fingerprint-keyed q70 GC sweep must never collect it). */
-  private def managedIndexPath(d: String): String =
+    * fingerprint-keyed q70 GC sweep must never collect it). The name
+    * carries BOTH a readable sanitized form and an 8-hex path hash:
+    * sanitization alone is lossy ('/a/sf0-1' and '/a/sf0_1' collide),
+    * and two sources sharing one managed dir would rebuild-thrash and
+    * cross-serve each other's corpora. */
+  private def managedIndexPath(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_managed_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      "graft_ivf_managed_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + digest).toString
+  }
 
   /** Source file listing as (path, len, mtime) entries. */
   private def listSource(s: SparkSession, d: String): Seq[(String, Long, Long)] = {
@@ -381,18 +399,22 @@ object Ivf {
     finally out.close()
   }
 
-  private def readSidecar(s: SparkSession, path: String, name: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path, name)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(bytes) finally in.close()
-      Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-    }
-  }
+  /** None on absence AND on any read failure (checksum mismatch from
+    * a torn write, truncation, permissions): an unreadable sidecar
+    * must degrade the lifecycle to a rebuild, never a crash. */
+  private def readSidecar(s: SparkSession, path: String, name: String): Option[String] =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path, name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(bytes) finally in.close()
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toOption.flatten
 
   private def manifestText(entries: Seq[(String, Long, Long)]): String =
     entries.map { case (p, l, m) => s"$l:$m:$p" }.mkString("\n")
@@ -439,6 +461,13 @@ object Ivf {
     * lists all land in two clusters). */
   def syncIndex(s: SparkSession, d: String): (String, String) = {
     val path = managedIndexPath(d)
+    // recover compaction debris on EVERY sync, not just the append
+    // path (round-10 high review): a crash between compaction's two
+    // renames leaves a cluster=N.old with no live sibling, and the
+    // very next call may be a "reuse" that never reaches compactIndex
+    // — probes would then silently miss list N (and partition
+    // inference would degrade the cluster column) indefinitely.
+    recoverCompactionDebris(new java.io.File(path))
     // list ONCE, up front, and build from EXACTLY that file set: the
     // manifest must record what the build actually read — listing
     // after the build would record a mid-build straggler file as
@@ -469,7 +498,11 @@ object Ivf {
     val existing = readSidecar(s, path, ManifestFile)
     if (existing.isEmpty) return fullBuild("build")
 
-    val old = parseManifest(existing.get)
+    // a truncated/garbled sidecar (crash mid-write) must degrade to a
+    // rebuild, not brick every future sync with a parse error
+    val oldOpt = scala.util.Try(parseManifest(existing.get)).toOption
+    if (oldOpt.isEmpty) return fullBuild("rebuild")
+    val old = oldOpt.get
     if (old == cur) return (path, "reuse")
 
     val curByPath = cur.map(e => e._1 -> e).toMap
@@ -477,12 +510,27 @@ object Ivf {
     if (!pureAppend) return fullBuild("rebuild")
 
     val oldPaths = old.map(_._1).toSet
-    val newDf = listedCorpus(cur.filterNot(e => oldPaths.contains(e._1)))
-    val trainProf = parseDimStats(readSidecar(s, path, DimStatsFile).get)
+    val newEntries = cur.filterNot(e => oldPaths.contains(e._1))
+    val newDf = listedCorpus(newEntries)
+    val trainProfOpt = readSidecar(s, path, DimStatsFile)
+      .flatMap(t => scala.util.Try(parseDimStats(t)).toOption)
+    if (trainProfOpt.isEmpty) return fullBuild("rebuild")
+    val trainProf = trainProfOpt.get
     val newProf = dimProfile(newDf)
     if (newProf.length != trainProf.length) return fullBuild("rebuild")
-    val (shift, deadFlips) = geometryDrift(trainProf, newProf)
-    if (shift >= DriftRebuildSds || deadFlips > 0) return fullBuild("rebuild")
+    // drift thresholds must respect the NEW batch's sample size
+    // (round-10 high review): a tiny drop's per-dim sample mean has
+    // standard error σ/√n, so the raw 0.5-sd gate would retrain on
+    // noise for nearly every small append — the exact cost the append
+    // path exists to avoid. Slack shrinks as 3/√n toward the raw
+    // threshold; the dead↔alive gate counts dead→ALIVE always (any
+    // observed variance on a trained-dead dim is positive evidence)
+    // but alive→dead only when n can actually witness variance.
+    val nNew = newDf.count()
+    val slack = DriftRebuildSds + 3.0 / math.sqrt(math.max(1.0, nNew.toDouble))
+    val (shift, deadToAlive, aliveToDead) = geometryDrift(trainProf, newProf)
+    val deadFlips = deadToAlive + (if (nNew >= 30) aliveToDead else 0)
+    if (shift >= slack || deadFlips > 0) return fullBuild("rebuild")
 
     val cents = readCentroids(s, path)
     newDf
@@ -503,31 +551,29 @@ object Ivf {
 
   /** Compact ONLY the inverted lists exceeding [[MaxFilesPerList]]
     * parquet files — each offending `cluster=N` directory is read,
-    * rewritten to one file, and swapped in with a rename sequence that
-    * keeps the list readable at every instant (dir → dir.old,
-    * tmp → dir, delete dir.old): a crash mid-compaction strands at
-    * worst a leftover .old/.compact sibling (swept on the next call),
-    * never a missing or half-written list. Cost is O(fragmented
+    * rewritten to one file, and swapped in with a recoverable rename
+    * sequence (dir → dir.old, tmp → dir, delete dir.old): a crash at
+    * any instant strands at worst a .old/.compact sibling from which
+    * [[recoverCompactionDebris]] — run on EVERY syncIndex call, not
+    * just the compacting append path — restores the authoritative
+    * data; the list is never half-written, though it can be briefly
+    * absent inside the rename window itself. Cost is O(fragmented
     * lists), not O(index) — an hourly drop touching one hot cluster
     * must not trigger a periodic full-corpus rewrite (that would
     * reintroduce the rescan the drift-gated lifecycle exists to
     * avoid). Sidecars are untouched: compaction changes layout, never
     * contents. Returns true when any list was rewritten. Called by
     * [[syncIndex]] after every append. */
-  def compactIndex(s: SparkSession, path: String,
-                   maxFilesPerList: Int = MaxFilesPerList): Boolean = {
-    // java.io file ops: the managed index lives under the LOCAL tmp dir
-    // by construction (managedIndexPath); an HDFS/S3 deployment swaps
-    // these for FileSystem calls the sidecar helpers already use
-    val root = new java.io.File(path)
+  /** Recover/sweep debris from a previous crashed compaction — run on
+    * EVERY syncIndex call (not just the append path that compacts):
+    *  - a .old dir WITHOUT its live sibling = crash between the two
+    *    renames — the old data is authoritative, restore it;
+    *  - a .old dir WITH a live sibling = crash after the second
+    *    rename — the live dir is the fresh data, drop the old;
+    *  - a .compact dir is a staged rewrite that never swapped in —
+    *    never authoritative, always safe to drop. */
+  private def recoverCompactionDebris(root: java.io.File): Unit = {
     val all = Option(root.listFiles()).getOrElse(Array.empty)
-    // recover/sweep debris from a previous crashed compaction:
-    //  - a .old dir WITHOUT its live sibling = crash between the two
-    //    renames — the old data is authoritative, restore it;
-    //  - a .old dir WITH a live sibling = crash after the second
-    //    rename — the live dir is the fresh data, drop the old;
-    //  - a .compact dir is a staged rewrite that never swapped in —
-    //    never authoritative, always safe to drop.
     all.filter(_.getName.endsWith(".old")).foreach { o =>
       val live = new java.io.File(root, o.getName.stripSuffix(".old"))
       if (!live.exists())
@@ -535,6 +581,15 @@ object Ivf {
       else deleteRecursively(o)
     }
     all.filter(_.getName.endsWith(".compact")).foreach(deleteRecursively)
+  }
+
+  def compactIndex(s: SparkSession, path: String,
+                   maxFilesPerList: Int = MaxFilesPerList): Boolean = {
+    // java.io file ops: the managed index lives under the LOCAL tmp dir
+    // by construction (managedIndexPath); an HDFS/S3 deployment swaps
+    // these for FileSystem calls the sidecar helpers already use
+    val root = new java.io.File(path)
+    recoverCompactionDebris(root)
     // fresh listing: recovery above may have renamed/removed entries
     val offenders = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("cluster=") &&

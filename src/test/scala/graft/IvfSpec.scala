@@ -249,13 +249,54 @@ class IvfSpec extends AnyFunSuite {
     assert(!Ivf.compactIndex(spark, path))
   }
 
-  test("geometryDrift: zero on identical profiles, scales by train-time sd, counts dead flips") {
+  test("managed index resilience: corrupt manifest degrades to rebuild; " +
+       "crash debris recovers on the next sync, whatever its action") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_resil").toString
+    (0L until 8L).map(i => (i, Seq((i % 8).toDouble, 2.0 * (i % 8), 1.0), i % 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (path, a1) = Ivf.syncIndex(spark, dir)
+    assert(a1 == "build")
+    // 1. garble the manifest mid-write style: next sync must REBUILD,
+    //    not throw, and the one after settles back to reuse
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_manifest.txt"), "42:truncated-garbag")
+    // unreadable (checksum-torn) manifests surface as "build", garbled-
+    // but-readable ones as "rebuild" — either way a full build, no crash
+    assert(Set("rebuild", "build").contains(Ivf.syncIndex(spark, dir)._2))
+    assert(Ivf.syncIndex(spark, dir)._2 == "reuse")
+    // 2. simulate a crash between compaction's two renames: the live
+    //    list is missing, its .old holds the data — a plain REUSE sync
+    //    must restore it before anything probes
+    val lists = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    val victim = lists.minBy(_.getName)
+    val old = new java.io.File(path, victim.getName + ".old")
+    require(victim.renameTo(old))
+    assert(Ivf.syncIndex(spark, dir)._2 == "reuse")
+    assert(new java.io.File(path, old.getName.stripSuffix(".old")).exists(),
+      "recovery must restore the missing list from its .old")
+    assert(!old.exists())
+    assert(spark.read.parquet(path).count() == 8, "no vectors lost")
+  }
+
+  test("geometryDrift: zero on identical profiles, scales by train-time sd, " +
+       "distinguishes flip directions") {
     val train = Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.0))
-    assert(Ivf.geometryDrift(train, train) == (0.0, 0))
-    val (shift, flips) = Ivf.geometryDrift(train, Array((1.0, 2.0), (5.0, 1.0), (1.0, 0.0)))
-    assert(math.abs(shift - 0.5) < 1e-12 && flips == 0, s"1.0 shift at sd 2.0 = 0.5: $shift")
-    val (_, f2) = Ivf.geometryDrift(train, Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.5)))
-    assert(f2 == 1, "dead dim came alive")
+    assert(Ivf.geometryDrift(train, train) == (0.0, 0, 0))
+    val (shift, d2a, a2d) =
+      Ivf.geometryDrift(train, Array((1.0, 2.0), (5.0, 1.0), (1.0, 0.0)))
+    assert(math.abs(shift - 0.5) < 1e-12 && d2a == 0 && a2d == 0,
+      s"1.0 shift at sd 2.0 = 0.5: $shift")
+    val (_, d2a2, a2d2) =
+      Ivf.geometryDrift(train, Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.5)))
+    assert(d2a2 == 1 && a2d2 == 0, "dead dim came alive")
+    // alive→dead is reported separately: only large batches can
+    // witness absence of variance (the caller gates on batch size)
+    val (_, d2a3, a2d3) =
+      Ivf.geometryDrift(train, Array((0.0, 0.0), (5.0, 1.0), (1.0, 0.0)))
+    assert(d2a3 == 0 && a2d3 == 1, "alive dim went dead")
     intercept[IllegalArgumentException] {
       Ivf.geometryDrift(train, Array((0.0, 2.0)))
     }

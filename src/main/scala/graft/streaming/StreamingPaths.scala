@@ -54,34 +54,38 @@ object StreamingPaths {
     * the last event's timestamp — the drop contract is "older than
     * anything proven final", independent of whether an event sat at
     * the boundary. Returns (emitted, newState). */
-  private[graft] def finalizeUpTo(st: PathState, horizonUs: Long)
+  private[graft] def finalizeUpTo(st: PathState, horizonUs: Long, n: Int)
       : (Seq[String], PathState) = {
     val newHorizon = math.max(st.lastFinalTs, horizonUs)
     val (ready, rest) =
       (0 until st.bufTs.length).partition(i => st.bufTs(i) < horizonUs)
     val ordered = ready.sortBy(i => (st.bufTs(i), st.bufId(i)))
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    var t2 = if (st.lastTypes.length >= 2) st.lastTypes(0) else null
-    var t1 = if (st.lastTypes.length >= 2) st.lastTypes(1)
-             else if (st.lastTypes.length == 1) st.lastTypes(0) else null
+    // bridge: the ≤ n−1 most recent finalized types; an n-gram emits
+    // for every finalized event whose bridge is already full
+    var bridge = st.lastTypes.toVector
     ordered.foreach { i =>
       val t0 = st.bufType(i)
-      if (t2 != null && t1 != null) out += s"$t2>$t1>$t0"
-      t2 = t1; t1 = t0
+      if (bridge.length == n - 1) out += (bridge :+ t0).mkString(">")
+      bridge = (bridge :+ t0).takeRight(n - 1)
     }
-    val last =
-      if (t1 == null) st.lastTypes
-      else (Option(t2).toSeq :+ t1).takeRight(2).toArray
-    val newSt = PathState(last, newHorizon,
+    val newSt = PathState(bridge.toArray, newHorizon,
       rest.map(st.bufTs).toArray, rest.map(st.bufId).toArray,
       rest.map(st.bufType).toArray)
     (out.toSeq, newSt)
   }
 
+  /** q149's shape: trigrams. */
+  def pathTrigrams(events: DataFrame): Dataset[(Long, String)] =
+    pathNgrams(events, 3)
+
   /** events must carry (user_id, event_type, ts, event_id) with a
     * watermark already declared on ts (the caller picks the lateness
-    * bound — it IS the disorder tolerance). */
-  def pathTrigrams(events: DataFrame): Dataset[(Long, String)] = {
+    * bound — it IS the disorder tolerance). `n` is the path length
+    * (bigrams = q133's transition edges, trigrams = q149's journeys);
+    * the bridge state grows as n−1 types, nothing else changes. */
+  def pathNgrams(events: DataFrame, n: Int): Dataset[(Long, String)] = {
+    require(n >= 2, s"a path needs at least 2 steps, got $n")
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -106,7 +110,7 @@ object StreamingPaths {
             st0.bufTs ++ fresh.map(_._1), st0.bufId ++ fresh.map(_._2),
             st0.bufType ++ fresh.map(_._3))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (emitted, st2) = finalizeUpTo(st1, wmUs)
+          val (emitted, st2) = finalizeUpTo(st1, wmUs, n)
           state.update(st2)
           if (st2.bufTs.nonEmpty) {
             // flush the tail when the watermark passes it, even if this

@@ -64,6 +64,26 @@ class PathStreamSpec extends AnyFunSuite {
     assert(got((3L, "a>b>c")) == 1 && got((3L, "c>d>e")) == 1, s"got $got")
   }
 
+  test("pathNgrams generalizes: bigrams ≡ batch lag pairs, same machinery") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = StreamingPaths.pathNgrams(
+        mem.toDF().toDF("user_id", "event_type", "ts", "event_id")
+          .withWatermark("ts", "10 seconds"), n = 2)
+      .toDF("user_id", "path")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("paths_bigram_test").start()
+    mem.addData((1L, "a", ts(10), 1L), (1L, "b", ts(11), 2L), (1L, "c", ts(12), 3L))
+    q.processAllAvailable()
+    mem.addData((999L, "flush", ts(100000), 9L)); q.processAllAvailable()
+    mem.addData((999L, "flush", ts(100001), 10L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("paths_bigram_test").collect()
+      .filter(_.getLong(0) != 999L).map(_.getString(1)).sorted.toSeq
+    assert(got == Seq("a>b", "b>c"), s"bigrams: $got")
+  }
+
   test("stream ≡ batch trigram counts for in-order feeds (200 events, 10 users)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

@@ -281,6 +281,56 @@ class IvfSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 8, "no vectors lost")
   }
 
+  test("managed index append crash window: a dangling intent forces a rebuild, " +
+       "a committed one is swept silently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_intent").toString
+    def rows(ids: Range) =
+      ids.map(i => (i.toLong, Seq((i % 8).toDouble, 2.0 * (i % 8), 1.0), i % 2))
+        .toDF("vec_id", "embedding", "label")
+    rows(0 until 8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (path, a1) = Ivf.syncIndex(spark, dir)
+    assert(a1 == "build")
+
+    // 1. crash AFTER the manifest write but before the intent delete:
+    //    intent == manifest means the append fully committed — the sync
+    //    sweeps it and proceeds as the plain reuse it is, no retrain
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_manifest.txt"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_intent.txt"), manifest)
+    assert(Ivf.syncIndex(spark, dir)._2 == "reuse",
+      "a committed intent must not force work")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_intent.txt")), "committed intent swept")
+
+    // 2. crash INSIDE the append window (between the data append and the
+    //    manifest write): the intent names a listing the manifest doesn't.
+    //    Re-classifying the new files as un-appended would double-index
+    //    them — the sync must degrade to a full rebuild instead, and the
+    //    rebuilt index must cover the union exactly once.
+    rows(8 until 16).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_intent.txt"),
+      manifest + "\n999:999:in-flight-append")
+    assert(Ivf.syncIndex(spark, dir)._2 == "rebuild",
+      "a dangling intent means the index may hold un-manifested vectors")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_intent.txt")), "rebuild clears the intent")
+    val indexed = spark.read.parquet(path).select("vec_id").collect().map(_.getLong(0))
+    assert(indexed.length == 16 && indexed.toSet == (0L until 16L).toSet,
+      "rebuild covers the union exactly once — no double-indexed vectors")
+    assert(Ivf.syncIndex(spark, dir)._2 == "reuse")
+
+    // 3. an UNREADABLE intent (zero-byte torn write) is still dangling:
+    //    existence, not readability, is the trigger
+    rows(16 until 24).write.mode("append").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_intent.txt"))
+    assert(Ivf.syncIndex(spark, dir)._2 == "rebuild",
+      "an empty intent file must be treated as dangling, not absent")
+    assert(spark.read.parquet(path).count() == 24)
+  }
+
   test("geometryDrift: zero on identical profiles, scales by train-time sd, " +
        "distinguishes flip directions") {
     val train = Array((0.0, 2.0), (5.0, 1.0), (1.0, 0.0))

@@ -400,6 +400,50 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("no unpartitioned window in the suite consumes a fact-sized input") {
+    // Suite-wide invariant (round-10 verdict ask #1b): a Window with an
+    // EMPTY partition spec serializes its whole input through one task.
+    // That is fine on a digest — an aggregation below it bounds the
+    // input by the value domain / group count — and a scale-killer on a
+    // raw fact. Every unpartitioned WindowExec (and group-limit) in
+    // every declared query must therefore have an aggregation somewhere
+    // below it, except the explicit allowlist of didactic forms whose
+    // production twin exists separately. Adding a new didactic query
+    // without its twin now fails here instead of surfacing as a bench
+    // warning someone has to notice.
+    val allow = Set("q153_equidepth_bands") // production twin: q160
+    val aggNames = Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    def hasAggBelow(p: SparkPlan): Boolean =
+      p.collect { case n if aggNames.exists(n.nodeName.contains) => n }.nonEmpty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val unbounded = sparkPlan(SparkEntry.queries(name)(spark, TestSpark.sf0001))
+        .collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+        }
+      if (unbounded.nonEmpty) Seq(name) else Nil
+    }
+    assert(offenders.forall(allow.contains),
+      s"unpartitioned windows over un-aggregated input outside the allowlist: " +
+        s"${offenders.filterNot(allow.contains)}")
+    assert(allow.forall(offenders.contains),
+      s"allowlist entry no longer violates — prune it: ${allow.diff(offenders.toSet)}")
+  }
+
+  test("q160 bucketed bands: no window at all, map-side assignment + one group agg") {
+    val sp = sparkPlan(q("q160_equidepth_bucketed"))
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "the production equi-depth form must not sort the fact through a window")
+    val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+    // the 10-group aggregation exchange + the final orderBy range
+    // partitioning are the only legal data movements
+    assert(shuffles.length <= 2,
+      s"bucketed bands must shuffle only the 10-row digest, found ${shuffles.length}")
+  }
+
   test("q158 rebalance: per-bucket stats broadcast; docs never shuffle for the join") {
     val p = plan(q("q158_match_distribution"))
     assert(p.contains("BroadcastHashJoin"),

@@ -279,6 +279,36 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q160 bucketed bands agree with the exact ntile within the sketch's rank-error bound") {
+    val exact = Relational.q153EquidepthBands(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[Int]("band") -> r.getAs[Long]("n")).toMap
+    val approx = Relational.q160EquidepthBucketed(spark, TestSpark.sf0001).collect()
+    val ord = Tables.orders(spark, TestSpark.sf0001)
+    val n = ord.count()
+    // a value-based bucketer cannot split ties across bands the way the
+    // position-based ntile does, so the agreement bound is the sketch's
+    // rank error (n/accuracy per boundary) plus the largest tie class
+    val maxTie = ord.groupBy(col("o_totalprice")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val bound = n.toDouble / Relational.EquidepthAccuracy + maxTie
+    assert(approx.map(_.getAs[Long]("n")).sum == n, "bands must conserve the fact")
+    assert(approx.length == 10)
+    approx.foreach { r =>
+      val b = r.getAs[Int]("band")
+      assert(b >= 1 && b <= 10)
+      assert(math.abs(r.getAs[Long]("n") - exact.getOrElse(b, 0L)) <= bound,
+        s"band $b: bucketed ${r.getAs[Long]("n")} vs exact ${exact.get(b)} (bound $bound)")
+    }
+    // and the same contiguity contract as the exact form
+    val sorted = approx.sortBy(_.getAs[Int]("band"))
+    sorted.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    sorted.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0).getAs[Double]("hi") <= p(1).getAs[Double]("lo"),
+          "bucketed bands must not overlap")
+    }
+  }
+
   test("q155 skew audit: profile ordering invariants, exact distinct counts, no hot keys here") {
     val rows = Relational.q155KeySkewAudit(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> r).toMap

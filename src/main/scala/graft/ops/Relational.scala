@@ -1855,6 +1855,71 @@ object Relational {
       |  CAST(sum(CASE WHEN m > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
       |FROM mult GROUP BY key_col ORDER BY key_col""".stripMargin
 
+  /** Session silence bound for [[q161SessionPaths]] — 2 h, wide enough
+    * that the synthetic events corpus keeps multi-event sessions at
+    * sf0.001 (measured: 26 trigrams there, 281 at sf0.01). */
+  val SessionPathGapUs: Long = 7200L * 1000000L
+
+  /** q161: SESSIONIZED EVENT PATHS — q149's trigram mining, but a path
+    * never spans a session gap (> [[SessionPathGapUs]] of silence):
+    * "browse Monday, buy Thursday" is two journeys, not one, and the
+    * un-sessionized form manufactures phantom cross-visit paths.
+    * Composes q28's gap sessionization (running sum over the gap flag)
+    * with q149's lead-window n-grams, re-windowed on (user, session).
+    *
+    * Scale shape: both windows partition by user (then user+session) —
+    * no unpartitioned window, state bounded per user; the path digest
+    * aggregates map-side to ≤|types|³ rows before the top-k sort. The
+    * streaming twin is [[graft.streaming.StreamingPaths.sessionPathNgrams]],
+    * whose bridge resets across the same gap (PathStreamSpec pins
+    * stream ≡ this batch form). */
+  def q161SessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > SessionPathGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+    val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(ws))
+      .withColumn("t3", lead(col("event_type"), 2).over(ws))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val q161Sql: String =
+    """WITH g AS (
+      | SELECT user_id, event_type, ts, event_id,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      | SELECT user_id, event_type, ts, event_id,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      | FROM g
+      |), seq AS (
+      | SELECT event_type AS t1,
+      |  lead(event_type, 1) OVER ws AS t2,
+      |  lead(event_type, 2) OVER ws AS t3
+      | FROM s
+      | WINDOW ws AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+      |)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -1918,6 +1983,7 @@ object Relational {
     ("q149_event_paths", q149EventPaths _, q149Sql),
     ("q153_equidepth_bands", q153EquidepthBands _, q153Sql),
     ("q160_equidepth_bucketed", q160EquidepthBucketed _, null),
+    ("q161_session_paths", q161SessionPaths _, q161Sql),
     ("q155_key_skew_audit", q155KeySkewAudit _, q155Sql),
   )
 }

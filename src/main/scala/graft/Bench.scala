@@ -74,13 +74,13 @@ object Bench {
     * AFTER SparkSession init, so the driver-observed wall time adds
     * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
     * under a 20-min external kill with slack, while leaving ~11
-    * suite-lengths of clean headroom (the full suite is ~90 s clean
-    * at 158 queries). The all-capped worst case still fits: while the
+    * suite-lengths of clean headroom (the full suite is ~95 s clean
+    * at 160 queries). The all-capped worst case still fits: while the
     * equal split (deadline − reserve)/n exceeds MinCapSec the sweep
     * is budget-preserving by construction, and once the floor binds
-    * the worst case is n·MinCapSec — with MinCapSec 6 the split stays
-    * binding (and budget-preserving) through n ≤ 170, exactly the
-    * declared [[WorstCaseQueries]] = 170 (BenchSpec pins both the
+    * the worst case is n·MinCapSec — with MinCapSec 5.5 the split
+    * stays binding (and budget-preserving) through n ≤ 185, exactly
+    * the declared [[WorstCaseQueries]] = 185 (BenchSpec pins both the
     * real suite size and the declared worst case from the constants
     * alone). */
   val DefaultDeadlineSec = 1050.0
@@ -92,31 +92,32 @@ object Bench {
   /** Per-sample watchdog clamp. The floor only binds in the
     * all-capped degenerate sweep (budget nearly gone, every sample
     * clamped); in a healthy run the equal split is well above it, so
-    * every clean sample runs uncapped. 11 s → 9 s → 8 s → 7 s → 6 s
-    * as rounds 9-10 grew the suite, renegotiating headroom for a
-    * declared 170-query worst case (round-9 verdict ask #4 — the old
-    * 145 provision had 2 free slots left). 6 s became safe to declare
-    * only after round 10 cut the slowest clean query, q92, from a
-    * ~4.5 s to a ~2.7 s in-suite min — the floor keeps ≳2× margin
-    * over the slowest clean sample, near the margin the 7 s floor
-    * had over the old q92.
+    * every clean sample runs uncapped. 11 s → 9 s → 8 s → 7 s → 6 s →
+    * 5.5 s as rounds 9-11 grew the suite, renegotiating headroom for
+    * a declared 185-query worst case (round-10 verdict ask #3 — the
+    * 170 provision had 12 free slots left when round 11 opened).
+    * Margin math for 5.5 s: the slowest clean query is q92 at a
+    * ~2.7 s in-suite min (round-10 measurement, unchanged), so the
+    * floor keeps ~2.0× over the slowest clean sample — a clean sample
+    * can only be capped in the all-capped degenerate sweep, where
+    * capping is the designed behavior. Renegotiating below ~2×
+    * (5.4 s) should instead extend the deadline.
     * The ceiling bounds the damage any single burst can do to the
     * schedule. Absolute worst case overshoot past the deadline is one
     * floor-capped sample plus cancellation latency — the artifact on
     * disk is already complete for everything measured before it. */
-  val MinCapSec = 6.0
+  val MinCapSec = 5.5
   val MaxCapSec = 150.0
 
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. 170 is exactly the point
-    * where the equal split meets the 6 s floor ((1050−30)/170 =
-    * 6.00 s), so the sweep stays budget-preserving by construction;
-    * the split first stops binding at 171 queries (1020/171 =
-    * 5.96 < 6) — the floor (or deadline) must be renegotiated for any
-    * growth past 170. */
-  val WorstCaseQueries = 170
+    * silently eating the finish reserve. At 185 the equal split
+    * ((1050−30)/185 = 5.51 s) still clears the 5.5 s floor, so the
+    * sweep stays budget-preserving by construction; the split first
+    * stops binding at 186 queries (1020/186 = 5.48 < 5.5) — the floor
+    * (or deadline) must be renegotiated for any growth past 185. */
+  val WorstCaseQueries = 185
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

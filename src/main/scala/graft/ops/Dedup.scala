@@ -84,14 +84,35 @@ object Dedup {
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
     minhashCandidatePairsOf(documents(s, d), minEst = 0.8)
 
+  /** One live signature-cache slot for the LSH candidate family
+    * (round-10 advice): the cached frame must outlive the call (the
+    * returned DataFrame consumes it lazily), so an in-function
+    * unpersist is impossible — instead each new invocation releases
+    * the PREVIOUS invocation's cache. A library caller looping over
+    * q43/q92-style queries in one session now holds at most ONE
+    * digest-width signature frame in executor storage instead of
+    * accumulating one per call; unpersisting a frame a still-lazy
+    * earlier result references only degrades that result to
+    * recompute-on-materialize, never to wrong answers. Repeated-use
+    * deployments should still prefer the persisted-signature index
+    * (IncrementalDedup) over any in-session cache. */
+  private val liveSigCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def swapSigCache(fresh: DataFrame): DataFrame = {
+    val prev = liveSigCache.getAndSet(fresh)
+    if (prev != null) prev.unpersist()
+    fresh
+  }
+
   /** The banded-LSH candidate core over ANY docs frame, with the
     * post-banding estimate threshold exposed: containment scoring
     * (q92) wants banded candidates at a LOWER est-Jaccard floor than
     * near-dup dedup — an asymmetric pair bands on its shared tokens
     * but its symmetric Jaccard sits well under a dedup threshold. */
   def minhashCandidatePairsOf(docs: DataFrame, minEst: Double): DataFrame = {
-    val signed = withMinhash(docs)
-      .select(col("doc_id"), col("sig"), col("bands")).cache()
+    val signed = swapSigCache(withMinhash(docs)
+      .select(col("doc_id"), col("sig"), col("bands")).cache())
     val cands = bandedPairs(signed)
     cands
       .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -260,11 +281,12 @@ object Dedup {
     // text), it saves a second full minhash pass (the banding explode
     // and the bucket-count agg both consume it), and the result here
     // is ~100k rows — too large for the eager collect-and-release
-    // pattern. Session lifetime is bounded by the harnesses'
-    // clearCache between queries; a REPEATED-query deployment should
-    // persist signatures as a table (the IncrementalDedup index) and
-    // skip this path's in-session cache entirely.
-    val signed = withMinhash(docs).select(col("doc_id"), col("bands")).cache()
+    // pattern. The swapSigCache slot bounds repeated-call growth to one
+    // live frame; a REPEATED-query deployment should persist signatures
+    // as a table (the IncrementalDedup index) and skip this path's
+    // in-session cache entirely.
+    val signed = swapSigCache(
+      withMinhash(docs).select(col("doc_id"), col("bands")).cache())
     containmentScoresHashed(docs, bandedPairs(signed))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)
   }

@@ -1920,6 +1920,167 @@ object Relational {
       |FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** Attribution window for [[q163Attribution]]: a purchase further
+    * than this from the last non-purchase touch is 'direct'. */
+  val AttributionWindowUs: Long = 1800L * 1000000L
+
+  /** q163: LAST-TOUCH ATTRIBUTION — for every purchase, the most
+    * recent PRIOR non-purchase event of the same user within 30 min
+    * gets the credit; purchases with no in-window touch are 'direct'.
+    * The marketing-analytics staple over the events stream: which
+    * channel actually precedes conversion, and how much value it
+    * drives.
+    *
+    * Scale shape: one fact scan; the carry is a per-user window with
+    * `last(..., ignoreNulls)` over rows UNBOUNDED..−1 — an O(1)
+    * running value per row, partitioned by user (never global); the
+    * result digest is ≤ |types|+1 rows. The struct carries (ts, type)
+    * together so the timestamp check and the channel name can never
+    * come from different touches. */
+  def q163Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("touch", last(
+          when(col("event_type") =!= "purchase",
+            struct(unix_micros(col("ts")).as("pts"), col("event_type").as("ptype"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch").isNotNull &&
+            unix_micros(col("ts")) - col("touch.pts") <= AttributionWindowUs,
+          col("touch.ptype")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val q163Sql: String =
+    """WITH t AS (
+      | SELECT user_id, event_type, ts, event_id, value,
+      |  last_value(CASE WHEN event_type <> 'purchase'
+      |    THEN struct_pack(pts := epoch_us(ts), ptype := event_type) END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      | FROM events
+      |)
+      |SELECT CASE WHEN touch IS NOT NULL
+      |         AND epoch_us(ts) - touch.pts <= 1800000000
+      |       THEN touch.ptype ELSE 'direct' END AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  round(sum(value), 2) AS attributed_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** q164: SUPPLIER CONCENTRATION (HHI) PER BRAND — the
+    * Herfindahl–Hirschman index of supplier revenue shares within each
+    * part brand, plus the top supplier's share. The sourcing-risk
+    * audit: an HHI near 1 means one supplier owns the brand's volume
+    * (a single point of failure); near 1/n means healthy spread.
+    *
+    * Scale shape: fact joins only the broadcast 2-column part dim;
+    * first aggregation reduces to the (brand, supplier) digest
+    * map-side, the HHI is a second digest-level aggregation (25
+    * rows). Σ(share²) is computed as Σrev² / (Σrev)² so shares never
+    * need a second pass or a rejoin. */
+  def q164BrandHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    rev.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           round(sum(col("rev") * col("rev")) / (sum(col("rev")) * sum(col("rev"))), 6)
+             .as("hhi"),
+           round(max(col("rev")) / sum(col("rev")), 6).as("top_share"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q164Sql: String =
+    """WITH rev AS (
+      | SELECT p_brand, l_suppkey,
+      |  sum(l_extendedprice * (1 - l_discount)) AS rev
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | GROUP BY 1, 2
+      |)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi,
+      |  round(max(rev) / sum(rev), 6) AS top_share
+      |FROM rev GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q165: FULFILLMENT LAG PROFILE — days from order date to the
+    * order's LAST shipment, profiled per order priority (count,
+    * median, p90, mean). The SLA dashboard: does '1-URGENT' actually
+    * ship faster than '5-LOW'?
+    *
+    * Scale shape: the per-order max-lag digest reduces the fact
+    * map-side before its exchange; the priority profile is a 5-row
+    * second aggregation. Exact percentiles run on the per-priority
+    * digest (bounded by orders/5), the q155 discipline. */
+  def q165FulfillmentLag(s: SparkSession, d: String): DataFrame = {
+    val lag = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(datediff(col("l_shipdate"), col("o_orderdate"))).as("lag_days"))
+    lag.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(expr("percentile(CAST(lag_days AS DOUBLE), 0.5D)"), 4).as("p50"),
+           round(expr("percentile(CAST(lag_days AS DOUBLE), 0.9D)"), 4).as("p90"),
+           round(avg(col("lag_days")), 4).as("mean_lag"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q165Sql: String =
+    """WITH lag AS (
+      | SELECT l_orderkey, o_orderpriority,
+      |  max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+      |    AS lag_days
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY 1, 2
+      |)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 4) AS p50,
+      |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.9), 4) AS p90,
+      |  round(avg(lag_days), 4) AS mean_lag
+      |FROM lag GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** q166: LATEST-VERSION SNAPSHOT — each customer's most recent order
+    * (latest o_orderdate, ties to the highest key). The upsert-
+    * compaction surface every incremental pipeline needs: collapse an
+    * append-only change log to one current row per key. row_number
+    * DESC + `= 1` plans as WindowGroupLimit, so each partition retains
+    * one candidate per key during the sort instead of materializing
+    * every version — the difference between snapshot and full-sort at
+    * a 100 TB change log. */
+  def q166LatestSnapshot(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+        col("o_orderdate").as("last_orderdate"),
+        round(col("o_totalprice"), 2).as("last_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q166Sql: String =
+    """SELECT o_custkey, last_orderkey, last_orderdate, last_totalprice
+      |FROM (
+      | SELECT o_custkey, o_orderkey AS last_orderkey,
+      |  o_orderdate AS last_orderdate,
+      |  round(o_totalprice, 2) AS last_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      | FROM orders
+      |) WHERE rk = 1 ORDER BY o_custkey""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -1984,6 +2145,10 @@ object Relational {
     ("q153_equidepth_bands", q153EquidepthBands _, q153Sql),
     ("q160_equidepth_bucketed", q160EquidepthBucketed _, null),
     ("q161_session_paths", q161SessionPaths _, q161Sql),
+    ("q163_attribution", q163Attribution _, q163Sql),
+    ("q164_brand_hhi", q164BrandHhi _, q164Sql),
+    ("q165_fulfillment_lag", q165FulfillmentLag _, q165Sql),
+    ("q166_latest_snapshot", q166LatestSnapshot _, q166Sql),
     ("q155_key_skew_audit", q155KeySkewAudit _, q155Sql),
   )
 }

@@ -130,6 +130,24 @@ class DedupSpec extends AnyFunSuite {
       assert(hsh(k) == v, s"pair $k: hashed ${hsh(k)} != string $v") }
   }
 
+  test("repeated LSH invocations hold at most one live signature cache") {
+    // round-10 advice: a library caller looping q43/q92 in one session
+    // must not accumulate cached signature frames — each invocation
+    // releases the previous one's cache (swapSigCache slot)
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    spark.catalog.clearCache()
+    Dedup.containmentCandidates(docs, 0.9).count()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.containmentCandidates(docs, 0.9).count()
+    Dedup.minhashCandidatePairsOf(docs, 0.8).count()
+    Dedup.containmentCandidates(docs, 0.9).count()
+    val n2 = spark.sparkContext.getPersistentRDDs.size
+    assert(n1 <= 1, s"one invocation caches one frame, got $n1")
+    assert(n2 <= n1,
+      s"three more invocations grew the cache $n1 -> $n2 — the slot leaks")
+    spark.catalog.clearCache()
+  }
+
   test("minhash union sketch: slotwise min equals signature of the set union") {
     val a = (1 to 20).map(i => s"a$i").mkString(" ")
     val b = (21 to 40).map(i => s"a$i").mkString(" ")

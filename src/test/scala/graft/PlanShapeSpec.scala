@@ -281,7 +281,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the difference between top-3-per-source and sort-everything at
     // 100 TB
     Seq("q84_stratified_sample", "q85_tfidf", "q86_centroid_outliers",
-        "q89_hard_negatives").foreach { name =>
+        "q89_hard_negatives", "q166_latest_snapshot").foreach { name =>
       val p = sparkPlan(q(name)).toString
       assert(p.contains("WindowGroupLimit"),
         s"$name must keep the rank filter pushdown:\n$p")

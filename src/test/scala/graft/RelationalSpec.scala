@@ -329,6 +329,52 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows("l_orderkey").getAs[Long]("max_mult") < graft.ops.Skew.DefaultHotThreshold)
   }
 
+  test("q163 attribution: channels are known touches, purchases conserved") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    val rows = Relational.q163Attribution(spark, TestSpark.sf0001).collect()
+    val known = Set("view", "click", "signup", "error", "direct")
+    rows.foreach(r => assert(known.contains(r.getString(0)),
+      s"purchase can never attribute to itself: ${r.getString(0)}"))
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases,
+      "every purchase lands in exactly one channel")
+  }
+
+  test("q164 HHI: bounded by [1/n, 1], top share consistent") {
+    Relational.q164BrandHhi(spark, TestSpark.sf0001).collect().foreach { r =>
+      val n = r.getAs[Long]("n_suppliers").toDouble
+      val hhi = r.getAs[Double]("hhi")
+      val top = r.getAs[Double]("top_share")
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9,
+        s"HHI out of range for n=$n: $hhi")
+      assert(top >= 1.0 / n - 1e-6 && top <= 1.0 + 1e-9)
+      // a distribution whose max share is t has HHI >= t^2
+      assert(hhi >= top * top - 1e-6, s"hhi $hhi < top_share^2 ${top * top}")
+    }
+  }
+
+  test("q165 fulfillment lag: all five priorities, ordered percentiles") {
+    val rows = Relational.q165FulfillmentLag(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+  }
+
+  test("q166 latest snapshot: one row per customer, genuinely the latest") {
+    val snap = Relational.q166LatestSnapshot(spark, TestSpark.sf0001)
+    val nCust = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(snap.count() == nCust, "exactly one current row per key")
+    // spot-check: the snapshot date equals the per-customer max date
+    val maxDates = Tables.orders(spark, TestSpark.sf0001)
+      .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("mx"))
+    val joined = snap.join(maxDates, Seq("o_custkey"))
+      .filter(col("last_orderdate") =!= col("mx")).count()
+    assert(joined == 0, "snapshot rows must carry the max order date")
+  }
+
   test("q118 string form serializes exactly the array form, %.2f comma-joined") {
     val arr = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap

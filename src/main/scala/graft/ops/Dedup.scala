@@ -320,6 +320,65 @@ object Dedup {
       .withColumn("bucket16", expr("simhash % 65536"))
       .orderBy(col("doc_id"))
 
+  /** Hamming verdict threshold for [[q167SimhashPairs]] — ≤ 8 of 63
+    * bits differing (≈ 12%) marks a near-dup on this corpus. */
+  val SimhashMaxHamming = 8
+
+  /** 16-bit prefix bands over the 63-bit simhash (the top band carries
+    * 15 bits). Pigeonhole guarantee: any pair within hamming distance
+    * SimhashBands − 1 (= 3) MUST share an unflipped band and therefore
+    * always candidates; pairs between 4 and [[SimhashMaxHamming]] are
+    * found when their flips cluster into ≤ 3 bands — the standard
+    * banded-LSH recall trade, stated in the spec's characterization
+    * test rather than hidden. */
+  val SimhashBands = 4
+
+  /** q167: SIMHASH NEAR-DUP PAIRS — the pair-finding stage q45's
+    * signatures exist for (q45 emits signatures; this emits verified
+    * near-dup verdicts). Completes the fuzzy-dedup triad: MinHash-LSH
+    * (q43, token-SET overlap), n-gram Jaccard (q47, sequence), simhash
+    * (bit-level weighted-feature proximity — the Google crawl-dedup
+    * design, Manku et al. WWW'07 shape: banded prefix buckets + exact
+    * Hamming verification).
+    *
+    * Scale shape: exchanges carry (band key, id, 8-byte simhash) —
+    * never text; candidates are equi-join collisions on the 16-bit
+    * band keys with the [[MaxBucket]] degenerate-bucket cap applied
+    * MAP-SIDE via broadcast (the bandedPairs discipline); verification
+    * is one codegen'd bit_count(xor) per distinct candidate pair.
+    * Rows-only (simhash64 is this engine's own hash — no cross-engine
+    * oracle can recompute it); DedupSpec pins the exact characterization
+    * result == { pairs sharing an under-cap band with hamming ≤ max }
+    * against a driver-side brute force, which subsumes the pigeonhole
+    * guarantee. */
+  def q167SimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(documents(s, d), SimhashMaxHamming)
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.NativeExprs.simhash64(split(col("text"), " ")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until SimhashBands).map(i =>
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "key")))
+    val small = banded.groupBy(col("band_idx"), col("key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= MaxBucket)
+    val inSmall = banded.join(broadcast(small), Seq("band_idx", "key"))
+      .select(col("band_idx"), col("key"), col("doc_id"), col("sh"))
+    inSmall.select(col("band_idx"), col("key"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))
+      .join(inSmall.select(col("band_idx"), col("key"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b")), Seq("band_idx", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact 3-gram (word-shingle) Jaccard for a bounded id range — the
     * sequence-sensitive near-dup measure (token-set Jaccard in q44 is
     * order-blind); oracle-checked against DuckDB list comprehensions. */
@@ -1083,6 +1142,7 @@ object Dedup {
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
     ("q45_simhash", q45Simhash _, None),
+    ("q167_simhash_pairs", q167SimhashPairs _, None),
     ("q47_ngram_jaccard", q47NgramJaccard _, Some(q47Sql)),
     ("q81_containment", q81Containment _, Some(q81Sql)),
     ("q92_containment_lsh", q92ContainmentLsh _, None),

@@ -467,6 +467,78 @@ object Similarity {
       |  round(mean_intra - mean_inter, 6) AS margin
       |FROM intra JOIN inter USING (label) ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+
+  /** q162: PER-LABEL SILHOUETTE — the classic clustering-quality
+    * coefficient s(i) = (b−a)/max(a,b) with cosine distance, labels as
+    * clusters, over a bounded id range; reported as each label's mean.
+    * Where q140 grades separation by POOLED pair means, the silhouette
+    * is per-POINT — a label can post a positive q140 margin while half
+    * its members sit closer to a neighboring class (negative s), which
+    * is exactly what a training-data owner wants surfaced before
+    * trusting the labels.
+    *
+    * Conventions: a(i) averages distances to the OTHER own-label
+    * members (singleton labels drop out via the inner join — the
+    * standard exclusion); b(i) is the min over other labels of the
+    * mean distance to that label.
+    *
+    * Bounded ids = the q44/q81/q140 constant-work anchor shape
+    * (O(n²) on 80 vectors); at corpus scale the production estimate is
+    * the centroid-based simplified silhouette over q97's k-means fit —
+    * one broadcast-centroid map pass, no pair join. */
+  def q162LabelSilhouette(s: SparkSession, d: String): DataFrame =
+    labelSilhouette(graft.Tables.embeddings(s, d).filter(col("vec_id") < 80))
+
+  /** q162 core over any (vec_id, label, embedding) frame — split out
+    * for planted-geometry tests. */
+  def labelSilhouette(embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val a = e.select(col("vec_id").as("id_a"), col("label").as("l_a"),
+      col("e").as("e_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("l_b"),
+      col("e").as("e_b"))
+    // ordered pairs (i, j≠i): every point sees every other exactly once
+    val perLabel = a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("l_a"), col("l_b"),
+        (lit(1.0) - cosine(col("e_a"), col("e_b"))).as("dist"))
+      .groupBy(col("id_a"), col("l_a"), col("l_b"))
+      .agg(avg(col("dist")).as("mean_dist"))
+    val aDist = perLabel.filter(col("l_a") === col("l_b"))
+      .select(col("id_a"), col("l_a"), col("mean_dist").as("a_dist"))
+    val bDist = perLabel.filter(col("l_a") =!= col("l_b"))
+      .groupBy(col("id_a")).agg(min(col("mean_dist")).as("b_dist"))
+    aDist.join(bDist, Seq("id_a"))
+      .select(col("l_a").as("label"),
+        ((col("b_dist") - col("a_dist")) /
+          greatest(col("a_dist"), col("b_dist"))).as("sil"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+           round(avg(col("sil")), 6).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  val q162Sql: String =
+    """WITH e AS (
+      | SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 80
+      |), per_label AS (
+      | SELECT a.vec_id AS id_a, a.label AS l_a, b.label AS l_b,
+      |   avg(1 - list_cosine_similarity(a.embedding, b.embedding)) AS mean_dist
+      | FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      | GROUP BY 1, 2, 3
+      |), a_dist AS (
+      | SELECT id_a, l_a, mean_dist AS a_dist FROM per_label WHERE l_a = l_b
+      |), b_dist AS (
+      | SELECT id_a, min(mean_dist) AS b_dist FROM per_label
+      | WHERE l_a <> l_b GROUP BY 1
+      |)
+      |SELECT l_a AS label, CAST(count(*) AS BIGINT) AS n_points,
+      |  round(avg((b_dist - a_dist) / greatest(a_dist, b_dist)), 6)
+      |    AS mean_silhouette
+      |FROM a_dist JOIN b_dist USING (id_a)
+      |GROUP BY 1 ORDER BY label""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
@@ -477,5 +549,6 @@ object Similarity {
     ("q89_hard_negatives", q89HardNegatives _, Some(q89Sql)),
     ("q136_dim_stats", q136DimStats _, Some(q136Sql)),
     ("q140_label_separation", q140LabelSeparation _, Some(q140Sql)),
+    ("q162_label_silhouette", q162LabelSilhouette _, Some(q162Sql)),
   )
 }

@@ -148,6 +148,43 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q167 simhash pairs ≡ brute force {shares an under-cap band ∧ hamming ≤ max}") {
+    val got = graft.ops.Dedup.q167SimhashPairs(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver-side reference over the same signatures (500 docs → 125k pairs)
+    val sh = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.simhash64(split(col("text"), " ")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def bands(x: Long): Seq[(Int, Long)] =
+      (0 until Dedup.SimhashBands).map(i => (i, (x >>> (i * 16)) & 0xFFFFL))
+    val bucketN = sh.flatMap { case (_, x) => bands(x) }
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val want = (for {
+      (ia, sa) <- sh
+      (ib, sb) <- sh
+      if ia < ib
+      if bands(sa).zip(bands(sb)).exists { case (ka, kb) =>
+        ka == kb && bucketN(ka) <= Dedup.MaxBucket }
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= Dedup.SimhashMaxHamming
+    } yield (ia, ib, h)).toSet
+    assert(got == want,
+      s"simhash pairs must match the reference exactly: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "the corpus has planted near-dups; simhash must surface them")
+    // pigeonhole corollary: every pair within hamming SimhashBands−1
+    // appears (≤3 flips cannot touch all 4 bands) — implied by the
+    // equality above, asserted separately so a future band change that
+    // breaks the guarantee fails with a direct message
+    val tight = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h < Dedup.SimhashBands
+      if bands(sa).zip(bands(sb)).exists { case (ka, kb) =>
+        ka == kb && bucketN(ka) <= Dedup.MaxBucket }
+    } yield (ia, ib, h)).toSet
+    assert(tight.subsetOf(got), "hamming < bands pairs must always candidate")
+  }
+
   test("minhash union sketch: slotwise min equals signature of the set union") {
     val a = (1 to 20).map(i => s"a$i").mkString(" ")
     val b = (21 to 40).map(i => s"a$i").mkString(" ")

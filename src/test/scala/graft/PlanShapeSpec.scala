@@ -444,6 +444,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed bands must shuffle only the 10-row digest, found ${shuffles.length}")
   }
 
+  test("q167 simhash pairs: no cartesian, exchanges carry ids + 8-byte hashes, never text") {
+    val sp = sparkPlan(q("q167_simhash_pairs"))
+    assert(!sp.toString.contains("CartesianProduct"))
+    val shuffles = sp.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"simhash pair stream must be band keys/ids/hashes only, moves: $cols")
+    }
+  }
+
   test("q158 rebalance: per-bucket stats broadcast; docs never shuffle for the join") {
     val p = plan(q("q158_match_distribution"))
     assert(p.contains("BroadcastHashJoin"),

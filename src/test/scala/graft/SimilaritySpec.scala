@@ -275,6 +275,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"labels drawn from ONE cluster have no separation: ${gotMixed.toSeq}")
   }
 
+  test("q162 silhouette: tight orthogonal clusters ≈ 1, split-label cluster ≤ 0, " +
+       "singleton labels drop") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(i => (i.toLong, 0, Array(1.0f, (i % 3).toFloat / 100))) ++
+      (11 to 20).map(i => (i.toLong, 1, Array((i % 3).toFloat / 100, 1.0f))) ++
+      Seq((21L, 2, Array(0.7f, 0.7f))) // singleton label: excluded by convention
+    val got = graft.ops.Similarity.labelSilhouette(
+        rows.toDF("vec_id", "label", "embedding")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("mean_silhouette")).toMap
+    assert(got.keySet == Set(0, 1), s"singleton label must drop out: ${got.keySet}")
+    assert(got(0) > 0.9 && got(1) > 0.9,
+      s"tight orthogonal clusters silhouette ≈ 1: $got")
+    // ONE geometric cluster split across two labels: for every point the
+    // other label is as close as its own — silhouette cannot be positive
+    val mixed = (1 to 20).map(i =>
+      (i.toLong, i % 2, Array(1.0f, (i % 5).toFloat / 100)))
+    val gotMixed = graft.ops.Similarity.labelSilhouette(
+        mixed.toDF("vec_id", "label", "embedding")).collect()
+      .map(_.getAs[Double]("mean_silhouette"))
+    assert(gotMixed.forall(_ < 0.05),
+      s"split-label cluster must not score positive silhouette: ${gotMixed.toSeq}")
+  }
+
   test("q136 dim stats: planted dead and shifted dimensions are flagged") {
     import spark.implicits._
     // dim 1 constant (dead), dim 2 spread, dim 3 shifted mean

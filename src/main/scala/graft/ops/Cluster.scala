@@ -210,7 +210,51 @@ object Cluster {
       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
       |ORDER BY e.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+
+  /** q168: SIMPLIFIED (CENTROID) SILHOUETTE over the FULL corpus —
+    * the production-scale twin q162's bounded exact anchor promises:
+    * instead of O(n²) pair distances, each vector measures its L2
+    * distance to every centroid of q97's k-means fit (a broadcast
+    * literal), takes nearest (a) and second-nearest (b), and scores
+    * s = (b−a)/max(a,b) (Hruschka et al.'s simplified silhouette —
+    * upper-bounds the exact coefficient since centroid distance
+    * underestimates mean member distance for the own cluster most).
+    * Reported per assigned cluster.
+    *
+    * Scale shape: after the (driver-budgeted) k-means fit, ONE
+    * map-side pass over the corpus — the K distances are a literal
+    * array per row, no join, no pair explosion; the only exchange is
+    * the ≤K-row digest aggregation. Rows-only (iterative k-means is
+    * not SQL-expressible); ClusterSpec pins planted-blob geometry:
+    * well-separated blobs ≈ 1, one blob force-split ≈ 0. */
+  def q168SilhouetteApprox(s: SparkSession, d: String): DataFrame =
+    silhouetteApprox(emb(s, d).select(col("vec_id"), col("e")))
+
+  def silhouetteApprox(vecs: DataFrame, k: Int = K): DataFrame = {
+    val m = kmeansDistributed(vecs, k)
+    require(m.centroids.length >= 2,
+      s"silhouette needs >= 2 clusters, fit found ${m.centroids.length}")
+    val dists = array(m.centroids.map(c => sqrt(sqDistTo(col("e"), c))).toIndexedSeq: _*)
+    vecs
+      .select(
+        graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"),
+        array_sort(dists).as("ds"))
+      .select(col("cluster"),
+        // a point sitting exactly on two centroids is perfectly
+        // ambiguous: s = 0 by convention (also guards 0/0)
+        when(element_at(col("ds"), 2) > 0.0,
+          (element_at(col("ds"), 2) - element_at(col("ds"), 1)) /
+            greatest(element_at(col("ds"), 1), element_at(col("ds"), 2)))
+          .otherwise(lit(0.0)).as("sil"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("sil")), 6).as("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q97_kmeans", q97Kmeans _, None),
-    ("q98_semantic_dedup", q98SemanticDedup _, Some(q98Sql)))
+    ("q98_semantic_dedup", q98SemanticDedup _, Some(q98Sql)),
+    ("q168_silhouette_approx", q168SilhouetteApprox _, None))
 }

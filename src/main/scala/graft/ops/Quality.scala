@@ -697,6 +697,55 @@ object Quality {
 
   // ---------------------------------------------------------------
 
+  /** q169: BYTE-WEIGHTED LENGTH MEDIAN per source — the smallest doc
+    * length L such that docs of length ≤ L hold at least half the
+    * source's BYTES, next to the plain doc-count median. The curation
+    * metric the doc-median hides: a source can have a modest median
+    * document while a few huge documents carry most of its training
+    * mass — token budgets, packing, and dedup priorities follow bytes,
+    * not document counts (byte_median ≥ doc_median always; the GAP is
+    * the tail-heaviness signal).
+    *
+    * Scale shape: one scan projecting (source, doc_id, n_chars); the
+    * running byte sum is a per-source window (never global — the q100
+    * discipline), and the profile is a 4-row aggregation with the
+    * qualifying-length min folded in as a conditional aggregate, so
+    * there is no second scan and no rejoin. */
+  def q169ByteWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("source"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("tot", sum(col("n_chars")).over(tot))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(col("tot")).as("total_chars"),
+           min(when(col("cum") * 2 >= col("tot"), col("n_chars")))
+             .as("byte_median"),
+           round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5D)"), 1)
+             .as("doc_median"))
+      .orderBy(col("source"))
+  }
+
+  val q169Sql: String =
+    """WITH c AS (
+      | SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+      |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS tot
+      | FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(tot) AS total_chars,
+      |  min(CASE WHEN cum * 2 >= tot THEN n_chars END) AS byte_median,
+      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 1) AS doc_median
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q109_chunk_dedup", q109ChunkDedup _, Some(q109Sql)),
     ("q110_quantile_norm", q110QuantileNorm _, Some(q110Sql)),
@@ -709,5 +758,6 @@ object Quality {
     ("q120_length_token_corr", q120LengthTokenCorr _, Some(q120Sql)),
     ("q121_length_histogram", q121LengthHistogram _, Some(q121Sql)),
     ("q128_charclass_profile", q128CharClassProfile _, Some(q128Sql)),
-    ("q151_lang_mix", q151LangMix _, Some(q151Sql)))
+    ("q151_lang_mix", q151LangMix _, Some(q151Sql)),
+    ("q169_byte_weighted_median", q169ByteWeightedMedian _, Some(q169Sql)))
 }

@@ -2081,6 +2081,59 @@ object Relational {
       | FROM orders
       |) WHERE rk = 1 ORDER BY o_custkey""".stripMargin
 
+  /** q170: REVENUE SHARE WITHIN NATION — each supplier nation's top 3
+    * part brands by revenue, with the brand's share of the nation
+    * total (the ratio-to-report window) and its rank. The
+    * percent-of-total surface: every BI layer asks it, and done wrong
+    * (a self-join on the total) it doubles the fact scan.
+    *
+    * Scale shape: the fact joins only broadcast dims (part for brand,
+    * supplier + nation for the nation name); everything after the
+    * first aggregation — the share window, the rank, the top-3 cut —
+    * runs on the ≤ nations×brands digest, partitioned by nation, with
+    * the rank filter planning as WindowGroupLimit. */
+  def q170RevenueShare(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val byNation = Window.partitionBy(col("n_name"))
+    val rk = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev").desc, col("p_brand"))
+    rev
+      .withColumn("share", col("rev") / sum(col("rev")).over(byNation))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("p_brand"),
+        round(col("rev"), 2).as("revenue"), round(col("share"), 6).as("share"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  val q170Sql: String =
+    """WITH rev AS (
+      | SELECT n_name, p_brand,
+      |  sum(l_extendedprice * (1 - l_discount)) AS rev
+      | FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      | GROUP BY 1, 2
+      |), ranked AS (
+      | SELECT n_name, p_brand, rev,
+      |  rev / sum(rev) OVER (PARTITION BY n_name) AS share,
+      |  row_number() OVER (PARTITION BY n_name
+      |    ORDER BY rev DESC, p_brand) AS rk
+      | FROM rev
+      |)
+      |SELECT n_name, CAST(rk AS INT) AS rk, p_brand,
+      |  round(rev, 2) AS revenue, round(share, 6) AS share
+      |FROM ranked WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -2149,6 +2202,7 @@ object Relational {
     ("q164_brand_hhi", q164BrandHhi _, q164Sql),
     ("q165_fulfillment_lag", q165FulfillmentLag _, q165Sql),
     ("q166_latest_snapshot", q166LatestSnapshot _, q166Sql),
+    ("q170_revenue_share", q170RevenueShare _, q170Sql),
     ("q155_key_skew_audit", q155KeySkewAudit _, q155Sql),
   )
 }

@@ -71,6 +71,26 @@ class ClusterSpec extends AnyFunSuite {
     assert(m.centroids.length == 2) // farthest-point stops at 0-distance
   }
 
+  test("q168 simplified silhouette: separated blobs ≈ 1, force-split blob ≈ 0") {
+    val sep = Cluster.silhouetteApprox(blobs, k = 2).collect()
+    assert(sep.length == 2)
+    sep.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 4L)
+      assert(r.getAs[Double]("mean_silhouette") > 0.9,
+        s"tight separated blobs must score near 1: ${r.getAs[Double]("mean_silhouette")}")
+    }
+    // ONE blob forced into k=2: every point is nearly as close to the
+    // other half's centroid — silhouette collapses
+    val one = vecsDF((0L until 12L).map(i =>
+      (i, Seq((i % 4).toDouble / 10, (i % 3).toDouble / 10, 0.0))))
+    val split = Cluster.silhouetteApprox(one, k = 2).collect()
+    split.foreach { r =>
+      assert(r.getAs[Double]("mean_silhouette") < 0.6,
+        s"a force-split blob cannot look well-clustered: " +
+          s"${r.getAs[Double]("mean_silhouette")}")
+    }
+  }
+
   test("semantic dedup drops planted duplicates, keeps the min id") {
     // 10 is a scaled copy of 2 (cosine exactly 1), 11 is near-copy of 5
     val base = (0L until 10L).map { i =>

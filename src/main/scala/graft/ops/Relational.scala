@@ -1937,10 +1937,20 @@ object Relational {
     * result digest is ≤ |types|+1 rows. The struct carries (ts, type)
     * together so the timestamp check and the channel name can never
     * come from different touches. */
-  def q163Attribution(s: SparkSession, d: String): DataFrame = {
+  def q163Attribution(s: SparkSession, d: String): DataFrame =
+    attributedPurchases(events(s, d))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+
+  /** q163 core: one (user_id, channel, value) row per purchase — split
+    * out as the batch reference for the streaming twin
+    * ([[graft.streaming.StreamingAttribution]]). */
+  def attributedPurchases(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events(s, d)
+    ev
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
         col("value"))
       .withColumn("touch", last(
@@ -1948,14 +1958,11 @@ object Relational {
             struct(unix_micros(col("ts")).as("pts"), col("event_type").as("ptype"))),
           ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
-      .withColumn("channel",
+      .select(col("user_id"),
         when(col("touch").isNotNull &&
             unix_micros(col("ts")) - col("touch.pts") <= AttributionWindowUs,
-          col("touch.ptype")).otherwise(lit("direct")))
-      .groupBy(col("channel"))
-      .agg(count(lit(1)).as("n_purchases"),
-           round(sum(col("value")), 2).as("attributed_value"))
-      .orderBy(col("channel"))
+          col("touch.ptype")).otherwise(lit("direct")).as("channel"),
+        col("value"))
   }
 
   val q163Sql: String =

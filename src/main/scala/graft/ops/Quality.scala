@@ -710,24 +710,40 @@ object Quality {
     * running byte sum is a per-source window (never global — the q100
     * discipline), and the profile is a 4-row aggregation with the
     * qualifying-length min folded in as a conditional aggregate, so
-    * there is no second scan and no rejoin. */
+    * there is no second scan and no rejoin.
+    *
+    * The doc-count median is emitted as `doc_median_x2` — the SUM of
+    * the two middle-rank lengths, a BIGINT (= 2× the median; equal
+    * middle ranks when the count is odd). Round-11 verdict ask #1:
+    * the original `percentile(...)` DOUBLE was the suite's one column
+    * where Spark and the DuckDB oracle each computed a float through
+    * their OWN interpolation code paths, and it hash-mismatched in
+    * the driver's gate while matching locally. Both engines now
+    * derive the column from identical integer rank arithmetic
+    * (row_number over (n_chars, doc_id), middle ranks by integer
+    * division) — the q103/q117/q121 portable-arithmetic discipline. */
   def q169ByteWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(col("source"))
+    val rnW = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
     documents(s, d)
       .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("n_chars"))
       .withColumn("cum", sum(col("n_chars")).over(w))
       .withColumn("tot", sum(col("n_chars")).over(tot))
+      .withColumn("rn", row_number().over(rnW).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(tot))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            max(col("tot")).as("total_chars"),
            min(when(col("cum") * 2 >= col("tot"), col("n_chars")))
              .as("byte_median"),
-           round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5D)"), 1)
-             .as("doc_median"))
+           (max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("n_chars"))) +
+             max(when(col("rn") === expr("(cnt + 2) DIV 2"), col("n_chars"))))
+             .as("doc_median_x2"))
       .orderBy(col("source"))
   }
 
@@ -737,13 +753,17 @@ object Quality {
       |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source
       |    ORDER BY n_chars, doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-      |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS tot
+      |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS tot,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS cnt
       | FROM documents
       |)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |  max(tot) AS total_chars,
       |  min(CASE WHEN cum * 2 >= tot THEN n_chars END) AS byte_median,
-      |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 1) AS doc_median
+      |  max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END)
+      |    + max(CASE WHEN rn = (cnt + 2) // 2 THEN n_chars END) AS doc_median_x2
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -95,7 +95,19 @@ object Dedup {
     * earlier result references only degrades that result to
     * recompute-on-materialize, never to wrong answers. Repeated-use
     * deployments should still prefer the persisted-signature index
-    * (IncrementalDedup) over any in-session cache. */
+    * (IncrementalDedup) over any in-session cache.
+    *
+    * SEQUENCING CONTRACT (round-11 advice): the one-slot design
+    * assumes call-then-materialize — invoke an LSH-family entry point,
+    * consume its result, then invoke the next. Composing two LSH
+    * results lazily (build frame A, build frame B, then materialize A)
+    * is still CORRECT (signatures are seeded/deterministic) but A's
+    * signature cache was swapped out by B's invocation, so A degrades
+    * to a full MinHash recompute per reference to its signature frame.
+    * DedupSpec pins both halves: interleaved results stay equal to
+    * sequential ones, and a single materialized invocation reads the
+    * documents table exactly once (the cache, not the text, feeds the
+    * band explode and both signature rejoins). */
   private val liveSigCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 

@@ -241,11 +241,16 @@ object Ivf {
     "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fingerprint
 
   /** Root for persisted/managed indexes: Spark conf `graft.index.root`
-    * if set (an HDFS/S3 URI on a real deployment), else the JVM temp
-    * dir — the only writable scratch in this sandbox. Every lifecycle
-    * operation (build, probe, append, compaction, crash recovery, GC)
-    * resolves its Hadoop FileSystem from the resulting path, so a
-    * non-local root works end-to-end with no code change. */
+    * if set, else the JVM temp dir — the only writable scratch in this
+    * sandbox. Every lifecycle operation (build, probe, append,
+    * compaction, crash recovery, GC) resolves its Hadoop FileSystem
+    * from the resulting path. Build/probe/append/GC work on any Hadoop
+    * filesystem; COMPACTION additionally requires atomic directory
+    * rename and is gated to schemes that provide it (local, HDFS,
+    * viewfs) — on an object store like S3A, where rename is copy +
+    * delete, [[compactIndex]] is a no-op and inverted lists stay
+    * fragmented until the next rebuild (see [[atomicRenameScheme]];
+    * round-11 advice). */
   private def indexRoot(s: SparkSession): String =
     s.conf.getOption("graft.index.root").getOrElse(sys.props("java.io.tmpdir"))
 
@@ -257,7 +262,17 @@ object Ivf {
     * matching this source dir's name prefix with a different
     * fingerprint, and swallows races — losing a delete race costs
     * disk, never correctness, because live probes resolve through
-    * their own fingerprint path. */
+    * their own fingerprint path.
+    *
+    * A sibling is "this source's" only when the name is EXACTLY
+    * prefix + a fingerprint-shaped suffix (16 hex chars, the
+    * [[dataFingerprint]] width) — bare startsWith would let one
+    * source dir whose sanitized name extends another's (`/data/sf0`
+    * vs `/data/sf0_v2` → `..._data_sf0_` prefix-matches
+    * `..._data_sf0_v2_<fp>`) GC the other's LIVE index on every
+    * build (round-11 advice). The shape test closes that class: the
+    * extended name's suffix carries its own path remnant + '_' + its
+    * 16-hex fingerprint, which can never itself be exactly 16 hex. */
   private def gcStaleIndexes(s: SparkSession, d: String,
                              keepFingerprint: String): Unit =
     try {
@@ -266,8 +281,14 @@ object Ivf {
       val root = new org.apache.hadoop.fs.Path(indexRoot(s))
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.listStatus(root)
-        .filter(st => st.getPath.getName.startsWith(prefix) &&
-          st.getPath.getName != keep)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(prefix) && n != keep && {
+            val suffix = n.drop(prefix.length)
+            suffix.length == 16 && suffix.forall(c =>
+              (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+          }
+        }
         .foreach(st => fs.delete(st.getPath, true))
     } catch { case _: Exception => () }
 
@@ -637,6 +658,12 @@ object Ivf {
     // OS rename.
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // compaction (the only debris producer) is gated to atomic-rename
+    // schemes, so on any other filesystem there is no debris of this
+    // lifecycle's making — and attempting the restore rename there
+    // would itself be a non-atomic copy+delete with the exact torn
+    // state this recovery exists to fix
+    if (!atomicRenameScheme(fs)) return
     if (!fs.exists(root)) return
     val all = fs.listStatus(root)
     all.filter(_.getPath.getName.endsWith(".old")).foreach { o =>
@@ -651,10 +678,28 @@ object Ivf {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** Schemes whose FileSystem.rename is an atomic directory swap — the
+    * contract compaction's crash-safety rests on. S3A (and object
+    * stores generally) implement rename as copy + delete: a mid-rename
+    * crash leaves BOTH cluster=N and cluster=N.old partially
+    * populated, and recovery's "live exists → delete .old" branch
+    * would then drop rows. Compaction is therefore gated to this
+    * allowlist; elsewhere it no-ops and fragmentation is bounded only
+    * by the next drift-triggered rebuild (round-11 advice). */
+  private val atomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  private[graft] def atomicRenameScheme(
+      fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    // base FileSystem.getScheme throws; an impl that can't even name
+    // its scheme gets the conservative (no-compaction) treatment
+    scala.util.Try(fs.getScheme).toOption
+      .exists(atomicRenameSchemes.contains)
+
   def compactIndex(s: SparkSession, path: String,
                    maxFilesPerList: Int = MaxFilesPerList): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!atomicRenameScheme(fs)) return false
     recoverCompactionDebris(s, path)
     // fresh listing: recovery above may have renamed/removed entries
     val offenders = (if (fs.exists(root)) fs.listStatus(root)

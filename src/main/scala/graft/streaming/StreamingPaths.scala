@@ -8,7 +8,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * trigram bridge across batches), the finalization horizon, the
   * timestamp of the last finalized event (for session-gap resets), and
   * the buffer of events still inside the lateness window — parallel
-  * arrays for a flat product encoder. */
+  * arrays for a flat product encoder.
+  *
+  * STATE-SCHEMA COMPATIBILITY (round-11 advice): `lastEventTs` was
+  * added in round 11 for session-gap severing. Spark's state encoders
+  * are positional, so a flatMapGroupsWithState checkpoint written by
+  * the earlier 5-field layout will NOT restore against this class —
+  * restart such a stream from a fresh checkpoint (the sources replay;
+  * Update-mode consumers must dedup re-emitted finalized rows). Any
+  * future field change to this class or [[AttrState]] carries the
+  * same break. */
 case class PathState(lastTypes: Array[String], lastFinalTs: Long,
                      lastEventTs: Long,
                      bufTs: Array[Long], bufId: Array[Long],

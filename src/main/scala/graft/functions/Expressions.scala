@@ -48,6 +48,8 @@ object NativeExprs {
     toCol(HyperplaneSig(toExpr(e), planes, bitsPerBand))
   def nearestCentroid(e: Column, centroids: Array[Array[Double]]): Column =
     toCol(NearestCentroid(toExpr(e), centroids))
+  def sampleDistSums(e: Column, samples: Array[Array[Array[Double]]]): Column =
+    toCol(SampleDistSums(toExpr(e), samples))
   def sigMatches(a: Column, b: Column): Column =
     toCol(SigMatches(toExpr(a), toExpr(b)))
   def shingleHashes(tokens: Column, n: Int): Column =
@@ -520,6 +522,42 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** Per-cluster sums of L2 distances from the input vector to each
+  * cluster's sampled vectors (q171 sampled silhouette). The K×m
+  * sample (a few hundred vectors) is expression-static data riding the
+  * serialized plan, exactly like [[NearestCentroid]]'s centroids; the
+  * row cost is one fused loop in [[SketchKernels.sampleDistSums]].
+  * Null on dimensionality mismatch (a truncated distance would score a
+  * malformed embedding as plausibly clustered). */
+case class SampleDistSums(child: Expression,
+                          samples: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val dim =
+    samples.iterator.flatten.map(_.length).nextOption().getOrElse(0)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sample_dist_sums"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    if (dim > 0 && e.numElements() != dim) null
+    else SketchKernels.sampleDistSums(e, samples)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("samples", samples, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($dim > 0 && $c.numElements() != $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.sampleDistSums($c, $ref); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SampleDistSums = copy(child = c)
 }
 
 /** 63-bit SimHash over a token array: per-bit ±1 votes of token

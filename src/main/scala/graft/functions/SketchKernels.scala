@@ -291,6 +291,36 @@ object SketchKernels {
     best
   }
 
+  /** Per-cluster SUM of L2 distances from `e` to each cluster's
+    * sampled vectors — the q171 sampled-silhouette kernel: one tight
+    * loop over K×m expression-static vectors (a few hundred — rides
+    * the serialized plan like the centroids) replaces K×m interpreted
+    * HOF evaluations per row. Returns sums (not means) so the caller
+    * can self-exclude a sampled row from its own cluster's mean. */
+  def sampleDistSums(e: ArrayData,
+                     samples: Array[Array[Array[Double]]]): ArrayData = {
+    val dim = e.numElements()
+    val out = new Array[Double](samples.length)
+    var c = 0
+    while (c < samples.length) {
+      val svs = samples(c)
+      var s = 0.0
+      var j = 0
+      while (j < svs.length) {
+        val v = svs(j)
+        val n = math.min(dim, v.length)
+        var d2 = 0.0
+        var i = 0
+        while (i < n) { val dx = e.getDouble(i) - v(i); d2 += dx * dx; i += 1 }
+        s += math.sqrt(d2)
+        j += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count–Min row index for key `s` in row `r`: double hashing with
     * the same xxhash64 pair the minhash chain uses, so update
     * (aggregate) and probe (scalar expression) derive identical

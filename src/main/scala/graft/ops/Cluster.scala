@@ -253,8 +253,107 @@ object Cluster {
       .orderBy(col("cluster"))
   }
 
+  // ---------------------------------------------------------------- q171
+
+  /** Per-cluster sample size for the sampled silhouette: 32 keeps the
+    * broadcast K×32×dim sample at a few hundred KB and the estimator's
+    * per-cluster standard error around 1/√32 ≈ 0.18 of the distance
+    * spread — tight enough to separate "compact" from "wide" clusters,
+    * which is what the audit is for. */
+  val SilhouetteSampleN = 32
+
+  /** q171: SAMPLED-PAIR SILHOUETTE — the middle rung of the anchor →
+    * sample → centroid ladder (q162 exact on a bounded slice; q168
+    * centroid-simplified on the full corpus). Estimates the EXACT
+    * silhouette's a(i)/b(i) — mean distance to a cluster's MEMBERS,
+    * not to its centroid — against a bounded per-cluster sample, so it
+    * keeps the full-corpus scale shape while avoiding q168's known
+    * bias (centroid distance underestimates mean member distance, so
+    * q168 overestimates cohesion for WIDE clusters; ClusterSpec plants
+    * that exact case).
+    *
+    * Sampling is the q117 portable-randomness recipe: u =
+    * md5(vec_id)-derived uniform; per-cluster EXACT counts (one
+    * map-side-combined agg) size a gate p_c = min(1, 4·m/n_c), and the
+    * top-m by (u, vec_id) within the tiny gated pool are the sample —
+    * deterministic, rerunnable, and the only window runs over the
+    * pool (≤ ~4·m·K rows), never the corpus. Scoring is ONE map pass:
+    * a codegen'd kernel sums distances to all K samples per row
+    * ([[graft.functions.NativeExprs.sampleDistSums]]), a(i)
+    * self-excludes sampled rows, b(i) is the min over other clusters,
+    * s = (b−a)/max(a,b), with s = 0 for singleton/degenerate rows
+    * (the standard convention). Rows-only: iterative k-means is not
+    * SQL-expressible. */
+  def q171SilhouetteSampled(s: SparkSession, d: String): DataFrame =
+    silhouetteSampled(emb(s, d).select(col("vec_id"), col("e")))
+
+  def silhouetteSampled(vecs: DataFrame, k: Int = K,
+                        sampleN: Int = SilhouetteSampleN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = kmeansDistributed(vecs, k)
+    require(m.centroids.length >= 2,
+      s"silhouette needs >= 2 clusters, fit found ${m.centroids.length}")
+    val kk = m.centroids.length
+    def assigned(v: DataFrame): DataFrame = v.select(col("vec_id"), col("e"),
+      graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"))
+    // exact per-cluster counts: one map-side-combined agg, ≤ K rows
+    val cnts = new Array[Long](kk)
+    assigned(vecs).groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().foreach(r => cnts(r.getInt(0)) = r.getLong(1))
+    // portable uniform in [0,1): the q117 md5 recipe, salted so this
+    // query's sample is independent of any other md5-gated split
+    val u = conv(substring(md5(concat(col("vec_id").cast("string"), lit(":sil"))),
+        1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val gates = cnts.map(n =>
+      if (n == 0L) 0.0 else math.min(1.0, 4.0 * sampleN / n.toDouble)).toSeq
+    val pool = assigned(vecs)
+      .withColumn("u", u)
+      .filter(col("u") < element_at(typedLit(gates), col("cluster") + 1))
+    val wPool = Window.partitionBy(col("cluster")).orderBy(col("u"), col("vec_id"))
+    val sampleRows = pool.withColumn("rk", row_number().over(wPool))
+      .filter(col("rk") <= sampleN)
+      .select(col("cluster"), col("vec_id"), col("e"))
+      .collect() // bounded: ≤ K × sampleN rows
+    val samples = Array.fill(kk)(scala.collection.mutable.ArrayBuffer[Array[Double]]())
+    val sampleIds = Array.fill(kk)(scala.collection.mutable.ArrayBuffer[Long]())
+    sampleRows.foreach { r =>
+      samples(r.getInt(0)) += r.getSeq[Double](2).toArray
+      sampleIds(r.getInt(0)) += r.getLong(1)
+    }
+    val sCnts = typedLit(samples.map(_.length.toDouble).toSeq)
+    val idsLit = typedLit(sampleIds.map(_.toSeq).toSeq)
+    val sums = graft.functions.NativeExprs.sampleDistSums(
+      col("e"), samples.map(_.toArray))
+    val idx = col("cluster") + 1
+    val inSample = array_contains(element_at(idsLit, idx), col("vec_id"))
+    val ownCnt = element_at(sCnts, idx) -
+      when(inSample, lit(1.0)).otherwise(lit(0.0))
+    val aCol = when(ownCnt > 0, element_at(col("sums"), idx) / ownCnt)
+    // mean distance to every OTHER cluster's sample; own + empty
+    // clusters masked to +inf so array_min skips them
+    val bCol = array_min(zip_with(col("sums"),
+      typedLit((0 until kk).map(_.toDouble)),
+      (sm, i) => when(i === col("cluster").cast("double"), lit(Double.MaxValue))
+        .otherwise(when(element_at(sCnts, i.cast("int") + 1) > 0,
+          sm / element_at(sCnts, i.cast("int") + 1)).otherwise(lit(Double.MaxValue)))))
+    assigned(vecs)
+      .withColumn("sums", sums)
+      .withColumn("a", aCol)
+      .withColumn("b", bCol)
+      .select(col("cluster"),
+        when(col("a").isNull || col("b") === lit(Double.MaxValue) ||
+            greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .as("sil"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("sil")), 6).as("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q97_kmeans", q97Kmeans _, None),
     ("q98_semantic_dedup", q98SemanticDedup _, Some(q98Sql)),
-    ("q168_silhouette_approx", q168SilhouetteApprox _, None))
+    ("q168_silhouette_approx", q168SilhouetteApprox _, None),
+    ("q171_silhouette_sampled", q171SilhouetteSampled _, None))
 }

@@ -91,6 +91,64 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("q171 sampled silhouette tracks the exact score where q168 overestimates") {
+    // planted geometry where the centroid shortcut's bias is visible:
+    // a WIDE cluster (48 points spread along y ∈ [-10, 10] at x = 0)
+    // and a tight one (32 points at x = 15). Centroid distance
+    // underestimates mean member distance most for the wide cluster,
+    // so q168 overestimates its cohesion; the sampled estimator
+    // measures member distances and must track the exact value.
+    val wide = (0 until 48).map(i =>
+      (i.toLong, Seq(0.0, -10.0 + i * (20.0 / 47.0), 0.0)))
+    val tight = (0 until 32).map(i =>
+      (100L + i, Seq(15.0, (i % 7) * 0.03, (i % 5) * 0.03)))
+    val pts = wide ++ tight
+    def dist(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // exact silhouette of the planted wide group, brute force
+    def exactMean(own: Seq[Seq[Double]], other: Seq[Seq[Double]]): Double = {
+      val ss = own.map { p =>
+        val a = own.filter(_ != p).map(dist(p, _)).sum / (own.length - 1)
+        val b = other.map(dist(p, _)).sum / other.length
+        (b - a) / math.max(a, b)
+      }
+      ss.sum / ss.length
+    }
+    val exactWide = exactMean(wide.map(_._2), tight.map(_._2))
+    val df = vecsDF(pts)
+    def wideRow(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val r = rows.filter(_.getAs[Long]("n_vecs") == 48L)
+      assert(r.length == 1, s"kmeans must keep the planted 48/32 split: ${rows.toSeq}")
+      r.head.getAs[Double]("mean_silhouette")
+    }
+    val sampled = wideRow(Cluster.silhouetteSampled(df, k = 2).collect())
+    val centroid = wideRow(Cluster.silhouetteApprox(df, k = 2).collect())
+    assert(centroid >= exactWide + 0.05,
+      s"the centroid shortcut must visibly overestimate the wide cluster: " +
+        s"centroid $centroid vs exact $exactWide")
+    assert(math.abs(sampled - exactWide) <= 0.08,
+      s"the sampled estimator must track the exact score: " +
+        s"sampled $sampled vs exact $exactWide")
+    assert(math.abs(sampled - exactWide) < centroid - exactWide,
+      s"the middle rung must beat the centroid shortcut: sampled $sampled, " +
+        s"centroid $centroid, exact $exactWide")
+  }
+
+  test("q171 sampled silhouette: separated blobs ≈ 1, deterministic") {
+    val a = Cluster.silhouetteSampled(blobs, k = 2).collect()
+    val b = Cluster.silhouetteSampled(blobs, k = 2).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "md5-gated sampling must be rerunnable")
+    assert(a.length == 2)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 4L)
+      // the whole 4-point blob fits in the sample → the estimate IS
+      // the exact silhouette here, and separation is extreme
+      assert(r.getAs[Double]("mean_silhouette") > 0.9,
+        s"tight separated blobs must score near 1: ${r.getAs[Double]("mean_silhouette")}")
+    }
+  }
+
   test("semantic dedup drops planted duplicates, keeps the min id") {
     // 10 is a scaled copy of 2 (cosine exactly 1), 11 is near-copy of 5
     val base = (0L until 10L).map { i =>

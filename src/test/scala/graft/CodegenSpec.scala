@@ -48,7 +48,9 @@ class CodegenSpec extends AnyFunSuite {
         NativeExprs.pqAdc(
           NativeExprs.pqEncode(col("a"), Array(Array(Array(0.4, 0.9)))),
           Array(Array(1.0))).as("pq"),
-        NativeExprs.shingleHashes(col("toks"), 2).as("shg")
+        NativeExprs.shingleHashes(col("toks"), 2).as("shg"),
+        NativeExprs.sampleDistSums(col("a"),
+          Array(Array(Array(1.0, 2.0), Array(4.0, 6.0)), Array(Array(1.0, 6.0)))).as("sds")
       ).head()
       assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
       assert(row.getSeq[Long](row.fieldIndex("shg")).length == 2)
@@ -59,6 +61,10 @@ class CodegenSpec extends AnyFunSuite {
       assert(row.getAs[Int]("sm") == 2)
       assert(math.abs(row.getAs[Double]("ci8") - 1.0) < 1e-3)
       assert(math.abs(row.getAs[Double]("pq") - 1.0) < 1e-12)
+      // a=(1,2): cluster 0 = dist 0 + dist 5 = 5; cluster 1 = dist 4
+      val sds = row.getSeq[Double](row.fieldIndex("sds"))
+      assert(sds.length == 2 && math.abs(sds(0) - 5.0) < 1e-12 &&
+        math.abs(sds(1) - 4.0) < 1e-12, s"sample_dist_sums: $sds")
     }
   }
 

@@ -57,4 +57,94 @@ object Health {
     * scheduler diffs between vintages. */
   def writeHealthReport(s: SparkSession, d: String, outDir: String): Unit =
     healthReport(s, d).write.mode("overwrite").partitionBy("check").json(outDir)
+
+  /** Identity columns of each constituent's digest rows — what
+    * [[diffReports]] pairs rows on before comparing the remaining
+    * (metric) fields. A check absent from this map diffs by WHOLE
+    * payload (set semantics): a future check added to healthReport
+    * degrades to coarse added/removed rows instead of silently
+    * mispairing. */
+  private val checkKeys: Map[String, Seq[String]] = Map(
+    "key_skew" -> Seq("key_col"),
+    "ivf_balance" -> Seq("cluster"),
+    "dim_stats" -> Seq("dim"),
+    "dup_spectrum" -> Seq("group_size"),
+    "curation_funnel" -> Seq("stage_idx", "stage"))
+
+  /** VINTAGE DIFF (round-11 verdict ask #6) — the artifact a scheduler
+    * actually pages on: two [[writeHealthReport]] directories → one
+    * row per check with its change profile.
+    *
+    * Rows pair on the check's identity columns ([[checkKeys]]); every
+    * other payload field compares as a RELATIVE difference when both
+    * sides parse as numbers (|x−y| / max(|x|,|y|), so `tolerance` is
+    * scale-free), exact string equality otherwise, and a field present
+    * on one side only counts as fully changed. Per check:
+    *
+    *  - `status`  — added (check only in b) / removed (only in a) /
+    *                changed (any paired row beyond tolerance, or any
+    *                unpaired row) / unchanged;
+    *  - `n_unchanged`/`n_changed` — paired rows within/beyond
+    *                tolerance; `n_only_a`/`n_only_b` — unpaired rows;
+    *  - `max_rel_diff` — the worst paired-field difference, the number
+    *                an alert threshold acts on.
+    *
+    * Scale shape: health reports are bounded digests by construction,
+    * so both inputs are tiny; the join keys on (check, identity) and
+    * everything downstream is a ≤#checks-row aggregate. */
+  def diffReports(s: SparkSession, aDir: String, bDir: String,
+                  tolerance: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val keyMap = typedLit(checkKeys.map { case (c, ks) => c -> ks.toSeq })
+    def load(dir: String, side: String): DataFrame =
+      s.read.json(dir)
+        .select(col("check").cast("string").as("check"),
+          col("payload").cast("string").as("payload"))
+        .withColumn("m", from_json(col("payload"), MapType(StringType, StringType)))
+        .withColumn("kcols", element_at(keyMap, col("check")))
+        .withColumn("key",
+          when(col("kcols").isNull, col("payload"))
+            .otherwise(to_json(map_filter(col("m"),
+              (k, _) => array_contains(col("kcols"), k)))))
+        .withColumn("vals",
+          when(col("kcols").isNull,
+            from_json(lit("{}"), MapType(StringType, StringType)))
+            .otherwise(map_filter(col("m"),
+              (k, _) => !array_contains(col("kcols"), k))))
+        .select(col("check"), col("key"), col("vals").as(s"vals_$side"))
+    val a = load(aDir, "a")
+    val b = load(bDir, "b")
+    // per paired field: scale-free relative diff for numerics, 0/1 for
+    // strings, 1 for a field present on one side only (null lambda arg)
+    val fieldDiff = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      when(x.isNull || y.isNull, lit(1.0))
+        .when(x.cast("double").isNotNull && y.cast("double").isNotNull,
+          when(x.cast("double") === y.cast("double"), lit(0.0))
+            .otherwise(abs(x.cast("double") - y.cast("double")) /
+              greatest(abs(x.cast("double")), abs(y.cast("double")))))
+        .otherwise(when(x === y, lit(0.0)).otherwise(lit(1.0)))
+    val joined = a.join(b, Seq("check", "key"), "full_outer")
+      .withColumn("row_diff",
+        when(col("vals_a").isNull || col("vals_b").isNull, lit(null))
+          .otherwise(coalesce(
+            array_max(map_values(map_zip_with(col("vals_a"), col("vals_b"),
+              (_, x, y) => fieldDiff(x, y)))),
+            lit(0.0))))
+    joined
+      .groupBy(col("check"))
+      .agg(
+        sum(when(col("row_diff") <= tolerance, 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("row_diff") > tolerance, 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("vals_b").isNull, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(col("vals_a").isNull, 1L).otherwise(0L)).as("n_only_b"),
+        round(coalesce(max(col("row_diff")), lit(0.0)), 6).as("max_rel_diff"))
+      .select(col("check"),
+        when(col("n_unchanged") + col("n_changed") + col("n_only_a") === 0, lit("added"))
+          .when(col("n_unchanged") + col("n_changed") + col("n_only_b") === 0, lit("removed"))
+          .when(col("n_changed") + col("n_only_a") + col("n_only_b") > 0, lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("n_unchanged"), col("n_changed"), col("n_only_a"), col("n_only_b"),
+        col("max_rel_diff"))
+      .orderBy(col("check"))
+  }
 }

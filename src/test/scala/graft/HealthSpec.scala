@@ -56,4 +56,76 @@ class HealthSpec extends AnyFunSuite {
     val back = spark.read.json(out)
     assert(back.count() == Health.healthReport(spark, TestSpark.sf0001).count())
   }
+
+  /** Builds a vintage dir by rewriting dir `a` through a payload
+    * transform — the controlled "next drop" for diff tests. */
+  private def rewriteVintage(aDir: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    val out = java.nio.file.Files.createTempDirectory("health_b").toString
+    f(spark.read.json(aDir).select(col("check").cast("string"), col("payload")))
+      .write.mode("overwrite").partitionBy("check").json(out)
+    out
+  }
+
+  test("diffReports: identical vintages are unchanged everywhere, diff is deterministic") {
+    val a = java.nio.file.Files.createTempDirectory("health_a").toString
+    Health.writeHealthReport(spark, TestSpark.sf0001, a)
+    val rows = Health.diffReports(spark, a, a).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[String]("status") == "unchanged", s"self-diff: $r")
+      assert(r.getAs[Long]("n_changed") == 0L && r.getAs[Long]("n_only_a") == 0L
+        && r.getAs[Long]("n_only_b") == 0L)
+      assert(r.getAs[Double]("max_rel_diff") == 0.0)
+    }
+  }
+
+  test("diffReports flags changed, added, and removed families with row counts") {
+    val a = java.nio.file.Files.createTempDirectory("health_a2").toString
+    Health.writeHealthReport(spark, TestSpark.sf0001, a)
+    // vintage b: double every ivf_balance n_vecs (changed), drop
+    // dup_spectrum (removed), add a new custom check (added)
+    val b = rewriteVintage(a, df => {
+      val mutated = df
+        .filter(col("check") =!= "dup_spectrum")
+        .withColumn("payload",
+          when(col("check") === "ivf_balance",
+            regexp_replace(col("payload"), "\"n_vecs\":(\\d+)", "\"n_vecs\":9$1"))
+            .otherwise(col("payload")))
+      mutated.unionByName(
+        spark.range(1).select(lit("custom_check").as("check"),
+          lit("""{"probe":"x","score":1.0}""").as("payload")))
+    })
+    val got = Health.diffReports(spark, a, b).collect()
+      .map(r => r.getAs[String]("check") -> r).toMap
+    assert(got("ivf_balance").getAs[String]("status") == "changed")
+    assert(got("ivf_balance").getAs[Long]("n_changed") > 0L)
+    assert(got("ivf_balance").getAs[Double]("max_rel_diff") > 0.5,
+      s"9x-ing n_vecs is a large relative change: ${got("ivf_balance")}")
+    assert(got("dup_spectrum").getAs[String]("status") == "removed")
+    assert(got("dup_spectrum").getAs[Long]("n_only_a") > 0L)
+    assert(got("custom_check").getAs[String]("status") == "added")
+    assert(got("custom_check").getAs[Long]("n_only_b") == 1L)
+    Seq("key_skew", "dim_stats", "curation_funnel").foreach { c =>
+      assert(got(c).getAs[String]("status") == "unchanged", s"$c: ${got(c)}")
+    }
+  }
+
+  test("diffReports tolerance: a drift inside the alert threshold does not page") {
+    val a = java.nio.file.Files.createTempDirectory("health_a3").toString
+    Health.writeHealthReport(spark, TestSpark.sf0001, a)
+    // a REAL drift (n_vecs → n·10+1, relative diff ~0.9): pages at
+    // tolerance 0, stays quiet when the threshold is above the drift
+    val b = rewriteVintage(a, df => df.withColumn("payload",
+      when(col("check") === "ivf_balance",
+        regexp_replace(col("payload"), "\"n_vecs\":(\\d+)", "\"n_vecs\":$11"))
+        .otherwise(col("payload"))))
+    val page = Health.diffReports(spark, a, b, tolerance = 0.0).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[String]("status")).toMap
+    assert(page("ivf_balance") == "changed")
+    val lax = Health.diffReports(spark, a, b, tolerance = 0.999).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[String]("status")).toMap
+    assert(lax("ivf_balance") == "unchanged",
+      "a drift inside the alert tolerance must not page")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** HyperLogLog distinct-count sketch as a Catalyst
   * TypedImperativeAggregate — the user-controlled-precision complement
@@ -22,44 +22,37 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * large-range correction unnecessary. Estimate standard error ≈
   * 1.04/√(2^p) — 1.6% at p=12.
   */
-case class HllSketchAgg(child: Expression, p: Int,
-                        mutableAggBufferOffset: Int = 0,
-                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
-
-  require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
-  private val m = 1 << p
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = LongType
-  override def prettyName: String = "hll_distinct"
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - p)).toInt
-      // rank = leading-zero run length in the remaining 64-p bits, 1-based
-      val w = h << p
-      val rank = (if (w == 0) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
-    }
-    buf
+/** Shared HLL register kernels: one update/merge/estimate
+  * implementation behind the estimating aggregate ([[HllSketchAgg]]),
+  * the sketch-emitting aggregate ([[HllSketchBytesAgg]]), and the
+  * stored-sketch merger ([[HllMergeAgg]]) — so a sketch PERSISTED by
+  * one and re-aggregated by another is register-for-register the
+  * sketch a direct pass would have built (HllSpec pins that identity,
+  * the property the persisted-rollup pattern rests on). */
+private[functions] object Hll {
+  def updateValue(buf: Array[Byte], v: Any, dt: DataType, p: Int): Unit = {
+    val h = XxHash64Function.hash(v, dt, 42L)
+    val idx = (h >>> (64 - p)).toInt
+    // rank = leading-zero run length in the remaining 64-p bits, 1-based
+    val w = h << p
+    val rank = (if (w == 0) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rank > buf(idx)) buf(idx) = rank.toByte
   }
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+  def mergeInto(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    require(b1.length == b2.length,
+      s"HLL register width mismatch: ${b1.length} vs ${b2.length} — " +
+        "sketches built at different precisions cannot merge")
     var i = 0
-    while (i < m) {
+    while (i < b1.length) {
       if (b2(i) > b1(i)) b1(i) = b2(i)
       i += 1
     }
     b1
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  def estimate(buf: Array[Byte]): Long = {
+    val m = buf.length
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -80,6 +73,33 @@ case class HllSketchAgg(child: Expression, p: Int,
       else raw
     math.round(est)
   }
+}
+
+case class HllSketchAgg(child: Expression, p: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.updateValue(buf, v, child.dataType, p)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -92,6 +112,92 @@ case class HllSketchAgg(child: Expression, p: Int,
     copy(child = cs.head)
 }
 
+/** The SKETCH-EMITTING twin of [[HllSketchAgg]]: same registers, but
+  * the aggregate's value is the register array itself (BINARY) — the
+  * column a 100 TB pipeline PERSISTS per (partition, group) so any
+  * later rollup merges kilobyte sketches instead of re-scanning the
+  * corpus. Re-aggregate stored sketches with [[HllMergeAgg]]. */
+case class HllSketchBytesAgg(child: Expression, p: Int,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.updateValue(buf, v, child.dataType, p)
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+
+  // clone: the buffer object is mutable aggregation state
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchBytesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchBytesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): HllSketchBytesAgg =
+    copy(child = cs.head)
+}
+
+/** Merge STORED sketches (a BINARY column written by
+  * [[HllSketchBytesAgg]]) into one distinct-count estimate — the
+  * rollup side of the persisted-sketch pattern: per-vintage sketches
+  * in a tiny table answer any grouping's distinct count without
+  * touching the data they summarize. Fails fast on register-width
+  * mismatch (sketches from different precisions are not mergeable). */
+case class HllMergeAgg(child: Expression, p: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_merge"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.mergeInto(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = cs.head)
+}
+
 object HllSketchAgg {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -100,4 +206,16 @@ object HllSketchAgg {
   def hllDistinct(c: Column, p: Int = 12): Column =
     ColumnBridge.column(
       HllSketchAgg(ColumnBridge.expression(c), p).toAggregateExpression())
+
+  /** Aggregate Column: the sketch ITSELF (2^p register bytes) — the
+    * persistable form; roll up later with [[hllMergeEstimate]]. */
+  def hllSketch(c: Column, p: Int = 12): Column =
+    ColumnBridge.column(
+      HllSketchBytesAgg(ColumnBridge.expression(c), p).toAggregateExpression())
+
+  /** Aggregate Column: distinct-count estimate from MERGED stored
+    * sketches (a binary column produced by [[hllSketch]]). */
+  def hllMergeEstimate(c: Column, p: Int = 12): Column =
+    ColumnBridge.column(
+      HllMergeAgg(ColumnBridge.expression(c), p).toAggregateExpression())
 }

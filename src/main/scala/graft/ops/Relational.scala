@@ -1982,6 +1982,95 @@ object Relational {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** Session gap for q172's session-scoped attribution: 10 minutes of
+    * silence severs the session — deliberately SHORTER than
+    * [[AttributionWindowUs]] (30 min), so the two rules genuinely
+    * differ: a touch 25 min before a purchase with a >10-min silence
+    * in between is inside q163's window but outside q172's session.
+    * (A gap ≥ the window would make session scoping vacuous — any
+    * in-window touch would also be in-session.) */
+  val AttributionSessionGapUs: Long = 600L * 1000000L
+
+  /** q172: SESSION-SCOPED LAST-TOUCH ATTRIBUTION — q163 with the
+    * GA-style rule that credit never crosses a session boundary: the
+    * carried touch resets when more than [[AttributionSessionGapUs]]
+    * of silence precedes the event, so a purchase opening a fresh
+    * session is 'direct' even when the previous session's touch is
+    * still inside the attribution window. Completes the attribution
+    * family the way q161's session paths completed q149.
+    *
+    * Scale shape: q161's sessionization (two per-user windows — the
+    * lag-gap flag and the running session counter) followed by q163's
+    * per-(user, session) ignoreNulls carry; all windows are per-user,
+    * the result is a ≤|types|+1-row digest. */
+  def q172SessionAttribution(s: SparkSession, d: String): DataFrame =
+    sessionAttributedPurchases(events(s, d))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+
+  /** q172 core: one (user_id, channel, value) row per purchase under
+    * the session-scoped rule — [[attributedPurchases]]' sibling, split
+    * out so the spec can plant the distinguishing case (an in-window
+    * touch severed by a session gap). */
+  def sessionAttributedPurchases(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > AttributionSessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+    val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sess
+      .withColumn("touch", last(
+          when(col("event_type") =!= "purchase",
+            struct(unix_micros(col("ts")).as("pts"), col("event_type").as("ptype"))),
+          ignoreNulls = true).over(ws))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        when(col("touch").isNotNull &&
+            unix_micros(col("ts")) - col("touch.pts") <= AttributionWindowUs,
+          col("touch.ptype")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+  }
+
+  val q172Sql: String =
+    """WITH g AS (
+      | SELECT user_id, event_type, ts, event_id, value,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      | SELECT user_id, event_type, ts, event_id, value,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      | FROM g
+      |), t AS (
+      | SELECT user_id, event_type, ts, value,
+      |  last_value(CASE WHEN event_type <> 'purchase'
+      |    THEN struct_pack(pts := epoch_us(ts), ptype := event_type) END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id, sess_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      | FROM s
+      |)
+      |SELECT CASE WHEN touch IS NOT NULL
+      |         AND epoch_us(ts) - touch.pts <= 1800000000
+      |       THEN touch.ptype ELSE 'direct' END AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  round(sum(value), 2) AS attributed_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   /** q164: SUPPLIER CONCENTRATION (HHI) PER BRAND — the
     * Herfindahl–Hirschman index of supplier revenue shares within each
     * part brand, plus the top supplier's share. The sourcing-risk
@@ -2206,6 +2295,7 @@ object Relational {
     ("q160_equidepth_bucketed", q160EquidepthBucketed _, null),
     ("q161_session_paths", q161SessionPaths _, q161Sql),
     ("q163_attribution", q163Attribution _, q163Sql),
+    ("q172_session_attribution", q172SessionAttribution _, q172Sql),
     ("q164_brand_hhi", q164BrandHhi _, q164Sql),
     ("q165_fulfillment_lag", q165FulfillmentLag _, q165Sql),
     ("q166_latest_snapshot", q166LatestSnapshot _, q166Sql),

@@ -198,6 +198,32 @@ object Text {
            countDistinct(col("token")).as("exact_tokens"))
       .orderBy(col("source"))
 
+  /** q173: PERSISTED-SKETCH ROLLUP — the pattern that makes
+    * distinct-count dashboards affordable at 100 TB: ONE corpus pass
+    * builds a tiny (source, lang) → HLL-sketch-bytes table (the frame
+    * a pipeline persists per vintage/partition), and every later
+    * rollup — per-source here, plus the ALL row — aggregates those
+    * kilobyte register arrays with `hll_merge` instead of re-scanning
+    * the tokens. Because sketch build and merge share one register
+    * kernel, the merged estimate is REGISTER-IDENTICAL to a direct
+    * single-pass sketch (HllSpec pins that equality, plus the
+    * cross-group union estimate and the precision-mismatch fail-fast).
+    * Rows-only: the estimator is engine-specific. */
+  def q173HllRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HllSketchAgg.{hllSketch, hllMergeEstimate}
+    // stage 1 — the persisted form: one sketch per (source, lang)
+    val sketches = documents(s, d)
+      .select(col("source"), col("lang"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("lang"))
+      .agg(hllSketch(col("token")).as("sk"))
+    // stage 2 — rollups touch ONLY the sketch table
+    val perSource = sketches.groupBy(col("source"))
+      .agg(hllMergeEstimate(col("sk")).as("approx_tokens"))
+    val all = sketches.agg(hllMergeEstimate(col("sk")).as("approx_tokens"))
+      .select(lit("ALL").as("source"), col("approx_tokens"))
+    perSource.unionByName(all).orderBy(col("source"))
+  }
+
   /** q73: intra-document REPETITION signals — the Gopher-style
     * quality rules that catch boilerplate/spam before training:
     * duplicate-word fraction (1 − |distinct|/|tokens|) and the mass of
@@ -1074,6 +1100,7 @@ object Text {
     ("q35_lang_id", q35LangId _, Some(q35Sql)),
     ("q36_bpe_tokens", q36BpeTokens _, Some(q36Sql)),
     ("q53_hll_distinct", q53HllDistinct _, None),
+    ("q173_hll_rollup", q173HllRollup _, None),
     ("q73_repetition", q73Repetition _, Some(q73Sql)),
     ("q74_heavy_hitters", q74HeavyHitters _, None),
     ("q82_bigram_lm", q82BigramLm _, Some(q82Sql)),

@@ -46,4 +46,61 @@ class HllSpec extends AnyFunSuite {
         s"source ${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("stored-sketch rollup is register-identical to a direct pass") {
+    import spark.implicits._
+    import graft.functions.HllSketchAgg.{hllSketch, hllMergeEstimate}
+    val df = spark.range(30000).map(i => (s"g-${i % 5}", s"v-${i % 9000}"))
+      .toDF("g", "v")
+    // one sketch per group (the persisted table), merged back to global
+    val merged = df.groupBy(col("g")).agg(hllSketch(col("v")).as("sk"))
+      .agg(hllMergeEstimate(col("sk"))).head().getLong(0)
+    // direct single-pass estimate over the same values
+    val direct = df.agg(hllDistinct(col("v"))).head().getLong(0)
+    assert(merged == direct,
+      s"merging per-group sketches must reproduce the direct registers: $merged vs $direct")
+  }
+
+  test("merged sketches of disjoint sets estimate the union") {
+    import spark.implicits._
+    import graft.functions.HllSketchAgg.{hllSketch, hllMergeEstimate}
+    val a = spark.range(4000).map(i => ("a", s"left-$i")).toDF("g", "v")
+    val b = spark.range(4000).map(i => ("b", s"right-$i")).toDF("g", "v")
+    val union = a.union(b).groupBy(col("g")).agg(hllSketch(col("v")).as("sk"))
+      .agg(hllMergeEstimate(col("sk"))).head().getLong(0)
+    assert(math.abs(union - 8000) < 450,
+      s"union of two disjoint 4k sets should estimate ~8000: $union")
+  }
+
+  test("q173 rollup rows track exact per-source + global distinct tokens") {
+    val got = graft.ops.Text.q173HllRollup(spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val exactPer = docs.groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs.select(col("token")).distinct().count()
+    assert(got.keySet == exactPer.keySet + "ALL")
+    exactPer.foreach { case (src, exact) =>
+      assert(math.abs(got(src) - exact).toDouble / exact < 0.05,
+        s"$src: ${got(src)} vs exact $exact")
+    }
+    assert(math.abs(got("ALL") - exactAll).toDouble / exactAll < 0.05,
+      s"ALL: ${got("ALL")} vs exact $exactAll")
+  }
+
+  test("sketches at different precisions fail fast instead of mis-merging") {
+    import spark.implicits._
+    import graft.functions.HllSketchAgg.{hllSketch, hllMergeEstimate}
+    val df = spark.range(100).map(i => s"v-$i").toDF("v")
+    val skLo = df.agg(hllSketch(col("v"), 6).as("sk"))
+    val ex = intercept[Exception] {
+      skLo.agg(hllMergeEstimate(col("sk"), 12)).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("register width mismatch")),
+      s"expected the width-mismatch failure, got: ${msgs(ex)}")
+  }
 }

@@ -340,6 +340,32 @@ class RelationalSpec extends AnyFunSuite {
       "every purchase lands in exactly one channel")
   }
 
+  test("q172 session scoping: a session gap severs an otherwise in-window touch") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: click, 25 min of SILENCE (> 10-min session gap, < 30-min
+    // attribution window), purchase — q163 credits the click, q172
+    // says direct. user 2: click then purchase 23 min later with
+    // keep-alive views every ≤10 min bridging the session — both
+    // rules credit the last view.
+    val ev = Seq(
+      (1L, "click", ts(1000), 1L, 0.0),
+      (1L, "purchase", ts(1000 + 1500), 2L, 10.0),
+      (2L, "click", ts(5000), 3L, 0.0),
+      (2L, "view", ts(5000 + 300), 4L, 0.0),
+      (2L, "view", ts(5000 + 800), 5L, 0.0),
+      (2L, "purchase", ts(5000 + 1400), 6L, 20.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val flat = Relational.attributedPurchases(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val scoped = Relational.sessionAttributedPurchases(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(flat(1L) == "click" && scoped(1L) == "direct",
+      s"the 25-min silence must sever user 1's credit: flat $flat scoped $scoped")
+    assert(flat(2L) == "view" && scoped(2L) == "view",
+      s"user 2's bridged session keeps the credit: flat $flat scoped $scoped")
+  }
+
   test("q164 HHI: bounded by [1/n, 1], top share consistent") {
     Relational.q164BrandHhi(spark, TestSpark.sf0001).collect().foreach { r =>
       val n = r.getAs[Long]("n_suppliers").toDouble

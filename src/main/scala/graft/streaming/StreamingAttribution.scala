@@ -5,10 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-user attribution state: the last finalized non-purchase touch
-  * (NoTs/null when none yet), the finalization horizon, and the buffer
-  * of events still inside the lateness window — parallel arrays for a
-  * flat product encoder (the PathState layout). */
-case class AttrState(touchTs: Long, touchType: String, lastFinalTs: Long,
+  * (NoTs/null when none yet), the timestamp of the last finalized
+  * event of ANY type (for session-gap severing — NoTs when none), the
+  * finalization horizon, and the buffer of events still inside the
+  * lateness window — parallel arrays for a flat product encoder (the
+  * PathState layout).
+  *
+  * STATE-SCHEMA COMPATIBILITY: `lastEventTs` was added in round 12 for
+  * the session-scoped variant. Spark state encoders are positional, so
+  * a checkpoint written by the round-11 6-field layout will not
+  * restore against this class — restart such a stream from a fresh
+  * checkpoint (see the PathState note for the same contract). */
+case class AttrState(touchTs: Long, touchType: String, lastEventTs: Long,
+                     lastFinalTs: Long,
                      bufTs: Array[Long], bufId: Array[Long],
                      bufType: Array[String], bufValue: Array[Double])
 
@@ -26,6 +35,10 @@ case class AttrState(touchTs: Long, touchType: String, lastFinalTs: Long,
   *  - a finalized PURCHASE emits (user, channel, value) where channel
   *    is the carried touch if within [[graft.ops.Relational.AttributionWindowUs]],
   *    else 'direct'; a finalized non-purchase replaces the carry;
+  *  - the SESSION-SCOPED variant ([[sessionAttributedPurchases]],
+  *    q172's twin) additionally severs the carry when more than the
+  *    gap of event-time silence precedes a finalized event — the
+  *    StreamingPaths session rule applied to the touch carry;
   *  - event-time timeout flushes users the data stopped touching;
   *    disorder beyond the finalized horizon is dropped; the
   *    watermark-unset sentinel (0) defers finalization, all exactly as
@@ -33,26 +46,28 @@ case class AttrState(touchTs: Long, touchType: String, lastFinalTs: Long,
   *
   * Emits one row per finalized purchase (Update mode); a consumer
   * aggregates per channel. AttributionStreamSpec pins stream ≡ batch
-  * (q163's attributedPurchases) under controlled disorder, and the
-  * late-click-changes-the-channel case the order-dependence argument
-  * rests on. */
+  * (q163's attributedPurchases / q172's sessionAttributedPurchases)
+  * under controlled disorder, the late-click-changes-the-channel case,
+  * and checkpointed restart. */
 object StreamingAttribution {
 
   private val NoTs = Long.MinValue
 
   private[graft] val emptyState: AttrState =
-    AttrState(NoTs, null, NoTs, Array.empty, Array.empty, Array.empty, Array.empty)
+    AttrState(NoTs, null, NoTs, NoTs, Array.empty, Array.empty, Array.empty, Array.empty)
 
   /** One micro-batch step for one user (the testable pure core —
     * [[StreamingPaths.stepUser]]'s shape). `freshRows` carry
-    * (tsUs, eventId, type, value). Returns (emitted (channel, value)
-    * pairs, new state). */
+    * (tsUs, eventId, type, value). `gapUs` = Long.MaxValue disables
+    * session severing (the q163 rule). Returns (emitted
+    * (channel, value) pairs, new state). */
   private[graft] def stepUser(st0: AttrState,
                               freshRows: Seq[(Long, Long, String, Double)],
-                              wmMs: Long, windowUs: Long)
+                              wmMs: Long, windowUs: Long,
+                              gapUs: Long = Long.MaxValue)
       : (Seq[(String, Double)], AttrState) = {
     val fresh = freshRows.filter(_._1 >= st0.lastFinalTs)
-    val st1 = AttrState(st0.touchTs, st0.touchType, st0.lastFinalTs,
+    val st1 = AttrState(st0.touchTs, st0.touchType, st0.lastEventTs, st0.lastFinalTs,
       st0.bufTs ++ fresh.map(_._1), st0.bufId ++ fresh.map(_._2),
       st0.bufType ++ fresh.map(_._3), st0.bufValue ++ fresh.map(_._4))
     if (wmMs == 0L) return (Seq.empty, st1)
@@ -64,7 +79,14 @@ object StreamingAttribution {
     val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     var touchTs = st1.touchTs
     var touchType = st1.touchType
+    var lastEventTs = st1.lastEventTs
     ordered.foreach { i =>
+      // session sever BEFORE processing the event: a silence longer
+      // than the gap orphans the carried touch (q172's new_sess rule)
+      if (lastEventTs != NoTs && st1.bufTs(i) - lastEventTs > gapUs) {
+        touchTs = NoTs
+        touchType = null
+      }
       if (st1.bufType(i) == "purchase") {
         val channel =
           if (touchType != null && st1.bufTs(i) - touchTs <= windowUs) touchType
@@ -74,8 +96,9 @@ object StreamingAttribution {
         touchTs = st1.bufTs(i)
         touchType = st1.bufType(i)
       }
+      lastEventTs = st1.bufTs(i)
     }
-    (out.toSeq, AttrState(touchTs, touchType, newHorizon,
+    (out.toSeq, AttrState(touchTs, touchType, lastEventTs, newHorizon,
       rest.map(st1.bufTs).toArray, rest.map(st1.bufId).toArray,
       rest.map(st1.bufType).toArray, rest.map(st1.bufValue).toArray))
   }
@@ -85,6 +108,18 @@ object StreamingAttribution {
     * finalized purchase. */
   def attributedPurchases(events: DataFrame,
       windowUs: Long = graft.ops.Relational.AttributionWindowUs)
+      : Dataset[(Long, String, Double)] =
+    run(events, windowUs, gapUs = Long.MaxValue)
+
+  /** q172's streaming twin: [[attributedPurchases]] with the carry
+    * severed at session boundaries (> `gapUs` of event-time silence). */
+  def sessionAttributedPurchases(events: DataFrame,
+      windowUs: Long = graft.ops.Relational.AttributionWindowUs,
+      gapUs: Long = graft.ops.Relational.AttributionSessionGapUs)
+      : Dataset[(Long, String, Double)] =
+    run(events, windowUs, gapUs)
+
+  private def run(events: DataFrame, windowUs: Long, gapUs: Long)
       : Dataset[(Long, String, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -100,7 +135,7 @@ object StreamingAttribution {
           val fresh = rows.map(r => (r._3.getTime * 1000L + (r._3.getNanos / 1000) % 1000,
             r._4, r._2, r._5)).toSeq
           val (emitted, st2) =
-            stepUser(st0, fresh, state.getCurrentWatermarkMs(), windowUs)
+            stepUser(st0, fresh, state.getCurrentWatermarkMs(), windowUs, gapUs)
           state.update(st2)
           if (st2.bufTs.nonEmpty) {
             val wakeMs = math.max(state.getCurrentWatermarkMs() + 1,

@@ -539,6 +539,79 @@ object Similarity {
       |FROM a_dist JOIN b_dist USING (id_a)
       |GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** q174: DIMENSION-TRUNCATION RECALL — the storage-reduction eval a
+    * 100 TB embedding store runs before committing to Matryoshka-style
+    * prefix truncation: recall@k of exact cosine search over only the
+    * FIRST d dimensions vs full-dimension exact, per d. Prefix
+    * truncation divides both the vector bytes scanned and the ANN
+    * index size by dim/d; this measures what that costs in recall on
+    * the actual corpus (the q126 recall-sweep discipline applied to
+    * the dimension knob instead of nprobe).
+    *
+    * Scale shape: the bounded query set broadcasts (q126's recipe);
+    * the corpus is scanned ONCE, each (query, vec) pair scoring every
+    * truncation level in the same projection (slice + codegen'd
+    * cosine per level — levels × dim flops per pair, no extra pass);
+    * every ranking works off that one scored frame. Full-dim recall
+    * is 1.0 by construction, which the spec pins along with the
+    * planted prefix-informative case. Rows-only (per-level top-k
+    * ranking is this engine's own seed-free construction; expressible
+    * in SQL only as a 4-way self-join DuckDB times out on at sf). */
+  def q174TruncationRecall(s: SparkSession, d: String): DataFrame =
+    truncationRecall(emb(s, d).select(col("vec_id"), col("e")))
+
+  def truncationRecall(vecs: DataFrame, nQueries: Int = 8,
+                       dims: Seq[Int] = Seq(8, 16, 32, 64),
+                       k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = vecs.sparkSession
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // cached: the full-dim exact ranking and every truncation ranking
+    // consume THIS frame — uncached, each window would re-run the
+    // corpus scan + levels × cosine cross-join (the q126 pattern,
+    // including the bounded collect-and-release below)
+    val scored = vecs.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(Seq(col("qid"), col("vec_id")) ++ dims.map(dd =>
+        cosine(slice(col("e"), 1, dd), slice(col("qe"), 1, dd)).as(s"sim_$dd")): _*)
+      .cache()
+    val full = dims.max
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col(s"sim_$full").desc, col("vec_id").asc)
+    val exact = scored.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= k).select(col("qid"), col("vec_id"))
+    val perDim = dims.map { dd =>
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col(s"sim_$dd").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(wd))
+        .filter(col("rk") <= k)
+        .select(lit(dd).as("dims"), col("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val nExact = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    // the full (qid × dims) grid, so a zero-match (query, level) cell
+    // counts as recall 0 instead of silently dropping out of the mean
+    // (q126's r9-ADVICE denominator discipline)
+    val grid = queries.select(col("qid"), explode(typedLit(dims)).as("dims"))
+    val matches = perDim.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("dims"), col("qid")).agg(count(lit(1)).as("n_match"))
+    val out = grid.join(matches, Seq("dims", "qid"), "left").na.fill(0L, Seq("n_match"))
+      .join(nExact, Seq("qid"), "left").na.fill(0L, Seq("n_exact"))
+      .select(col("dims"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_match").cast("double") / col("n_exact")).as("recall"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_queries"),
+           round(avg(col("recall")), 4).as("mean_recall"),
+           round(min(col("recall")), 4).as("min_recall"))
+      .orderBy(col("dims"))
+    // bounded digest (one row per level): materialize and release the
+    // cached per-pair score frame before returning
+    val rows = out.collect().toSeq
+    scored.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
     ("q41_ann_lsh", q41AnnLsh _, None),
@@ -550,5 +623,6 @@ object Similarity {
     ("q136_dim_stats", q136DimStats _, Some(q136Sql)),
     ("q140_label_separation", q140LabelSeparation _, Some(q140Sql)),
     ("q162_label_silhouette", q162LabelSilhouette _, Some(q162Sql)),
+    ("q174_truncation_recall", q174TruncationRecall _, None),
   )
 }

@@ -315,4 +315,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3)._1 > 3.0, "shifted mean is visible")
     assert(got.size == 3)
   }
+
+  test("q174 truncation recall: exact at full dims, monotone on a prefix-informative corpus") {
+    import spark.implicits._
+    // planted corpus where the PREFIX carries the signal (dims 0-7
+    // dominate, the tail is small noise): truncation at 8 should
+    // already recover most of the full-dim ranking
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 120L).map { i =>
+      val head = Array.fill(8)(math.cos(i.toDouble / 9.0) + rnd.nextGaussian())
+      val tail = Array.fill(56)(rnd.nextGaussian() * 0.05)
+      (i, (head ++ tail).toSeq)
+    }.toDF("vec_id", "e")
+    val rows = graft.ops.Similarity.truncationRecall(vecs)
+      .collect().sortBy(_.getAs[Int]("dims"))
+    assert(rows.map(_.getAs[Int]("dims")).toSeq == Seq(8, 16, 32, 64))
+    rows.foreach(r => assert(r.getAs[Long]("n_queries") == 8L))
+    val means = rows.map(_.getAs[Double]("mean_recall"))
+    assert(means.last == 1.0 &&
+      rows.last.getAs[Double]("min_recall") == 1.0,
+      "full-dimension truncation is exact by construction")
+    assert(means.head > 0.5,
+      s"an informative prefix must recover most of the ranking at 8 dims: ${means.toSeq}")
+    // corpus-scale smoke on the real embeddings: bounded rows, valid range
+    val real = graft.ops.Similarity.q174TruncationRecall(spark, TestSpark.sf0001)
+      .collect()
+    assert(real.length == 4)
+    real.foreach { r =>
+      val m = r.getAs[Double]("mean_recall")
+      assert(m >= 0.0 && m <= 1.0 && r.getAs[Double]("min_recall") <= m)
+    }
+    assert(real.maxBy(_.getAs[Int]("dims")).getAs[Double]("mean_recall") == 1.0)
+  }
 }

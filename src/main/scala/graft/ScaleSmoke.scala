@@ -60,7 +60,7 @@ object ScaleSmoke {
     // K months later" growth, not a same-key pile-up. Skipped when no
     // selected query reads events.
     if (qs.exists(q => Seq("q130_", "q131_", "q132_", "q133_", "q134_", "q24_",
-        "q28_", "q59_").exists(q.startsWith))) {
+        "q28_", "q59_", "q149_", "q161_", "q163_", "q172_").exists(q.startsWith))) {
       val ev = Tables.events(spark, base)
       val b = ev.agg(F.max("user_id"), F.max("event_id"),
         F.expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")).head()
@@ -130,8 +130,8 @@ object ScaleSmoke {
     // would make every top-k a tie pile-up and semantic dedup a
     // degenerate clique) while the cluster geometry — what IVF
     // training and outlier scoring key on — stays the base corpus's.
-    if (qs.exists(q => Seq("q40_", "q48_", "q86_", "q97_", "q98_", "q156_")
-        .exists(q.startsWith))) {
+    if (qs.exists(q => Seq("q40_", "q48_", "q86_", "q97_", "q98_", "q156_",
+        "q168_", "q171_", "q174_").exists(q.startsWith))) {
       val raw = spark.read.parquet(s"$base/embeddings.parquet")
       val elemSql = raw.schema("embedding").dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]

@@ -136,6 +136,44 @@ object Classifier {
     } finally feats.unpersist()
   }
 
+  /** Per-bin reliability rows over a (p, y) scored frame: equal-width
+    * probability bins, each reporting its count, mean predicted
+    * probability, observed positive rate, and the |gap| between them —
+    * the reliability diagram a classifier deployment reads before
+    * trusting σ(w·x) as a probability (weighted-mean gap = ECE).
+    * p = 1.0 lands in the top bin. One map + one ≤bins-row
+    * aggregation; the scored frame is whatever the caller has — at
+    * scale, the same cached features the fit used. */
+  def calibrationCurve(scored: DataFrame, bins: Int = 10): DataFrame =
+    scored
+      .select(least(floor(col("p") * bins).cast("int"), lit(bins - 1)).as("bin"),
+        col("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("p")), 6).as("mean_pred"),
+           round(avg(col("y")), 6).as("frac_pos"),
+           round(abs(avg(col("p")) - avg(col("y"))), 6).as("gap"))
+      .orderBy(col("bin"))
+
+  /** q175: CALIBRATION CURVE of the q105 quality classifier — trains
+    * the same model, then audits whether its scores are trustworthy AS
+    * PROBABILITIES (a curation pipeline thresholding at 0.9 implicitly
+    * assumes they are). Rows-only (iterative fit); ClassifierSpec pins
+    * the bin arithmetic against hand values and corpus conservation. */
+  def q175CalibrationCurve(s: SparkSession, d: String): DataFrame = {
+    val feats = features(documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = logregFit(feats)
+      val out = calibrationCurve(
+        feats.select(sigmoid(dot(col("x"), m.weights)).as("p"), col("y")))
+      // bounded digest (≤ bins rows): materialize before the finally
+      // releases the cached features the lazy plan references
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally feats.unpersist()
+  }
+
   def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q105_logreg_quality", q105LogregQuality _, None))
+    ("q105_logreg_quality", q105LogregQuality _, None),
+    ("q175_calibration_curve", q175CalibrationCurve _, None))
 }

@@ -81,4 +81,55 @@ class ClassifierSpec extends AnyFunSuite {
     assert(rows("final_loss") < math.log(2.0), "must beat the uninformed loss")
     assert(rows("w1") > 0.0, "the token-count weight must carry the signal")
   }
+
+  test("calibrationCurve: hand-checked bins, edge p=1.0 in the top bin") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 0.0), (0.08, 0.0),        // bin 0: mean_pred .065, frac_pos 0
+      (0.62, 1.0), (0.68, 0.0),        // bin 6: mean_pred .65,  frac_pos .5
+      (1.0, 1.0)                       // p = 1.0 must land in bin 9, not 10
+    ).toDF("p", "y")
+    val got = graft.ops.Classifier.calibrationCurve(scored).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(0, 6, 9))
+    assert(got(0).getAs[Long]("n") == 2L &&
+      got(0).getAs[Double]("mean_pred") == 0.065 &&
+      got(0).getAs[Double]("frac_pos") == 0.0 &&
+      got(0).getAs[Double]("gap") == 0.065)
+    assert(got(6).getAs[Double]("frac_pos") == 0.5 &&
+      got(6).getAs[Double]("gap") == 0.15)
+    assert(got(9).getAs[Long]("n") == 1L && got(9).getAs[Double]("gap") == 0.0)
+  }
+
+  test("calibrationCurve on a Bernoulli(p)-labeled frame sits near the diagonal") {
+    import spark.implicits._
+    // labels drawn (deterministically, hash-based) with P(y=1) = p:
+    // the curve of a perfectly calibrated scorer — every bin's gap
+    // should be within sampling error of 0
+    val rnd = new scala.util.Random(3)
+    val scored = (0 until 4000).map { i =>
+      val p = (i % 100 + 0.5) / 100.0
+      (p, if (rnd.nextDouble() < p) 1.0 else 0.0)
+    }.toDF("p", "y")
+    graft.ops.Classifier.calibrationCurve(scored).collect().foreach { r =>
+      // 400 samples/bin → se of frac_pos ≤ 0.5/√400 = 0.025; 4 se gate
+      assert(r.getAs[Double]("gap") < 0.10,
+        s"bin ${r.getInt(0)} gap ${r.getAs[Double]("gap")} breaks the diagonal")
+    }
+  }
+
+  test("q175 bins conserve the corpus and stay in range") {
+    val rows = graft.ops.Classifier.q175CalibrationCurve(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == graft.Tables.documents(spark, TestSpark.sf0001).count(),
+      "every scored doc lands in exactly one bin")
+    rows.foreach { r =>
+      val mp = r.getAs[Double]("mean_pred"); val fp = r.getAs[Double]("frac_pos")
+      assert(mp >= 0.0 && mp <= 1.0 && fp >= 0.0 && fp <= 1.0)
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(mp - fp)) < 2e-6)
+    }
+  }
 }

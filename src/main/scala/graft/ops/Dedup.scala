@@ -1150,6 +1150,55 @@ object Dedup {
   def q152CrossSourceNeardup(s: SparkSession, d: String): DataFrame =
     crossSourceNeardup(documents(s, d), minEst = 0.8)
 
+  /** q176: BLOCKED FUZZY ENTITY MATCHING — the edit-distance member of
+    * the dedup family: resolve a dirty query list against a clean
+    * catalog without ever going quadratic. The query set is derived
+    * deterministically from the catalog itself (every 37th part name
+    * with its third character deleted — a typo both engines can
+    * reproduce, so the oracle runs on the same tables); candidates
+    * come from a BLOCKING-KEY equi-join (the name's final token — the
+    * noun, which the head-of-string typo can't corrupt), and only
+    * candidates pay the levenshtein verify (≤ 2).
+    *
+    * Scale shape: the classic entity-resolution layout — the dirty
+    * side is tiny and BROADCAST, the catalog never shuffles, the edit
+    * distance runs codegen'd inside the probe-side scan, and the block
+    * key bounds comparisons by the hottest block (the noun domain
+    * here; a production catalog would cap degenerate blocks exactly
+    * like [[bandedPairs]]' bucket cap). Every query's own source part
+    * is recovered at distance 1 by construction (DedupSpec pins it). */
+  def q176FuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val parts = part(s, d).select(col("p_partkey"), col("p_name"))
+    val queries = parts.filter(col("p_partkey") % 37 === 0)
+      .select(col("p_partkey").as("q_key"),
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("q_name"))
+      .withColumn("blk", element_at(split(col("q_name"), " "), -1))
+    val catalog = parts
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    catalog.join(broadcast(queries), Seq("blk"))
+      .filter(levenshtein(col("q_name"), col("p_name")) <= 2)
+      .select(col("q_key"), col("p_partkey"),
+        levenshtein(col("q_name"), col("p_name")).as("dist"))
+      .orderBy(col("q_key"), col("p_partkey"))
+  }
+
+  val q176Sql: String =
+    """WITH q AS (
+      | SELECT p_partkey AS q_key,
+      |   substr(p_name, 1, 2) || substr(p_name, 4) AS q_name
+      | FROM part WHERE p_partkey % 37 = 0
+      |), qb AS (
+      | SELECT q_key, q_name, str_split(q_name, ' ')[-1] AS blk FROM q
+      |), pb AS (
+      | SELECT p_partkey, p_name, str_split(p_name, ' ')[-1] AS blk FROM part
+      |)
+      |SELECT q_key, p_partkey,
+      |  CAST(levenshtein(q_name, p_name) AS INT) AS dist
+      |FROM qb JOIN pb USING (blk)
+      |WHERE levenshtein(q_name, p_name) <= 2
+      |ORDER BY q_key, p_partkey""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -1159,6 +1208,7 @@ object Dedup {
     ("q81_containment", q81Containment _, Some(q81Sql)),
     ("q92_containment_lsh", q92ContainmentLsh _, None),
     ("q152_crosssource_neardup", q152CrossSourceNeardup _, None),
+    ("q176_fuzzy_match", q176FuzzyMatch _, Some(q176Sql)),
     ("q49_source_sketch", q49SourceSketch _, None),
     ("q67_dedup_clusters", q67DedupClusters _, Some(q67Sql)),
     ("q90_dedup_keep_best", q90DedupKeepBest _, Some(q90Sql)),

@@ -576,6 +576,25 @@ class DedupSpec extends AnyFunSuite {
       "identical token sets estimate exactly 1")
   }
 
+  test("q176 fuzzy match: every typo'd query recovers its source part at distance 1") {
+    val rows = Dedup.q176FuzzyMatch(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val selfPairs = rows.filter { case (q, p, _) => q == p }
+    val nQueries = graft.Tables.part(spark, TestSpark.sf0001)
+      .filter(col("p_partkey") % 37 === 0).count()
+    assert(selfPairs.length == nQueries.toInt,
+      s"each of $nQueries queries must match its own source part: ${selfPairs.length}")
+    assert(selfPairs.forall(_._3 == 1),
+      "a single deleted character is edit distance exactly 1")
+    assert(rows.forall(_._3 <= 2))
+    // the blocked plan broadcasts the dirty side and never goes cartesian
+    val plan = Dedup.q176FuzzyMatch(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy match must be a blocked broadcast join:\n$plan")
+  }
+
   test("one-slot sig cache: interleaved LSH invocations stay correct (r11 advice)") {
     val d = TestSpark.sf0001
     // sequential baseline: invoke-and-materialize, the contract's

@@ -1162,24 +1162,30 @@ object Dedup {
     *
     * Scale shape: the classic entity-resolution layout — the dirty
     * side is tiny and BROADCAST, the catalog never shuffles, the edit
-    * distance runs codegen'd inside the probe-side scan, and the block
-    * key bounds comparisons by the hottest block (the noun domain
-    * here; a production catalog would cap degenerate blocks exactly
+    * distance is computed ONCE per candidate inside the probe-side
+    * scan, and the COMPOUND block key (final token + the first two
+    * characters, both of which this typo class provably preserves)
+    * bounds the candidates a hot noun can generate — the multi-key
+    * blocking every production ER deployment uses, and it defines the
+    * operator's recall envelope honestly: a match corrupted in BOTH
+    * its noun and its first two characters is out of scope by design
+    * (a production catalog would also cap degenerate blocks exactly
     * like [[bandedPairs]]' bucket cap). Every query's own source part
     * is recovered at distance 1 by construction (DedupSpec pins it). */
   def q176FuzzyMatch(s: SparkSession, d: String): DataFrame = {
     val parts = part(s, d).select(col("p_partkey"), col("p_name"))
+    def blkOf(name: org.apache.spark.sql.Column) =
+      concat(element_at(split(name, " "), -1), lit("|"), substring(name, 1, 2))
     val queries = parts.filter(col("p_partkey") % 37 === 0)
       .select(col("p_partkey").as("q_key"),
         concat(substring(col("p_name"), 1, 2),
           expr("substring(p_name, 4)")).as("q_name"))
-      .withColumn("blk", element_at(split(col("q_name"), " "), -1))
-    val catalog = parts
-      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .withColumn("blk", blkOf(col("q_name")))
+    val catalog = parts.withColumn("blk", blkOf(col("p_name")))
     catalog.join(broadcast(queries), Seq("blk"))
-      .filter(levenshtein(col("q_name"), col("p_name")) <= 2)
       .select(col("q_key"), col("p_partkey"),
         levenshtein(col("q_name"), col("p_name")).as("dist"))
+      .filter(col("dist") <= 2)
       .orderBy(col("q_key"), col("p_partkey"))
   }
 
@@ -1189,9 +1195,13 @@ object Dedup {
       |   substr(p_name, 1, 2) || substr(p_name, 4) AS q_name
       | FROM part WHERE p_partkey % 37 = 0
       |), qb AS (
-      | SELECT q_key, q_name, str_split(q_name, ' ')[-1] AS blk FROM q
+      | SELECT q_key, q_name,
+      |   str_split(q_name, ' ')[-1] || '|' || substr(q_name, 1, 2) AS blk
+      | FROM q
       |), pb AS (
-      | SELECT p_partkey, p_name, str_split(p_name, ' ')[-1] AS blk FROM part
+      | SELECT p_partkey, p_name,
+      |   str_split(p_name, ' ')[-1] || '|' || substr(p_name, 1, 2) AS blk
+      | FROM part
       |)
       |SELECT q_key, p_partkey,
       |  CAST(levenshtein(q_name, p_name) AS INT) AS dist

@@ -616,6 +616,47 @@ object Text {
   def q157BpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrain(documents(s, d), BpeMerges)
 
+  /** q177: BPE ENCODE — the APPLY step q157's training exists for:
+    * tokenize the corpus under the learned merge table and report
+    * per-source token counts and compression (chars per BPE token) —
+    * the number a token-budgeted pipeline (q64/q83) actually needs
+    * from a trained tokenizer.
+    *
+    * 100 TB shape (how real tokenizers deploy): merges apply to the
+    * (source, word, count) VOCABULARY digest — the corpus's only
+    * full-text pass is the word explode feeding one partial-aggregated
+    * count — so the per-word merge fold (expression depth = nMerges,
+    * bounded) runs once per DISTINCT word, not once per occurrence;
+    * totals re-weight by word count. Encode uses the same
+    * [[applyMerge]] fold the trainer's iterations used, so train and
+    * encode agree on merge semantics BY CONSTRUCTION. Rows-only (the
+    * trained table comes from q157's iterative argmax);
+    * TextStatsSpec pins the stats against a driver-side reference
+    * encoder and the merges-monotonicity property (more merges never
+    * increase the token count). */
+  def q177BpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeStats(documents(s, d), BpeMerges)
+
+  def bpeEncodeStats(docs: DataFrame, nMerges: Int): DataFrame = {
+    val merges = bpeTrain(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (left, right), rank order
+    val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    val encoded = merges.foldLeft(chars) { case (c, (a, b)) => applyMerge(c, a, b) }
+    docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("source"), col("wc"),
+        size(encoded).cast("long").as("n_syms"),
+        length(col("w")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("wc")).as("n_words"),
+           sum(col("wc") * col("n_syms")).as("bpe_tokens"),
+           round(sum(col("wc") * col("n_chars")).cast("double") /
+                 sum(col("wc") * col("n_syms")), 4).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q94
 
   /** Redaction patterns: email-shaped and 555-prefixed phone-shaped
@@ -1115,6 +1156,7 @@ object Text {
     ("q127_pmi_bigrams", q127PmiBigrams _, Some(q127Sql)),
     ("q154_bm25", q154Bm25 _, Some(q154Sql)),
     ("q157_bpe_train", q157BpeTrain _, None),
+    ("q177_bpe_encode", q177BpeEncode _, None),
   )
 
 

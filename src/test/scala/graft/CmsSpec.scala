@@ -76,6 +76,25 @@ class CmsSpec extends AnyFunSuite {
     assert(sa.zip(sb).map { case (x, y) => x + y } == sAll)
   }
 
+  test("persisted-sketch rollup: stored per-group sketches re-merge to the direct sketch") {
+    // the q173 pattern for frequencies: the aggregate's OUTPUT already
+    // IS the register array, so a persisted per-(group) sketch table
+    // rolls up with plain elementwise addition — posexplode + sum here,
+    // bit-identical to the single-pass sketch over the union
+    val perSource = planted
+      .groupBy(col("source"))
+      .agg(CountMinAgg.countMinSketch(col("token"), 2, 64).as("cms"))
+    val remerged = perSource
+      .select(posexplode(col("cms")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("v"))
+      .orderBy(col("pos")).collect().map(_.getLong(1)).toSeq
+    val direct = planted
+      .groupBy(lit(1)).agg(CountMinAgg.countMinSketch(col("token"), 2, 64).as("cms"))
+      .collect()(0).getSeq[Long](1)
+    assert(remerged == direct,
+      "stored CMS rows must re-aggregate to the register-identical global sketch")
+  }
+
   test("q104 over the corpus: absent probes estimate low, stopwords match exact counts") {
     val rows = Text.q104CmsFreq(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -212,6 +212,46 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("q177 bpe encode: per-source stats equal a driver reference encoder") {
+    def applyM(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val n = graft.ops.Text.BpeMerges
+    val merges = graft.ops.Text.bpeTrain(docs, n).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .selectExpr("source", "explode(split(text, ' ')) AS w")
+      .where("length(w) > 0")
+      .groupBy("source", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def encLen(w: String): Long =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (a, b)) => applyM(s, a, b)
+      }.length.toLong
+    val want = words.groupBy(_._1).map { case (src, ws) =>
+      val nWords = ws.map(_._3).sum
+      val toks = ws.map { case (_, w, c) => c * encLen(w) }.sum
+      val chars = ws.map { case (_, w, c) => c * w.length }.sum
+      (src, nWords, toks,
+        BigDecimal(chars.toDouble / toks).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.ops.Text.q177BpeEncode(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == want.toSet, s"got ${got.toSeq}\nwant $want")
+    // more merges can never increase the token count (each merge only
+    // ever fuses adjacent symbols)
+    val fewer = graft.ops.Text.bpeEncodeStats(docs, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    got.foreach { case (src, _, toks, _) =>
+      assert(toks <= fewer(src),
+        s"$src: $n merges gave $toks tokens, 2 merges gave ${fewer(src)}")
+    }
+  }
+
   // ------------------------------------------------------------- q154
 
   test("q154 bm25: positive non-increasing scores, <=3 terms hit, saturation beats raw tf") {

@@ -211,11 +211,16 @@ object Text {
     * Rows-only: the estimator is engine-specific. */
   def q173HllRollup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.HllSketchAgg.{hllSketch, hllMergeEstimate}
-    // stage 1 — the persisted form: one sketch per (source, lang)
-    val sketches = documents(s, d)
+    // stage 1 — the persisted form: one sketch per (source, lang),
+    // MATERIALIZED (sources × langs rows × 4 KiB — the tiny table a
+    // pipeline writes per vintage), so both rollups below genuinely
+    // read the stored sketches and the corpus is scanned exactly once
+    val built = documents(s, d)
       .select(col("source"), col("lang"), explode(toks(col("text"))).as("token"))
       .groupBy(col("source"), col("lang"))
       .agg(hllSketch(col("token")).as("sk"))
+    val sketches = s.createDataFrame(
+      s.sparkContext.parallelize(built.collect().toSeq, 1), built.schema)
     // stage 2 — rollups touch ONLY the sketch table
     val perSource = sketches.groupBy(col("source"))
       .agg(hllMergeEstimate(col("sk")).as("approx_tokens"))

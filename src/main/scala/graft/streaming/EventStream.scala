@@ -62,6 +62,25 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("win_start"),
               col("event_type"), col("n"), col("total"))
 
+  /** Windowed APPROXIMATE DISTINCT USERS — streaming DAU/WAU
+    * sketching: exact distinct aggregation is unsupported over a
+    * stream (its state would be the unbounded user SET), and the
+    * standard production answer is a mergeable cardinality sketch as
+    * the aggregation state. Uses this engine's HLL aggregate
+    * (fixed 4 KiB registers per open window, partial-merged through
+    * the state store exactly like any streaming aggregation), so the
+    * stream's estimate is REGISTER-IDENTICAL to the batch hllDistinct
+    * over the same rows — EventStreamSpec pins that equality plus the
+    * usual error envelope against exact batch distinct. Same tumbling
+    * window + watermark as [[windowedCounts]]. */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(graft.functions.HllSketchAgg.hllDistinct(col("user_id").cast("string"))
+        .as("approx_users"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("approx_users"))
+
   /** Event-time session windows (30-minute gap), Spark's native
     * session_window operator — works identically over a batch frame or
     * a watermarked stream; the batch twin of Relational.q28Sessionize.

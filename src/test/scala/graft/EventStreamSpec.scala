@@ -29,6 +29,45 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed HLL distinct users: register-identical to batch, tracks exact") {
+    val dir = java.nio.file.Files.createTempDirectory("events-hll-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.windowedDistinctUsers(
+        EventStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("events_hll_stream_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("events_hll_stream_test").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin over the SAME rows: slot-wise-max merging makes the
+    // estimate independent of how partials arrived — micro-batches
+    // through the state store must give the EXACT same number as one
+    // batch pass
+    val events = graft.Tables.events(spark, TestSpark.sf0001)
+    val batch = events
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(graft.functions.HllSketchAgg.hllDistinct(col("user_id").cast("string"))
+        .as("approx_users"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("approx_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      "streaming HLL must be register-identical to the batch sketch")
+    // and both track the exact per-window distinct within the p=12
+    // envelope (small windows are in the linear-counting exact regime)
+    val exact = events
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == exact.keySet)
+    exact.foreach { case (w, n) =>
+      assert(math.abs(streamed(w) - n).toDouble / math.max(1L, n) < 0.05,
+        s"window $w: approx ${streamed(w)} vs exact $n")
+    }
+  }
+
   test("streaming SpaceSaving heavy hitters equals the batch sketch (complete mode)") {
     // the mergeable TypedImperativeAggregate works unchanged as a
     // streaming aggregate: micro-batch partials merge into the state

@@ -455,6 +455,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q171 sampled silhouette: the scoring plan is join-free (samples ride the plan)") {
+    val sp = sparkPlan(q("q171_silhouette_sampled"))
+    val s = sp.toString
+    // the K×m sample is expression-static data inside sample_dist_sums
+    // — a join (or worse, a pair explosion) anywhere in the returned
+    // plan would mean the sample is being shipped as a relation
+    assert(!s.contains("Join") && !s.contains("CartesianProduct"),
+      s"q171 scoring must not join — the sample is a plan literal:\n$s")
+    assert(s.contains("sample_dist_sums"), s"scoring must use the native kernel:\n$s")
+  }
+
+  test("q173 rollup plan reads NO parquet: stage 2 touches only the stored sketches") {
+    val sp = sparkPlan(q("q173_hll_rollup"))
+    val s = sp.toString
+    assert(!s.contains("FileScan"),
+      s"the rollup must aggregate the materialized sketch table, not rescan the corpus:\n$s")
+    assert(s.contains("hll_merge"), s"rollup must merge stored sketches:\n$s")
+  }
+
   test("q158 rebalance: per-bucket stats broadcast; docs never shuffle for the join") {
     val p = plan(q("q158_match_distribution"))
     assert(p.contains("BroadcastHashJoin"),

@@ -535,6 +535,14 @@ case class SampleDistSums(child: Expression,
                           samples: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
+  // every sampled vector must share one dimensionality — otherwise the
+  // first-vector-derived guard below would either null out healthy
+  // rows (malformed vector sampled first) or silently truncate
+  // distances (sampled later), the exact failure the null contract
+  // exists to prevent (round-12 review)
+  require(samples.iterator.flatten.map(_.length).distinct.size <= 1,
+    "sampled vectors must share one dimensionality")
+
   private val dim =
     samples.iterator.flatten.map(_.length).nextOption().getOrElse(0)
 

@@ -289,16 +289,37 @@ object Cluster {
 
   def silhouetteSampled(vecs: DataFrame, k: Int = K,
                         sampleN: Int = SilhouetteSampleN): DataFrame = {
+    // persisted: the counts agg, the sampling pool, and the final
+    // scoring all consume the assigned frame — uncached, each would
+    // re-scan the corpus and re-run the K×dim assignment kernel
+    // (round-12 review); released after the ≤K-row digest collects
+    val (assigned, out) = buildSampledSilhouette(vecs, k, sampleN)
+    try {
+      val rows = out.collect().toSeq
+      val s = vecs.sparkSession
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally assigned.unpersist()
+  }
+
+  /** The lazy scoring plan behind [[silhouetteSampled]] (and the
+    * cached assignment frame it references) — split out so
+    * PlanShapeSpec can pin the join-free scoring shape; callers use
+    * the public entry, which materializes the digest and releases the
+    * cache. */
+  private[graft] def buildSampledSilhouette(vecs: DataFrame, k: Int,
+      sampleN: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val m = kmeansDistributed(vecs, k)
     require(m.centroids.length >= 2,
       s"silhouette needs >= 2 clusters, fit found ${m.centroids.length}")
     val kk = m.centroids.length
-    def assigned(v: DataFrame): DataFrame = v.select(col("vec_id"), col("e"),
-      graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"))
+    val dim = m.centroids(0).length
+    val assigned = vecs.select(col("vec_id"), col("e"),
+        graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact per-cluster counts: one map-side-combined agg, ≤ K rows
     val cnts = new Array[Long](kk)
-    assigned(vecs).groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
       .collect().foreach(r => cnts(r.getInt(0)) = r.getLong(1))
     // portable uniform in [0,1): the q117 md5 recipe, salted so this
     // query's sample is independent of any other md5-gated split
@@ -306,7 +327,12 @@ object Cluster {
         1, 8), 16, 10).cast("double") / lit(4294967296.0)
     val gates = cnts.map(n =>
       if (n == 0L) 0.0 else math.min(1.0, 4.0 * sampleN / n.toDouble)).toSeq
-    val pool = assigned(vecs)
+    val pool = assigned
+      // a malformed (wrong-dimension) embedding must not enter the
+      // sample: SampleDistSums requires a uniform sample dimensionality
+      // (malformed CORPUS rows degrade per-row to s = 0 via the null
+      // guard instead)
+      .filter(size(col("e")) === dim)
       .withColumn("u", u)
       .filter(col("u") < element_at(typedLit(gates), col("cluster") + 1))
     val wPool = Window.partitionBy(col("cluster")).orderBy(col("u"), col("vec_id"))
@@ -336,7 +362,7 @@ object Cluster {
       (sm, i) => when(i === col("cluster").cast("double"), lit(Double.MaxValue))
         .otherwise(when(element_at(sCnts, i.cast("int") + 1) > 0,
           sm / element_at(sCnts, i.cast("int") + 1)).otherwise(lit(Double.MaxValue)))))
-    assigned(vecs)
+    val out = assigned
       .withColumn("sums", sums)
       .withColumn("a", aCol)
       .withColumn("b", bCol)
@@ -349,6 +375,7 @@ object Cluster {
       .agg(count(lit(1)).as("n_vecs"),
            round(avg(col("sil")), 6).as("mean_silhouette"))
       .orderBy(col("cluster"))
+    (assigned, out)
   }
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

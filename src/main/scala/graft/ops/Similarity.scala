@@ -573,12 +573,16 @@ object Similarity {
     // including the bounded collect-and-release below)
     val scored = vecs.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
-      .select(Seq(col("qid"), col("vec_id")) ++ dims.map(dd =>
+      .select(Seq(col("qid"), col("vec_id"),
+        // the exact baseline ranks the UNTRUNCATED vectors — dims.max
+        // standing in for "full" would silently grade every level
+        // against a truncated ranking whenever the caller's dims list
+        // excludes the true dimension (round-12 review)
+        cosine(col("e"), col("qe")).as("sim_full")) ++ dims.map(dd =>
         cosine(slice(col("e"), 1, dd), slice(col("qe"), 1, dd)).as(s"sim_$dd")): _*)
       .cache()
-    val full = dims.max
     val wq = Window.partitionBy(col("qid"))
-      .orderBy(col(s"sim_$full").desc, col("vec_id").asc)
+      .orderBy(col("sim_full").desc, col("vec_id").asc)
     val exact = scored.withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= k).select(col("qid"), col("vec_id"))
     val perDim = dims.map { dd =>
@@ -606,10 +610,13 @@ object Similarity {
            round(min(col("recall")), 4).as("min_recall"))
       .orderBy(col("dims"))
     // bounded digest (one row per level): materialize and release the
-    // cached per-pair score frame before returning
-    val rows = out.collect().toSeq
-    scored.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    // cached per-pair score frame before returning — unpersist in a
+    // finally so a failed/cancelled collect cannot pin the cache for
+    // the rest of the session (the bpeTrain discipline)
+    try {
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally scored.unpersist()
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -111,6 +111,27 @@ class HealthSpec extends AnyFunSuite {
     }
   }
 
+  test("diffReports: near-zero float jitter stays inside a small tolerance (blended diff)") {
+    import spark.implicits._
+    def writeReport(dir: String, payload: String): Unit =
+      Seq(("dim_stats", payload)).toDF("check", "payload")
+        .write.mode("overwrite").partitionBy("check").json(dir)
+    val a = java.nio.file.Files.createTempDirectory("health_z_a").toString
+    val b = java.nio.file.Files.createTempDirectory("health_z_b").toString
+    // a zero-centered metric drifting 1e-5 → −2e-5 on a KNOWN check
+    // (dim_stats pairs on "dim"): a pure relative diff reports 1.5 and
+    // pages at any tolerance < 1.5; the blended form reports ~3e-5
+    writeReport(a, """{"dim":0,"mean":0.00001}""")
+    writeReport(b, """{"dim":0,"mean":-0.00002}""")
+    val strict = Health.diffReports(spark, a, b, tolerance = 0.0).collect()
+    assert(strict.head.getAs[String]("status") == "changed",
+      "zero tolerance still detects the drift")
+    val lax = Health.diffReports(spark, a, b, tolerance = 0.001).collect()
+    assert(lax.head.getAs[String]("status") == "unchanged",
+      s"float jitter on a zero-centered metric must not page: ${lax.head}")
+    assert(lax.head.getAs[Double]("max_rel_diff") < 0.001)
+  }
+
   test("diffReports tolerance: a drift inside the alert threshold does not page") {
     val a = java.nio.file.Files.createTempDirectory("health_a3").toString
     Health.writeHealthReport(spark, TestSpark.sf0001, a)

@@ -456,14 +456,23 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q171 sampled silhouette: the scoring plan is join-free (samples ride the plan)") {
-    val sp = sparkPlan(q("q171_silhouette_sampled"))
-    val s = sp.toString
-    // the K×m sample is expression-static data inside sample_dist_sums
-    // — a join (or worse, a pair explosion) anywhere in the returned
-    // plan would mean the sample is being shipped as a relation
-    assert(!s.contains("Join") && !s.contains("CartesianProduct"),
-      s"q171 scoring must not join — the sample is a plan literal:\n$s")
-    assert(s.contains("sample_dist_sums"), s"scoring must use the native kernel:\n$s")
+    // the public entry materializes the digest (collect-and-release),
+    // so pin the INTERNAL lazy scoring plan the builder exposes
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val (assigned, out) = graft.ops.Cluster.buildSampledSilhouette(
+      vecs, k = graft.ops.Cluster.K, sampleN = graft.ops.Cluster.SilhouetteSampleN)
+    try {
+      val s = sparkPlan(out).toString
+      // the K×m sample is expression-static data inside
+      // sample_dist_sums — a join (or worse, a pair explosion) in the
+      // scoring plan would mean the sample ships as a relation
+      assert(!s.contains("Join") && !s.contains("CartesianProduct"),
+        s"q171 scoring must not join — the sample is a plan literal:\n$s")
+      assert(s.contains("sample_dist_sums"),
+        s"scoring must use the native kernel:\n$s")
+    } finally assigned.unpersist()
   }
 
   test("q173 rollup plan reads NO parquet: stage 2 touches only the stored sketches") {

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic bounded sampling as a Catalyst
+  * TypedImperativeAggregate: per group, keep the k ids with the
+  * SMALLEST (rank, id) — rank being any deterministic hash string
+  * (q84's md5 recipe) — and return them in rank order.
+  *
+  * Honest comparison with q84's window form on Spark 4: the optimizer
+  * already inserts a PARTIAL WindowGroupLimit below the exchange
+  * there, so both plans shuffle only ~k rows per group per mapper.
+  * What the window form still pays and this aggregate does not: a
+  * FULL per-partition sort of the fact by (group, rank) feeding the
+  * group-limit (O(n log n) per map task vs this buffer's O(n·cmp)
+  * with an O(1) reject for rows below a full reservoir), a second
+  * exchange + sort for the Final window, and k output rows per group
+  * where this emits one array row. It is also a reusable AGGREGATE —
+  * composable into rollups/pivots/other aggs in the same pass, where
+  * a window top-k cannot be. Merge is a sorted k-truncated union
+  * (associative + commutative, so the result is partitioning-
+  * independent — exactly q84's rows, which the oracle and the
+  * agreement test pin).
+  *
+  * Determinism: the hash rank replaces rand() (the q117/q84 portable-
+  * randomness discipline), ties break on id, and both sides of the
+  * comparison are binary UTF8 — the same order DuckDB gives hex
+  * varchars. */
+case class HashReservoirAgg(rank: Expression, id: Expression, k: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(UTF8String, Long)]] {
+
+  require(k >= 1, s"reservoir size must be >= 1, got $k")
+
+  type Buf = scala.collection.mutable.ArrayBuffer[(UTF8String, Long)]
+
+  override def children: Seq[Expression] = Seq(rank, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_reservoir"
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  private def lt(a: (UTF8String, Long), b: (UTF8String, Long)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
+
+  /** Insert keeping the buffer sorted ascending and capped at k. The
+    * common case on a big group — a row ranking below an already-full
+    * reservoir — is one comparison against the current maximum. */
+  private def insert(buf: Buf, e: (UTF8String, Long)): Unit = {
+    if (buf.length == k && !lt(e, buf.last)) return
+    var i = buf.length
+    while (i > 0 && lt(e, buf(i - 1))) i -= 1
+    buf.insert(i, e)
+    if (buf.length > k) buf.remove(buf.length - 1)
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val r = rank.eval(input)
+    val v = id.eval(input)
+    if (r != null && v != null)
+      // clone: the evaluated UTF8String may point into a reused row buffer
+      insert(buf, (r.asInstanceOf[UTF8String].clone(), v.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.map(_._2).toArray)
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (r, v) =>
+      val b = r.getBytes
+      out.writeInt(b.length); out.write(b); out.writeLong(v)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += ((UTF8String.fromBytes(b), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HashReservoirAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HashReservoirAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): HashReservoirAgg =
+    copy(rank = cs(0), id = cs(1))
+}
+
+object HashReservoirAgg {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Aggregate Column: the k ids with the smallest (rank, id), in
+    * rank order — the shuffle-light form of per-group exact-k
+    * deterministic sampling. */
+  def hashReservoir(rank: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(HashReservoirAgg(
+      ColumnBridge.expression(rank), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+}

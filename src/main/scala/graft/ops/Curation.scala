@@ -891,6 +891,29 @@ object Curation {
     stratifiedSample(documents(s, d).select(col("source"), col("doc_id")), 20)
       .orderBy(col("source"), col("rk"))
 
+  /** q178: q84's sample via the MERGEABLE RESERVOIR aggregate — same
+    * rows (same md5 rank, same ties), different machinery: Spark 4's
+    * partial WindowGroupLimit already keeps q84's shuffle at ~k rows
+    * per source per mapper, but the window form still full-sorts every
+    * map partition by (source, rank), exchanges + re-sorts for the
+    * Final window, and cannot compose with other aggregates; the
+    * reservoir is a plain hash-aggregate (no sort anywhere, one array
+    * row per source, usable inside any agg) — see
+    * [[graft.functions.HashReservoirAgg]] for the full comparison.
+    * Oracle = q84's SQL verbatim — the two forms must be
+    * row-identical, which is the whole point. */
+  def q178ReservoirSample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashReservoirAgg.hashReservoir
+    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
+    documents(s, d)
+      .select(col("source"), col("doc_id"), u.as("rnk"))
+      .groupBy(col("source"))
+      .agg(hashReservoir(col("rnk"), col("doc_id"), 20).as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("source"), col("doc_id"), (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val q84Sql: String =
     """WITH t AS (
       | SELECT source, doc_id,
@@ -1233,6 +1256,7 @@ object Curation {
     ("q80_bloom_decontaminate", q80BloomDecontaminate _, Some(q80Sql)),
     ("q83_temperature_mix", q83TemperatureMix _, Some(q83Sql)),
     ("q84_stratified_sample", q84StratifiedSample _, Some(q84Sql)),
+    ("q178_reservoir_sample", q178ReservoirSample _, Some(q84Sql)),
     ("q87_decontam_spans", q87DecontamSpans _, Some(q87Sql)),
     ("q88_sliding_windows", q88SlidingWindows _, Some(q88Sql)),
     ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),

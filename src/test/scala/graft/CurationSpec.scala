@@ -294,6 +294,30 @@ class CurationSpec extends AnyFunSuite {
       "same corpus, same sample")
   }
 
+  test("q178 reservoir aggregate ≡ q84 window form, partition-independent, no window node") {
+    val q84 = graft.ops.Curation.q84StratifiedSample(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    val q178 = graft.ops.Curation.q178ReservoirSample(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(q178 == q84, "the mergeable reservoir must reproduce q84 row-for-row")
+    // merge is associative+commutative: any partitioning, same rows
+    import graft.functions.HashReservoirAgg.hashReservoir
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, substring}
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("source"), col("doc_id"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
+          .as("rnk"))
+    def ids(parts: Int) = docs.repartition(parts)
+      .groupBy(col("source")).agg(hashReservoir(col("rnk"), col("doc_id"), 20).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(ids(1) == ids(17), "reservoir merge must be partitioning-independent")
+    // and the plan replaces the window with a partial-aggregated agg
+    val plan = graft.ops.Curation.q178ReservoirSample(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q178 must not window the fact:\n$plan")
+    assert(plan.contains("hash_reservoir"), s"q178 must aggregate:\n$plan")
+  }
+
   test("weighted sample: exactly k per source, a dominant weight always wins, deterministic") {
     import spark.implicits._
     // 50 unit-weight docs plus one doc whose weight dwarfs them: its

@@ -108,14 +108,33 @@ object Dedup {
     * sequential ones, and a single materialized invocation reads the
     * documents table exactly once (the cache, not the text, feeds the
     * band explode and both signature rejoins). */
-  private val liveSigCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val liveSigCache = new java.util.concurrent.atomic.AtomicReference[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](null)
 
-  private def swapSigCache(fresh: DataFrame): DataFrame = {
-    val prev = liveSigCache.getAndSet(fresh)
-    if (prev != null) prev.unpersist()
-    fresh
-  }
+  /** Takes the UNCACHED signature frame, returns it cached, holding at
+    * most one live registration.
+    *
+    * ORDER MATTERS (round-12 root-cause): the previous slot must be
+    * released BEFORE the fresh frame registers. Two invocations over
+    * the same corpus build CANONICALLY IDENTICAL plans, and
+    * CacheManager uncaches by canonical equality — the r11 form
+    * (cache first, then unpersist the prev Dataset) therefore
+    * deregistered the cache it had JUST created, silently running
+    * every LSH query with no signature cache at all (the sig pass
+    * recomputed once per consumer: q43 0.7 → 1.4 s, q69 1.1 → 1.8 s —
+    * the r11 driver-bench regression). When the plans ARE identical,
+    * the existing registration is simply reused. The slot retains
+    * (session, analyzed plan), never the Dataset. */
+  private def swapSigCache(fresh: DataFrame): DataFrame =
+    liveSigCache.synchronized {
+      val s = fresh.sparkSession
+      val analyzed = fresh.queryExecution.analyzed
+      val prev = liveSigCache.get()
+      if (prev != null && !(prev._1.eq(s) && prev._2.sameResult(analyzed)))
+        org.apache.spark.sql.graftbridge.ColumnBridge.uncacheByPlan(prev._1, prev._2)
+      liveSigCache.set((s, analyzed))
+      fresh.cache()
+    }
 
   /** The banded-LSH candidate core over ANY docs frame, with the
     * post-banding estimate threshold exposed: containment scoring
@@ -124,7 +143,7 @@ object Dedup {
     * but its symmetric Jaccard sits well under a dedup threshold. */
   def minhashCandidatePairsOf(docs: DataFrame, minEst: Double): DataFrame = {
     val signed = swapSigCache(withMinhash(docs)
-      .select(col("doc_id"), col("sig"), col("bands")).cache())
+      .select(col("doc_id"), col("sig"), col("bands")))
     val cands = bandedPairs(signed)
     cands
       .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -298,7 +317,7 @@ object Dedup {
     // as a table (the IncrementalDedup index) and skip this path's
     // in-session cache entirely.
     val signed = swapSigCache(
-      withMinhash(docs).select(col("doc_id"), col("bands")).cache())
+      withMinhash(docs).select(col("doc_id"), col("bands")))
     containmentScoresHashed(docs, bandedPairs(signed))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minCont)
   }

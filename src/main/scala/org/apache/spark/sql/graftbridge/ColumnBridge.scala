@@ -19,4 +19,15 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Uncache by LOGICAL PLAN (CacheManager is private[sql]): lets a
+    * bounded-cache slot retain only (session, analyzed plan) instead
+    * of the whole Dataset — retaining the Dataset measurably slows
+    * every subsequent query in the session (~0.5 s per LSH invocation,
+    * round-12 measurement), while a bare LogicalPlan is inert. */
+  def uncacheByPlan(spark: org.apache.spark.sql.SparkSession,
+                    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sharedState.cacheManager.uncacheQuery(classic, plan, cascade = false)
+  }
 }

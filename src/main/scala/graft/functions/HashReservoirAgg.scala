@@ -42,6 +42,19 @@ case class HashReservoirAgg(rank: Expression, id: Expression, k: Int,
   type Buf = scala.collection.mutable.ArrayBuffer[(UTF8String, Long)]
 
   override def children: Seq[Expression] = Seq(rank, id)
+
+  // analysis-time validation: update() casts straight to
+  // UTF8String/Long, which would otherwise surface as a per-row
+  // ClassCastException at execution (round-12 review)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (rank.dataType, id.dataType) match {
+      case (org.apache.spark.sql.types.StringType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (r, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hash_reservoir expects (string rank, bigint id), got " +
+            s"(${r.catalogString}, ${i.catalogString})")
+    }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hash_reservoir"

@@ -314,9 +314,20 @@ object Cluster {
       s"silhouette needs >= 2 clusters, fit found ${m.centroids.length}")
     val kk = m.centroids.length
     val dim = m.centroids(0).length
-    val assigned = vecs.select(col("vec_id"), col("e"),
+    // malformed (wrong-dimension) embeddings are EXCLUDED outright:
+    // nearestCentroid nulls their cluster (an NPE in the counts fold
+    // otherwise — round-12 review), and SampleDistSums requires a
+    // uniform sample dimensionality; the silhouette of a vector whose
+    // dimensionality doesn't match the fit is undefined, not zero
+    val assigned = vecs
+      .filter(size(col("e")) === dim)
+      .select(col("vec_id"), col("e"),
         graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a failure inside the builder's own collects must not strand the
+    // cached frame (the truncationRecall finally discipline); success
+    // hands the live handle to the caller, who releases it
+    try {
     // exact per-cluster counts: one map-side-combined agg, ≤ K rows
     val cnts = new Array[Long](kk)
     assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
@@ -328,11 +339,6 @@ object Cluster {
     val gates = cnts.map(n =>
       if (n == 0L) 0.0 else math.min(1.0, 4.0 * sampleN / n.toDouble)).toSeq
     val pool = assigned
-      // a malformed (wrong-dimension) embedding must not enter the
-      // sample: SampleDistSums requires a uniform sample dimensionality
-      // (malformed CORPUS rows degrade per-row to s = 0 via the null
-      // guard instead)
-      .filter(size(col("e")) === dim)
       .withColumn("u", u)
       .filter(col("u") < element_at(typedLit(gates), col("cluster") + 1))
     val wPool = Window.partitionBy(col("cluster")).orderBy(col("u"), col("vec_id"))
@@ -376,6 +382,7 @@ object Cluster {
            round(avg(col("sil")), 6).as("mean_silhouette"))
       .orderBy(col("cluster"))
     (assigned, out)
+    } catch { case t: Throwable => assigned.unpersist(); throw t }
   }
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

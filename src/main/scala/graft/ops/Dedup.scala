@@ -108,8 +108,13 @@ object Dedup {
     * sequential ones, and a single materialized invocation reads the
     * documents table exactly once (the cache, not the text, feeds the
     * band explode and both signature rejoins). */
-  private val liveSigCache = new java.util.concurrent.atomic.AtomicReference[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](null)
+  // a plain var under one monitor — NOT an AtomicReference: every
+  // access already happens inside the synchronized block below, and
+  // the atomic would invite a future lock-free getAndSet that
+  // reintroduces the check-then-act race the monitor prevents
+  private val sigCacheLock = new Object
+  private var liveSigCache:
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = null
 
   /** Takes the UNCACHED signature frame, returns it cached, holding at
     * most one live registration.
@@ -126,13 +131,13 @@ object Dedup {
     * the existing registration is simply reused. The slot retains
     * (session, analyzed plan), never the Dataset. */
   private def swapSigCache(fresh: DataFrame): DataFrame =
-    liveSigCache.synchronized {
+    sigCacheLock.synchronized {
       val s = fresh.sparkSession
       val analyzed = fresh.queryExecution.analyzed
-      val prev = liveSigCache.get()
+      val prev = liveSigCache
       if (prev != null && !(prev._1.eq(s) && prev._2.sameResult(analyzed)))
         org.apache.spark.sql.graftbridge.ColumnBridge.uncacheByPlan(prev._1, prev._2)
-      liveSigCache.set((s, analyzed))
+      liveSigCache = (s, analyzed)
       fresh.cache()
     }
 

@@ -76,14 +76,18 @@ object Health {
     * row per check with its change profile.
     *
     * Rows pair on the check's identity columns ([[checkKeys]]); every
-    * other payload field compares as a BLENDED difference when both
-    * sides parse as numbers — |x−y| / (1 + max(|x|,|y|)): relative for
-    * large magnitudes, absolute near zero, so float jitter on a
-    * zero-centered metric (a per-dim mean drifting 1e-5 → −2e-5)
-    * cannot exceed any sane tolerance, while a pure relative form
-    * would report it as 1.5 and page (round-12 review). Strings
-    * compare exactly; a field present on one side only counts as
-    * fully changed. Per check:
+    * other payload field compares as a RELATIVE difference when both
+    * sides parse as numbers — |x−y| / max(|x|,|y|) — EXCEPT that an
+    * absolute difference at or below `absFloor` counts as zero: pure
+    * relative explodes on zero-centered metrics (a per-dim mean
+    * drifting 1e-5 → −2e-5 is a 1.5 relative change on pure float
+    * jitter), while folding the magnitude into the denominator would
+    * cap every unit-scale metric's difference at 0.5 and let a 0.9 →
+    * 0.1 retention collapse slip under a 50% tolerance (both
+    * round-12 review findings). The default floor, 1e-4, sits below
+    * the granularity of every metric the report emits (they round at
+    * ≥ 4 decimals). Strings compare exactly; a field present on one
+    * side only counts as fully changed. Per check:
     *
     *  - `status`  — added (check only in b) / removed (only in a) /
     *                changed (any paired row beyond tolerance, or any
@@ -97,7 +101,8 @@ object Health {
     * so both inputs are tiny; the join keys on (check, identity) and
     * everything downstream is a ≤#checks-row aggregate. */
   def diffReports(s: SparkSession, aDir: String, bDir: String,
-                  tolerance: Double = 0.0): DataFrame = {
+                  tolerance: Double = 0.0,
+                  absFloor: Double = 1e-4): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
     val keyMap = typedLit(checkKeys.map { case (c, ks) => c -> ks.toSeq })
     def load(dir: String, side: String): DataFrame =
@@ -118,15 +123,15 @@ object Health {
         .select(col("check"), col("key"), col("vals").as(s"vals_$side"))
     val a = load(aDir, "a")
     val b = load(bDir, "b")
-    // per paired field: blended diff for numerics (relative at large
-    // magnitude, absolute near zero — see the scaladoc), 0/1 for
-    // strings, 1 for a field present on one side only (null lambda arg)
+    // per paired field: relative diff for numerics with the absFloor
+    // dead-band (see the scaladoc), 0/1 for strings, 1 for a field
+    // present on one side only (null lambda arg)
     val fieldDiff = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
       when(x.isNull || y.isNull, lit(1.0))
         .when(x.cast("double").isNotNull && y.cast("double").isNotNull,
-          when(x.cast("double") === y.cast("double"), lit(0.0))
+          when(abs(x.cast("double") - y.cast("double")) <= absFloor, lit(0.0))
             .otherwise(abs(x.cast("double") - y.cast("double")) /
-              (lit(1.0) + greatest(abs(x.cast("double")), abs(y.cast("double"))))))
+              greatest(abs(x.cast("double")), abs(y.cast("double")))))
         .otherwise(when(x === y, lit(0.0)).otherwise(lit(1.0)))
     val joined = a.join(b, Seq("check", "key"), "full_outer")
       .withColumn("row_diff",

@@ -571,15 +571,20 @@ object Similarity {
     // consume THIS frame — uncached, each window would re-run the
     // corpus scan + levels × cosine cross-join (the q126 pattern,
     // including the bounded collect-and-release below)
+    // the exact baseline ranks the UNTRUNCATED vectors — dims.max
+    // standing in for "full" would silently grade every level against
+    // a truncated ranking whenever the caller's dims list excludes the
+    // true dimension (round-12 review). Levels at or beyond the true
+    // dimension ARE the full cosine (slice past the end is identity),
+    // so they alias sim_full instead of recomputing it per pair.
+    val trueDim = vecs.select(size(col("e"))).head().getInt(0)
     val scored = vecs.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
-      .select(Seq(col("qid"), col("vec_id"),
-        // the exact baseline ranks the UNTRUNCATED vectors — dims.max
-        // standing in for "full" would silently grade every level
-        // against a truncated ranking whenever the caller's dims list
-        // excludes the true dimension (round-12 review)
-        cosine(col("e"), col("qe")).as("sim_full")) ++ dims.map(dd =>
-        cosine(slice(col("e"), 1, dd), slice(col("qe"), 1, dd)).as(s"sim_$dd")): _*)
+      .withColumn("sim_full", cosine(col("e"), col("qe")))
+      .select(Seq(col("qid"), col("vec_id"), col("sim_full")) ++ dims.map { dd =>
+        if (dd >= trueDim) col("sim_full").as(s"sim_$dd")
+        else cosine(slice(col("e"), 1, dd), slice(col("qe"), 1, dd)).as(s"sim_$dd")
+      }: _*)
       .cache()
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("sim_full").desc, col("vec_id").asc)

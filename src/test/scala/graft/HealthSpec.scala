@@ -111,7 +111,7 @@ class HealthSpec extends AnyFunSuite {
     }
   }
 
-  test("diffReports: near-zero float jitter stays inside a small tolerance (blended diff)") {
+  test("diffReports: absFloor dead-band absorbs zero-centered jitter, relative diff keeps unit-scale sensitivity") {
     import spark.implicits._
     def writeReport(dir: String, payload: String): Unit =
       Seq(("dim_stats", payload)).toDF("check", "payload")
@@ -119,17 +119,31 @@ class HealthSpec extends AnyFunSuite {
     val a = java.nio.file.Files.createTempDirectory("health_z_a").toString
     val b = java.nio.file.Files.createTempDirectory("health_z_b").toString
     // a zero-centered metric drifting 1e-5 → −2e-5 on a KNOWN check
-    // (dim_stats pairs on "dim"): a pure relative diff reports 1.5 and
-    // pages at any tolerance < 1.5; the blended form reports ~3e-5
+    // (dim_stats pairs on "dim"): pure relative reports 1.5 and pages
+    // at any tolerance < 1.5; the default absFloor (1e-4 > the 3e-5
+    // absolute move) zeroes it
     writeReport(a, """{"dim":0,"mean":0.00001}""")
     writeReport(b, """{"dim":0,"mean":-0.00002}""")
-    val strict = Health.diffReports(spark, a, b, tolerance = 0.0).collect()
-    assert(strict.head.getAs[String]("status") == "changed",
-      "zero tolerance still detects the drift")
-    val lax = Health.diffReports(spark, a, b, tolerance = 0.001).collect()
-    assert(lax.head.getAs[String]("status") == "unchanged",
-      s"float jitter on a zero-centered metric must not page: ${lax.head}")
-    assert(lax.head.getAs[Double]("max_rel_diff") < 0.001)
+    val dflt = Health.diffReports(spark, a, b, tolerance = 0.0).collect()
+    assert(dflt.head.getAs[String]("status") == "unchanged",
+      s"float jitter below the floor must not page: ${dflt.head}")
+    assert(dflt.head.getAs[Double]("max_rel_diff") == 0.0)
+    val noFloor = Health.diffReports(spark, a, b, tolerance = 0.0, absFloor = 0.0)
+      .collect()
+    assert(noFloor.head.getAs[String]("status") == "changed",
+      "with the floor disabled, zero tolerance still detects the drift")
+    // and relative sensitivity on unit-scale metrics is intact: a
+    // 0.9 → 0.1 collapse is an ~0.89 relative change and MUST page at
+    // a 50% tolerance (a magnitude-blended denominator would cap every
+    // unit-scale diff at 0.5 and miss it)
+    val a2 = java.nio.file.Files.createTempDirectory("health_u_a").toString
+    val b2 = java.nio.file.Files.createTempDirectory("health_u_b").toString
+    writeReport(a2, """{"dim":1,"mean":0.9}""")
+    writeReport(b2, """{"dim":1,"mean":0.1}""")
+    val unit = Health.diffReports(spark, a2, b2, tolerance = 0.5).collect()
+    assert(unit.head.getAs[String]("status") == "changed",
+      s"a 0.9 -> 0.1 collapse must exceed a 50% tolerance: ${unit.head}")
+    assert(unit.head.getAs[Double]("max_rel_diff") > 0.8)
   }
 
   test("diffReports tolerance: a drift inside the alert threshold does not page") {

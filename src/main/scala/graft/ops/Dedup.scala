@@ -130,16 +130,23 @@ object Dedup {
     * the r11 driver-bench regression). When the plans ARE identical,
     * the existing registration is simply reused. The slot retains
     * (session, analyzed plan), never the Dataset. */
-  private def swapSigCache(fresh: DataFrame): DataFrame =
+  private def swapSigCache(fresh: DataFrame): DataFrame = {
+    val s = fresh.sparkSession
+    // analysis (the expensive part) outside the monitor: concurrent
+    // LSH callers serialize only on the slot compare + registration
+    val analyzed = fresh.queryExecution.analyzed
     sigCacheLock.synchronized {
-      val s = fresh.sparkSession
-      val analyzed = fresh.queryExecution.analyzed
       val prev = liveSigCache
-      if (prev != null && !(prev._1.eq(s) && prev._2.sameResult(analyzed)))
+      if (prev != null && !(prev._1.eq(s) && prev._2.sameResult(analyzed))
+          // a slot from a since-stopped session has nothing live to
+          // release, and uncaching through its dead SparkContext would
+          // abort the NEW session's first LSH query
+          && !prev._1.sparkContext.isStopped)
         org.apache.spark.sql.graftbridge.ColumnBridge.uncacheByPlan(prev._1, prev._2)
       liveSigCache = (s, analyzed)
       fresh.cache()
     }
+  }
 
   /** The banded-LSH candidate core over ANY docs frame, with the
     * post-banding estimate threshold exposed: containment scoring

@@ -84,10 +84,14 @@ object Health {
     * jitter), while folding the magnitude into the denominator would
     * cap every unit-scale metric's difference at 0.5 and let a 0.9 →
     * 0.1 retention collapse slip under a 50% tolerance (both
-    * round-12 review findings). The default floor, 1e-4, sits below
-    * the granularity of every metric the report emits (they round at
-    * ≥ 4 decimals). Strings compare exactly; a field present on one
-    * side only counts as fully changed. Per check:
+    * round-12 review findings). The default floor, 5e-5, sits
+    * STRICTLY below the 4-decimal granularity of every metric the
+    * report emits, so a one-step change (0.0001 → 0.0002) is never
+    * absorbed while sub-granularity float jitter is; identical values
+    * — including NaN/Infinity pairs, which a relative formula would
+    * turn into NaN and page forever — short-circuit to zero. Strings
+    * compare exactly; a field present on one side only counts as
+    * fully changed. Per check:
     *
     *  - `status`  — added (check only in b) / removed (only in a) /
     *                changed (any paired row beyond tolerance, or any
@@ -102,7 +106,7 @@ object Health {
     * everything downstream is a ≤#checks-row aggregate. */
   def diffReports(s: SparkSession, aDir: String, bDir: String,
                   tolerance: Double = 0.0,
-                  absFloor: Double = 1e-4): DataFrame = {
+                  absFloor: Double = 5e-5): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
     val keyMap = typedLit(checkKeys.map { case (c, ks) => c -> ks.toSeq })
     def load(dir: String, side: String): DataFrame =
@@ -129,7 +133,11 @@ object Health {
     val fieldDiff = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
       when(x.isNull || y.isNull, lit(1.0))
         .when(x.cast("double").isNotNull && y.cast("double").isNotNull,
-          when(abs(x.cast("double") - y.cast("double")) <= absFloor, lit(0.0))
+          // equality first: NaN/Infinity pairs would otherwise yield a
+          // NaN diff that sorts above every tolerance (Spark's = treats
+          // NaN = NaN and inf = inf as true)
+          when(x.cast("double") === y.cast("double"), lit(0.0))
+            .when(abs(x.cast("double") - y.cast("double")) < absFloor, lit(0.0))
             .otherwise(abs(x.cast("double") - y.cast("double")) /
               greatest(abs(x.cast("double")), abs(y.cast("double")))))
         .otherwise(when(x === y, lit(0.0)).otherwise(lit(1.0)))

@@ -577,7 +577,12 @@ object Similarity {
     // true dimension (round-12 review). Levels at or beyond the true
     // dimension ARE the full cosine (slice past the end is identity),
     // so they alias sim_full instead of recomputing it per pair.
-    val trueDim = vecs.select(size(col("e"))).head().getInt(0)
+    // max over the corpus, not an arbitrary first row: a malformed
+    // short embedding landing in head() would alias every level to
+    // sim_full and grade nothing (round-12 review); empty input falls
+    // back to dims.max so the function still returns its empty grid
+    val trueDim = Option(vecs.agg(max(size(col("e")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(dims.max)
     val scored = vecs.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
       .withColumn("sim_full", cosine(col("e"), col("qe")))

@@ -144,6 +144,25 @@ class HealthSpec extends AnyFunSuite {
     assert(unit.head.getAs[String]("status") == "changed",
       s"a 0.9 -> 0.1 collapse must exceed a 50% tolerance: ${unit.head}")
     assert(unit.head.getAs[Double]("max_rel_diff") > 0.8)
+    // a one-granularity step (0.0001 -> 0.0002) sits ABOVE the strict
+    // 5e-5 floor and must page — the floor absorbs jitter, not the
+    // smallest representable change
+    val a3 = java.nio.file.Files.createTempDirectory("health_s_a").toString
+    val b3 = java.nio.file.Files.createTempDirectory("health_s_b").toString
+    writeReport(a3, """{"dim":2,"mean":0.0001}""")
+    writeReport(b3, """{"dim":2,"mean":0.0002}""")
+    assert(Health.diffReports(spark, a3, b3).collect()
+      .head.getAs[String]("status") == "changed",
+      "a one-step change at metric granularity must page")
+    // identical non-finite values short-circuit to zero instead of a
+    // NaN diff that would sort above every tolerance
+    val a4 = java.nio.file.Files.createTempDirectory("health_i_a").toString
+    val b4 = java.nio.file.Files.createTempDirectory("health_i_b").toString
+    writeReport(a4, """{"dim":3,"mean":"Infinity"}""")
+    writeReport(b4, """{"dim":3,"mean":"Infinity"}""")
+    assert(Health.diffReports(spark, a4, b4).collect()
+      .head.getAs[String]("status") == "unchanged",
+      "identical Infinity values are not a change")
   }
 
   test("diffReports tolerance: a drift inside the alert threshold does not page") {

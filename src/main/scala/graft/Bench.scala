@@ -93,31 +93,32 @@ object Bench {
     * all-capped degenerate sweep (budget nearly gone, every sample
     * clamped); in a healthy run the equal split is well above it, so
     * every clean sample runs uncapped. 11 s → 9 s → 8 s → 7 s → 6 s →
-    * 5.5 s as rounds 9-11 grew the suite, renegotiating headroom for
-    * a declared 185-query worst case (round-10 verdict ask #3 — the
-    * 170 provision had 12 free slots left when round 11 opened).
-    * Margin math for 5.5 s: the slowest clean query is q92 at a
-    * ~2.7 s in-suite min (round-10 measurement, unchanged), so the
-    * floor keeps ~2.0× over the slowest clean sample — a clean sample
-    * can only be capped in the all-capped degenerate sweep, where
-    * capping is the designed behavior. Renegotiating below ~2×
-    * (5.4 s) should instead extend the deadline.
+    * 5.5 s → 5.2 s as rounds 9-12 grew the suite (the 185 provision
+    * had 8 free slots when round 12 closed at 177 queries).
+    * Margin math for 5.2 s: the slowest clean query is q92 at a
+    * ~2.6 s in-suite min (round-12 measurement, post LSH-cache fix),
+    * so the floor keeps exactly the ~2.0× margin over the slowest
+    * clean sample the spec requires — a clean sample can only be
+    * capped in the all-capped degenerate sweep, where capping is the
+    * designed behavior. Renegotiating below 2× must instead extend
+    * the deadline.
     * The ceiling bounds the damage any single burst can do to the
     * schedule. Absolute worst case overshoot past the deadline is one
     * floor-capped sample plus cancellation latency — the artifact on
     * disk is already complete for everything measured before it. */
-  val MinCapSec = 5.5
+  val MinCapSec = 5.2
   val MaxCapSec = 150.0
 
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. At 185 the equal split
-    * ((1050−30)/185 = 5.51 s) still clears the 5.5 s floor, so the
+    * silently eating the finish reserve. At 196 the equal split
+    * ((1050−30)/196 = 5.20 s) still clears the 5.2 s floor, so the
     * sweep stays budget-preserving by construction; the split first
-    * stops binding at 186 queries (1020/186 = 5.48 < 5.5) — the floor
-    * (or deadline) must be renegotiated for any growth past 185. */
-  val WorstCaseQueries = 185
+    * stops binding at 197 queries (1020/197 = 5.18 < 5.2) — with the
+    * floor already at its 2× margin over q92, any growth past 196
+    * must renegotiate the DEADLINE, not the floor. */
+  val WorstCaseQueries = 196
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

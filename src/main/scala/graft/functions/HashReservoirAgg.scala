@@ -129,6 +129,95 @@ case class HashReservoirAgg(rank: Expression, id: Expression, k: Int,
     copy(rank = cs(0), id = cs(1))
 }
 
+/** [[HashReservoirAgg]]'s WEIGHTED sibling — Efraimidis–Spirakis A-ES
+  * sampling as a mergeable aggregate: keep the k ids with the LARGEST
+  * (priority, −id) where priority = u^(1/w) (q103's deterministic
+  * md5-derived form). Same bounded sorted-buffer state, same
+  * partitioning-independent k-truncated merge, same shuffle shape;
+  * the only differences are the double rank and the descending order
+  * (a larger priority wins; ties still break on the SMALLER id,
+  * matching q103's `ORDER BY prio DESC, doc_id`). */
+case class WeightedReservoirAgg(prio: Expression, id: Expression, k: Int,
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]] {
+
+  require(k >= 1, s"reservoir size must be >= 1, got $k")
+
+  type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+
+  override def children: Seq[Expression] = Seq(prio, id)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (prio.dataType, id.dataType) match {
+      case (org.apache.spark.sql.types.DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (r, i) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"weighted_reservoir expects (double priority, bigint id), got " +
+            s"(${r.catalogString}, ${i.catalogString})")
+    }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "weighted_reservoir"
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  /** "a wins over b": larger priority, then smaller id. */
+  private def wins(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Buf, e: (Double, Long)): Unit = {
+    if (buf.length == k && !wins(e, buf.last)) return
+    var i = buf.length
+    while (i > 0 && wins(e, buf(i - 1))) i -= 1
+    buf.insert(i, e)
+    if (buf.length > k) buf.remove(buf.length - 1)
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val p = prio.eval(input)
+    val v = id.eval(input)
+    if (p != null && v != null)
+      insert(buf, (p.asInstanceOf[Double], v.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.map(_._2).toArray)
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (p, v) => out.writeDouble(p); out.writeLong(v) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf += ((in.readDouble(), in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): WeightedReservoirAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WeightedReservoirAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): WeightedReservoirAgg =
+    copy(prio = cs(0), id = cs(1))
+}
+
 object HashReservoirAgg {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -138,5 +227,12 @@ object HashReservoirAgg {
   def hashReservoir(rank: Column, id: Column, k: Int): Column =
     ColumnBridge.column(HashReservoirAgg(
       ColumnBridge.expression(rank), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
+
+  /** Aggregate Column: the k ids with the LARGEST (priority, −id) —
+    * A-ES weighted sampling without replacement as an aggregate. */
+  def weightedReservoir(prio: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(WeightedReservoirAgg(
+      ColumnBridge.expression(prio), ColumnBridge.expression(id), k)
       .toAggregateExpression())
 }

@@ -964,6 +964,32 @@ object Curation {
   def q103WeightedSample(s: SparkSession, d: String): DataFrame =
     weightedSample(documents(s, d), 25).orderBy(col("source"), col("rk"))
 
+  /** q179: q103's weight-proportional sample via the WEIGHTED
+    * mergeable reservoir ([[graft.functions.WeightedReservoirAgg]],
+    * Efraimidis–Spirakis A-ES as an aggregate) — same priorities,
+    * same ties, row-identical output, with q178's plan trade: no
+    * per-map-partition sort, one array row per source, composable
+    * with other aggregates. n_chars rejoins by id afterwards (the
+    * ≤ sources×k id set broadcasts onto the doc scan). Oracle =
+    * q103's SQL verbatim. */
+  def q179WeightedReservoir(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashReservoirAgg.weightedReservoir
+    val v = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":wsamp"))), 1, 8),
+      16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val prio = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
+    val sampled = documents(s, d)
+      .select(col("source"), col("doc_id"), prio.as("prio"))
+      .groupBy(col("source"))
+      .agg(weightedReservoir(col("prio"), col("doc_id"), 25).as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("source"), col("doc_id"), (col("pos") + 1).cast("int").as("rk"))
+    documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(broadcast(sampled), Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** DuckDB has no `conv`, so the oracle parses the 8 hex chars with
     * an explicit strpos polynomial — same integer, same double. */
   val q103Sql: String =
@@ -1261,6 +1287,7 @@ object Curation {
     ("q88_sliding_windows", q88SlidingWindows _, Some(q88Sql)),
     ("q100_shuffle_shard", q100ShuffleShard _, Some(q100Sql)),
     ("q103_weighted_sample", q103WeightedSample _, Some(q103Sql)),
+    ("q179_weighted_reservoir", q179WeightedReservoir _, Some(q103Sql)),
     ("q124_curation_funnel", q124CurationFunnel _, Some(q124Sql)),
     ("q158_match_distribution", q158MatchDistribution _, Some(q158Sql)),
     ("q125_contamination_ratio", q125ContaminationRatio _, Some(q125Sql)),

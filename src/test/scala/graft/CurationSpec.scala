@@ -318,6 +318,26 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("hash_reservoir"), s"q178 must aggregate:\n$plan")
   }
 
+  test("q179 weighted reservoir ≡ q103 window form, partition-independent") {
+    val q103 = graft.ops.Curation.q103WeightedSample(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    val q179 = graft.ops.Curation.q179WeightedReservoir(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(q179 == q103, "the A-ES reservoir must reproduce q103 row-for-row")
+    import graft.functions.HashReservoirAgg.weightedReservoir
+    import org.apache.spark.sql.functions.{col, lit, rand}
+    import spark.implicits._
+    // partitioning-independent merge, with a planted dominant weight:
+    // priority 1.0 must always survive any partitioning
+    val rows = (0L until 500L).map(i => (i, (i % 97).toDouble / 100.0)) :+
+      (999L, 1.0)
+    val df = rows.toDF("id", "prio")
+    def top(parts: Int) = df.repartition(parts)
+      .agg(weightedReservoir(col("prio"), col("id"), 5)).head().getSeq[Long](0)
+    assert(top(1) == top(13), "weighted merge must be partitioning-independent")
+    assert(top(13).head == 999L, "the dominant priority must rank first")
+  }
+
   test("weighted sample: exactly k per source, a dominant weight always wins, deterministic") {
     import spark.implicits._
     // 50 unit-weight docs plus one doc whose weight dwarfs them: its

@@ -73,14 +73,14 @@ object Bench {
     * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
     * AFTER SparkSession init, so the driver-observed wall time adds
     * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
-    * under a 20-min external kill with slack, while leaving ~11
-    * suite-lengths of clean headroom (the full suite is ~95 s clean
-    * at 160 queries). The all-capped worst case still fits: while the
+    * under a 20-min external kill with slack, while leaving ~10
+    * suite-lengths of clean headroom (the full suite is ~104 s clean
+    * at 178 queries). The all-capped worst case still fits: while the
     * equal split (deadline − reserve)/n exceeds MinCapSec the sweep
     * is budget-preserving by construction, and once the floor binds
-    * the worst case is n·MinCapSec — with MinCapSec 5.5 the split
-    * stays binding (and budget-preserving) through n ≤ 185, exactly
-    * the declared [[WorstCaseQueries]] = 185 (BenchSpec pins both the
+    * the worst case is n·MinCapSec — with MinCapSec 5.2 the split
+    * stays binding (and budget-preserving) through n ≤ 196, exactly
+    * the declared [[WorstCaseQueries]] = 196 (BenchSpec pins both the
     * real suite size and the declared worst case from the constants
     * alone). */
   val DefaultDeadlineSec = 1050.0

@@ -8,6 +8,23 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The one bounded-sorted-buffer mechanic both reservoir aggregates
+  * share: insert keeping ascending-by-`wins` order, capped at k. The
+  * common case on a big group — a row losing to an already-full
+  * reservoir's worst entry — is one comparison. Shared so a fix to
+  * the buffer mechanics can never land in one sibling and miss the
+  * other (round-12 review). */
+private[functions] object Reservoir {
+  def insert[E](buf: scala.collection.mutable.ArrayBuffer[E], e: E, k: Int,
+                wins: (E, E) => Boolean): Unit = {
+    if (buf.length == k && !wins(e, buf.last)) return
+    var i = buf.length
+    while (i > 0 && wins(e, buf(i - 1))) i -= 1
+    buf.insert(i, e)
+    if (buf.length > k) buf.remove(buf.length - 1)
+  }
+}
+
 /** Deterministic bounded sampling as a Catalyst
   * TypedImperativeAggregate: per group, keep the k ids with the
   * SMALLEST (rank, id) — rank being any deterministic hash string
@@ -67,28 +84,17 @@ case class HashReservoirAgg(rank: Expression, id: Expression, k: Int,
     c < 0 || (c == 0 && a._2 < b._2)
   }
 
-  /** Insert keeping the buffer sorted ascending and capped at k. The
-    * common case on a big group — a row ranking below an already-full
-    * reservoir — is one comparison against the current maximum. */
-  private def insert(buf: Buf, e: (UTF8String, Long)): Unit = {
-    if (buf.length == k && !lt(e, buf.last)) return
-    var i = buf.length
-    while (i > 0 && lt(e, buf(i - 1))) i -= 1
-    buf.insert(i, e)
-    if (buf.length > k) buf.remove(buf.length - 1)
-  }
-
   override def update(buf: Buf, input: InternalRow): Buf = {
     val r = rank.eval(input)
     val v = id.eval(input)
     if (r != null && v != null)
       // clone: the evaluated UTF8String may point into a reused row buffer
-      insert(buf, (r.asInstanceOf[UTF8String].clone(), v.asInstanceOf[Long]))
+      Reservoir.insert(buf, (r.asInstanceOf[UTF8String].clone(), v.asInstanceOf[Long]), k, lt)
     buf
   }
 
   override def merge(b1: Buf, b2: Buf): Buf = {
-    b2.foreach(insert(b1, _))
+    b2.foreach(Reservoir.insert(b1, _, k, lt))
     b1
   }
 
@@ -165,28 +171,29 @@ case class WeightedReservoirAgg(prio: Expression, id: Expression, k: Int,
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty
 
-  /** "a wins over b": larger priority, then smaller id. */
-  private def wins(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  private def insert(buf: Buf, e: (Double, Long)): Unit = {
-    if (buf.length == k && !wins(e, buf.last)) return
-    var i = buf.length
-    while (i > 0 && wins(e, buf(i - 1))) i -= 1
-    buf.insert(i, e)
-    if (buf.length > k) buf.remove(buf.length - 1)
+  /** "a wins over b": larger priority, then smaller id — via
+    * Double.compare's TOTAL order, so NaN (which IEEE `>` makes
+    * incomparable — a NaN at the buffer tail would block every later
+    * insert under one partitioning and lose under another, breaking
+    * the partitioning-independence guarantee; round-12 review) sorts
+    * deterministically greatest. q179's priorities are u^(1/w) with
+    * u ∈ (0,1), which cannot produce NaN; a caller feeding NaN gets
+    * deterministic, partitioning-independent behavior, not silence. */
+  private def wins(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
   }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val p = prio.eval(input)
     val v = id.eval(input)
     if (p != null && v != null)
-      insert(buf, (p.asInstanceOf[Double], v.asInstanceOf[Long]))
+      Reservoir.insert(buf, (p.asInstanceOf[Double], v.asInstanceOf[Long]), k, wins)
     buf
   }
 
   override def merge(b1: Buf, b2: Buf): Buf = {
-    b2.foreach(insert(b1, _))
+    b2.foreach(Reservoir.insert(b1, _, k, wins))
     b1
   }
 

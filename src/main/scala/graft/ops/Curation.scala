@@ -949,12 +949,18 @@ object Curation {
     * the rk <= k predicate pushed into WindowGroupLimit (per-partition
     * top-k heaps map-side, only ~k rows per source shuffle); the
     * priority itself is map-side arithmetic on the scan. */
-  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+  /** The A-ES priority u^(1/w), u = md5-derived uniform — ONE
+    * definition, shared by the window sampler (q103) and the reservoir
+    * form (q179) whose correctness contract is row-identity with it. */
+  private def wsampPrio: Column = {
     val v = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":wsamp"))), 1, 8),
       16, 10).cast("double")
     val u = (v + lit(0.5)) / lit(4294967296.0)
-    val prio = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
-    val w = Window.partitionBy(col("source")).orderBy(prio.desc, col("doc_id").asc)
+    pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
+  }
+
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(wsampPrio.desc, col("doc_id").asc)
     docs.select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -974,12 +980,8 @@ object Curation {
     * q103's SQL verbatim. */
   def q179WeightedReservoir(s: SparkSession, d: String): DataFrame = {
     import graft.functions.HashReservoirAgg.weightedReservoir
-    val v = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":wsamp"))), 1, 8),
-      16, 10).cast("double")
-    val u = (v + lit(0.5)) / lit(4294967296.0)
-    val prio = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
     val sampled = documents(s, d)
-      .select(col("source"), col("doc_id"), prio.as("prio"))
+      .select(col("source"), col("doc_id"), wsampPrio.as("prio"))
       .groupBy(col("source"))
       .agg(weightedReservoir(col("prio"), col("doc_id"), 25).as("ids"))
       .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))

@@ -325,7 +325,7 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(q179 == q103, "the A-ES reservoir must reproduce q103 row-for-row")
     import graft.functions.HashReservoirAgg.weightedReservoir
-    import org.apache.spark.sql.functions.{col, lit, rand}
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     // partitioning-independent merge, with a planted dominant weight:
     // priority 1.0 must always survive any partitioning
@@ -336,6 +336,19 @@ class CurationSpec extends AnyFunSuite {
       .agg(weightedReservoir(col("prio"), col("id"), 5)).head().getSeq[Long](0)
     assert(top(1) == top(13), "weighted merge must be partitioning-independent")
     assert(top(13).head == 999L, "the dominant priority must rank first")
+    // a NaN priority must not poison the buffer or break partitioning
+    // independence (Double.compare total order sorts it greatest,
+    // deterministically)
+    val withNaN = (rows :+ (1000L, Double.NaN)).toDF("id", "prio")
+    def topN(parts: Int) = withNaN.repartition(parts)
+      .agg(weightedReservoir(col("prio"), col("id"), 5)).head().getSeq[Long](0)
+    assert(topN(1) == topN(13), "NaN must not make the merge partition-dependent")
+    assert(topN(1).contains(999L), "real priorities still survive alongside a NaN")
+    // and the claimed plan trade holds, like q178: aggregate, no window
+    val plan = graft.ops.Curation.q179WeightedReservoir(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q179 must not window the fact:\n$plan")
+    assert(plan.contains("weighted_reservoir"), s"q179 must aggregate:\n$plan")
   }
 
   test("weighted sample: exactly k per source, a dominant weight always wins, deterministic") {

@@ -825,6 +825,74 @@ object Text {
   def q96Boilerplate(s: SparkSession, d: String): DataFrame =
     boilerplateSpans(documents(s, d), BoilerplateN, BoilerplateMinDf)
 
+  /** Shingle width for the q180 novelty audit. */
+  val NoveltyN = 5
+
+  /** q180: FIRST-OCCURRENCE NOVELTY AUDIT — per source, how much of
+    * each document's content is NEW to the corpus: the fraction of a
+    * doc's distinct 5-gram shingles whose corpus-wide FIRST occurrence
+    * (min doc_id) is that doc. The RefinedWeb-style duplicated-n-gram
+    * quality signal, inter-document where q73's repetition rules are
+    * intra-document: a doc that mostly restates earlier docs scores
+    * low even when no single near-duplicate pair exists (paste-ups of
+    * many sources evade pairwise dedup entirely). `n_mostly_dup`
+    * counts docs with novelty < 0.5 — the rows a curation pass
+    * quarantines.
+    *
+    * Scale shape: ONE corpus pass — shingles leave the scan as 8-byte
+    * xxhash64 fps (never span text), the first-occurrence attribution
+    * is a min window PARTITIONED BY fp (each partition is one
+    * shingle's occurrence list — value-domain bounded, no fact-sized
+    * partition), and everything after is two partial-aggregated
+    * reductions. No join, no second scan. Oracle mirrors the logic
+    * over span STRINGS (DuckDB can't compute xxhash64) — identical in
+    * the collision-free regime the q96/TextStatsSpec discipline
+    * already pins for this corpus. Docs shorter than the shingle
+    * width carry no shingles and are excluded (novelty undefined). */
+  def q180NoveltyAudit(s: SparkSession, d: String): DataFrame =
+    noveltyAudit(documents(s, d))
+
+  def noveltyAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = split(col("text"), " ")
+    val sh = docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(
+          graft.functions.NativeExprs.shingleHashes(toksCol, NoveltyN))).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    sh.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("total"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("novel").cast("double") / col("total")), 4).as("mean_novelty"),
+           sum(when(col("novel") * 2 < col("total"), 1L).otherwise(0L)).as("n_mostly_dup"))
+      .orderBy(col("source"))
+  }
+
+  val q180Sql: String = {
+    val n = NoveltyN
+    s"""WITH sh AS (
+      | SELECT source, doc_id, unnest(list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+      |   for i in range(1, len(t) - ${n - 2})])) AS span
+      | FROM (SELECT source, doc_id, str_split(text, ' ') AS t FROM documents)
+      | WHERE len(t) >= $n
+      |), f AS (
+      | SELECT source, doc_id,
+      |   min(doc_id) OVER (PARTITION BY span) AS first_doc
+      | FROM sh
+      |), per_doc AS (
+      | SELECT source, doc_id, count(*) AS total,
+      |   sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS novel
+      | FROM f GROUP BY source, doc_id
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(CAST(novel AS DOUBLE) / total), 4) AS mean_novelty,
+      |  CAST(sum(CASE WHEN novel * 2 < total THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val q96Sql: String = {
     val n = BoilerplateN
     s"""WITH sh AS (
@@ -1162,6 +1230,7 @@ object Text {
     ("q154_bm25", q154Bm25 _, Some(q154Sql)),
     ("q157_bpe_train", q157BpeTrain _, None),
     ("q177_bpe_encode", q177BpeEncode _, None),
+    ("q180_novelty_audit", q180NoveltyAudit _, Some(q180Sql)),
   )
 
 

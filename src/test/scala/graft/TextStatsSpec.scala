@@ -252,6 +252,38 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 novelty: a paste-up of earlier docs scores low, originals and novel docs score 1") {
+    // docs 1 and 2 are fully novel; doc 3 is a PASTE-UP restating both
+    // (no single near-dup pair — the case pairwise dedup misses); doc
+    // 4 is novel again; doc 5 is too short to carry a 5-gram
+    val d = docs(Seq(
+      ("a", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("a", 2L, "one two three four five six"),
+      ("a", 3L, "alpha beta gamma delta epsilon one two three four five"),
+      ("a", 4L, "red orange yellow green blue indigo"),
+      ("a", 5L, "too short")))
+    val rows = graft.ops.Text.noveltyAudit(d).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // doc 5 carries no shingle → 4 scored docs
+    assert(r.getAs[Long]("n_docs") == 4L, s"short doc must be excluded: $r")
+    // doc 3's 6 distinct shingles: 'alpha..epsilon' (first in doc 1),
+    // 'one..five' (first in doc 2), and 4 bridging shingles that are
+    // genuinely new → novelty 4/6; docs 1, 2, 4 are fully novel
+    val want = BigDecimal((1.0 + 1.0 + 4.0 / 6.0 + 1.0) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("mean_novelty") == want,
+      s"mean novelty: got ${r.getAs[Double]("mean_novelty")}, want $want")
+    assert(r.getAs[Long]("n_mostly_dup") == 0L)
+    // shrink doc 3 to ONLY restated content → it becomes mostly-dup
+    val d2 = docs(Seq(
+      ("a", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("a", 3L, "alpha beta gamma delta epsilon zeta")))
+    val r2 = graft.ops.Text.noveltyAudit(d2).collect().head
+    assert(r2.getAs[Long]("n_mostly_dup") == 1L,
+      s"an exact restatement must count as mostly-dup: $r2")
+  }
+
   // ------------------------------------------------------------- q154
 
   test("q154 bm25: positive non-increasing scores, <=3 terms hit, saturation beats raw tf") {

@@ -1272,6 +1272,91 @@ object Curation {
       |  round(CAST(n_kept AS DOUBLE) / sum(n_kept) OVER (), 6) AS share_after
       |FROM kept ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q181
+
+  /** q181: CLUSTER-AWARE train/val/test split — the constructive fix
+    * for the leakage q108 merely AUDITS. q63 keys the split on
+    * md5(doc_id), so the members of a near-duplicate cluster scatter
+    * independently across splits: an eval doc's near-twin lands in
+    * train with ~80% probability, silently inflating eval. Re-keying
+    * the SAME md5 rule on the cluster label (the min member id) moves
+    * every detected near-dup family wholesale into one split — cross-
+    * split leakage is zero BY CONSTRUCTION for every detected pair,
+    * not just measured after the fact.
+    *
+    * Output per destination split: cluster/doc counts plus torn-
+    * cluster counts under both rules — `torn_id` (> 0 here: the tear
+    * the rekey repairs) and `torn_cluster` (0 by construction; the
+    * oracle recomputes rather than assumes it).
+    *
+    * Cluster assignment reuses [[Dedup.q67DedupClusters]]'s bounded
+    * anchor verbatim so the DuckDB oracle can rebuild byte-identical
+    * clusters via a recursive-CTE transitive closure; the unbounded
+    * production path swaps in q69's LSH+CC labels (same `(doc_id,
+    * cluster_id)` shape) — the split layer itself is two cluster-
+    * domain-bounded aggregations over ids, text never shuffles. */
+  def q181ClusterSplit(s: SparkSession, d: String): DataFrame =
+    clusterAwareSplit(Dedup.q67DedupClusters(s, d))
+
+  /** The split-assignment + audit layer over any `(doc_id,
+    * cluster_id)` assignment (q67's bounded anchor or q69's LSH+CC
+    * labels). */
+  def clusterAwareSplit(clusters: DataFrame): DataFrame =
+    clusters
+      .select(col("doc_id"), col("cluster_id"),
+        splitLabel(col("doc_id")).as("by_id"),
+        splitLabel(col("cluster_id")).as("by_cluster"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("by_id")).as("k_id"),
+        countDistinct(col("by_cluster")).as("k_cluster"),
+        min(col("by_cluster")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(when(col("k_id") > 1, 1L).otherwise(0L)).as("torn_id"),
+        sum(when(col("k_cluster") > 1, 1L).otherwise(0L)).as("torn_cluster"))
+      .orderBy(col("split"))
+
+  val q181Sql: String =
+    s"""WITH RECURSIVE docs AS (
+      | SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+      | FROM documents WHERE doc_id < 60
+      |), pairs AS (
+      | SELECT a.doc_id AS src, b.doc_id AS dst
+      | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |       / len(list_distinct(list_cat(a.ts, b.ts))) >= ${Dedup.ClusterThreshold}
+      |), edges AS (
+      | SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), reach(id, comp) AS (
+      | SELECT doc_id, doc_id FROM docs
+      | UNION
+      | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+      |), cl AS (
+      | SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id
+      |), lab AS (
+      | SELECT doc_id, cluster_id,
+      |   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |        WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |        ELSE 'test' END AS by_id,
+      |   CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+      |        WHEN substr(md5(CAST(cluster_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+      |        ELSE 'test' END AS by_cluster
+      | FROM cl
+      |), per AS (
+      | SELECT cluster_id, count(*) AS n_docs,
+      |   count(DISTINCT by_id) AS k_id,
+      |   count(DISTINCT by_cluster) AS k_cluster,
+      |   min(by_cluster) AS split
+      | FROM lab GROUP BY cluster_id
+      |)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN k_id > 1 THEN 1 ELSE 0 END) AS BIGINT) AS torn_id,
+      |  CAST(sum(CASE WHEN k_cluster > 1 THEN 1 ELSE 0 END) AS BIGINT) AS torn_cluster
+      |FROM per GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q63_hash_split", q63HashSplit _, Some(q63Sql)),
     ("q64_token_budget", q64TokenBudget _, Some(q64Sql)),
@@ -1292,6 +1377,7 @@ object Curation {
     ("q179_weighted_reservoir", q179WeightedReservoir _, Some(q103Sql)),
     ("q124_curation_funnel", q124CurationFunnel _, Some(q124Sql)),
     ("q158_match_distribution", q158MatchDistribution _, Some(q158Sql)),
+    ("q181_cluster_split", q181ClusterSplit _, Some(q181Sql)),
     ("q125_contamination_ratio", q125ContaminationRatio _, Some(q125Sql)),
   )
 }

@@ -766,6 +766,82 @@ object Quality {
       |    + max(CASE WHEN rn = (cnt + 2) // 2 THEN n_chars END) AS doc_median_x2
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q183
+
+  /** Boundary rule for content-defined chunking: a token closes a
+    * chunk when the first hex digit of its md5 is this value → p =
+    * 1/16 → geometric chunk lengths with mean 16 tokens (q109's fixed
+    * width, made content-keyed). md5 keeps the boundary decision
+    * byte-identical in DuckDB; a production run that doesn't need
+    * oracle parity would use xxhash64 & 15 for the same rule. */
+  val CdcBoundaryHex = "0"
+
+  /** q183: CONTENT-DEFINED CHUNK DEDUP — the shift-resistant
+    * production form of q109. q109 chunks at FIXED 16-token offsets,
+    * so one inserted token shifts every later chunk boundary and
+    * destroys all downstream fingerprint matches (an editor adding a
+    * byline defeats the dedup). Here a boundary is a property of the
+    * TOKEN ITSELF — the storage-dedup / CDC trick (LBFS, SOSP'01):
+    * after any local edit, boundaries — hence fingerprints — re-align
+    * from the next boundary token on, so near-identical docs still
+    * share almost all chunks. QualitySpec plants exactly that editor
+    * scenario against both chunkers.
+    *
+    * Output per source: chunk volume, distinct chunks, and the dup
+    * ratio (the redundancy a chunk-level dedup pass would reclaim).
+    *
+    * Scale shape: boundaries, spans and fingerprints are computed
+    * INSIDE the scan with codegen'd higher-order functions (filter/
+    * transform/slice over the token array — no explode of raw
+    * tokens); only (source, 32-char chunk fp) pairs reach the
+    * exchange, and the verdict is one fp-level aggregation. */
+  def q183CdcDedup(s: SparkSession, d: String): DataFrame =
+    cdcChunkDedup(documents(s, d))
+
+  /** Per-doc CDC chunk fingerprints as an array column (exposed for
+    * the spec's shift-resistance test). */
+  def cdcChunkFps(text: Column): Column = {
+    val t = split(text, " ")
+    val ends = filter(sequence(lit(1), size(t)), i =>
+      (substring(md5(element_at(t, i)), 1, 1) === CdcBoundaryHex) ||
+        (i === size(t)))
+    transform(ends, (e, j) => {
+      val prev = when(j === lit(0), lit(0)).otherwise(element_at(ends, j))
+      md5(concat_ws(" ", slice(t, prev + 1, e - prev)))
+    })
+  }
+
+  def cdcChunkDedup(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("source"), explode(cdcChunkFps(col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_uniq_chunks"),
+        round(lit(1d) - countDistinct(col("fp")).cast("double") / count(lit(1)), 4)
+          .as("dup_ratio"))
+      .orderBy(col("source"))
+
+  val q183Sql: String =
+    s"""WITH d AS (
+      | SELECT source, str_split(text, ' ') AS t FROM documents WHERE len(text) > 0
+      |), e AS (
+      | SELECT source, t,
+      |   [i for i in range(1, len(t)+1)
+      |    if substr(md5(t[i]),1,1) = '$CdcBoundaryHex' or i = len(t)] AS ends
+      | FROM d
+      |), c AS (
+      | SELECT source,
+      |   unnest([md5(array_to_string(
+      |     t[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]], ' '))
+      |     for j in range(1, len(ends)+1)]) AS fp
+      | FROM e
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq_chunks,
+      |  round(1 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) AS dup_ratio
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q109_chunk_dedup", q109ChunkDedup _, Some(q109Sql)),
     ("q110_quantile_norm", q110QuantileNorm _, Some(q110Sql)),
@@ -779,5 +855,6 @@ object Quality {
     ("q121_length_histogram", q121LengthHistogram _, Some(q121Sql)),
     ("q128_charclass_profile", q128CharClassProfile _, Some(q128Sql)),
     ("q151_lang_mix", q151LangMix _, Some(q151Sql)),
-    ("q169_byte_weighted_median", q169ByteWeightedMedian _, Some(q169Sql)))
+    ("q169_byte_weighted_median", q169ByteWeightedMedian _, Some(q169Sql)),
+    ("q183_cdc_chunk_dedup", q183CdcDedup _, Some(q183Sql)))
 }

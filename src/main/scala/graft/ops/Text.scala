@@ -1205,6 +1205,92 @@ object Text {
       |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w, tot, np
       |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q182
+
+  /** Head size for the q182 rank–frequency fit. */
+  val ZipfTopK = 100
+
+  /** Salt width for q182's two-level top-k — the parallelism knob:
+    * per-(lang, salt) partitions hold ~vocab/ZipfSaltW terms, so raise
+    * it with the cluster (32 matches local[32]; a 1000-executor run
+    * would use ~10⁴). */
+  val ZipfSaltW = 32
+
+  /** q182: ZIPF RANK–FREQUENCY FIT — per language, the log-log OLS
+    * slope (and R²) of term frequency against frequency rank over the
+    * top-[[ZipfTopK]] terms, plus vocabulary/token totals. Natural
+    * text runs ≈ −1; a flat slope exposes template/synthetic text
+    * (this corpus reads ≈ −0.22), a steep one a spam/boilerplate
+    * injection dominating the head. Completes the lexical-health
+    * triple: q106 profiles the frequency spectrum (tail), q123 the
+    * Heaps vocabulary-growth curve, q182 the rank head.
+    *
+    * Scale shape: term frequencies are ONE token-level aggregation;
+    * the top-K extraction is the two-level distributed top-k — a
+    * row_number within (lang, xxhash64(token) % [[ZipfSaltW]]) keeps
+    * every term whose global rank could be ≤ K (its local rank lower-
+    * bounds the global rank), then the exact rank runs over the
+    * ≤ SaltW·K survivors per language — no window ever sees a full
+    * vocabulary in one partition (q160's no-fact-sized-window
+    * discipline applied to the vocab digest). Ties break on the term
+    * string, so ranks — and hence the fit — are deterministic and
+    * engine-portable; regr_slope/regr_r2 aggregate ln() of the SAME
+    * (rank, freq) integer pairs in both engines. */
+  def q182ZipfFit(s: SparkSession, d: String): DataFrame =
+    zipfFit(documents(s, d))
+
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val top = zipfTopTerms(tf)
+    val fit = top.groupBy(col("lang")).agg(
+      round(expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE)))"), 4)
+        .as("zipf_slope"),
+      round(expr("regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE)))"), 4)
+        .as("zipf_r2"))
+    val totals = tf.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_terms"), sum(col("n")).as("total_tokens"))
+    totals.join(fit, Seq("lang")).orderBy(col("lang"))
+  }
+
+  /** The two-level exact top-K over a `(lang, token, n)` frequency
+    * frame: `(lang, token, n, rk)` with rk ≤ [[ZipfTopK]]. Exposed so
+    * the spec can pin agreement with the naive single-window ranking. */
+  def zipfTopTerms(tf: DataFrame): DataFrame = {
+    val wSalt = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("token")), lit(ZipfSaltW)))
+      .orderBy(col("n").desc, col("token").asc)
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token").asc)
+    tf.withColumn("lrk", row_number().over(wSalt)).filter(col("lrk") <= ZipfTopK)
+      .drop("lrk")
+      .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= ZipfTopK)
+  }
+
+  val q182Sql: String =
+    s"""WITH tf AS (
+      | SELECT lang, token, count(*) AS n
+      | FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
+      | GROUP BY lang, token
+      |), top AS (
+      | SELECT lang, n,
+      |   row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      | FROM tf QUALIFY rk <= $ZipfTopK
+      |), fit AS (
+      | SELECT lang,
+      |   round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
+      |   round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4) AS zipf_r2
+      | FROM top GROUP BY lang
+      |), tot AS (
+      | SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+      |   CAST(sum(n) AS BIGINT) AS total_tokens
+      | FROM tf GROUP BY lang
+      |)
+      |SELECT t.lang, n_terms, total_tokens, zipf_slope, zipf_r2
+      |FROM tot t JOIN fit f ON t.lang = f.lang ORDER BY t.lang""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -1231,6 +1317,7 @@ object Text {
     ("q157_bpe_train", q157BpeTrain _, None),
     ("q177_bpe_encode", q177BpeEncode _, None),
     ("q180_novelty_audit", q180NoveltyAudit _, Some(q180Sql)),
+    ("q182_zipf_fit", q182ZipfFit _, Some(q182Sql)),
   )
 
 

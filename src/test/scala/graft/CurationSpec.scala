@@ -513,4 +513,38 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
     assert(again == got.map { case (k, r) => k -> r.getAs[Long]("n_kept") })
   }
+
+  // ------------------------------------------------------------- q181
+
+  test("q181: cluster-keyed rekey repairs the tear the id-keyed rule exhibits") {
+    val rows = Curation.q181ClusterSplit(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("torn_cluster")).sum == 0,
+      "cluster-keyed co-location must hold by construction")
+    assert(rows.map(_.getAs[Long]("torn_id")).sum >= 1,
+      "the anchor corpus must exhibit the id-rule tear the rekey exists to repair")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 60,
+      "splits must partition the doc_id < 60 anchor exactly")
+  }
+
+  test("clusterAwareSplit: a synthetic cluster spanning id-splits lands whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // find two ids with DIFFERENT id-keyed split labels, then cluster them
+    val labels = spark.range(0, 64)
+      .select(col("id"), Curation.splitLabel(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (a, b) = labels.toSeq.combinations(2)
+      .collectFirst { case Seq((x, sx), (y, sy)) if sx != sy => (x, y) }.get
+    val clusters = Seq((a, a), (b, a), (a + 1000, a + 1000))
+      .toDF("doc_id", "cluster_id")
+    val out = Curation.clusterAwareSplit(clusters).collect()
+    assert(out.map(_.getAs[Long]("torn_id")).sum == 1,
+      s"the ($a,$b) cluster spans id-splits")
+    assert(out.map(_.getAs[Long]("torn_cluster")).sum == 0)
+    // the torn cluster's destination is the label of its cluster id
+    val dest = labels(a)
+    val row = out.find(_.getAs[String]("split") == dest).get
+    assert(row.getAs[Long]("n_docs") >= 2,
+      s"both members of the cluster must land in '$dest' together")
+  }
 }

@@ -328,4 +328,69 @@ class QualitySpec extends AnyFunSuite {
     assert(h > 0.0 && h < 1.0, s"3:1 mix sits strictly between: $h")
     assert(got("skewed").getAs[Long]("n_langs") == 2L)
   }
+
+  // ------------------------------------------------------------- q183
+
+  private def fpsOf(text: String): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(Quality.cdcChunkFps(col("text")).as("fps"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("cdc chunking: boundary count and reassembly invariants") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isBoundary(tok: String): Boolean = {
+      md.reset()
+      val h = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.startsWith(Quality.CdcBoundaryHex)
+    }
+    val toks = (1 to 300).map(i => s"tok$i")
+    val expected = toks.count(isBoundary) + (if (isBoundary(toks.last)) 0 else 1)
+    val fps = fpsOf(toks.mkString(" "))
+    assert(fps.length == expected,
+      s"one chunk per boundary token (+1 for an unterminated tail): $expected")
+    assert(fps.forall(_.length == 32), "md5 fingerprints")
+  }
+
+  test("cdc chunking realigns after a prepended token; fixed chunking does not") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isBoundary(tok: String): Boolean =
+      md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .startsWith(Quality.CdcBoundaryHex)
+    val toks = (1 to 400).map(i => s"word$i")
+    val inserted = (1 to 50).find(i => !isBoundary(s"ins$i")).map(i => s"ins$i").get
+    val base = toks.mkString(" ")
+    val edited = inserted + " " + base
+    val a = fpsOf(base); val b = fpsOf(edited)
+    // CDC: the insertion only grows the FIRST chunk — every boundary
+    // after it is a token property and re-aligns, so exactly one of
+    // the original fingerprints is lost.
+    assert(a.toSet.intersect(b.toSet).size == a.length - 1,
+      "all chunks but the edited first one must survive the edit")
+    // fixed 16-token chunking: the same edit shifts every boundary
+    def fixedFps(ts: Seq[String]): Set[String] = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+      ts.grouped(16).map(g =>
+        dig.digest(g.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .toSet
+    }
+    val shiftShared = fixedFps(toks).intersect(fixedFps(inserted +: toks)).size
+    assert(shiftShared <= 1,
+      s"fixed-offset chunking must lose (nearly) all matches after a 1-token shift, shared $shiftShared")
+  }
+
+  test("q183: per-source digest is sane and dup-heavier than unique text would be") {
+    val rows = Quality.q183CdcDedup(spark, TestSpark.sf0001).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks"); val u = r.getAs[Long]("n_uniq_chunks")
+      assert(u >= 1 && u <= n)
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(math.abs(ratio - (1.0 - u.toDouble / n)) < 1e-3)
+    }
+    // the near-dup-heavy corpus repeats chunks somewhere
+    assert(rows.map(r => r.getAs[Long]("n_chunks") - r.getAs[Long]("n_uniq_chunks")).sum > 0,
+      "planted near-dups must share CDC chunks")
+  }
 }

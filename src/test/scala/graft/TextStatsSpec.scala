@@ -304,4 +304,53 @@ class TextStatsSpec extends AnyFunSuite {
     val bound = 3.0 * math.log(1.0 + (n + 0.5) / 1.5) * 2.2
     assert(scores.head <= bound, s"score ${scores.head} exceeds saturation bound $bound")
   }
+
+  // ------------------------------------------------------------- q182
+
+  test("q182: salted two-level top-k equals the naive single-window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val naive = tf.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rk") <= Text.ZipfTopK)
+      .select("lang", "token", "n", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val salted = Text.zipfTopTerms(tf)
+      .select("lang", "token", "n", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(salted == naive,
+      "the salted pre-prune must be lossless: identical (lang, token, n, rank) sets")
+  }
+
+  test("q182: zipf fit emits one row per language with a negative head slope") {
+    val rows = Text.q182ZipfFit(spark, TestSpark.sf0001).collect()
+    val langs = rows.map(_.getString(0))
+    assert(langs.sameElements(langs.sorted) && langs.distinct.length == langs.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        s"${r.getString(0)}: rank-frequency slope must be negative")
+      val r2 = r.getAs[Double]("zipf_r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("n_terms") <= r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("q182: a planted power-law corpus recovers its exponent") {
+    import spark.implicits._
+    // term i appears round(1000 / i) times → ln n = ln 1000 − 1·ln rank:
+    // the fit over exact integer counts must land near slope −1.
+    val docs = (1 to 50).flatMap { i =>
+      val reps = math.max(1, math.round(1000.0 / i).toInt)
+      Seq.fill(reps)(f"w$i%03d")
+    }.grouped(97).zipWithIndex
+      .map { case (toks, id) => (id.toLong, "zz", toks.mkString(" ")) }
+      .toSeq.toDF("doc_id", "lang", "text")
+    val row = Text.zipfFit(docs).collect().head
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(slope > -1.1 && slope < -0.9, s"expected ≈ −1, got $slope")
+    assert(row.getAs[Double]("zipf_r2") > 0.98,
+      "an exact power law must fit nearly perfectly")
+  }
 }

@@ -489,4 +489,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the 5-row rate frame must broadcast onto the doc scan:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q183 cdc dedup: chunking happens in-scan; exchanges carry fps, never text") {
+    val sp = sparkPlan(q("q183_cdc_chunk_dedup"))
+    sp.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+      .foreach { cols =>
+        assert(!cols.contains("text") && !cols.contains("t"),
+          s"raw text / token arrays must never move, exchange carries: $cols")
+      }
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "the dup verdict is pure aggregation — no window")
+  }
+
+  test("q182 zipf: every window is partitioned and fed by the tf aggregation") {
+    val sp = sparkPlan(q("q182_zipf_fit"))
+    val wins = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "the exact top-k ranks via window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "no unpartitioned window: the salted two-level top-k bounds every partition"))
+  }
 }

@@ -799,16 +799,33 @@ object Quality {
     cdcChunkDedup(documents(s, d))
 
   /** Per-doc CDC chunk fingerprints as an array column (exposed for
-    * the spec's shift-resistance test). */
+    * the spec's shift-resistance test).
+    *
+    * Implemented as ONE `aggregate` fold over the token array — one
+    * boundary md5 per token plus one fingerprint md5 per chunk. (A
+    * boundary-positions-then-slice formulation reads more naturally
+    * but re-embeds the O(tokens) boundary scan inside the per-chunk
+    * lambda — Spark inlines, not CSEs, a captured array expression —
+    * and measured O(tokens²) on sf0.1: 35 s vs ~2 s for this fold.) */
   def cdcChunkFps(text: Column): Column = {
     val t = split(text, " ")
-    val ends = filter(sequence(lit(1), size(t)), i =>
-      (substring(md5(element_at(t, i)), 1, 1) === CdcBoundaryHex) ||
-        (i === size(t)))
-    transform(ends, (e, j) => {
-      val prev = when(j === lit(0), lit(0)).otherwise(element_at(ends, j))
-      md5(concat_ws(" ", slice(t, prev + 1, e - prev)))
-    })
+    val zero = struct(
+      array().cast("array<string>").as("chunks"), lit("").as("cur"))
+    aggregate(t, zero,
+      (acc, tok) => {
+        val cur2 = when(acc("cur") === "", tok)
+          .otherwise(concat(acc("cur"), lit(" "), tok))
+        val isBoundary = substring(md5(tok), 1, 1) === CdcBoundaryHex
+        struct(
+          when(isBoundary, concat(acc("chunks"), array(md5(cur2))))
+            .otherwise(acc("chunks")).as("chunks"),
+          when(isBoundary, lit("")).otherwise(cur2).as("cur"))
+      },
+      // finish: an unterminated tail is the final chunk (acc is bound
+      // once here, unlike an outer reference which Spark would inline
+      // — and so re-fold — per occurrence)
+      acc => when(acc("cur") === "", acc("chunks"))
+        .otherwise(concat(acc("chunks"), array(md5(acc("cur"))))))
   }
 
   def cdcChunkDedup(docs: DataFrame): DataFrame =

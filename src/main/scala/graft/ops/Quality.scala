@@ -859,6 +859,104 @@ object Quality {
       |  round(1 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) AS dup_ratio
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------- q184/q185
+
+  /** The quantiles both HDR queries read out. */
+  val HdrQs = Seq(0.5, 0.9, 0.99)
+
+  /** q184: MERGEABLE QUANTILE SKETCH — per-source p50/p90/p99 of
+    * n_chars via [[graft.functions.HdrQuantileAgg]], the quantile
+    * member of the sketch family (q53 HLL / q104 CMS / q74
+    * SpaceSaving / q178 reservoir). Unlike q93's percentile_approx
+    * this sketch is a PERSISTABLE column with lossless element-wise
+    * merge, so it plays q173's stored-rollup game (q185). The readout
+    * is the DETERMINISTIC lower bound of the log-bucket holding the
+    * rank-⌈q·n⌉ value (relative rounding ≤ 2^-6) — which is why a
+    * DuckDB oracle can reproduce it bit-exactly: bucket arithmetic is
+    * integer shifts on the exact rank-target value, no estimation gap
+    * to paper over. Scale shape: one aggregation, fixed ≤ 18 KiB
+    * state per group, map-side partials; no window, no sort. */
+  def q184HdrQuantiles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.HdrQuantileAgg.hdrQuantiles(col("n_chars"), HdrQs).as("qv"))
+      .select(col("source"), col("n_docs"),
+        col("qv")(0).as("p50"), col("qv")(1).as("p90"), col("qv")(2).as("p99"))
+      .orderBy(col("source"))
+
+  /** The oracle's copy of the bucket-lower-bound readout: pure integer
+    * arithmetic (binary length + shifts) on an exact rank-target
+    * value, shared by the q184/q185 SQL. */
+  private def lbSql(v: String): String =
+    s"CASE WHEN $v < 64 THEN $v ELSE (1::BIGINT << (length(bin($v))-1)) " +
+      s"+ ((($v >> (length(bin($v))-1-6)) & 63)::BIGINT << (length(bin($v))-1-6)) END"
+
+  private def rankSql(q: Double, v: String = "n_chars"): String =
+    s"max(CASE WHEN rn = GREATEST(1, CAST(ceil($q*n) AS BIGINT)) THEN $v END)"
+
+  val q184Sql: String =
+    s"""WITH r AS (
+      | SELECT source, n_chars,
+      |   row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |   count(*) OVER (PARTITION BY source) AS n
+      | FROM documents
+      |), t AS (
+      | SELECT source, n,
+      |   ${rankSql(0.5)} AS v50, ${rankSql(0.9)} AS v90, ${rankSql(0.99)} AS v99
+      | FROM r GROUP BY source, n
+      |)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  ${lbSql("v50")} AS p50, ${lbSql("v90")} AS p90, ${lbSql("v99")} AS p99
+      |FROM t ORDER BY source""".stripMargin
+
+  /** q185: PERSISTED-QUANTILE-SKETCH ROLLUP — q173's pattern for
+    * quantiles: ONE corpus pass builds a tiny (source, lang) →
+    * HDR-sketch-bytes table (what a pipeline persists per vintage),
+    * then the per-lang readout and the ALL row aggregate ONLY those
+    * sketches. Because the histogram merge is lossless, the rolled-up
+    * quantiles are exactly a direct pass's — so even this two-stage
+    * form stays hash-verifiable against a plain SQL oracle. The plan
+    * pin mirrors q173's: stage 2 reads no parquet. */
+  def q185HdrRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HdrQuantileAgg.{hdrMergeQuantiles, hdrSketch}
+    val built = documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(hdrSketch(col("n_chars")).as("sk"), count(lit(1)).as("n_docs"))
+    val sketches = s.createDataFrame(
+      s.sparkContext.parallelize(built.collect().toSeq, 1), built.schema)
+    def readout(g: DataFrame): DataFrame = g
+      .select(col("lang"), col("n_docs"),
+        col("qv")(0).as("p50"), col("qv")(1).as("p90"), col("qv")(2).as("p99"))
+    val perLang = readout(sketches.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        hdrMergeQuantiles(col("sk"), HdrQs).as("qv")))
+    val all = readout(sketches
+      .agg(sum(col("n_docs")).as("n_docs"),
+        hdrMergeQuantiles(col("sk"), HdrQs).as("qv"))
+      .select(lit("ALL").as("lang"), col("n_docs"), col("qv")))
+    perLang.unionByName(all).orderBy(col("lang"))
+  }
+
+  val q185Sql: String =
+    s"""WITH src AS (
+      | SELECT lang, n_chars FROM documents
+      | UNION ALL
+      | SELECT 'ALL' AS lang, n_chars FROM documents
+      |), r AS (
+      | SELECT lang, n_chars,
+      |   row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+      |   count(*) OVER (PARTITION BY lang) AS n
+      | FROM src
+      |), t AS (
+      | SELECT lang, n,
+      |   ${rankSql(0.5)} AS v50, ${rankSql(0.9)} AS v90, ${rankSql(0.99)} AS v99
+      | FROM r GROUP BY lang, n
+      |)
+      |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+      |  ${lbSql("v50")} AS p50, ${lbSql("v90")} AS p90, ${lbSql("v99")} AS p99
+      |FROM t ORDER BY lang""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q109_chunk_dedup", q109ChunkDedup _, Some(q109Sql)),
     ("q110_quantile_norm", q110QuantileNorm _, Some(q110Sql)),
@@ -873,5 +971,7 @@ object Quality {
     ("q128_charclass_profile", q128CharClassProfile _, Some(q128Sql)),
     ("q151_lang_mix", q151LangMix _, Some(q151Sql)),
     ("q169_byte_weighted_median", q169ByteWeightedMedian _, Some(q169Sql)),
-    ("q183_cdc_chunk_dedup", q183CdcDedup _, Some(q183Sql)))
+    ("q183_cdc_chunk_dedup", q183CdcDedup _, Some(q183Sql)),
+    ("q184_hdr_quantiles", q184HdrQuantiles _, Some(q184Sql)),
+    ("q185_hdr_rollup", q185HdrRollup _, Some(q185Sql)))
 }

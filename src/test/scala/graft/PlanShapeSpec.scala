@@ -483,6 +483,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("hll_merge"), s"rollup must merge stored sketches:\n$s")
   }
 
+  test("q185 rollup plan reads NO parquet: stage 2 touches only the stored HDR sketches") {
+    val sp = sparkPlan(q("q185_hdr_rollup"))
+    val s = sp.toString
+    assert(!s.contains("FileScan"),
+      s"the rollup must aggregate the materialized sketch table, not rescan the corpus:\n$s")
+    assert(s.contains("hdr_merge"), s"rollup must merge stored sketches:\n$s")
+  }
+
   test("q158 rebalance: per-bucket stats broadcast; docs never shuffle for the join") {
     val p = plan(q("q158_match_distribution"))
     assert(p.contains("BroadcastHashJoin"),

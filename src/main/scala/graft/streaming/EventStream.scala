@@ -81,6 +81,28 @@ object EventStream {
         .as("approx_users"))
       .select(unix_timestamp(col("w.start")).as("win_start"), col("approx_users"))
 
+  /** Windowed streaming VALUE QUANTILES — p50/p99 of the event value
+    * per tumbling window via the mergeable HDR sketch (q184's
+    * aggregate). Exact quantiles are unsupported over a stream (state
+    * would be every value seen); the histogram's fixed counters
+    * partial-merge through the state store like any streaming
+    * aggregation — and because that merge is LOSSLESS, the stream's
+    * readout EQUALS the batch readout over the same rows (not merely
+    * tracks it; the HLL twin above can only promise register
+    * identity). EventStreamSpec pins the equality plus the one-bucket
+    * envelope against exact batch ranks. Values are fixed-pointed to
+    * cents so the long-domain sketch applies to the DOUBLE column. */
+  def windowedValueQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(graft.functions.HdrQuantileAgg.hdrQuantiles(
+        // explicit non-negative clamp: the sketch's domain is [0, 2^40)
+        greatest(lit(0L), floor(col("value") * 100).cast("long")),
+        Seq(0.5, 0.99)).as("qv"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("qv")(0).as("p50_cents"), col("qv")(1).as("p99_cents"))
+
   /** Event-time session windows (30-minute gap), Spark's native
     * session_window operator — works identically over a batch frame or
     * a watermarked stream; the batch twin of Relational.q28Sessionize.

@@ -29,6 +29,43 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed HDR quantiles: EQUAL to batch, one bucket off exact ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("events-hdr-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.windowedValueQuantiles(
+        EventStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("events_hdr_stream_test").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("events_hdr_stream_test").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the histogram merge is lossless: micro-batches through the state
+    // store must yield EXACTLY the batch readout, not an approximation
+    val events = graft.Tables.events(spark, TestSpark.sf0001)
+    val batch = EventStream.windowedValueQuantiles(events)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      "lossless merge: streaming quantiles must equal the batch readout")
+    // and the readout sits within one log-bucket below the exact
+    // rank-target cent value per window
+    val exact = events
+      .select(unix_timestamp(window(col("ts"), "10 minutes").getField("start"))
+          .as("w"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (w, rs) => w -> rs.map(_.getLong(1)).sorted }
+    assert(streamed.keySet == exact.keySet)
+    exact.foreach { case (w, vs) =>
+      Seq(0.5 -> streamed(w)._1, 0.99 -> streamed(w)._2).foreach { case (qq, got) =>
+        val want = vs(math.max(1, math.ceil(qq * vs.length).toLong).toInt - 1)
+        assert(got <= want && want - got <= math.max(1L, want / 64),
+          s"window $w q=$qq: sketch $got vs exact $want")
+      }
+    }
+  }
+
   test("streaming windowed HLL distinct users: register-identical to batch, tracks exact") {
     val dir = java.nio.file.Files.createTempDirectory("events-hll-stream")
     java.nio.file.Files.copy(

@@ -47,10 +47,15 @@ private[functions] object Hdr {
     val v = if (v0 < 0) 0L else v0
     if (v < SubCount) v.toInt
     else {
-      val e0 = 63 - java.lang.Long.numberOfLeadingZeros(v)
-      val e = math.min(e0, MaxExp - 1) // saturate the top octave
-      val sp = ((v >> (e - SubBits)) & (SubCount - 1)).toInt
-      SubCount + (e - SubBits) * SubCount + sp
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      // saturate: everything ≥ 2^MaxExp lands in the LAST bucket (the
+      // sub-position bits of an out-of-range value are meaningless, and
+      // clamping to the top keeps order: saturated ≥ every tracked value)
+      if (e >= MaxExp) Size - 1
+      else {
+        val sp = ((v >> (e - SubBits)) & (SubCount - 1)).toInt
+        SubCount + (e - SubBits) * SubCount + sp
+      }
     }
   }
 

@@ -51,6 +51,10 @@ object Health {
       .unionByName(tag("dim_stats", Similarity.q136DimStats(s, d)))
       .unionByName(tag("dup_spectrum", Dedup.q129DupGroupSpectrum(s, d)))
       .unionByName(tag("curation_funnel", Curation.q124CurationFunnel(s, d)))
+      // round-12 continuation: the redundancy + length-drift families
+      .unionByName(tag("novelty", Text.q180NoveltyAudit(s, d)))
+      .unionByName(tag("cdc_dup", Quality.q183CdcDedup(s, d)))
+      .unionByName(tag("length_quantiles", Quality.q184HdrQuantiles(s, d)))
   }
 
   /** Sink: one directory per check, NDJSON rows — the shape a
@@ -69,7 +73,10 @@ object Health {
     "ivf_balance" -> Seq("cluster"),
     "dim_stats" -> Seq("dim"),
     "dup_spectrum" -> Seq("group_size"),
-    "curation_funnel" -> Seq("stage_idx", "stage"))
+    "curation_funnel" -> Seq("stage_idx", "stage"),
+    "novelty" -> Seq("source"),
+    "cdc_dup" -> Seq("source"),
+    "length_quantiles" -> Seq("source"))
 
   /** VINTAGE DIFF (round-11 verdict ask #6) — the artifact a scheduler
     * actually pages on: two [[writeHealthReport]] directories → one

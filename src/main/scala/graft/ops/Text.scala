@@ -852,7 +852,11 @@ object Text {
   def q180NoveltyAudit(s: SparkSession, d: String): DataFrame =
     noveltyAudit(documents(s, d))
 
-  def noveltyAudit(docs: DataFrame): DataFrame = {
+  /** The per-doc intermediate of [[noveltyAudit]]: `(source, doc_id,
+    * total, novel)` distinct-shingle counts. Exposed so
+    * [[IncrementalNovelty]]'s batch-wise replay can be pinned equal to
+    * this corpus-wide pass. */
+  def noveltyPerDoc(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksCol = split(col("text"), " ")
     val sh = docs
@@ -864,12 +868,15 @@ object Text {
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("total"),
            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+  }
+
+  def noveltyAudit(docs: DataFrame): DataFrame =
+    noveltyPerDoc(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            round(avg(col("novel").cast("double") / col("total")), 4).as("mean_novelty"),
            sum(when(col("novel") * 2 < col("total"), 1L).otherwise(0L)).as("n_mostly_dup"))
       .orderBy(col("source"))
-  }
 
   val q180Sql: String = {
     val n = NoveltyN

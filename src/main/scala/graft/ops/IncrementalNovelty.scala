@@ -46,25 +46,24 @@ object IncrementalNovelty {
     * novel, novelty)` where `novel` counts the doc's distinct
     * shingles that are BOTH unseen by the index and first-occurring
     * (min doc_id) within the batch — q180's attribution rule,
-    * decomposed. The anti-join is merge-aligned on the bucketed
-    * index; the min window partitions by fp over the BATCH only. */
-  def screenBatch(spark: SparkSession, batch: DataFrame, table: String): DataFrame = {
-    val sh = docShingles(batch)
-    val firstIn = sh.withColumn("first_doc",
-      min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-    val novel = firstIn
-      .join(spark.table(table).hint("MERGE"), Seq("fp"), "left_anti")
-      .filter(col("first_doc") === col("doc_id"))
+    * decomposed. ONE shingling pass: the seen test is a left-outer
+    * merge join against the bucketed index (no index-side exchange),
+    * safe from row multiplication because the index is invariantly
+    * DISTINCT on fp — buildIndex writes a distinct set and
+    * appendToIndex only appends anti-joined survivors; the min window
+    * partitions by fp over the BATCH only. */
+  def screenBatch(spark: SparkSession, batch: DataFrame, table: String): DataFrame =
+    docShingles(batch)
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(spark.table(table).hint("MERGE").withColumn("seen", lit(1)),
+        Seq("fp"), "left_outer")
       .groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("novel"))
-    sh.groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("total"))
-      .join(novel, Seq("source", "doc_id"), "left_outer")
-      .select(col("source"), col("doc_id"), col("total"),
-        coalesce(col("novel"), lit(0L)).as("novel"),
-        round(coalesce(col("novel"), lit(0L)).cast("double") / col("total"), 4)
-          .as("novelty"))
-  }
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("seen").isNull && col("first_doc") === col("doc_id"), 1L)
+          .otherwise(0L)).as("novel"))
+      .withColumn("novelty",
+        round(col("novel").cast("double") / col("total"), 4))
 
   /** Appends a batch's shingles to the index, deduplicated against it
     * (one merge anti-join; the index side stays in place). */

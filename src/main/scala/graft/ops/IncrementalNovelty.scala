@@ -37,39 +37,51 @@ object IncrementalNovelty {
       explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
         split(col("text"), " "), Text.NoveltyN))).as("fp"))
 
+  /** A corpus reduced to the index layout: one `(fp, first_doc)` row
+    * per distinct shingle. Carrying the claiming doc id (not a bare fp
+    * set) is what makes screening IDEMPOTENT under at-least-once
+    * replay: a batch re-screened after its own append still
+    * self-attributes its first occurrences ([[screenBatch]]). */
+  private def fpOwners(docs: DataFrame): DataFrame =
+    docShingles(docs).groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_doc"))
+
   /** (Re)builds the persisted seen-shingle index from a corpus. */
   def buildIndex(docs: DataFrame, table: String, buckets: Int = 32): Unit =
-    Bucketing.writeBucketed(docShingles(docs).select(col("fp")).distinct(),
-      table, "fp", buckets)
+    Bucketing.writeBucketed(fpOwners(docs), table, "fp", buckets)
 
   /** Scores a batch against the index: `(source, doc_id, total,
     * novel, novelty)` where `novel` counts the doc's distinct
-    * shingles that are BOTH unseen by the index and first-occurring
-    * (min doc_id) within the batch — q180's attribution rule,
-    * decomposed. ONE shingling pass: the seen test is a left-outer
-    * merge join against the bucketed index (no index-side exchange),
-    * safe from row multiplication because the index is invariantly
-    * DISTINCT on fp — buildIndex writes a distinct set and
+    * shingles that are first-occurring (min doc_id) within the batch
+    * AND either unseen by the index or already claimed by THIS doc
+    * (the self-attribution that makes a replayed screen-after-append
+    * return identical scores). ONE shingling pass: the seen test is a
+    * left-outer merge join against the bucketed index (no index-side
+    * exchange), safe from row multiplication because the index is
+    * invariantly distinct on fp — buildIndex aggregates per fp and
     * appendToIndex only appends anti-joined survivors; the min window
     * partitions by fp over the BATCH only. */
   def screenBatch(spark: SparkSession, batch: DataFrame, table: String): DataFrame =
     docShingles(batch)
       .withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .join(spark.table(table).hint("MERGE").withColumn("seen", lit(1)),
+      .join(spark.table(table).hint("MERGE")
+          .select(col("fp"), col("first_doc").as("idx_first")),
         Seq("fp"), "left_outer")
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("total"),
-        sum(when(col("seen").isNull && col("first_doc") === col("doc_id"), 1L)
+        sum(when(col("first_doc") === col("doc_id") &&
+            (col("idx_first").isNull || col("idx_first") === col("doc_id")), 1L)
           .otherwise(0L)).as("novel"))
       .withColumn("novelty",
         round(col("novel").cast("double") / col("total"), 4))
 
   /** Appends a batch's shingles to the index, deduplicated against it
-    * (one merge anti-join; the index side stays in place). */
+    * (one merge anti-join; the index side stays in place). Idempotent:
+    * a replayed append finds its own fps present and adds nothing. */
   def appendToIndex(batch: DataFrame, table: String): Unit = {
     val s = batch.sparkSession
-    docShingles(batch).select(col("fp")).distinct()
+    fpOwners(batch)
       .join(s.table(table).hint("MERGE"), Seq("fp"), "left_anti")
       .write.mode("append").format("parquet").insertInto(table)
   }
@@ -95,7 +107,9 @@ object IncrementalNovelty {
   }
 
   private def indexTableName(d: String, fp: String): String =
-    ("graft_novelty_idx_v1_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
+    // v2: the index layout gained first_doc — the v-bump invalidates
+    // any v1 bare-fp table instead of mis-reading it
+    ("graft_novelty_idx_v2_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
       .toLowerCase
 
   /** Best-effort GC of superseded/orphaned index tables for this

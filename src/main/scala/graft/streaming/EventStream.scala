@@ -103,6 +103,24 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("win_start"),
         col("qv")(0).as("p50_cents"), col("qv")(1).as("p99_cents"))
 
+  /** Windowed QUANTILE-SKETCH EMISSION — the persistable form of
+    * [[windowedValueQuantiles]]: each window's aggregate value is the
+    * HDR sketch ITSELF (binary), the column a pipeline lands per
+    * window so any later rollup — hourly → daily, per-window → SLA
+    * report — merges kilobyte sketches with `hdr_merge` instead of
+    * retaining raw events (q185's stored-rollup pattern fed by a
+    * stream; the rolled-up readout is EXACTLY a direct pass's, since
+    * the histogram merge is lossless — EventStreamSpec pins it). */
+  def windowedQuantileSketches(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(graft.functions.HdrQuantileAgg.hdrSketch(
+          greatest(lit(0L), floor(col("value") * 100).cast("long"))).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("sk"), col("n_events"))
+
   /** Event-time session windows (30-minute gap), Spark's native
     * session_window operator — works identically over a batch frame or
     * a watermarked stream; the batch twin of Relational.q28Sessionize.

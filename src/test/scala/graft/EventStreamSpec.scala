@@ -66,6 +66,35 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed per-window HDR sketches roll up to the all-events quantiles exactly") {
+    import graft.functions.HdrQuantileAgg.{hdrMergeQuantiles, hdrQuantiles}
+    val dir = java.nio.file.Files.createTempDirectory("events-hdrsk-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.windowedQuantileSketches(
+        EventStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("events_hdrsk_stream_test").start()
+    q.processAllAvailable(); q.stop()
+    val sketches = spark.table("events_hdrsk_stream_test")
+    // cross-window rollup of the STREAMED sketches == one batch pass
+    // over every raw event (lossless merge — q185's identity, fed by
+    // the stream instead of a corpus scan)
+    val rolled = sketches
+      .agg(hdrMergeQuantiles(col("sk"), Seq(0.5, 0.9, 0.99)).as("q"))
+      .collect().head.getSeq[Long](0)
+    val direct = graft.Tables.events(spark, TestSpark.sf0001)
+      .agg(hdrQuantiles(greatest(lit(0L), floor(col("value") * 100).cast("long")),
+        Seq(0.5, 0.9, 0.99)).as("q"))
+      .collect().head.getSeq[Long](0)
+    assert(rolled == direct,
+      s"rollup of streamed window sketches $rolled != direct pass $direct")
+    // event conservation across windows
+    val n = sketches.agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(n == graft.Tables.events(spark, TestSpark.sf0001).count())
+  }
+
   test("streaming windowed HLL distinct users: register-identical to batch, tracks exact") {
     val dir = java.nio.file.Files.createTempDirectory("events-hll-stream")
     java.nio.file.Files.copy(

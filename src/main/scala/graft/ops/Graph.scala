@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Graph analytics beyond the dedup connected components
+  * ([[Dedup.connectedComponents]]): weighted PageRank — the authority
+  * score corpus curation runs over source/host link graphs (Common
+  * Crawl-style URL ranking) and marketplaces run over order flow.
+  *
+  * Here the graph is the order-flow bipartite: customer ↔ supplier
+  * edges weighted by lineitem count (via orders), walked in both
+  * directions. The power iteration is UNROLLED to a fixed
+  * [[PrIters]] rounds, which keeps the whole computation a chain of
+  * join + aggregate — hash-verifiable against a DuckDB oracle whose
+  * CTEs unroll the same three rounds with identical arithmetic (no
+  * recursion, no convergence test whose iteration count could
+  * diverge between engines).
+  *
+  * Scale shape: per round, ONE join of the rank vector (node-domain
+  * sized) against the edge list and one aggregation back to nodes —
+  * the edge list shuffles on its join key once per round and nothing
+  * is ever windowed; out-weights are precomputed once. Output is the
+  * full supplier rank table ordered by key — deliberately NOT a
+  * float-ordered top-k, whose cutoff ties would let last-ulp
+  * summation noise reorder rows between engines. */
+object Graph {
+
+  /** Fixed power-iteration rounds (unrolled in both engines). */
+  val PrIters = 3
+  /** Damping factor. */
+  val PrDamping = 0.85
+
+  /** Weighted PageRank over a directed edge list `(src, dst, w)`:
+    * returns `(id, rank)` for every node. `nodes` must list every
+    * node id exactly once. */
+  def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.count()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // edge transition probabilities, computed once
+    val trans = edges.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p"))
+    var rank = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = trans.join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("p") * col("r")).as("inflow"))
+      rank = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit((1.0 - PrDamping) / n) +
+            lit(PrDamping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+    }
+    rank
+  }
+
+  /** q187: SUPPLIER AUTHORITY via PageRank on the order-flow
+    * bipartite — customers and suppliers as nodes, lineitem counts as
+    * edge weights, both directions walked. Emits every supplier's
+    * rank (×10⁶, rounded) keyed and ordered by supplier id. */
+  def q187PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val flow = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+    // disjoint node id spaces: customers negated (keys are ≥ 0)
+    val cEdges = flow.select((-col("o_custkey") - 1).as("src"),
+      col("l_suppkey").as("dst"), col("w"))
+    val sEdges = flow.select(col("l_suppkey").as("src"),
+      (-col("o_custkey") - 1).as("dst"), col("w"))
+    val nodes = customer(s, d).select((-col("c_custkey") - 1).as("id"))
+      .unionByName(supplier(s, d).select(col("s_suppkey").as("id")))
+    pageRank(nodes, cEdges.unionByName(sEdges))
+      .filter(col("id") >= 0)
+      .select(col("id").as("s_suppkey"),
+        round(col("r") * 1e6, 4).as("rank_ppm"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q187Sql: String = {
+    val d = PrDamping
+    s"""WITH flow AS (
+      | SELECT o_custkey, l_suppkey, count(*) AS w
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY o_custkey, l_suppkey
+      |), edges AS (
+      | SELECT -o_custkey - 1 AS src, l_suppkey AS dst, w FROM flow
+      | UNION ALL
+      | SELECT l_suppkey AS src, -o_custkey - 1 AS dst, w FROM flow
+      |), nodes AS (
+      | SELECT -c_custkey - 1 AS id FROM customer
+      | UNION ALL
+      | SELECT s_suppkey AS id FROM supplier
+      |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+      |), trans AS (
+      | SELECT src, dst, CAST(w AS DOUBLE) / sum(w) OVER (PARTITION BY src) AS p
+      | FROM edges
+      |), r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn
+      |), r1 AS (
+      | SELECT nodes.id,
+      |   (1.0 - $d) / n + $d * coalesce(sum(t.p * r0.r), 0.0) AS r
+      | FROM nodes CROSS JOIN nn
+      | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
+      | LEFT JOIN r0 ON r0.id = t.src
+      | GROUP BY nodes.id, nn.n
+      |), r2 AS (
+      | SELECT nodes.id,
+      |   (1.0 - $d) / n + $d * coalesce(sum(t.p * r1.r), 0.0) AS r
+      | FROM nodes CROSS JOIN nn
+      | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
+      | LEFT JOIN r1 ON r1.id = t.src
+      | GROUP BY nodes.id, nn.n
+      |), r3 AS (
+      | SELECT nodes.id,
+      |   (1.0 - $d) / n + $d * coalesce(sum(t.p * r2.r), 0.0) AS r
+      | FROM nodes CROSS JOIN nn
+      | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
+      | LEFT JOIN r2 ON r2.id = t.src
+      | GROUP BY nodes.id, nn.n
+      |)
+      |SELECT id AS s_suppkey, round(r * 1e6, 4) AS rank_ppm
+      |FROM r3 WHERE id >= 0 ORDER BY s_suppkey""".stripMargin
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q187_pagerank", q187PageRank _, Some(q187Sql)),
+  )
+}

@@ -37,16 +37,23 @@ object Graph {
     * returns `(id, rank)` for every node. `nodes` must list every
     * node id exactly once. */
   def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val n = nodes.count()
+    // loop-invariant frames are EAGERLY checkpointed (the q69 CC-loop
+    // discipline): without this the final plan re-derives the whole
+    // edge build once per iteration per reference — q187 at sf0.1
+    // measured 5.3 s warm without the checkpoints, 3.5 s with them
+    // (plus the flow checkpoint in the caller)
+    val nodesC = nodes.localCheckpoint(true)
+    val n = nodesC.count()
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // edge transition probabilities, computed once
     val trans = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p"))
-    var rank = nodes.select(col("id"), lit(1.0 / n).as("r"))
+      .localCheckpoint(true)
+    var rank = nodesC.select(col("id"), lit(1.0 / n).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = trans.join(rank.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("p") * col("r")).as("inflow"))
-      rank = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+      rank = nodesC.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1.0 - PrDamping) / n) +
             lit(PrDamping) * coalesce(col("inflow"), lit(0.0))).as("r"))
@@ -61,9 +68,12 @@ object Graph {
   def q187PageRank(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    // one lineitem⋈orders pass total: both edge directions (and the
+    // out-weight + transition builds downstream) read this checkpoint
     val flow = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     // disjoint node id spaces: customers negated (keys are ≥ 0)
     val cEdges = flow.select((-col("o_custkey") - 1).as("src"),
       col("l_suppkey").as("dst"), col("w"))

@@ -1240,6 +1240,103 @@ object Dedup {
       |WHERE levenshtein(q_name, p_name) <= 2
       |ORDER BY q_key, p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q188
+
+  /** Duplicate-span hit width, in tokens: a hit is a [[SpanN]]-token
+    * shingle occurring in ≥ 2 distinct documents. */
+  val SpanN = 8
+
+  /** Cross-document DUPLICATE-SPAN extraction — exact-substring dedup
+    * at sub-document granularity: every maximal token run that also
+    * appears in another document, emitted as a per-doc remove-span.
+    * q30 drops whole duplicate docs and q43/q167 flag near-dup PAIRS;
+    * training-data pipelines additionally cut REPEATED PASSAGES
+    * (licenses, boilerplate, quoted chunks) out of otherwise-unique
+    * documents — that needs positions, not verdicts (the published
+    * recipe deduplicates any ≥ k-token substring shared across the
+    * corpus; suffix arrays don't distribute, rolling-hash shingles
+    * do).
+    *
+    * Shape: (1) posexplode the corpus to (doc, pos, fp) shingle
+    * occurrences — q87's kernel; (2) the duplicated-fp set is one
+    * fp-keyed aggregation (distinct-doc count ≥ 2) — 8-byte keys,
+    * text never shuffles; (3) occurrences join that set (fp-equi,
+    * at most 1 match per occurrence row — no pair blowup, so no
+    * bucket cap needed, unlike candidate GENERATION which pairs
+    * occurrences with each other); (4) hits merge into maximal
+    * islands via gaps-and-islands over one doc-partitioned window —
+    * a new span starts when a hit clears the previous shingle's
+    * coverage, so each island's token coverage is contiguous. Two
+    * corpus-scale exchanges total (the fp aggregation and the hit
+    * join), both fixed-width; the window sorts HITS only (duplicated
+    * occurrences, a small fraction of corpus tokens). Output is pure
+    * integers — hash-verified against the identically-unrolled DuckDB
+    * oracle. */
+  def duplicateSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"),
+      posexplode(graft.functions.NativeExprs.shingleHashes(
+        split(col("text"), " "), n)).as(Seq("pos", "fp")))
+    val dup = pos.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(dup, Seq("fp"))
+      .select(col("doc_id"), col("pos"))
+      // coverage of the hit at prev is [prev, prev+n); the next hit
+      // extends the island iff its coverage overlaps or touches it
+      .withColumn("ns",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue / 2)) + n, 1)
+        .otherwise(0))
+      .withColumn("g", sum(col("ns")).over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("start_tok"),
+           (max(col("pos")) + n).as("end_tok"),
+           count(lit(1)).as("n_dup_shingles"))
+      .select(col("doc_id"), col("g").cast("int").as("span_idx"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("span_tokens"),
+        col("n_dup_shingles"))
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
+  /** q188: remove-spans of every ≥[[SpanN]]-token run shared across
+    * documents, island-merged per doc. */
+  def q188DuplicateSpans(s: SparkSession, d: String): DataFrame =
+    duplicateSpans(documents(s, d))
+
+  val q188Sql: String = {
+    val n = SpanN
+    s"""WITH toks AS (
+      | SELECT doc_id, str_split(text, ' ') AS t FROM documents
+      |), pos AS (
+      | SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${n - 2})) AS i
+      |       FROM toks WHERE len(t) >= $n)
+      |), dup AS (
+      | SELECT fp FROM pos GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+      |), hits AS (
+      | SELECT doc_id, pos FROM pos JOIN dup USING (fp)
+      |), flagged AS (
+      | SELECT doc_id, pos,
+      |  CASE WHEN pos > coalesce(
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1073741824) + $n
+      |   THEN 1 ELSE 0 END AS ns
+      | FROM hits
+      |), isl AS (
+      | SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      | FROM flagged
+      |)
+      |SELECT doc_id, CAST(g AS INT) AS span_idx,
+      | CAST(min(pos) AS INT) AS start_tok,
+      | CAST(max(pos) + $n AS INT) AS end_tok,
+      | CAST(max(pos) + $n - min(pos) AS INT) AS span_tokens,
+      | CAST(count(*) AS BIGINT) AS n_dup_shingles
+      |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_idx""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q43_minhash_pairs", q43MinhashPairs _, None),
     ("q44_jaccard_exact", q44JaccardExact _, Some(q44Sql)),
@@ -1260,5 +1357,6 @@ object Dedup {
     ("q108_split_leakage", q108SplitLeakage _, Some(q108Sql)),
     ("q129_dupgroup_spectrum", q129DupGroupSpectrum _, Some(q129Sql)),
     ("q139_minhash_calibration", q139MinhashCalibration _, None),
+    ("q188_duplicate_spans", q188DuplicateSpans _, Some(q188Sql)),
   )
 }

@@ -636,4 +636,52 @@ class DedupSpec extends AnyFunSuite {
     assert(nFile == nRel,
       s"q43 has $nFile FileScans but $nRel cached relations — some consumer re-scans parquet:\n$plan")
   }
+
+  // ------------------------------------------------------- q188 spans
+
+  private def spanRows(rows: Seq[(Long, String)], n: Int) =
+    Dedup.duplicateSpans(docsDf(rows), n).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+                 r.getInt(4), r.getLong(5)))
+
+  test("duplicate spans: a shared run yields one island at the exact offsets") {
+    // 5-token passage shared by both docs → three 3-shingle hits that
+    // must merge into one span covering exactly the passage
+    val out = spanRows(Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"),
+      (2L, "p1 p2 p3 p4 p5 v1 v2 v3")), n = 3)
+    assert(out.toSeq == Seq(
+      (1L, 1, 2, 7, 5, 3L),
+      (2L, 1, 0, 5, 5, 3L)))
+  }
+
+  test("duplicate spans: runs separated by unique text stay separate islands") {
+    val out = spanRows(Seq(
+      (3L, "p1 p2 p3 w1 w2 w3 w4 q1 q2 q3"),
+      (4L, "p1 p2 p3 x1 x2 q1 q2 q3")), n = 3)
+    assert(out.toSeq == Seq(
+      (3L, 1, 0, 3, 3, 1L), (3L, 2, 7, 10, 3, 1L),
+      (4L, 1, 0, 3, 3, 1L), (4L, 2, 5, 8, 3, 1L)))
+  }
+
+  test("duplicate spans: touching coverage merges even when interior shingles are unique") {
+    // doc 5's hits sit at pos 0 and 3 (coverage [0,3) + [3,6) touch);
+    // the bridging shingles at pos 1-2 appear nowhere else, so the
+    // island has contiguous COVERAGE but only 2 duplicated shingles
+    val out = spanRows(Seq(
+      (5L, "c1 c2 c3 d1 d2 d3"),
+      (6L, "c1 c2 c3 y1 y2 d1 d2 d3")), n = 3)
+    assert(out.toSeq == Seq(
+      (5L, 1, 0, 6, 6, 2L),
+      (6L, 1, 0, 3, 3, 1L), (6L, 2, 5, 8, 3, 1L)))
+  }
+
+  test("duplicate spans: within-doc repetition alone is NOT a duplicate") {
+    // the repeated trigram lives in one doc only — cross-doc rule
+    // (distinct docs >= 2) must ignore it
+    val out = spanRows(Seq(
+      (7L, "r1 r2 r3 z1 r1 r2 r3"),
+      (8L, "a1 a2 a3 a4")), n = 3)
+    assert(out.isEmpty)
+  }
 }

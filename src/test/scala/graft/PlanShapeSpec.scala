@@ -510,6 +510,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }.isEmpty, "the dup verdict is pure aggregation — no window")
   }
 
+  test("q188 duplicate spans: exchanges carry ids + fps, never text; windows partition by doc") {
+    val sp = sparkPlan(q("q188_duplicate_spans"))
+    sp.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+      .foreach { cols =>
+        assert(!cols.contains("text"),
+          s"raw text must never move, exchange carries: $cols")
+      }
+    val wins = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "island merge ranks via window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "no unpartitioned window: islands merge per doc over hits only"))
+  }
+
   test("q182 zipf: every window is partitioned and fed by the tf aggregation") {
     val sp = sparkPlan(q("q182_zipf_fit"))
     val wins = sp.collect {

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingSnapshot
+
+/** Streaming upsert snapshot (q166's streaming twin): the persisted
+  * snapshot equals the batch keep-latest over all change rows,
+  * independent of micro-batch boundaries; replayed batches change
+  * nothing; untouched buckets are never rewritten; swap debris
+  * recovers. */
+class SnapshotStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("ver", LongType),
+    StructField("payload", StringType)))
+
+  private def changes(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "ver", "payload")
+  }
+
+  private def snapRows(dir: String): Set[(Long, Long, String)] =
+    StreamingSnapshot.readSnapshot(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ver"),
+                 r.getAs[String]("payload"))).toSet
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val allRows = Seq(
+    (1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"),
+    (1L, 2L, "a2"), (4L, 1L, "d1"),
+    (2L, 3L, "b3"), (2L, 2L, "b2-late"), (5L, 1L, "e1"))
+  private val expected = Set(
+    (1L, 2L, "a2"), (2L, 3L, "b3"), (3L, 1L, "c1"),
+    (4L, 1L, "d1"), (5L, 1L, "e1"))
+
+  test("stream of change batches collapses to the batch keep-latest, any batch split") {
+    for ((split, i) <- Seq(Seq(3, 5, 8), Seq(6, 8)).zipWithIndex) {
+      val streamDir = tmp(s"snap_in$i")
+      val snapDir = tmp(s"snap_out$i")
+      var prev = 0
+      for ((end, j) <- split.zipWithIndex) {
+        changes(allRows.slice(prev, end): _*)
+          .coalesce(1).write.parquet(s"$streamDir/f$j")
+        prev = end
+      }
+      // FileStreamSource orders by modification time — force file order
+      val t0 = System.currentTimeMillis() - 600000
+      split.indices.foreach { j =>
+        new java.io.File(s"$streamDir/f$j").listFiles()
+          .foreach(_.setLastModified(t0 + j * 60000))
+      }
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+      val q = StreamingSnapshot.snapshotSink(
+        spark, stream, "k", Seq("ver"), snapDir, buckets = 8)
+      q.processAllAvailable()
+      q.stop()
+      assert(snapRows(snapDir) == expected,
+        s"split $split must converge to the batch keep-latest")
+    }
+  }
+
+  test("replayed batch is a no-op; out-of-order redelivery never regresses a key") {
+    val snapDir = tmp("snap_replay")
+    val b1 = changes((1L, 1L, "a1"), (2L, 1L, "b1"))
+    val b2 = changes((1L, 2L, "a2"), (3L, 1L, "c1"))
+    StreamingSnapshot.applyBatch(spark, b1, "k", Seq("ver"), snapDir, 8)
+    StreamingSnapshot.applyBatch(spark, b2, "k", Seq("ver"), snapDir, 8)
+    val after = snapRows(snapDir)
+    StreamingSnapshot.applyBatch(spark, b2, "k", Seq("ver"), snapDir, 8)
+    assert(snapRows(snapDir) == after, "exact replay must change nothing")
+    StreamingSnapshot.applyBatch(spark, b1, "k", Seq("ver"), snapDir, 8)
+    assert(snapRows(snapDir) == after,
+      "a STALE redelivery (older versions) must never regress the snapshot")
+    assert(after == Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+  }
+
+  test("only touched buckets are rewritten") {
+    val snapDir = tmp("snap_prune")
+    val keys = (1L to 64L)
+    StreamingSnapshot.applyBatch(spark,
+      changes(keys.map(k => (k, 1L, s"v$k")): _*), "k", Seq("ver"), snapDir, 8)
+    val root = new java.io.File(snapDir)
+    def fileSet(b: Int): Set[String] =
+      Option(new java.io.File(root, s"bucket=$b").listFiles())
+        .map(_.map(f => f.getName + ":" + f.lastModified()).toSet)
+        .getOrElse(Set.empty)
+    val before = (0 until 8).map(fileSet)
+    // one key → one bucket touched
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 2L, "v1b")), "k", Seq("ver"), snapDir, 8)
+    val touched = (0 until 8).count(b => fileSet(b) != before(b))
+    assert(touched == 1, s"exactly one bucket must be rewritten, got $touched")
+    assert(snapRows(snapDir).contains((1L, 2L, "v1b")))
+    assert(snapRows(snapDir).size == 64)
+  }
+
+  test("swap debris recovers: orphaned .old restores, .staging drops") {
+    val snapDir = tmp("snap_debris")
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 1L, "a1")), "k", Seq("ver"), snapDir, 1)
+    val live = new java.io.File(snapDir, "bucket=0")
+    val old = new java.io.File(snapDir, "bucket=0.old")
+    // simulate a crash between the two renames: live moved away,
+    // staged never swapped in
+    assert(live.renameTo(old))
+    val staging = new java.io.File(snapDir, ".staging")
+    staging.mkdirs()
+    StreamingSnapshot.recoverDebris(spark, snapDir)
+    assert(live.exists() && !old.exists() && !staging.exists())
+    assert(snapRows(snapDir) == Set((1L, 1L, "a1")))
+    // completed-swap debris: .old WITH a live sibling is dropped
+    old.mkdirs()
+    StreamingSnapshot.recoverDebris(spark, snapDir)
+    assert(live.exists() && !old.exists())
+    assert(snapRows(snapDir) == Set((1L, 1L, "a1")))
+  }
+}

@@ -180,58 +180,13 @@ object IncrementalDecontam {
   // ------------------------------------------------------------- q78
 
   /** q63/q72's train/test hash-split rule (substr(md5(id),1,2)). */
-  private def hashBucket(c: Column): Column = substring(md5(c), 1, 2)
+  private def hashBucket(c: Column): Column = IndexTables.hashBucket(c)
 
-  /** File-listing fingerprint of the documents table — same discipline
-    * as the IVF index ([[Ivf.dataFingerprint]]): (name, length, mtime)
-    * per file, sorted, newline-joined, SHA-256 — so a regenerated
-    * corpus keys a FRESH index table instead of silently probing a
-    * stale one across JVMs (the warehouse outlives the in-memory
-    * catalog). */
-  private def dataFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer[String]()
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-    }
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(entries.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
-  }
-
-  private def indexTableName(d: String, fp: String): String =
-    ("graft_decontam_idx_v1_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
-      .toLowerCase
-
-  /** Best-effort GC of EVERY index table/directory for this source
-    * dir — superseded fingerprints AND any orphaned copy of the one
-    * about to be rebuilt: the warehouse outlives the in-memory
-    * catalog across JVMs, a catalog-less bucketed directory is
-    * unusable (bucket metadata lives in the catalog), and Spark
-    * refuses to create a managed table over an existing location.
-    * Runs only when a new index is about to be built; losing a race
-    * costs disk, never correctness — live probes resolve through
-    * their own fingerprint-keyed name. */
-  private def gcIndexTables(s: SparkSession, d: String): Unit =
-    try {
-      val prefix = indexTableName(d, "")
-      s.catalog.listTables().collect()
-        .filter(_.name.startsWith(prefix))
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
-      // sweep the warehouse (table dirs + bloom sidecars) through the
-      // Hadoop FS so a non-local warehouse GCs the same as file:
-      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.listStatus(wh)
-        .filter(_.getPath.getName.startsWith(prefix))
-        .foreach { st =>
-          bloomCache.remove(st.getPath.toString)
-          fs.delete(st.getPath, true)
-        }
-    } catch { case _: Exception => () }
+  // Lifecycle (data fingerprint, fingerprint-keyed naming,
+  // collision-safe GC of tables + bloom sidecars) is the shared
+  // [[IndexTables]] discipline; the sweep hook evicts this family's
+  // path-keyed bloom cache.
+  private val TablePrefix = "graft_decontam_idx_v1_"
 
   /** q78: the PERSISTED-INDEX decontamination probe, bench-visible —
     * this path's q70 analogue. Builds the bucketed+sorted test-set
@@ -253,14 +208,15 @@ object IncrementalDecontam {
     * the counting semantics shared with screenBatch. */
   def q78DecontamProbeIndex(s: SparkSession, d: String): DataFrame = {
     import graft.Tables.documents
-    val fp = dataFingerprint(s, d)
-    val table = indexTableName(d, fp)
+    val table = IndexTables.tableName(TablePrefix, d,
+      IndexTables.dataFingerprint(s, d))
     // a table whose bloom sidecar is missing, corrupt, or an older
     // format would degrade every future probe to unscreened — rebuild
     // it (loadBloom is the authority on readability, not mere
     // existence)
     if (!s.catalog.tableExists(table) || loadBloom(s, table).isEmpty) {
-      gcIndexTables(s, d)
+      IndexTables.gcTables(s, TablePrefix, d,
+        onSweep = p => bloomCache.remove(p.toString))
       val test = documents(s, d)
         .filter(hashBucket(col("doc_id").cast("string")) >= "e6") // q72's test split
         .select(col("doc_id"), col("text"))

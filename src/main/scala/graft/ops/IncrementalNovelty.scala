@@ -88,45 +88,11 @@ object IncrementalNovelty {
 
   // ------------------------------------------------- q186 (bench form)
 
-  private def hashBucket(c: org.apache.spark.sql.Column) =
-    substring(md5(c), 1, 2)
-
-  private def dataFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val entries = scala.collection.mutable.ArrayBuffer[String]()
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-    }
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(entries.sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
-  }
-
-  private def indexTableName(d: String, fp: String): String =
-    // v2: the index layout gained first_doc — the v-bump invalidates
-    // any v1 bare-fp table instead of mis-reading it
-    ("graft_novelty_idx_v2_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
-      .toLowerCase
-
-  /** Best-effort GC of superseded/orphaned index tables for this
-    * source dir (q78's discipline: catalog drop + warehouse sweep;
-    * losing a race costs disk, never correctness). */
-  private def gcIndexTables(s: SparkSession, d: String): Unit =
-    try {
-      val prefix = indexTableName(d, "")
-      s.catalog.listTables().collect()
-        .filter(_.name.startsWith(prefix))
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
-      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.listStatus(wh)
-        .filter(_.getPath.getName.startsWith(prefix))
-        .foreach(st => fs.delete(st.getPath, true))
-    } catch { case _: Exception => () }
+  // v2: the index layout gained first_doc — the v-bump invalidates
+  // any v1 bare-fp table instead of mis-reading it. Lifecycle
+  // (fingerprint, naming, collision-safe GC) is the shared
+  // [[IndexTables]] discipline.
+  private val TablePrefix = "graft_novelty_idx_v2_"
 
   /** q186: the PERSISTED-index novelty probe, bench-visible — q180's
     * q78 analogue. Builds the seen-shingle index over the md5-slice
@@ -141,10 +107,11 @@ object IncrementalNovelty {
     * no-shuffle-on-index-side invariant. */
   def q186NoveltyProbeIndex(s: SparkSession, d: String): DataFrame = {
     import graft.Tables.documents
-    val fp = dataFingerprint(s, d)
-    val table = indexTableName(d, fp)
+    import IndexTables.hashBucket
+    val table = IndexTables.tableName(TablePrefix, d,
+      IndexTables.dataFingerprint(s, d))
     if (!s.catalog.tableExists(table)) {
-      gcIndexTables(s, d)
+      IndexTables.gcTables(s, TablePrefix, d)
       buildIndex(documents(s, d)
         .filter(hashBucket(col("doc_id").cast("string")) < "c0"), table)
     }

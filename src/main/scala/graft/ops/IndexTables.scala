@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared lifecycle for the persisted-index query families (q78
+  * decontam / q186 novelty / q189 dedup): content-fingerprint the
+  * source data, key the managed table name on (source dir,
+  * fingerprint), and GC superseded generations. Factored from the
+  * q78/q186 private copies, which had drifted to byte-identical
+  * logic — and both carried the prefix-collision hazard the round-11
+  * advice flagged for the IVF dir GC: a bare `startsWith` sweep lets
+  * `/data/sf0`'s GC collect `/data/sf0_v2`'s LIVE index (their
+  * sanitized names nest). [[gcTables]] therefore matches a
+  * fingerprint-SHAPED suffix — exactly 16 hex chars after the
+  * prefix, optionally followed by a sidecar extension — which a
+  * nested source-dir name (`v2_<fp>`) can never satisfy. */
+private[ops] object IndexTables {
+
+  /** md5-prefix slice key (q63's deterministic split rule). */
+  def hashBucket(c: Column): Column = substring(md5(c), 1, 2)
+
+  /** File-listing fingerprint of a source table — same discipline as
+    * the IVF index ([[Ivf]]): (name, length, mtime) per file, sorted,
+    * newline-joined, SHA-256/8 — so a regenerated corpus keys a FRESH
+    * index table instead of silently probing a stale one across JVMs
+    * (the warehouse outlives the in-memory catalog). */
+  def dataFingerprint(s: SparkSession, d: String,
+                      file: String = "documents.parquet"): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$file")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(entries.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Managed table name keyed on (family prefix, source dir, data
+    * fingerprint). The prefix carries the family's layout version
+    * (e.g. `graft_novelty_idx_v2_`) so a schema change invalidates by
+    * name instead of mis-reading. */
+  def tableName(prefix: String, d: String, fp: String): String =
+    (prefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp).toLowerCase
+
+  /** True iff `name` is a generation of `prefix`'s index family: the
+    * 16 chars after the prefix are a data fingerprint, and anything
+    * beyond is a sidecar suffix (`_bloom.bin`), never more path. */
+  private def generationOf(prefix: String)(name: String): Boolean =
+    name.startsWith(prefix) &&
+      name.length >= prefix.length + 16 &&
+      name.substring(prefix.length, prefix.length + 16)
+        .forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')) &&
+      (name.length == prefix.length + 16 ||
+        !name.charAt(prefix.length + 16).isLetterOrDigit)
+
+  /** Best-effort GC of EVERY generation (table + warehouse dir +
+    * sidecars) of this family for this source dir: the warehouse
+    * outlives the in-memory catalog across JVMs, a catalog-less
+    * bucketed directory is unusable (bucket metadata lives in the
+    * catalog), and Spark refuses to create a managed table over an
+    * existing location. Run only when a new index is about to be
+    * built; losing a race costs disk, never correctness — live
+    * probes resolve through their own fingerprint-keyed name.
+    * `onSweep` lets callers evict path-keyed caches (q78's bloom). */
+  def gcTables(s: SparkSession, familyPrefix: String, d: String,
+               onSweep: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
+    try {
+      val isGen = generationOf(tableName(familyPrefix, d, ""))(_)
+      s.catalog.listTables().collect()
+        .filter(t => isGen(t.name))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      // sweep the warehouse through the Hadoop FS so a non-local
+      // warehouse GCs the same as file:
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(wh)
+        .filter(st => isGen(st.getPath.getName))
+        .foreach { st => onSweep(st.getPath); fs.delete(st.getPath, true) }
+    } catch { case _: Exception => () }
+}

@@ -40,4 +40,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .filter(col("new_id") === col("match_id") && col("est_jaccard") === 1.0)
     assert(reprobe.count() == uniques.count())
   }
+
+  test("degenerate index buckets are skipped at the cap, kept below it") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS dedup_cap_idx")
+    val d = new java.io.File("/tmp/graft-test-warehouse/dedup_cap_idx")
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // two identical indexed docs: every band bucket has exactly 2 members
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    IncrementalDedup.buildIndex(
+      Seq((1L, t), (2L, t)).toDF("doc_id", "text"), "dedup_cap_idx")
+    val batch = Seq((9L, t)).toDF("doc_id", "text")
+    val under = IncrementalDedup.probeBatch(spark, batch, "dedup_cap_idx",
+      maxBucket = 2).count()
+    assert(under == 2, "below the cap both copies must match")
+    val over = IncrementalDedup.probeBatch(spark, batch, "dedup_cap_idx",
+      maxBucket = 1).count()
+    assert(over == 0, "a bucket past the cap is skipped (documented recall trade)")
+    spark.sql("DROP TABLE IF EXISTS dedup_cap_idx")
+  }
+
+  test("q189 bench form: deterministic slices, rerun hits the same index and rows") {
+    val q = SparkEntry.queries("q189_dedup_probe_index")
+    val first = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(first.nonEmpty, "the quarter-corpus batch must hit the index " +
+      "(this corpus contains cross-slice near-dups)")
+    // every reported pair crosses the slice boundary by construction
+    first.foreach { case (newId, matchId, est) =>
+      assert(est >= 0.8 && newId != matchId)
+    }
+    val again = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == first, "re-probe through the persisted index must be identical")
+  }
 }

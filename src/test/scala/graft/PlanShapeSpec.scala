@@ -161,6 +161,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"index scan must be bucket-aligned:\n$p")
   }
 
+  test("q189 bucketed dedup probe never shuffles the index side") {
+    val p = sparkPlan(q("q189_dedup_probe_index"))
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.startsWith("bucket#")) => j
+    }
+    assert(joins.nonEmpty, s"expected a merge join probing the index:\n$p")
+    joins.foreach { j =>
+      val indexSides = Seq(j.left, j.right)
+        .filter(_.toString.contains("graft_dedup_idx"))
+      assert(indexSides.nonEmpty)
+      indexSides.foreach { side =>
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty,
+          s"index side must stay unshuffled (bucketed layout):\n$side")
+      }
+    }
+    assert(p.toString.contains("SelectedBucketsCount"),
+      s"index scan must be bucket-aligned:\n$p")
+  }
+
   /** Plan a query with broadcast joins off: at sf0.001 AQE broadcasts
     * every small side, which hides the shuffle-partitioning invariants
     * these tests pin (at 100 TB the sides are NOT broadcast-able —

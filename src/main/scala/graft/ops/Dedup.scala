@@ -1307,8 +1307,10 @@ object Dedup {
   def q188DuplicateSpans(s: SparkSession, d: String): DataFrame =
     duplicateSpans(documents(s, d))
 
-  val q188Sql: String = {
-    val n = SpanN
+  /** The shared island-derivation CTE chain — q188 reads the spans,
+    * q190 aggregates them; one definition so the two oracles cannot
+    * drift. */
+  private def spanCtes(n: Int): String =
     s"""WITH toks AS (
       | SELECT doc_id, str_split(text, ' ') AS t FROM documents
       |), pos AS (
@@ -1328,13 +1330,78 @@ object Dedup {
       |), isl AS (
       | SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS g
       | FROM flagged
-      |)
+      |), spans AS (
+      | SELECT doc_id, g, min(pos) AS start_tok, max(pos) + $n AS end_tok,
+      |  CAST(count(*) AS BIGINT) AS n_dup_shingles
+      | FROM isl GROUP BY doc_id, g
+      |)""".stripMargin
+
+  val q188Sql: String =
+    spanCtes(SpanN) +
+    """
       |SELECT doc_id, CAST(g AS INT) AS span_idx,
-      | CAST(min(pos) AS INT) AS start_tok,
-      | CAST(max(pos) + $n AS INT) AS end_tok,
-      | CAST(max(pos) + $n - min(pos) AS INT) AS span_tokens,
-      | CAST(count(*) AS BIGINT) AS n_dup_shingles
-      |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_idx""".stripMargin
+      | CAST(start_tok AS INT) AS start_tok,
+      | CAST(end_tok AS INT) AS end_tok,
+      | CAST(end_tok - start_tok AS INT) AS span_tokens,
+      | n_dup_shingles
+      |FROM spans ORDER BY doc_id, span_idx""".stripMargin
+
+  // --------------------------------------------------------------- q190
+
+  /** q190: PER-SOURCE DUPLICATION RATE — q188's spans rolled up to the
+    * number a curation plan is actually built on (the published
+    * pipelines report exactly this): per source, how many docs carry a
+    * duplicate span and what fraction of the source's tokens sits
+    * inside one (islands are disjoint per doc by construction, so the
+    * token sum is exact, never double-counted). Scale shape: q188's
+    * plan plus one docs-scan for token totals and a per-doc-sized
+    * left join (dup docs only — broadcastable at any corpus size
+    * where dups are the minority; the final per-source agg is
+    * digest-sized). dup_frac divides two engine-identical BIGINTs —
+    * q112's portable-float discipline. */
+  def q190DuplicationRate(s: SparkSession, d: String): DataFrame =
+    duplicationRate(documents(s, d))
+
+  /** Core of q190 over any (source, doc_id, text) frame. */
+  def duplicationRate(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    val perDoc = duplicateSpans(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).cast("long").as("dup_tokens"))
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tokens").isNotNull, 1L).otherwise(0L))
+          .as("docs_with_dup"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("docs_with_dup"),
+        col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  val q190Sql: String = {
+    val n = SpanN
+    spanCtes(n) +
+    s""", per_doc AS (
+      | SELECT doc_id, CAST(sum(end_tok - start_tok) AS BIGINT) AS dup_tokens
+      | FROM spans GROUP BY doc_id
+      |), base AS (
+      | SELECT d.source, d.doc_id,
+      |  CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  p.dup_tokens
+      | FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(CASE WHEN dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS docs_with_dup,
+      | CAST(sum(coalesce(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+      | round(CAST(sum(coalesce(dup_tokens, 0)) AS DOUBLE) / sum(n_tokens), 6)
+      |   AS dup_frac
+      |FROM base GROUP BY source ORDER BY source""".stripMargin
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -1358,5 +1425,6 @@ object Dedup {
     ("q129_dupgroup_spectrum", q129DupGroupSpectrum _, Some(q129Sql)),
     ("q139_minhash_calibration", q139MinhashCalibration _, None),
     ("q188_duplicate_spans", q188DuplicateSpans _, Some(q188Sql)),
+    ("q190_duplication_rate", q190DuplicationRate _, Some(q190Sql)),
   )
 }

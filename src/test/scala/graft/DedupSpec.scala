@@ -676,6 +676,22 @@ class DedupSpec extends AnyFunSuite {
       (6L, 1, 0, 3, 3, 1L), (6L, 2, 5, 8, 3, 1L)))
   }
 
+  test("duplication rate: disjoint islands sum exactly, clean docs count in totals") {
+    import spark.implicits._
+    // source A: doc 1 has a 5-token dup span out of 9 tokens, doc 2 is
+    // clean 4 tokens; source B: doc 3 fully shared, 5 of 5 tokens
+    val docs = Seq(
+      ("A", 1L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"),
+      ("A", 2L, "k1 k2 k3 k4"),
+      ("B", 3L, "p1 p2 p3 p4 p5")).toDF("source", "doc_id", "text")
+    val out = graft.ops.Dedup.duplicationRate(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("A", 2L, 1L, 5L, 0.384615), // round(5/13, 6)
+      ("B", 1L, 1L, 5L, 1.0)))
+  }
+
   test("duplicate spans: within-doc repetition alone is NOT a duplicate") {
     // the repeated trigram lives in one doc only — cross-doc rule
     // (distinct docs >= 2) must ignore it

@@ -1257,32 +1257,35 @@ object Dedup {
     * corpus; suffix arrays don't distribute, rolling-hash shingles
     * do).
     *
-    * Shape: (1) posexplode the corpus to (doc, pos, fp) shingle
-    * occurrences — q87's kernel; (2) the duplicated-fp set is one
-    * fp-keyed aggregation (distinct-doc count ≥ 2) — 8-byte keys,
-    * text never shuffles; (3) occurrences join that set (fp-equi,
-    * at most 1 match per occurrence row — no pair blowup, so no
-    * bucket cap needed, unlike candidate GENERATION which pairs
-    * occurrences with each other); (4) hits merge into maximal
-    * islands via gaps-and-islands over one doc-partitioned window —
-    * a new span starts when a hit clears the previous shingle's
-    * coverage, so each island's token coverage is contiguous. Two
-    * corpus-scale exchanges total (the fp aggregation and the hit
-    * join), both fixed-width; the window sorts HITS only (duplicated
-    * occurrences, a small fraction of corpus tokens). Output is pure
-    * integers — hash-verified against the identically-unrolled DuckDB
-    * oracle. */
+    * Shape: (1) posexplode the corpus ONCE to (doc, pos, fp) shingle
+    * occurrences — q87's kernel; (2) cross-doc duplication is an
+    * fp-partitioned min/max window: an fp lives in ≥ 2 distinct docs
+    * iff min(doc_id) < max(doc_id) over its partition — exact, and a
+    * single-consumption subtree, so the corpus shingles once (the q82
+    * lesson: a separately-referenced aggregate + join re-runs the
+    * explode; measured here too before this form). No pair blowup
+    * anywhere — each occurrence row survives or dies, it never
+    * multiplies, so no bucket cap is needed (unlike candidate
+    * GENERATION, which pairs occurrences with each other); (3) hits
+    * merge into maximal islands via gaps-and-islands over one
+    * doc-partitioned window — a new span starts when a hit clears the
+    * previous shingle's coverage, so each island's token coverage is
+    * contiguous. Two corpus-scale exchanges total (fp, then doc),
+    * both fixed-width (8-byte fp + two ints); the doc window sorts
+    * HITS only (duplicated occurrences, a small fraction of corpus
+    * tokens). Output is pure integers — hash-verified against the
+    * identically-unrolled DuckDB oracle. */
   def duplicateSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs.select(col("doc_id"),
       posexplode(graft.functions.NativeExprs.shingleHashes(
         split(col("text"), " "), n)).as(Seq("pos", "fp")))
-    val dup = pos.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("fp"))
+    val byFp = Window.partitionBy(col("fp"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos.join(dup, Seq("fp"))
+    pos
+      .withColumn("lo", min(col("doc_id")).over(byFp))
+      .withColumn("hi", max(col("doc_id")).over(byFp))
+      .filter(col("lo") < col("hi"))
       .select(col("doc_id"), col("pos"))
       // coverage of the hit at prev is [prev, prev+n); the next hit
       // extends the island iff its coverage overlaps or touches it

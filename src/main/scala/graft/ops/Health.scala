@@ -55,6 +55,10 @@ object Health {
       .unionByName(tag("novelty", Text.q180NoveltyAudit(s, d)))
       .unionByName(tag("cdc_dup", Quality.q183CdcDedup(s, d)))
       .unionByName(tag("length_quantiles", Quality.q184HdrQuantiles(s, d)))
+      // span-level verbatim redundancy (q190): cdc_dup counts repeated
+      // CHUNKS, this one measures the token fraction inside cross-doc
+      // repeated RUNS — the remove-span planning number
+      .unionByName(tag("span_dup", Dedup.q190DuplicationRate(s, d)))
   }
 
   /** Sink: one directory per check, NDJSON rows — the shape a
@@ -76,7 +80,8 @@ object Health {
     "curation_funnel" -> Seq("stage_idx", "stage"),
     "novelty" -> Seq("source"),
     "cdc_dup" -> Seq("source"),
-    "length_quantiles" -> Seq("source"))
+    "length_quantiles" -> Seq("source"),
+    "span_dup" -> Seq("source"))
 
   /** VINTAGE DIFF (round-11 verdict ask #6) — the artifact a scheduler
     * actually pages on: two [[writeHealthReport]] directories → one

@@ -1386,6 +1386,70 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q192
+
+  /** q192: DUPLICATE-SPAN REMOVAL APPLIED — the cut itself, completing
+    * the span family's find (q188) → measure (q190) → apply arc the
+    * way q75 completes q67's clusters: every doc re-emitted with its
+    * cross-doc duplicate runs excised (exact-substring deletion), plus
+    * kept/total token counts.
+    *
+    * Scale shape: q188's span derivation (one corpus explode, two
+    * fixed-width exchanges) collects to a per-doc span ARRAY — rows
+    * only for docs that HAVE spans, each a handful of int pairs — and
+    * joins back to the corpus on doc_id. The rebuild is one codegen'd
+    * index-filter lambda over the token array (no explode, no
+    * re-shuffle of the rebuilt text before the sink). The span side is
+    * broadcast-eligible when dup docs are the minority; when they are
+    * not, the doc-keyed exchange that co-locates text with its spans
+    * is the rewrite's one unavoidable corpus-sized move — any cleaned
+    * corpus is corpus-sized output. */
+  def despanApply(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    val spans = duplicateSpans(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    val toks = split(col("text"), " ")
+    val kept = filter(toks, (_, i) =>
+      col("spans").isNull ||
+        !exists(col("spans"), sp =>
+          i >= sp("start_tok") && i < sp("end_tok")))
+    docs.join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(kept, " ").as("clean_text"),
+        size(toks).as("n_tokens"),
+        size(kept).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q192DespanApply(s: SparkSession, d: String): DataFrame =
+    despanApply(documents(s, d))
+
+  val q192Sql: String = {
+    val n = SpanN
+    spanCtes(n) +
+    """, tok AS (
+      | SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+      |), keep AS (
+      | SELECT k.doc_id, k.pos, k.tok
+      | FROM tok k
+      | WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |   WHERE s.doc_id = k.doc_id
+      |     AND k.pos >= s.start_tok AND k.pos < s.end_tok)
+      |), rebuilt AS (
+      | SELECT doc_id,
+      |  array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+      |  CAST(count(*) AS INT) AS kept_tokens
+      | FROM keep GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      | coalesce(r.clean_text, '') AS clean_text,
+      | CAST(len(str_split(d.text, ' ')) AS INT) AS n_tokens,
+      | coalesce(r.kept_tokens, 0) AS kept_tokens
+      |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val q190Sql: String = {
     val n = SpanN
     spanCtes(n) +
@@ -1429,5 +1493,6 @@ object Dedup {
     ("q139_minhash_calibration", q139MinhashCalibration _, None),
     ("q188_duplicate_spans", q188DuplicateSpans _, Some(q188Sql)),
     ("q190_duplication_rate", q190DuplicationRate _, Some(q190Sql)),
+    ("q192_despan_apply", q192DespanApply _, Some(q192Sql)),
   )
 }

@@ -2230,6 +2230,41 @@ object Relational {
       |  round(rev, 2) AS revenue, round(share, 6) AS share
       |FROM ranked WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
 
+  /** q191: SCD2 VALIDITY INTERVALS — the full-history complement of
+    * q166's latest-snapshot: the append-only change log rebuilt as a
+    * temporal table, one row per version with `[valid_from, valid_to)`
+    * derived from the NEXT version's date (open-ended NULL for the
+    * current version) — the point-in-time dimension every warehouse
+    * backfill joins against (the as-of join family consumes exactly
+    * this shape).
+    *
+    * Scale shape: ONE key-partitioned window evaluates both the
+    * version index and the lead in a single pass — no self-join, no
+    * global sort; output is change-log-sized. */
+  def q191Scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"))
+      .withColumn("version_idx", row_number().over(w))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version_idx"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"), col("valid_to"), col("price"))
+      .orderBy(col("o_custkey"), col("version_idx"))
+  }
+
+  val q191Sql: String =
+    """SELECT o_custkey,
+      | CAST(row_number() OVER w AS INT) AS version_idx,
+      | o_orderkey,
+      | o_orderdate AS valid_from,
+      | lead(o_orderdate) OVER w AS valid_to,
+      | round(o_totalprice, 2) AS price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version_idx""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -2300,6 +2335,7 @@ object Relational {
     ("q165_fulfillment_lag", q165FulfillmentLag _, q165Sql),
     ("q166_latest_snapshot", q166LatestSnapshot _, q166Sql),
     ("q170_revenue_share", q170RevenueShare _, q170Sql),
+    ("q191_scd2_intervals", q191Scd2Intervals _, q191Sql),
     ("q155_key_skew_audit", q155KeySkewAudit _, q155Sql),
   )
 }

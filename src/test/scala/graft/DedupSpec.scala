@@ -692,6 +692,21 @@ class DedupSpec extends AnyFunSuite {
       ("B", 1L, 1L, 5L, 1.0)))
   }
 
+  test("despan apply: exact cut, clean docs untouched, full-dup doc empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"), // span [2,7) cut
+      (2L, "k1 k2 k3 k4"),                // clean — passes through
+      (3L, "p1 p2 p3 p4 p5")              // fully duplicated — empties
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.despanApply(docs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, "u1 u2 u3 u4", 9, 4),
+      (2L, "k1 k2 k3 k4", 4, 4),
+      (3L, "", 5, 0)))
+  }
+
   test("duplicate spans: within-doc repetition alone is NOT a duplicate") {
     // the repeated trigram lives in one doc only — cross-doc rule
     // (distinct docs >= 2) must ignore it

@@ -401,6 +401,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(joined == 0, "snapshot rows must carry the max order date")
   }
 
+  test("q191 scd2: intervals tile each key's history; exactly one open current row") {
+    val scd = Relational.q191Scd2Intervals(spark, TestSpark.sf0001).cache()
+    try {
+      val orders = Tables.orders(spark, TestSpark.sf0001)
+      assert(scd.count() == orders.count(), "one interval per change-log row")
+      // per key: exactly one open-ended (NULL valid_to) current version
+      val open = scd.filter(col("valid_to").isNull)
+        .groupBy(col("o_custkey")).count()
+        .filter(col("count") =!= 1L).count()
+      assert(open == 0, "exactly one current version per key")
+      // contiguity: version k's valid_to equals version k+1's valid_from
+      val nxt = scd.select(col("o_custkey"), col("version_idx"),
+        col("valid_from").as("nxt_from"))
+        .withColumn("version_idx", col("version_idx") - 1)
+      val torn = scd.join(nxt, Seq("o_custkey", "version_idx"))
+        .filter(col("valid_to") =!= col("nxt_from")).count()
+      assert(torn == 0, "closed intervals must tile: valid_to == next valid_from")
+      // the open row is q166's latest snapshot, key for key
+      val latest = Relational.q166LatestSnapshot(spark, TestSpark.sf0001)
+        .select(col("o_custkey"), col("last_orderkey"))
+      val mismatch = scd.filter(col("valid_to").isNull)
+        .join(latest, Seq("o_custkey"))
+        .filter(col("o_orderkey") =!= col("last_orderkey")).count()
+      assert(mismatch == 0, "open interval must carry q166's current version")
+    } finally scd.unpersist()
+  }
+
   test("q118 string form serializes exactly the array form, %.2f comma-joined") {
     val arr = Relational.q118ArrayAgg(spark, TestSpark.sf0001).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap

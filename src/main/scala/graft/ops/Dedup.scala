@@ -1274,7 +1274,16 @@ object Dedup {
     * both fixed-width (8-byte fp + two ints); the doc window sorts
     * HITS only (duplicated occurrences, a small fraction of corpus
     * tokens). Output is pure integers — hash-verified against the
-    * identically-unrolled DuckDB oracle. */
+    * identically-unrolled DuckDB oracle.
+    *
+    * Skew note, weighed deliberately: a universal boilerplate shingle
+    * concentrates its fp partition on one task (window partitions are
+    * not AQE-skew-splittable), but that straggler is bounded by the
+    * hot shingle's occurrence rows at 20 B each — spill-backed, a
+    * scan-speed pass. The skew-splittable alternative (map-side
+    * combined dup aggregation + occurrence join) re-runs the corpus
+    * explode, i.e. a SECOND full-corpus scan — at 100 TB far costlier
+    * than a few straggling partitions. */
   def duplicateSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs.select(col("doc_id"),

@@ -45,7 +45,10 @@ object StreamingSnapshot {
 
   /** Latest version per key: max over the `(ord ++ remaining payload)`
     * struct — aggregation-only (map-side combined, no window), and the
-    * idempotent/associative merge the replay contract rests on. */
+    * idempotent/associative merge the replay contract rests on. All
+    * payload columns must be ORDERABLE types (they ride as final
+    * tie-breaks inside the struct max; a map-typed payload column is
+    * rejected at analysis). */
   def latestPerKey(df: DataFrame, key: String, ord: Seq[String]): DataFrame = {
     val payload = df.columns.filterNot(_ == key).toSeq
     val fields = ord ++ payload.filterNot(ord.contains)

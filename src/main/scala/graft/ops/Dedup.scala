@@ -1412,7 +1412,10 @@ object Dedup {
     * broadcast-eligible when dup docs are the minority; when they are
     * not, the doc-keyed exchange that co-locates text with its spans
     * is the rewrite's one unavoidable corpus-sized move — any cleaned
-    * corpus is corpus-sized output. */
+    * corpus is corpus-sized output. The helper returns UNORDERED (a
+    * production rewrite sinks straight from the rebuild); the global
+    * doc_id sort lives in the q192 bench wrapper, where the verify
+    * hash needs it. */
   def despanApply(docs: DataFrame, n: Int = SpanN): DataFrame = {
     val spans = duplicateSpans(docs, n)
       .groupBy(col("doc_id"))
@@ -1427,11 +1430,10 @@ object Dedup {
         array_join(kept, " ").as("clean_text"),
         size(toks).as("n_tokens"),
         size(kept).as("kept_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   def q192DespanApply(s: SparkSession, d: String): DataFrame =
-    despanApply(documents(s, d))
+    despanApply(documents(s, d)).orderBy(col("doc_id"))
 
   val q192Sql: String = {
     val n = SpanN

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * fingerprint-SHAPED suffix — exactly 16 hex chars after the
   * prefix, optionally followed by a sidecar extension — which a
   * nested source-dir name (`v2_<fp>`) can never satisfy. */
-private[ops] object IndexTables {
+private[graft] object IndexTables {
 
   /** md5-prefix slice key (q63's deterministic split rule). */
   def hashBucket(c: Column): Column = substring(md5(c), 1, 2)
@@ -48,16 +48,24 @@ private[ops] object IndexTables {
   def tableName(prefix: String, d: String, fp: String): String =
     (prefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp).toLowerCase
 
+  /** Sidecar filename suffixes a generation may carry next to its
+    * table dir (q78's bloom). An ALLOWLIST, not "any non-alphanumeric
+    * tail": a sibling source dir whose sanitized name continues
+    * `_<16 hex>` (hash-suffixed data dirs are common) must NOT match
+    * another dataset's family. */
+  private val SidecarSuffixes = Seq("_bloom.bin")
+
   /** True iff `name` is a generation of `prefix`'s index family: the
-    * 16 chars after the prefix are a data fingerprint, and anything
-    * beyond is a sidecar suffix (`_bloom.bin`), never more path. */
-  private def generationOf(prefix: String)(name: String): Boolean =
-    name.startsWith(prefix) &&
-      name.length >= prefix.length + 16 &&
+    * 16 chars after the prefix are a data fingerprint, and the name
+    * ends exactly there or with a known sidecar suffix. */
+  private[graft] def generationOf(prefix: String)(name: String): Boolean = {
+    val tail = name.length - (prefix.length + 16)
+    name.startsWith(prefix) && tail >= 0 &&
       name.substring(prefix.length, prefix.length + 16)
         .forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')) &&
-      (name.length == prefix.length + 16 ||
-        !name.charAt(prefix.length + 16).isLetterOrDigit)
+      (tail == 0 ||
+        SidecarSuffixes.contains(name.substring(prefix.length + 16)))
+  }
 
   /** Best-effort GC of EVERY generation (table + warehouse dir +
     * sidecars) of this family for this source dir: the warehouse

@@ -665,16 +665,10 @@ object Ivf {
     // state this recovery exists to fix
     if (!atomicRenameScheme(fs)) return
     if (!fs.exists(root)) return
-    val all = fs.listStatus(root)
-    all.filter(_.getPath.getName.endsWith(".old")).foreach { o =>
-      val live = new org.apache.hadoop.fs.Path(
-        root, o.getPath.getName.stripSuffix(".old"))
-      if (!fs.exists(live))
-        require(fs.rename(o.getPath, live),
-          s"crash recovery failed: ${o.getPath} -> $live")
-      else fs.delete(o.getPath, true)
-    }
-    all.filter(_.getPath.getName.endsWith(".compact"))
+    // the .old restore/drop protocol is shared with the snapshot sink
+    SwapRecovery.restoreOldSiblings(fs, root)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".compact"))
       .foreach(st => fs.delete(st.getPath, true))
   }
 

@@ -2232,21 +2232,32 @@ object Relational {
 
   /** q191: SCD2 VALIDITY INTERVALS — the full-history complement of
     * q166's latest-snapshot: the append-only change log rebuilt as a
-    * temporal table, one row per version with `[valid_from, valid_to)`
-    * derived from the NEXT version's date (open-ended NULL for the
-    * current version) — the point-in-time dimension every warehouse
-    * backfill joins against (the as-of join family consumes exactly
-    * this shape).
+    * temporal table with `[valid_from, valid_to)` per version
+    * (open-ended NULL for the current one) — the point-in-time
+    * dimension every warehouse backfill joins against (the as-of
+    * family consumes exactly this shape).
     *
-    * Scale shape: ONE key-partitioned window evaluates both the
-    * version index and the lead in a single pass — no self-join, no
-    * global sort; output is change-log-sized. */
+    * Validity is keyed on the change DATE, so versions first collapse
+    * to the end-of-date state (last change per key per date, q166's
+    * tie-break) — without the collapse, two same-date changes produce
+    * a zero-width `[d, d)` interval no point-in-time lookup can ever
+    * retrieve (standard SCD2 practice: at most one version per key
+    * per validity grain).
+    *
+    * Scale shape: both passes are key-partitioned windows — the
+    * end-of-date cut plans as WindowGroupLimit, the interval window
+    * evaluates version index + lead in one pass; no self-join, no
+    * global sort; output ≤ change-log-sized. */
   def q191Scd2Intervals(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    orders(s, d)
+    val intra = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val eod = orders(s, d)
+      .withColumn("rk", row_number().over(intra))
+      .filter(col("rk") === 1)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         round(col("o_totalprice"), 2).as("price"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    eod
       .withColumn("version_idx", row_number().over(w))
       .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
       .select(col("o_custkey"), col("version_idx"), col("o_orderkey"),
@@ -2255,14 +2266,23 @@ object Relational {
   }
 
   val q191Sql: String =
-    """SELECT o_custkey,
+    """WITH eod AS (
+      | SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(o_totalprice, 2) AS price
+      | FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |    ORDER BY o_orderkey DESC) AS rk
+      |  FROM orders
+      | ) WHERE rk = 1
+      |)
+      |SELECT o_custkey,
       | CAST(row_number() OVER w AS INT) AS version_idx,
       | o_orderkey,
       | o_orderdate AS valid_from,
       | lead(o_orderdate) OVER w AS valid_to,
-      | round(o_totalprice, 2) AS price
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      | price
+      |FROM eod
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
       |ORDER BY o_custkey, version_idx""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

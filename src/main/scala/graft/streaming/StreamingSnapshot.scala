@@ -57,19 +57,45 @@ object StreamingSnapshot {
       .select(col(key) +: payload.map(c => col("v." + c).as(c)): _*)
   }
 
+  /** The bucket modulus is a LAYOUT property fixed when the snapshot
+    * is created: merging with a different modulus than the live dirs
+    * were hashed with silently drops keys (the merged row re-buckets
+    * outside the touched set and is discarded with the staging dir)
+    * and duplicates others across dirs. First use persists `buckets`
+    * to a `_buckets` sidecar; every later apply uses the stored
+    * value and IGNORES its parameter. */
+  private def layoutBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path, buckets: Int): Int = {
+    val f = new Path(root, "_buckets")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    } else {
+      val out = fs.create(f, false)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+      buckets
+    }
+  }
+
   /** Applies one change batch to the snapshot at `snapDir`. Exposed
     * (not just the stream hook) so batch backfills and the replay
-    * tests drive the exact code the stream runs. */
+    * tests drive the exact code the stream runs. `buckets` only takes
+    * effect on the FIRST apply ([[layoutBuckets]]). The column name
+    * `bucket` is reserved by the snapshot layout. */
   def applyBatch(spark: SparkSession, batch: DataFrame, key: String,
                  ord: Seq[String], snapDir: String, buckets: Int): Unit = {
+    require(!batch.columns.contains("bucket"),
+      "\"bucket\" is reserved by the snapshot layout — rename the payload column")
     val root = new Path(snapDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(graft.ops.Ivf.atomicRenameScheme(fs),
       s"snapshot sink requires atomic directory rename; scheme of $snapDir lacks it")
     recoverDebris(spark, snapDir)
+    val b = layoutBuckets(fs, root, buckets)
 
     val bl = latestPerKey(batch, key, ord)
-      .withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col(key)), lit(b)).cast("int"))
       .persist()
     try {
       val touched = bl.select("bucket").distinct()
@@ -84,7 +110,7 @@ object StreamingSnapshot {
       val staging = new Path(root, ".staging")
       fs.delete(staging, true)
       latestPerKey(existing.unionByName(bl), key, ord)
-        .withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets)).cast("int"))
+        .withColumn("bucket", pmod(xxhash64(col(key)), lit(b)).cast("int"))
         .write.partitionBy("bucket").parquet(staging.toString)
       touched.foreach { b =>
         val live = new Path(root, s"bucket=$b")
@@ -100,23 +126,17 @@ object StreamingSnapshot {
     ()
   }
 
-  /** Restores a crashed [[applyBatch]]'s swap debris (the IVF
-    * compaction contract): a `.old` without its live sibling is the
-    * authoritative data — put it back; with a live sibling the swap
-    * completed — drop it; `.staging` never swapped in — drop it. */
+  /** Restores a crashed [[applyBatch]]'s swap debris: `.old`
+    * restore/drop is the shared recoverable-rename protocol
+    * ([[graft.ops.SwapRecovery]], single-sourced with the IVF
+    * compaction); `.staging` never swapped in — drop it. */
   def recoverDebris(spark: SparkSession, snapDir: String): Unit = {
     val root = new Path(snapDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val all = fs.listStatus(root)
-    all.filter(_.getPath.getName.endsWith(".old")).foreach { o =>
-      val live = new Path(root, o.getPath.getName.stripSuffix(".old"))
-      if (!fs.exists(live))
-        require(fs.rename(o.getPath, live),
-          s"crash recovery failed: ${o.getPath} -> $live")
-      else fs.delete(o.getPath, true)
-    }
-    all.filter(_.getPath.getName == ".staging")
+    graft.ops.SwapRecovery.restoreOldSiblings(fs, root)
+    fs.listStatus(root)
+      .filter(_.getPath.getName == ".staging")
       .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -129,7 +149,8 @@ object StreamingSnapshot {
     * is a batch join + partitioned rewrite no streaming operator
     * expresses; the durable checkpoint (same lifecycle as the
     * snapshot it feeds) plus keep-latest idempotence close the
-    * at-least-once window. */
+    * at-least-once window. `buckets` fixes the layout only when the
+    * snapshot is first created ([[layoutBuckets]]). */
   def snapshotSink(spark: SparkSession, changes: DataFrame, key: String,
                    ord: Seq[String], snapDir: String, buckets: Int = 32,
                    checkpointDir: Option[String] = None): StreamingQuery =

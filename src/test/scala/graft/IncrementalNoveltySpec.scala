@@ -105,4 +105,21 @@ class IncrementalNoveltySpec extends AnyFunSuite {
         s"doc ${r.getLong(1)}: probe ${r.getLong(3)} must lower-bound corpus-rule $novel")
     }
   }
+
+  test("index GC matches only fingerprint-shaped generations of ITS OWN source dir") {
+    import graft.ops.IndexTables
+    val self = IndexTables.tableName("graft_x_idx_v1_", "/data/sf0", "")
+    val isGen = IndexTables.generationOf(self)(_)
+    val fp = "deadbeefdeadbeef"
+    assert(isGen(IndexTables.tableName("graft_x_idx_v1_", "/data/sf0", fp)))
+    assert(isGen(self + fp + "_bloom.bin"), "sidecars are generations")
+    // nested source dirs must never match (review finding: a sibling
+    // whose sanitized tail is itself 16 hex chars + fp would have
+    // matched a 'hex then non-alnum' shape test)
+    assert(!isGen(IndexTables.tableName("graft_x_idx_v1_", "/data/sf0_v2", fp)))
+    assert(!isGen(IndexTables.tableName("graft_x_idx_v1_", s"/data/sf0_$fp", fp)),
+      "a hash-suffixed sibling data dir is NOT a generation of /data/sf0")
+    assert(!isGen(self + fp + "_extra"), "unknown suffixes are not sidecars")
+    assert(!isGen(self + "deadbeefdeadbee"), "15 hex chars is not a fingerprint")
+  }
 }

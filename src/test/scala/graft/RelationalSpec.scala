@@ -405,7 +405,13 @@ class RelationalSpec extends AnyFunSuite {
     val scd = Relational.q191Scd2Intervals(spark, TestSpark.sf0001).cache()
     try {
       val orders = Tables.orders(spark, TestSpark.sf0001)
-      assert(scd.count() == orders.count(), "one interval per change-log row")
+      assert(scd.count() == orders
+        .select(col("o_custkey"), col("o_orderdate")).distinct().count(),
+        "one interval per (key, date) end-of-date state")
+      // the date grain makes zero-width intervals impossible — every
+      // version is retrievable by an as-of lookup
+      assert(scd.filter(col("valid_to") === col("valid_from")).count() == 0,
+        "no zero-width [d, d) interval may exist")
       // per key: exactly one open-ended (NULL valid_to) current version
       val open = scd.filter(col("valid_to").isNull)
         .groupBy(col("o_custkey")).count()

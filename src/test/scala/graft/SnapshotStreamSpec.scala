@@ -128,6 +128,36 @@ class SnapshotStreamSpec extends AnyFunSuite {
       "restart must upsert the new batch on top of the surviving snapshot")
   }
 
+  test("bucket modulus is a creation-time layout: later applies use the stored value") {
+    val snapDir = tmp("snap_layout")
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L to 16L).map(k => (k, 1L, s"v$k")): _*),
+      "k", Seq("ver"), snapDir, buckets = 4)
+    // a caller passing a DIFFERENT modulus must not corrupt the layout
+    // (reviewed failure: merged rows re-bucketed outside the touched
+    // set are silently discarded with the staging dir)
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L to 16L).map(k => (k, 2L, s"w$k")): _*),
+      "k", Seq("ver"), snapDir, buckets = 32)
+    assert(snapRows(snapDir) ==
+      (1L to 16L).map(k => (k, 2L, s"w$k")).toSet,
+      "no key may be lost or duplicated across a bucket-param change")
+    val dirs = new java.io.File(snapDir).listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(dirs.forall(_.stripPrefix("bucket=").toInt < 4),
+      s"layout must stay at the creation-time modulus, got $dirs")
+  }
+
+  test("a payload column named bucket is rejected, not silently clobbered") {
+    import spark.implicits._
+    val bad = Seq((1L, 1L, 7)).toDF("k", "ver", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      StreamingSnapshot.applyBatch(spark, bad, "k", Seq("ver"),
+        tmp("snap_reserved"), 4)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("swap debris recovers: orphaned .old restores, .staging drops") {
     val snapDir = tmp("snap_debris")
     StreamingSnapshot.applyBatch(spark,

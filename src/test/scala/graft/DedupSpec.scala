@@ -708,6 +708,45 @@ class DedupSpec extends AnyFunSuite {
       (3L, "", 5, 0)))
   }
 
+  test("duplicate spans ≡ driver brute force on random small-vocab corpora") {
+    // the q167 discipline: randomized corpora (small vocab → dense
+    // accidental shingle sharing), exact row-for-row equality against
+    // a straight-line driver implementation of the same definition
+    def brute(docs: Seq[(Long, String)], n: Int) = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val occ = for ((id, ts) <- toks; i <- 0 to ts.length - n)
+        yield (id, i, ts.slice(i, i + n).mkString(" "))
+      val dup = occ.groupBy(_._3)
+        .filter { case (_, os) => os.map(_._1).distinct.size >= 2 }
+        .keySet
+      val hits = occ.filter(o => dup(o._3)).map(o => (o._1, o._2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      hits.toSeq.sortBy(_._1).flatMap { case (id, ps) =>
+        val islands = ps.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && p <= acc.last.last + n)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        islands.zipWithIndex.map { case (isl, gi) =>
+          (id, gi + 1, isl.head, isl.last + n,
+           isl.last + n - isl.head, isl.size.toLong) }
+      }
+    }
+    val rnd = new java.util.Random(188L)
+    var totalSpans = 0
+    for (round <- 1 to 5) {
+      val docs = (0 until 8).map { id =>
+        val len = 10 + rnd.nextInt(30)
+        (id.toLong, Seq.fill(len)(s"w${rnd.nextInt(8)}").mkString(" "))
+      }
+      val got = spanRows(docs, n = 3).toSeq
+      val want = brute(docs, 3)
+      assert(got == want, s"round $round diverged:\ngot  $got\nwant $want")
+      totalSpans += want.size
+    }
+    assert(totalSpans > 0, "vacuous property: no corpus produced any span")
+  }
+
   test("duplicate spans: within-doc repetition alone is NOT a duplicate") {
     // the repeated trigram lives in one doc only — cross-doc rule
     // (distinct docs >= 2) must ignore it

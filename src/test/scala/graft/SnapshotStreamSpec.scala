@@ -128,6 +128,29 @@ class SnapshotStreamSpec extends AnyFunSuite {
       "restart must upsert the new batch on top of the surviving snapshot")
   }
 
+  test("keep-latest is order- and split-independent (semilattice property)") {
+    val rnd = new java.util.Random(166L)
+    for (round <- 1 to 3) {
+      val rows = (1 to 40).map { i =>
+        (rnd.nextInt(8).toLong + 1, rnd.nextInt(5).toLong, s"p${rnd.nextInt(9)}")
+      }
+      // ground truth: per key the lexicographically-max (ver, payload)
+      // — payload rides as the final tie-break, same as the struct max
+      val expected = rows.groupBy(_._1).values
+        .map(vs => vs.maxBy(v => (v._2, v._3))).toSet
+      // a random shuffle cut into 3 batches must converge identically
+      val shuffled = rnd.ints(0, 1000000).limit(rows.size).toArray
+        .zip(rows).sortBy(_._1).map(_._2).toSeq
+      val (c1, c2) = (rows.size / 3, 2 * rows.size / 3)
+      val snapDir = tmp(s"snap_prop$round")
+      Seq(shuffled.slice(0, c1), shuffled.slice(c1, c2), shuffled.drop(c2))
+        .foreach(b => StreamingSnapshot.applyBatch(
+          spark, changes(b: _*), "k", Seq("ver"), snapDir, 4))
+      assert(snapRows(snapDir) == expected,
+        s"round $round: shuffled 3-batch apply must equal the global keep-latest")
+    }
+  }
+
   test("bucket modulus is a creation-time layout: later applies use the stored value") {
     val snapDir = tmp("snap_layout")
     StreamingSnapshot.applyBatch(spark,

@@ -181,6 +181,22 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("crash mid-swap then next apply converges to the uncrashed result") {
+    val snapDir = tmp("snap_crash")
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 1L, "a1"), (2L, 1L, "b1")), "k", Seq("ver"), snapDir, 1)
+    // crash window: live renamed away, staged replacement never moved in
+    val live = new java.io.File(snapDir, "bucket=0")
+    assert(live.renameTo(new java.io.File(snapDir, "bucket=0.old")))
+    new java.io.File(snapDir, ".staging/bucket=0").mkdirs()
+    // the NEXT apply (which runs recovery first) must land on exactly
+    // the state an uncrashed sequence would have produced
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 2L, "a2"), (3L, 1L, "c1")), "k", Seq("ver"), snapDir, 1)
+    assert(snapRows(snapDir) ==
+      Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+  }
+
   test("swap debris recovers: orphaned .old restores, .staging drops") {
     val snapDir = tmp("snap_debris")
     StreamingSnapshot.applyBatch(spark,

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * rounds to a bucket edge), so persisted per-vintage sketches roll
   * up to exactly the histogram a full re-scan would have built.
   */
-private[functions] object Hdr {
+private[graft] object Hdr {
   /** Sub-bucket precision bits: relative bucket width ≤ 2^-6. */
   val SubBits = 6
   private val SubCount = 1 << SubBits // 64
@@ -104,7 +104,14 @@ private[functions] object Hdr {
     var nz = 0
     var i = 0
     while (i < buf.length) { if (buf(i) != 0L) nz += 1; i += 1 }
-    val bb = java.nio.ByteBuffer.allocate(4 + nz * 12)
+    // leading Size header: persisted sketches outlive the build that
+    // wrote them, and a SubBits/MaxExp change re-maps every bucket
+    // index — without the header a stored sketch from another
+    // precision would deserialize into silently-wrong buckets (the
+    // HLL family gets this check for free because register width IS
+    // the array length; here the sparse encoding hides it)
+    val bb = java.nio.ByteBuffer.allocate(8 + nz * 12)
+    bb.putInt(Size)
     bb.putInt(nz)
     i = 0
     while (i < buf.length) {
@@ -116,6 +123,10 @@ private[functions] object Hdr {
 
   def fromBytes(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val size = bb.getInt
+    require(size == Size,
+      s"HDR sketch layout mismatch: stored Size=$size, this build Size=$Size " +
+        "(SubBits/MaxExp changed) — rebuild the stored sketches")
     val nz = bb.getInt
     val buf = new Array[Long](Size)
     var k = 0

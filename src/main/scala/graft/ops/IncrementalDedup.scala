@@ -47,7 +47,12 @@ object IncrementalDedup {
     * quadratic on exactly the boilerplate clusters whose members the
     * index already knows are mutual dups. The count-window runs on
     * the bucketed+sorted layout, so the guard costs NO exchange and
-    * NO sort — the index side still never moves. */
+    * NO sort — and no second index pass either: scan → window →
+    * filter → merge join is one pipelined consumption of the same
+    * bucketed scan the probe join reads anyway (the window only adds
+    * per-bucket buffering). A persisted per-bucket size digest would
+    * save that buffering but not I/O, and would have to be kept
+    * transactionally consistent with appendToIndex — not worth it. */
   def probeBatch(spark: SparkSession, batch: DataFrame, table: String,
                  threshold: Double = 0.8,
                  maxBucket: Int = Dedup.MaxBucket): DataFrame = {

@@ -809,22 +809,29 @@ object Quality {
     * and measured O(tokens²) on sf0.1: 35 s vs ~2 s for this fold.) */
   def cdcChunkFps(text: Column): Column = {
     val t = split(text, " ")
+    // `started` tracks emptiness EXPLICITLY: `cur == ""` conflates an
+    // empty accumulator with having accumulated an empty token
+    // (consecutive/leading/trailing spaces split to "" tokens), which
+    // silently dropped those tokens from chunk fingerprints while the
+    // DuckDB oracle's positional slices keep them as join separators
     val zero = struct(
-      array().cast("array<string>").as("chunks"), lit("").as("cur"))
+      array().cast("array<string>").as("chunks"),
+      lit("").as("cur"), lit(false).as("started"))
     aggregate(t, zero,
       (acc, tok) => {
-        val cur2 = when(acc("cur") === "", tok)
+        val cur2 = when(not(acc("started")), tok)
           .otherwise(concat(acc("cur"), lit(" "), tok))
         val isBoundary = substring(md5(tok), 1, 1) === CdcBoundaryHex
         struct(
           when(isBoundary, concat(acc("chunks"), array(md5(cur2))))
             .otherwise(acc("chunks")).as("chunks"),
-          when(isBoundary, lit("")).otherwise(cur2).as("cur"))
+          when(isBoundary, lit("")).otherwise(cur2).as("cur"),
+          when(isBoundary, lit(false)).otherwise(lit(true)).as("started"))
       },
       // finish: an unterminated tail is the final chunk (acc is bound
       // once here, unlike an outer reference which Spark would inline
       // — and so re-fold — per occurrence)
-      acc => when(acc("cur") === "", acc("chunks"))
+      acc => when(not(acc("started")), acc("chunks"))
         .otherwise(concat(acc("chunks"), array(md5(acc("cur"))))))
   }
 

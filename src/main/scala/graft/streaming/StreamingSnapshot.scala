@@ -140,9 +140,15 @@ object StreamingSnapshot {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** Reads the current snapshot (all buckets). */
-  def readSnapshot(spark: SparkSession, snapDir: String): DataFrame =
+  /** Reads the current snapshot (all buckets). Runs debris recovery
+    * first: `bucket=N.old` from a mid-swap crash is NOT hidden from
+    * partition discovery (only dot/underscore prefixes are), so an
+    * unrecovered read would surface the stale pre-swap rows alongside
+    * the live ones and break one-current-row-per-key. */
+  def readSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
+    recoverDebris(spark, snapDir)
     spark.read.parquet(snapDir).drop("bucket")
+  }
 
   /** The streaming hook: each micro-batch of `changes` upserts into
     * the snapshot via [[applyBatch]]. foreachBatch because the merge

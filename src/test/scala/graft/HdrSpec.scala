@@ -94,4 +94,19 @@ class HdrSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stored sketches from a different precision fail fast, never mis-bucket") {
+    import graft.functions.Hdr
+    val buf = new Array[Long](Hdr.Size)
+    buf(Hdr.indexOf(100L)) = 5L
+    val bytes = Hdr.toBytes(buf)
+    assert(java.util.Arrays.equals(Hdr.toBytes(Hdr.fromBytes(bytes)), bytes),
+      "codec round-trips")
+    // forge a sketch written by a build with a different Size header
+    val bb = java.nio.ByteBuffer.wrap(bytes.clone())
+    bb.putInt(0, Hdr.Size + 64)
+    val e = intercept[IllegalArgumentException] { Hdr.fromBytes(bb.array()) }
+    assert(e.getMessage.contains("layout mismatch"),
+      s"wrong-precision sketch must be rejected, got: ${e.getMessage}")
+  }
 }

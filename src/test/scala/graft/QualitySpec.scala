@@ -353,6 +353,35 @@ class QualitySpec extends AnyFunSuite {
     assert(fps.forall(_.length == 32), "md5 fingerprints")
   }
 
+  test("cdc chunking keeps empty tokens (spacing edges) exactly like the oracle's slices") {
+    // straight-line Scala mirror of the q183 ORACLE definition:
+    // positional ends, chunks as space-joins of the raw slices
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String = {
+      md.reset(); md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def oracle(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      val ends = t.indices.filter(i =>
+        h(t(i)).startsWith(Quality.CdcBoundaryHex) || i == t.length - 1)
+      ends.zipWithIndex.map { case (e, j) =>
+        val from = if (j == 0) 0 else ends(j - 1) + 1
+        h(t.slice(from, e + 1).mkString(" "))
+      }
+    }
+    // find a boundary token so the edges interact with a real cut
+    val b = (1 to 500).map(i => s"tok$i")
+      .find(t => h(t).startsWith(Quality.CdcBoundaryHex)).get
+    for (text <- Seq(
+        s"$b ",              // trailing space: empty tail chunk
+        s" $b",              // leading space: empty-led first chunk
+        s"$b  x y",          // empty token right after a boundary
+        s"a  b $b  c ",      // doubles + trailing, mid-document
+        "   "))              // only empties
+      assert(fpsOf(text) == oracle(text),
+        s"spark and oracle chunking must agree on <$text>")
+  }
+
   test("cdc chunking realigns after a prepended token; fixed chunking does not") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def isBoundary(tok: String): Boolean =

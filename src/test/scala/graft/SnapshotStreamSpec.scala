@@ -197,6 +197,21 @@ class SnapshotStreamSpec extends AnyFunSuite {
       Set((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
   }
 
+  test("readSnapshot never surfaces .old debris rows (crash after second rename)") {
+    val snapDir = tmp("snap_read_debris")
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 1L, "a1")), "k", Seq("ver"), snapDir, 1)
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 2L, "a2")), "k", Seq("ver"), snapDir, 1)
+    // crash window after rename(staged -> live) but before delete(old):
+    // both live (new) and .old (stale pre-swap rows) populated
+    val stale = new java.io.File(snapDir, "bucket=0.old")
+    changes((1L, 1L, "a1")).coalesce(1).write.parquet(stale.toString)
+    assert(snapRows(snapDir) == Set((1L, 2L, "a2")),
+      "a read between the crash and the next apply must not see stale versions")
+    assert(!stale.exists(), "the read recovers the debris it would otherwise surface")
+  }
+
   test("swap debris recovers: orphaned .old restores, .staging drops") {
     val snapDir = tmp("snap_debris")
     StreamingSnapshot.applyBatch(spark,

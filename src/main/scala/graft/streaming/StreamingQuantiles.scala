@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming QUANTILE-SKETCH STORE — the persistence half of the
+  * streaming quantile story: [[EventStream.windowedQuantileSketches]]
+  * emits one HDR sketch per watermark-closed window; this sink LANDS
+  * those sketches in a parquet store, and [[rollup]] merges the stored
+  * kilobyte histograms into coarser windows (hourly → daily, per-window
+  * → SLA report) without ever re-reading raw events — q185's
+  * stored-rollup pattern with a stream as the producer.
+  *
+  * Idempotence: the windowed aggregate runs in APPEND output mode, so
+  * a window is emitted exactly once, in the micro-batch where the
+  * watermark passes its end — batches carry DISJOINT window sets. Each
+  * batch overwrites its own `batch=<id>` directory ([[persistBatch]]);
+  * foreachBatch batch ids are stable across a checkpoint restart, so
+  * an at-least-once replay rewrites the same directory with the same
+  * rows instead of double-counting (QuantileStreamSpec calls the hook
+  * twice to pin it). Windows still open when the stream stops are NOT
+  * in the store — the store is the finalized-window ledger, the same
+  * contract a batch vintage table has.
+  *
+  * Scale shape: the stream's aggregation state is one fixed-size
+  * histogram per open window; the store grows by one ~KB row per
+  * closed window; a rollup reads sketches, never events. Merging is
+  * element-wise addition — LOSSLESS, so a rolled-up readout is
+  * IDENTICAL to a direct batch pass over the same rows (the spec pins
+  * byte-level sketch equality and readout equality).
+  */
+object StreamingQuantiles {
+
+  /** One micro-batch of closed windows → `storeDir/batch=<id>`,
+    * overwrite-by-batch-id for replay idempotence. Visible (not just
+    * the stream hook) so the replay test drives the exact code the
+    * stream runs. Empty batches (no window closed this trigger) write
+    * nothing — an absent directory and an empty one read the same. */
+  def persistBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit =
+    if (!batch.isEmpty)
+      batch.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+
+  /** The streaming hook: windowed HDR sketches of `events`, appended
+    * to the store as they finalize. The checkpoint defaults to a
+    * durable sibling of the store (the SnapshotStreamSpec-pinned
+    * lifecycle: checkpoint and store live and die together). */
+  def sketchStoreSink(spark: SparkSession, events: DataFrame,
+                      storeDir: String,
+                      checkpointDir: Option[String] = None): StreamingQuery =
+    EventStream.windowedQuantileSketches(events)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$storeDir/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        persistBatch(batch, batchId, storeDir)
+      }
+      .start()
+
+  /** Reads the persisted finalized-window sketches (win_start BIGINT
+    * epoch-seconds, sk BINARY, n_events BIGINT). The `batch=<id>`
+    * layout surfaces as a partition column — an implementation detail
+    * of the idempotence contract, dropped here. An empty or absent
+    * store reads as zero rows (a stream that never closed a window is
+    * a valid vintage). */
+  def readSketchStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatches) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("win_start", LongType),
+          StructField("sk", BinaryType), StructField("n_events", LongType))))
+    } else
+      spark.read.option("basePath", storeDir).parquet(storeDir).drop("batch")
+  }
+
+  /** Rolls the stored per-window sketches up to `coarsenSeconds`
+    * buckets: one merged histogram per coarse window, read out at the
+    * requested quantiles (`qv[i]` = lower-bound value at `qs(i)`, in
+    * the producer's fixed-point cents domain). Because the histogram
+    * merge is lossless, each row EQUALS what a direct pass over that
+    * coarse window's raw events would report — events that are long
+    * gone. */
+  def rollup(spark: SparkSession, storeDir: String,
+             coarsenSeconds: Long, qs: Seq[Double]): DataFrame = {
+    require(coarsenSeconds > 0, s"coarsenSeconds must be positive, got $coarsenSeconds")
+    readSketchStore(spark, storeDir)
+      .groupBy((col("win_start") - pmod(col("win_start"), lit(coarsenSeconds)))
+        .as("bucket_start"))
+      .agg(sum(col("n_events")).as("n_events"),
+        graft.functions.HdrQuantileAgg.hdrMergeQuantiles(col("sk"), qs).as("qv"))
+      .orderBy(col("bucket_start"))
+  }
+
+  /** Whole-store rollup: one row — total finalized events and the
+    * merged-readout quantiles across every persisted window. */
+  def rollupTotal(spark: SparkSession, storeDir: String,
+                  qs: Seq[Double]): DataFrame =
+    readSketchStore(spark, storeDir)
+      .agg(sum(col("n_events")).as("n_events"),
+        graft.functions.HdrQuantileAgg.hdrMergeQuantiles(col("sk"), qs).as("qv"))
+}

@@ -2285,6 +2285,68 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
       |ORDER BY o_custkey, version_idx""".stripMargin
 
+  /** The horizons q195 evaluates — one source for the Spark plan and
+    * the oracle SQL (the q35 cannot-drift discipline). */
+  private val survivalHorizons = Seq(0, 7, 14, 21, 28)
+
+  /** q195: USER RETENTION SURVIVAL at weekly horizons — the fraction
+    * of users whose observed lifetime (days between first and last
+    * event) reaches ≥ h days, h ∈ {0, 7, 14, 21, 28}. The engagement
+    * longevity complement of q131's cohort triangle: cohorts answer
+    * "who came back WHEN", survival answers "how long do users last
+    * at all" — the curve a churn model is calibrated against.
+    *
+    * Scale shape: one combined min/max aggregation collapses the scan
+    * to a per-user (8 B id, 4 B lifetime) frame; the five horizon
+    * counts fold into ONE conditional-aggregate row (no join, no
+    * window, no per-horizon pass), which then explodes into the
+    * 5-row curve map-side. Day arithmetic is date-difference
+    * integers — bit-identical across engines, no week-truncation
+    * convention in play (q131's discipline). */
+  def q195RetentionSurvival(s: SparkSession, d: String): DataFrame =
+    retentionSurvival(events(s, d))
+
+  /** q195 over any (user_id, ts) frame — the planted-test surface. */
+  def retentionSurvival(ev: DataFrame): DataFrame = {
+    val life = ev
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))
+        .as("lifetime"))
+    val counters = survivalHorizons.map(h =>
+      sum(when(col("lifetime") >= h, 1L).otherwise(0L)).as(s"h$h"))
+    life
+      .agg(count(lit(1)).as("n_users"), counters: _*)
+      .select(explode(array(survivalHorizons.map(h =>
+        struct(lit(h.toLong).as("horizon_days"),
+          col(s"h$h").as("n_alive"),
+          round(col(s"h$h").cast("double") / col("n_users"), 6).as("survival"))): _*))
+        .as("r"))
+      .select(col("r.horizon_days"), col("r.n_alive"), col("r.survival"))
+      .orderBy(col("horizon_days"))
+  }
+
+  val q195Sql: String = {
+    val counters = survivalHorizons.map(h =>
+      s"CAST(sum(CASE WHEN lifetime >= $h THEN 1 ELSE 0 END) AS BIGINT) AS h$h")
+      .mkString(",\n |  ")
+    val rows = survivalHorizons.map(h =>
+      s"SELECT CAST($h AS BIGINT) AS horizon_days, h$h AS n_alive,\n" +
+        s" |   round(CAST(h$h AS DOUBLE) / n_users, 6) AS survival FROM t")
+      .mkString("\n | UNION ALL ")
+    s"""WITH u AS (
+       | SELECT user_id,
+       |  date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS lifetime
+       | FROM events GROUP BY user_id
+       |), t AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  $counters
+       | FROM u
+       |)
+       |SELECT * FROM (
+       | $rows
+       |) ORDER BY horizon_days""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),
@@ -2356,6 +2418,7 @@ object Relational {
     ("q166_latest_snapshot", q166LatestSnapshot _, q166Sql),
     ("q170_revenue_share", q170RevenueShare _, q170Sql),
     ("q191_scd2_intervals", q191Scd2Intervals _, q191Sql),
+    ("q195_retention_survival", q195RetentionSurvival _, q195Sql),
     ("q155_key_skew_audit", q155KeySkewAudit _, q155Sql),
   )
 }

@@ -134,33 +134,41 @@ object Text {
     * materialization (a split-based count allocates an array per gram
     * per row, which GC-thrashes at corpus scale). Map-only, no
     * shuffle; exact same counts (non-overlapping left-to-right). */
-  def q35LangId(s: SparkSession, d: String): DataFrame = {
+  def q35LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+              predictedLang.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  /** The classifier itself — greatest over per-language (score, lang)
+    * structs — shared by q35 (accuracy audit) and q193 (fertility). */
+  private def predictedLang: Column = {
     val scoreCols = langProfiles.map { case (lang, grams) =>
       val diffs = grams.map(g =>
         length(col("text")) - length(expr(s"replace(text, '$g', '')")))
         .reduce(_ + _)
       struct((diffs.cast("double") / 2).as("score"), lit(lang).as("lang"))
     }
-    documents(s, d)
-      .select(col("doc_id"), col("lang").as("actual_lang"),
-              greatest(scoreCols: _*).getField("lang").as("predicted_lang"))
-      .orderBy(col("doc_id"))
+    greatest(scoreCols: _*).getField("lang")
   }
 
-  /** DuckDB twin of q35: same profiles, same replace-based counting,
-    * same (score, lang) max — struct list_max tie-breaks
-    * lexicographically like Spark's greatest over structs. */
-  val q35Sql: String = {
+  /** DuckDB twin of [[predictedLang]]: same profiles, same
+    * replace-based counting, same (score, lang) max — struct list_max
+    * tie-breaks lexicographically like Spark's greatest over structs. */
+  private val predictedLangSql: String = {
     val structs = langProfiles.map { case (lang, grams) =>
       val diffs = grams
         .map(g => s"(length(text) - length(replace(text, '$g', '')))")
         .mkString(" + ")
       s"struct_pack(score := CAST($diffs AS DOUBLE) / 2, lang := '$lang')"
     }.mkString(",\n   ")
-    s"""SELECT doc_id, lang AS actual_lang,
-       | (list_max([$structs])).lang AS predicted_lang
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"(list_max([$structs])).lang"
   }
+
+  val q35Sql: String =
+    s"""SELECT doc_id, lang AS actual_lang,
+       | $predictedLangSql AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Token counting two ways: whitespace split vs a BPE-ish regex
     * tokenizer (letter runs / digit runs / single symbols) — the
@@ -1298,6 +1306,110 @@ object Text {
       |SELECT t.lang, n_terms, total_tokens, zipf_slope, zipf_r2
       |FROM tot t JOIN fit f ON t.lang = f.lang ORDER BY t.lang""".stripMargin
 
+  /** q193: TOKENIZER FERTILITY BY PREDICTED LANGUAGE — BPE-ish tokens
+    * per whitespace word (fertility) and characters per token, grouped
+    * by the n-gram-identified language: q35's classifier composed with
+    * q36's two tokenizers. The multilingual token-budget planner's
+    * first table — fertility is why a byte/char budget and a token
+    * budget disagree per language, and the LANGUAGE column on raw
+    * crawl data is usually absent (hence the predicted label, not the
+    * curated `lang`).
+    *
+    * Scale shape: entirely map-side — classifier, both token counts,
+    * and the char count are codegen'd string/array expressions in one
+    * projection; the only exchange is the final ≤|profiles|-group
+    * aggregation of five BIGINT counters. */
+  def q193LangFertility(s: SparkSession, d: String): DataFrame =
+    langFertility(documents(s, d))
+
+  /** q193 over any (text) frame — the planted-test surface. */
+  def langFertility(docs: DataFrame): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    docs
+      .select(predictedLang.as("predicted_lang"),
+        size(toks(col("text"))).cast("bigint").as("ws_n"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint").as("bpe_n"),
+        length(regexp_replace(col("text"), lit(" "), lit(""))).cast("bigint").as("nc"))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_n")).as("ws_tokens"),
+        sum(col("bpe_n")).as("bpe_tokens"),
+        round(sum(col("bpe_n")).cast("double") / sum(col("ws_n")), 6).as("fertility"),
+        round(sum(col("nc")).cast("double") / sum(col("bpe_n")), 6).as("chars_per_token"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  val q193Sql: String =
+    s"""WITH t AS (
+       | SELECT $predictedLangSql AS predicted_lang,
+       |  CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_n,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_n,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc
+       | FROM documents
+       |)
+       |SELECT predicted_lang, count(*) AS n_docs,
+       | CAST(sum(ws_n) AS BIGINT) AS ws_tokens,
+       | CAST(sum(bpe_n) AS BIGINT) AS bpe_tokens,
+       | round(CAST(sum(bpe_n) AS DOUBLE) / sum(ws_n), 6) AS fertility,
+       | round(CAST(sum(nc) AS DOUBLE) / sum(bpe_n), 6) AS chars_per_token
+       |FROM t GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+
+  /** q194: QUALITY-SCORE CALIBRATION vs the exact-duplicate label —
+    * the reliability-diagram audit for a closed-form quality proxy:
+    * bin documents by stopword fraction (q33's heuristic, normalized
+    * to [0,1]) into fixed 0.1-wide bins and report each bin's
+    * duplicate incidence. The go/no-go check before a score gates a
+    * filter (q77's adaptive filter): if dup_rate doesn't move across
+    * bins, the score adds nothing over random for dedup prioritization.
+    * Fixed-width bins rather than ntile: a global rank would be one
+    * all-data window (the shape the suite-wide PlanShapeSpec sweep
+    * bans); floor(score·10) is map-side and identical in both engines.
+    *
+    * Scale shape: score and fingerprint are map-side; the one exchange
+    * partitions by the 16 B md5 for the copy-count window (q188's
+    * fp-partitioned discipline — never the text); bins then collapse
+    * in a ≤10-group aggregation. */
+  def q194QualityCalibration(s: SparkSession, d: String): DataFrame =
+    qualityCalibration(documents(s, d))
+
+  /** q194 over any (text) frame — the planted-test surface. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val score =
+      size(expr(s"filter(split(text, ' '), t -> t IN $stopList)")).cast("double") /
+        size(toks(col("text"))).cast("double")
+    docs
+      .select(md5(col("text").cast("binary")).as("fp"), score.as("score"))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .select(least(floor(col("score") * 10).cast("bigint"), lit(9L)).as("bin"),
+        col("score"), when(col("n_copies") > 1, 1L).otherwise(0L).as("is_dup"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dups"),
+        round(sum(col("is_dup")).cast("double") / count(lit(1)), 6).as("dup_rate"),
+        round(avg(col("score")), 6).as("avg_score"))
+      .orderBy(col("bin"))
+  }
+
+  val q194Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH t AS (
+       | SELECT md5(text) AS fp,
+       |  CAST(len(list_filter(str_split(text, ' '), t -> t IN $stopList)) AS DOUBLE)
+       |    / len(str_split(text, ' ')) AS score
+       | FROM documents
+       |), w AS (
+       | SELECT score, count(*) OVER (PARTITION BY fp) AS n_copies FROM t
+       |)
+       |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+       | count(*) AS n_docs,
+       | CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       | round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |       / count(*), 6) AS dup_rate,
+       | round(avg(score), 6) AS avg_score
+       |FROM w GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q30_dedup_exact", q30DedupExact _, Some(q30Sql)),
     ("q31_fingerprint", q31Fingerprint _, Some(q31Sql)),
@@ -1325,6 +1437,8 @@ object Text {
     ("q177_bpe_encode", q177BpeEncode _, None),
     ("q180_novelty_audit", q180NoveltyAudit _, Some(q180Sql)),
     ("q182_zipf_fit", q182ZipfFit _, Some(q182Sql)),
+    ("q193_lang_fertility", q193LangFertility _, Some(q193Sql)),
+    ("q194_quality_calibration", q194QualityCalibration _, Some(q194Sql)),
   )
 
 

@@ -446,4 +446,36 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getString(2) == want, s"${r.getString(0)}: ${r.getString(2)} != $want")
     }
   }
+
+  test("q195: hand-computed survival curve on planted lifetimes") {
+    import spark.implicits._
+    // u1 lives 0 days, u2 lives 10, u3 lives 30 (first-to-last event)
+    val ev = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 20:00:00"),
+      (2L, "2024-01-01 08:00:00"), (2L, "2024-01-11 08:00:00"),
+      (3L, "2024-01-01 08:00:00"), (3L, "2024-01-31 08:00:00"))
+      .toDF("user_id", "s")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.col("s")).as("ts"))
+    val rows = Relational.retentionSurvival(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows == Map(
+      0L -> ((3L, 1.0)),
+      7L -> ((2L, 0.666667)),
+      14L -> ((1L, 0.333333)),
+      21L -> ((1L, 0.333333)),
+      28L -> ((1L, 0.333333))))
+  }
+
+  test("q195: survival is monotone non-increasing and anchored at 1.0") {
+    val rows = Relational.q195RetentionSurvival(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 7L, 14L, 21L, 28L))
+    assert(rows.head._3 == 1.0, "every user survives >= 0 days by construction")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3,
+        s"survival must not increase with horizon: $a -> $b")
+    }
+  }
 }

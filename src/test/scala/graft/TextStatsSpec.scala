@@ -353,4 +353,64 @@ class TextStatsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("zipf_r2") > 0.98,
       "an exact power law must fit nearly perfectly")
   }
+
+  test("q193: hand-computed fertility on a planted bilingual corpus") {
+    import spark.implicits._
+    // en docs: "the the"  -> ws 2, bpe [the,the] 2,        chars 6
+    //          "the cat!" -> ws 2, bpe [the,cat,!] 3,      chars 7
+    //   fertility 5/4 = 1.25, chars/token 13/5 = 2.6
+    // es doc: "de la de la" -> ws 4, bpe 4, chars 8 -> 1.0, 2.0
+    // (profile scores: en grams th+he dominate doc 1-2; es grams de+la doc 3)
+    val rows = Text.langFertility(Seq(
+        "the the", "the cat!", "de la de la").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Set("en", "es"))
+    assert(rows("en") == ((2L, 4L, 5L, 1.25, 2.6)))
+    assert(rows("es") == ((1L, 4L, 4L, 1.0, 2.0)))
+  }
+
+  test("q193: fertility groups partition the corpus; labels agree with q35") {
+    val d = graft.Tables.documents(spark, sf)
+    val fert = Text.langFertility(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fert.values.sum == d.count(), "groups must partition the corpus")
+    val q35 = graft.ops.Text.q35LangId(spark, sf).groupBy(col("predicted_lang"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fert == q35, "q193's labels must be exactly q35's classifier")
+  }
+
+  test("q194: hand-computed calibration bins with planted duplicates") {
+    import spark.implicits._
+    // bin 0 (score 0): two UNIQUE docs           -> dup_rate 0
+    // bin 5 (score .5): two unique docs          -> dup_rate 0
+    // bin 9 (score 1, clamped from floor(10)): two COPIES -> dup_rate 1
+    val rows = Text.qualityCalibration(Seq(
+        (1L, "cat dog"), (2L, "fish bird"),
+        (3L, "the cat"), (4L, "the dog"),
+        (5L, "the the the the"), (6L, "the the the the")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(0L, 5L, 9L))
+    assert(rows(0L) == ((2L, 0L, 0.0, 0.0)))
+    assert(rows(5L) == ((2L, 0L, 0.0, 0.5)))
+    assert(rows(9L) == ((2L, 2L, 1.0, 1.0)),
+      "a full-stopword duplicated pair must land clamped in bin 9 with dup_rate 1")
+  }
+
+  test("q194: bins partition the corpus; dup mass matches the exact-dedup count") {
+    val d = graft.Tables.documents(spark, sf)
+    val bins = Text.q194QualityCalibration(spark, sf).collect()
+    assert(bins.map(_.getLong(1)).sum == d.count(), "bins must partition the corpus")
+    // independent ground truth: docs whose exact text occurs more than once
+    val dupDocs = d.groupBy(col("text")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L))) // a dup-free corpus sums to 0, not null
+      .collect().head.getLong(0)
+    assert(bins.map(_.getLong(2)).sum == dupDocs,
+      "per-bin dup counts must sum to the corpus's duplicated-doc mass")
+  }
 }

@@ -2312,14 +2312,20 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))
         .as("lifetime"))
+    // coalesce: sum over ZERO users is null — an empty frame must
+    // yield the 5-row zero curve, not NULL n_alive (the helper is a
+    // public any-frame surface, and callers read n_alive as a long)
     val counters = survivalHorizons.map(h =>
-      sum(when(col("lifetime") >= h, 1L).otherwise(0L)).as(s"h$h"))
+      coalesce(sum(when(col("lifetime") >= h, 1L).otherwise(0L)), lit(0L)).as(s"h$h"))
     life
       .agg(count(lit(1)).as("n_users"), counters: _*)
       .select(explode(array(survivalHorizons.map(h =>
         struct(lit(h.toLong).as("horizon_days"),
           col(s"h$h").as("n_alive"),
-          round(col(s"h$h").cast("double") / col("n_users"), 6).as("survival"))): _*))
+          // when-guard: survival over zero users is 0/0 — null, and
+          // under ANSI the unguarded division would throw, not null
+          round(when(col("n_users") =!= 0,
+            col(s"h$h").cast("double") / col("n_users")), 6).as("survival"))): _*))
         .as("r"))
       .select(col("r.horizon_days"), col("r.n_alive"), col("r.survival"))
       .orderBy(col("horizon_days"))
@@ -2327,7 +2333,7 @@ object Relational {
 
   val q195Sql: String = {
     val counters = survivalHorizons.map(h =>
-      s"CAST(sum(CASE WHEN lifetime >= $h THEN 1 ELSE 0 END) AS BIGINT) AS h$h")
+      s"CAST(coalesce(sum(CASE WHEN lifetime >= $h THEN 1 ELSE 0 END), 0) AS BIGINT) AS h$h")
       .mkString(",\n |  ")
     val rows = survivalHorizons.map(h =>
       s"SELECT CAST($h AS BIGINT) AS horizon_days, h$h AS n_alive,\n" +

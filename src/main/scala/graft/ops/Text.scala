@@ -174,12 +174,17 @@ object Text {
     * tokenizer (letter runs / digit runs / single symbols) — the
     * pre-training token-budget estimator. Same RE2-compatible pattern
     * in both engines. */
+  /** The BPE-ish tokenizer pattern (letter runs / digit runs / single
+    * symbols) — ONE constant shared by q36 and q193 in both engines
+    * (RE2-compatible; interpolated verbatim into the oracle SQL), the
+    * same cannot-drift discipline the q35 classifier gets. */
+  private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
   def q36BpeTokens(s: SparkSession, d: String): DataFrame = {
-    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     documents(s, d)
       .select(col("lang"),
         size(toks(col("text"))).cast("bigint").as("ws_n"),
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint").as("bpe_n"))
+        size(regexp_extract_all(col("text"), lit(bpePat), lit(0))).cast("bigint").as("bpe_n"))
       .groupBy(col("lang"))
       .agg(sum(col("ws_n")).as("ws_tokens"),
            sum(col("bpe_n")).as("bpe_tokens"),
@@ -188,11 +193,11 @@ object Text {
   }
 
   val q36Sql: String =
-    """SELECT lang,
-      | CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
-      | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
-      | count(*) AS n_docs
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    s"""SELECT lang,
+       | CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       | CAST(sum(len(regexp_extract_all(text, '$bpePat'))) AS BIGINT) AS bpe_tokens,
+       | count(*) AS n_docs
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Custom HLL sketch aggregate (graft.functions.HllSketchAgg) next
     * to the exact count — per-source approximate distinct tokens.
@@ -1324,11 +1329,10 @@ object Text {
 
   /** q193 over any (text) frame — the planted-test surface. */
   def langFertility(docs: DataFrame): DataFrame = {
-    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
     docs
       .select(predictedLang.as("predicted_lang"),
         size(toks(col("text"))).cast("bigint").as("ws_n"),
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint").as("bpe_n"),
+        size(regexp_extract_all(col("text"), lit(bpePat), lit(0))).cast("bigint").as("bpe_n"),
         length(regexp_replace(col("text"), lit(" "), lit(""))).cast("bigint").as("nc"))
       .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1343,7 +1347,7 @@ object Text {
     s"""WITH t AS (
        | SELECT $predictedLangSql AS predicted_lang,
        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_n,
-       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_n,
+       |  CAST(len(regexp_extract_all(text, '$bpePat')) AS BIGINT) AS bpe_n,
        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc
        | FROM documents
        |)

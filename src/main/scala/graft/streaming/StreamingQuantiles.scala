@@ -33,14 +33,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingQuantiles {
 
+  /** The store's row contract — what [[EventStream.windowedQuantileSketches]]
+    * emits and what [[readSketchStore]] returns (QuantileStreamSpec pins
+    * the producer's schema against this, so the two cannot drift). Reads
+    * always declare it explicitly: schema inference over a store whose
+    * only batch directory holds no committed files yet (crash
+    * mid-overwrite) would otherwise throw instead of reading zero rows. */
+  val storeSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("win_start", LongType),
+      StructField("sk", BinaryType), StructField("n_events", LongType)))
+  }
+
   /** One micro-batch of closed windows → `storeDir/batch=<id>`,
     * overwrite-by-batch-id for replay idempotence. Visible (not just
     * the stream hook) so the replay test drives the exact code the
     * stream runs. Empty batches (no window closed this trigger) write
-    * nothing — an absent directory and an empty one read the same. */
-  def persistBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit =
-    if (!batch.isEmpty)
-      batch.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    * nothing — an absent directory and an empty one read the same.
+    * The batch is cached around the emptiness probe so the stateful
+    * aggregation runs once per trigger, not once per action. */
+  def persistBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty)
+        cached.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    } finally { cached.unpersist(); () }
+  }
 
   /** The streaming hook: windowed HDR sketches of `events`, appended
     * to the store as they finalize. The checkpoint defaults to a
@@ -66,17 +84,21 @@ object StreamingQuantiles {
     * store reads as zero rows (a stream that never closed a window is
     * a valid vintage). */
   def readSketchStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBatches = fs.exists(root) &&
       fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
-    if (!hasBatches) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("win_start", LongType),
-          StructField("sk", BinaryType), StructField("n_events", LongType))))
-    } else
-      spark.read.option("basePath", storeDir).parquet(storeDir).drop("batch")
+    if (!hasBatches)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    else
+      // declared schema (+ the layout's partition column): no footer
+      // inference, so a batch dir stranded file-less by a crash between
+      // overwrite's delete and commit reads as zero rows, not an error
+      spark.read
+        .schema(StructType(storeSchema.fields :+ StructField("batch", LongType)))
+        .option("basePath", storeDir).parquet(storeDir).drop("batch")
   }
 
   /** Rolls the stored per-window sketches up to `coarsenSeconds`

@@ -171,6 +171,32 @@ class QuantileStreamSpec extends AnyFunSuite {
     assert(StreamingQuantiles.readSketchStore(spark, storeDir).count() == 1L)
   }
 
+  test("producer schema is pinned to the store contract") {
+    // names + types only: parquet round-trips every column nullable,
+    // so nullability is not part of the store contract
+    assert(graft.streaming.EventStream.windowedQuantileSketches(eventsDf())
+      .schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamingQuantiles.storeSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "windowedQuantileSketches and storeSchema must not drift")
+  }
+
+  test("a batch dir stranded file-less by a crash reads as zero rows, not an error") {
+    val storeDir = tmp("qsk_stranded")
+    // crash window: overwrite deleted the old contents, committer never
+    // published — the directory exists but holds no data files
+    new java.io.File(storeDir, "batch=0/_temporary").mkdirs()
+    assert(StreamingQuantiles.readSketchStore(spark, storeDir).count() == 0L)
+    // and a populated sibling still reads through the declared schema
+    StreamingQuantiles.persistBatch(
+      eventsDf(wave1.take(3): _*)
+        .groupBy(unix_timestamp(window(col("ts"), "10 minutes").getField("start"))
+          .as("win_start"))
+        .agg(hdrSketch(greatest(lit(0L), floor(col("value") * 100).cast("long")))
+          .as("sk"), count(lit(1)).as("n_events")),
+      1L, storeDir)
+    assert(StreamingQuantiles.readSketchStore(spark, storeDir).count() == 1L)
+  }
+
   test("an empty or absent store reads as zero rows") {
     assert(StreamingQuantiles.readSketchStore(spark, tmp("qsk_empty")).count() == 0L)
     assert(StreamingQuantiles.readSketchStore(

@@ -468,6 +468,17 @@ class RelationalSpec extends AnyFunSuite {
       28L -> ((1L, 0.333333))))
   }
 
+  test("q195: an empty events frame yields the 5-row zero curve, not nulls") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    val rows = Relational.retentionSurvival(empty).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L, "n_alive must be 0, never null")
+      assert(r.isNullAt(2), "survival over zero users is undefined (0/0) -> null")
+    }
+  }
+
   test("q195: survival is monotone non-increasing and anchored at 1.0") {
     val rows = Relational.q195RetentionSurvival(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

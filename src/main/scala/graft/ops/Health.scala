@@ -59,6 +59,10 @@ object Health {
       // CHUNKS, this one measures the token fraction inside cross-doc
       // repeated RUNS — the remove-span planning number
       .unionByName(tag("span_dup", Dedup.q190DuplicationRate(s, d)))
+      // language composition (q193): fertility and mix BY PREDICTED
+      // label — a vintage whose crawl composition shifts shows up here
+      // before any per-language token budget goes wrong
+      .unionByName(tag("lang_fertility", Text.q193LangFertility(s, d)))
   }
 
   /** Sink: one directory per check, NDJSON rows — the shape a
@@ -81,7 +85,8 @@ object Health {
     "novelty" -> Seq("source"),
     "cdc_dup" -> Seq("source"),
     "length_quantiles" -> Seq("source"),
-    "span_dup" -> Seq("source"))
+    "span_dup" -> Seq("source"),
+    "lang_fertility" -> Seq("predicted_lang"))
 
   /** VINTAGE DIFF (round-11 verdict ask #6) — the artifact a scheduler
     * actually pages on: two [[writeHealthReport]] directories → one

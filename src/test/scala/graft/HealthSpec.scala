@@ -19,8 +19,8 @@ class HealthSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(byCheck.keySet == Set("key_skew", "ivf_balance", "dim_stats",
         "dup_spectrum", "curation_funnel", "novelty", "cdc_dup",
-        "length_quantiles", "span_dup"),
-        s"all nine families must report: ${byCheck.keySet}")
+        "length_quantiles", "span_dup", "lang_fertility"),
+        s"all ten families must report: ${byCheck.keySet}")
       // counts match the constituents run standalone
       assert(byCheck("key_skew") == 3L, "q155 profiles the 3 fact key columns")
       assert(byCheck("curation_funnel") == 4L, "q124 reports the 4 stages")
@@ -35,6 +35,8 @@ class HealthSpec extends AnyFunSuite {
       assert(byCheck("cdc_dup") == 20L, "q183 reports each source")
       assert(byCheck("length_quantiles") == 20L, "q184 reports each source")
       assert(byCheck("span_dup") == 20L, "q190 reports each source")
+      assert(byCheck("lang_fertility") ==
+        graft.ops.Text.q193LangFertility(spark, TestSpark.sf0001).count())
 
       // payloads are JSON objects with the constituent's column names
       val skew = rep.filter(col("check") === "key_skew")
@@ -58,7 +60,8 @@ class HealthSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("check=key_skew", "check=ivf_balance", "check=dim_stats",
       "check=dup_spectrum", "check=curation_funnel", "check=novelty",
-      "check=cdc_dup", "check=length_quantiles", "check=span_dup"),
+      "check=cdc_dup", "check=length_quantiles", "check=span_dup",
+      "check=lang_fertility"),
       s"got $dirs")
     // round-trips as NDJSON
     val back = spark.read.json(out)
@@ -79,7 +82,7 @@ class HealthSpec extends AnyFunSuite {
     val a = java.nio.file.Files.createTempDirectory("health_a").toString
     Health.writeHealthReport(spark, TestSpark.sf0001, a)
     val rows = Health.diffReports(spark, a, a).collect()
-    assert(rows.length == 9)
+    assert(rows.length == 10)
     rows.foreach { r =>
       assert(r.getAs[String]("status") == "unchanged", s"self-diff: $r")
       assert(r.getAs[Long]("n_changed") == 0L && r.getAs[Long]("n_only_a") == 0L

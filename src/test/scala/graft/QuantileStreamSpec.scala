@@ -75,6 +75,12 @@ class QuantileStreamSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("sk"), r.getLong(2))).toMap
 
+  private def batchQuantiles(rows: Seq[(Long, Double)], qs: Seq[Double]): Seq[Long] =
+    eventsDf(rows: _*)
+      .agg(hdrQuantiles(greatest(lit(0L), floor(col("value") * 100).cast("long")), qs)
+        .as("qv"))
+      .collect().head.getSeq[Long](0)
+
   test("store holds exactly the closed windows, sketches byte-identical to batch") {
     val streamDir = tmp("qsk_in")
     val storeDir = tmp("qsk_store")
@@ -169,6 +175,41 @@ class QuantileStreamSpec extends AnyFunSuite {
       twice.getSeq[Long](1) == once.getSeq[Long](1),
       "same batch id must overwrite, never accumulate")
     assert(StreamingQuantiles.readSketchStore(spark, storeDir).count() == 1L)
+  }
+
+  test("randomized time-ordered waves: store ≡ batch sketches, any 3-file split") {
+    val rnd = new java.util.Random(184L)
+    for (round <- 1 to 2) {
+      // time-ordered offsets (nothing is ever late, so no watermark
+      // drops muddy the ground truth) + a far flusher that closes
+      // every data window but its own
+      val offs = (1 to 60).map(_ => rnd.nextInt(7200).toLong).sorted
+      val data = offs.map(o => (t0 + o) -> (rnd.nextInt(100000) / 100.0))
+      val all = data :+ ((t0 + 14400L) -> 0.42)
+      val streamDir = tmp(s"qsk_rand_in$round")
+      val storeDir = tmp(s"qsk_rand_store$round")
+      val (c1, c2) = (all.size / 3, 2 * all.size / 3)
+      Seq(all.slice(0, c1), all.slice(c1, c2), all.drop(c2)).zipWithIndex
+        .foreach { case (rows, i) => writeWave(streamDir, s"f$i", i, rows) }
+      runSink(streamDir, storeDir)
+
+      val closed = data.filter { case (s, _) => (s - s % 600) + 600 <= t0 + 14400 - 1800 }
+      val stored = StreamingQuantiles.readSketchStore(spark, storeDir).collect()
+        .map(r => r.getAs[Long]("win_start") ->
+          (r.getAs[Array[Byte]]("sk"), r.getAs[Long]("n_events"))).toMap
+      val want = batchSketches(closed)
+      assert(stored.keySet == want.keySet,
+        s"round $round: stored ${stored.keySet.toSeq.sorted} != ${want.keySet.toSeq.sorted}")
+      want.foreach { case (w, (sk, n)) =>
+        assert(stored(w)._2 == n, s"round $round window $w count")
+        assert(java.util.Arrays.equals(stored(w)._1, sk), s"round $round window $w sketch")
+      }
+      val rolled = StreamingQuantiles.rollupTotal(spark, storeDir, Seq(0.5, 0.99))
+        .collect().head
+      val direct = batchQuantiles(closed, Seq(0.5, 0.99))
+      assert(rolled.getAs[Long]("n_events") == closed.size.toLong)
+      assert(rolled.getSeq[Long](1) == direct, s"round $round rollup")
+    }
   }
 
   test("producer schema is pinned to the store contract") {

@@ -479,6 +479,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q195: randomized lifetimes equal a driver brute force") {
+    import spark.implicits._
+    val rnd = new java.util.Random(195L)
+    for (round <- 1 to 3) {
+      // random users, 1-5 events each, days drawn in [0, 40)
+      val evRows = (1 to 30).flatMap { u =>
+        (0 until 1 + rnd.nextInt(5)).map { _ =>
+          (u.toLong, rnd.nextInt(40)) }
+      }
+      val expected = {
+        val byUser = evRows.groupBy(_._1).values.map { es =>
+          es.map(_._2).max - es.map(_._2).min }.toSeq
+        Seq(0, 7, 14, 21, 28).map { h =>
+          val alive = byUser.count(_ >= h).toLong
+          val surv = BigDecimal(alive.toDouble / byUser.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          h.toLong -> ((alive, surv))
+        }.toMap
+      }
+      val got = Relational.retentionSurvival(
+        evRows.toDF("user_id", "day")
+          .select(col("user_id"), expr("timestamp_seconds(86400 * day + 3600)").as("ts")))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expected, s"round $round: $got != $expected")
+    }
+  }
+
   test("q195: survival is monotone non-increasing and anchored at 1.0") {
     val rows = Relational.q195RetentionSurvival(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

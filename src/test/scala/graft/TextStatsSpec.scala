@@ -401,6 +401,47 @@ class TextStatsSpec extends AnyFunSuite {
       "a full-stopword duplicated pair must land clamped in bin 9 with dup_rate 1")
   }
 
+  test("q194: randomized corpus equals a driver brute force") {
+    import spark.implicits._
+    val stop = Set("the", "of", "and", "a", "to", "in")
+    val pool = stop.toSeq ++ Seq("cat", "dog", "fish", "bird", "tree")
+    val rnd = new java.util.Random(194L)
+    for (round <- 1 to 3) {
+      // random docs of 1-8 pool tokens; ~1/3 of docs duplicated verbatim
+      val base = (1 to 40).map { _ =>
+        (1 to 1 + rnd.nextInt(8)).map(_ => pool(rnd.nextInt(pool.size)))
+          .mkString(" ") }
+      val texts = base ++ base.filter(_ => rnd.nextInt(3) == 0)
+      val expected = {
+        val copies = texts.groupBy(identity).view.mapValues(_.size).toMap
+        texts.map { t =>
+          val ws = t.split(" ", -1)
+          val score = ws.count(stop).toDouble / ws.length
+          (math.min(math.floor(score * 10).toLong, 9L), score, copies(t) > 1)
+        }.groupBy(_._1).map { case (bin, ds) =>
+          def r6(x: Double) = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val dups = ds.count(_._3).toLong
+          bin -> ((ds.size.toLong, dups, r6(dups.toDouble / ds.size),
+            r6(ds.map(_._2).sum / ds.size)))
+        }
+      }
+      val got = graft.ops.Text.qualityCalibration(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got.keySet == expected.keySet, s"round $round bins")
+      got.foreach { case (bin, (n, d, rate, avg)) =>
+        val (en, ed, erate, eavg) = expected(bin)
+        assert(n == en && d == ed, s"round $round bin $bin counts")
+        assert(math.abs(rate - erate) < 1e-9, s"round $round bin $bin dup_rate")
+        // avg over doubles: summation order may differ at the last ulp,
+        // which can flip the 6th-decimal rounding — allow one ulp there
+        assert(math.abs(avg - eavg) <= 1e-6 + 1e-12, s"round $round bin $bin avg")
+      }
+    }
+  }
+
   test("q194: bins partition the corpus; dup mass matches the exact-dedup count") {
     val d = graft.Tables.documents(spark, sf)
     val bins = Text.q194QualityCalibration(spark, sf).collect()

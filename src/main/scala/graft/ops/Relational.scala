@@ -2307,11 +2307,19 @@ object Relational {
     retentionSurvival(events(s, d))
 
   /** q195 over any (user_id, ts) frame — the planted-test surface. */
-  def retentionSurvival(ev: DataFrame): DataFrame = {
-    val life = ev
+  def retentionSurvival(ev: DataFrame): DataFrame =
+    survivalCurve(ev
       .groupBy(col("user_id"))
       .agg(datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))
-        .as("lifetime"))
+        .as("lifetime")))
+
+  /** The curve half of q195 over a per-user `lifetime` (days) frame —
+    * shared VERBATIM by the streaming twin
+    * ([[graft.streaming.StreamingSurvival]] reads lifetimes out of its
+    * persisted profile store and scores through this exact plan, the
+    * SpaceSavingKernel pattern), so stream ≡ batch agreement on the
+    * scoring holds by construction. */
+  def survivalCurve(life: DataFrame): DataFrame = {
     // coalesce: sum over ZERO users is null — an empty frame must
     // yield the 5-row zero curve, not NULL n_alive (the helper is a
     // public any-frame surface, and callers read n_alive as a long)

@@ -2343,9 +2343,11 @@ object Relational {
     val counters = survivalHorizons.map(h =>
       s"CAST(coalesce(sum(CASE WHEN lifetime >= $h THEN 1 ELSE 0 END), 0) AS BIGINT) AS h$h")
       .mkString(",\n |  ")
+    // nullif mirrors the Spark when-guard: survival over zero users is
+    // NULL in both engines, never a NaN/throw divergence
     val rows = survivalHorizons.map(h =>
       s"SELECT CAST($h AS BIGINT) AS horizon_days, h$h AS n_alive,\n" +
-        s" |   round(CAST(h$h AS DOUBLE) / n_users, 6) AS survival FROM t")
+        s" |   round(CAST(h$h AS DOUBLE) / nullif(n_users, 0), 6) AS survival FROM t")
       .mkString("\n | UNION ALL ")
     s"""WITH u AS (
        | SELECT user_id,

@@ -170,16 +170,14 @@ object Text {
        | $predictedLangSql AS predicted_lang
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Token counting two ways: whitespace split vs a BPE-ish regex
-    * tokenizer (letter runs / digit runs / single symbols) — the
-    * pre-training token-budget estimator. Same RE2-compatible pattern
-    * in both engines. */
   /** The BPE-ish tokenizer pattern (letter runs / digit runs / single
     * symbols) — ONE constant shared by q36 and q193 in both engines
     * (RE2-compatible; interpolated verbatim into the oracle SQL), the
     * same cannot-drift discipline the q35 classifier gets. */
   private val bpePat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Token counting two ways: whitespace split vs the BPE-ish regex
+    * tokenizer — the pre-training token-budget estimator. */
   def q36BpeTokens(s: SparkSession, d: String): DataFrame = {
     documents(s, d)
       .select(col("lang"),

@@ -53,9 +53,26 @@ object StreamingSurvival {
       }
       .start()
 
-  /** The persisted profiles (one current row per user). */
-  def readProfiles(spark: SparkSession, snapDir: String): DataFrame =
-    StreamingSnapshot.readSnapshot(spark, snapDir)
+  /** The persisted profiles (one current row per user). A store whose
+    * stream has not yet upserted anything (only `_checkpoint`/
+    * `_buckets` present, or nothing at all) reads as zero rows — the
+    * readSketchStore discipline; the snapshot reader would otherwise
+    * throw on schema inference over the bucket-less directory. */
+  def readProfiles(spark: SparkSession, snapDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBuckets = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
+    if (!hasBuckets)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("first_ts", TimestampType),
+          StructField("last_ts", TimestampType),
+          StructField("n_events", LongType))))
+    else StreamingSnapshot.readSnapshot(spark, snapDir)
+  }
 
   /** The survival curve over the STORE — q195's exact readout plan fed
     * by persisted profiles instead of a raw-event scan. */

@@ -97,6 +97,17 @@ class SurvivalStreamSpec extends AnyFunSuite {
       "resume must fold the late wave into the surviving profiles")
   }
 
+  test("an empty or absent profile store reads as zero rows and the zero curve") {
+    val empty = tmp("surv_empty")
+    assert(StreamingSurvival.readProfiles(spark, empty).count() == 0L)
+    assert(StreamingSurvival.readProfiles(spark, empty + "/nope").count() == 0L)
+    // a store the stream initialized but never upserted into
+    new java.io.File(empty, "_checkpoint").mkdirs()
+    val rows = StreamingSurvival.survivalFromStore(spark, empty).collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(1) == 0L),
+      "a not-yet-populated vintage is valid: 5-row zero curve, no throw")
+  }
+
   test("stale profile redelivery never regresses the store") {
     val snapDir = tmp("surv_stale")
     val fresh = StreamingSurvival.userLifetimes(ev(allRows: _*))

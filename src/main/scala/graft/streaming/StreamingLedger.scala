@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ADDITIVE COUNT LEDGER — the third persisted-sink contract
+  * in the streaming family, for the merge the other two cannot host:
+  *
+  *   - quantile store ([[StreamingQuantiles]]): APPEND-ONLY ledger of
+  *     finalized rows — replay safety = overwrite-by-batch-id;
+  *   - snapshot ([[StreamingSnapshot]]): KEEP-LATEST — replay safety =
+  *     the merge is an idempotent semilattice max;
+  *   - this sink: ADDITIVE (counts, token tallies, revenue roll-ups).
+  *     Addition is NOT idempotent, so at-least-once redelivery would
+  *     silently double-count — the failure mode every naive streaming
+  *     word-count ships with.
+  *
+  * Exactly-once mechanics: each micro-batch's deltas are reduced,
+  * bucketed (xxhash64 of the key mod B, the snapshot layout), and
+  * merged bucket-by-bucket — and every staged bucket directory carries
+  * an `_applied` sidecar holding the batch id INSIDE the directory, so
+  * the atomic rename that publishes the bucket publishes its applied
+  * watermark with it. They cannot diverge. On (re)delivery of batch N,
+  * a touched bucket whose live `_applied` is ≥ N is skipped — so:
+  *
+  *   - full replay of an applied batch: every bucket skips — no-op;
+  *   - crash BETWEEN bucket swaps: the swapped buckets skip, the
+  *     unswapped ones (whose live state is still pre-N) re-apply —
+  *     the replay converges to exactly-once (LedgerStreamSpec stages
+  *     this crash with a bucket restored to its pre-batch state);
+  *   - crash MID-swap: the shared `.old` rename protocol
+  *     ([[graft.ops.SwapRecovery]]) restores the pre-swap bucket and
+  *     the replay re-applies it.
+  *
+  * Scale shape: per batch the work is O(batch + touched buckets) —
+  * identical to the snapshot sink; the exchange carries reduced
+  * (key, counter) rows, and B sizes a bucket to a task. Deltas may be
+  * negative (corrections); addition is associative/commutative so the
+  * ledger is batch-boundary independent. Like its siblings, gated to
+  * atomic-rename filesystems.
+  */
+object StreamingLedger {
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                          f: Path): Option[String] =
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                           f: Path, v: String): Unit = {
+    val out = fs.create(f, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Bucket modulus is a creation-time layout property (the snapshot
+    * sink's `_buckets` contract, same failure mode if violated). */
+  private def layoutBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                            root: Path, buckets: Int): Int =
+    readSidecar(fs, new Path(root, "_buckets")) match {
+      case Some(v) => v.toInt
+      case None =>
+        writeSidecar(fs, new Path(root, "_buckets"), buckets.toString)
+        buckets
+    }
+
+  /** Applies one delta batch exactly once. `keys` identify a ledger
+    * row; `counters` are its additive BIGINT columns; `batchId` must
+    * be monotone across calls (foreachBatch's contract) — a replayed
+    * id re-applies only the buckets the crash left behind. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, keys: Seq[String],
+                 counters: Seq[String], ledgerDir: String, buckets: Int,
+                 batchId: Long): Unit = {
+    require(keys.nonEmpty && counters.nonEmpty, "keys and counters required")
+    require(!batch.columns.contains("bucket"),
+      "\"bucket\" is reserved by the ledger layout — rename the column")
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(graft.ops.Ivf.atomicRenameScheme(fs),
+      s"ledger sink requires atomic directory rename; scheme of $ledgerDir lacks it")
+    recoverDebris(spark, ledgerDir)
+    val b = layoutBuckets(fs, root, buckets)
+
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(b)).cast("int")
+    val reduced = batch
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(counters.head)).cast("long").as(counters.head),
+        counters.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
+      .withColumn("bucket", bucketOf)
+      .persist()
+    try {
+      if (readSidecar(fs, new Path(root, "_schema")).isEmpty)
+        writeSidecar(fs, new Path(root, "_schema"),
+          org.apache.spark.sql.types.StructType(
+            reduced.schema.fields.filterNot(_.name == "bucket")).toDDL)
+      val touched = reduced.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ B ints — never data
+      // the exactly-once gate: skip buckets whose published watermark
+      // already covers this batch (their atomic rename included it)
+      val toApply = touched.filter { bk =>
+        readSidecar(fs, new Path(root, s"bucket=$bk/_applied"))
+          .forall(_.toLong < batchId)
+      }
+      if (toApply.nonEmpty) {
+        val deltas = reduced.filter(col("bucket").isin(toApply.map(Integer.valueOf): _*))
+        val liveDirs = toApply.map(bk => new Path(root, s"bucket=$bk"))
+          .filter(fs.exists).map(_.toString)
+        val existing =
+          if (liveDirs.isEmpty) deltas.limit(0)
+          else spark.read.option("basePath", ledgerDir)
+            .parquet(liveDirs: _*)
+            .withColumn("bucket", col("bucket").cast("int"))
+            .select(deltas.columns.map(col): _*)
+        val staging = new Path(root, ".staging")
+        fs.delete(staging, true)
+        existing.unionByName(deltas)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(counters.head)).cast("long").as(counters.head),
+            counters.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
+          .withColumn("bucket", bucketOf)
+          .write.partitionBy("bucket").parquet(staging.toString)
+        toApply.foreach { bk =>
+          // the watermark rides INSIDE the staged dir: the swap rename
+          // publishes data + applied-id in one atomic step
+          writeSidecar(fs, new Path(staging, s"bucket=$bk/_applied"),
+            batchId.toString)
+          val live = new Path(root, s"bucket=$bk")
+          val old = new Path(root, s"bucket=$bk.old")
+          val staged = new Path(staging, s"bucket=$bk")
+          if (fs.exists(live))
+            require(fs.rename(live, old), s"swap failed: $live -> $old")
+          require(fs.rename(staged, live), s"swap failed: $staged -> $live")
+          fs.delete(old, true)
+        }
+        fs.delete(staging, true)
+      }
+    } finally { reduced.unpersist(); () }
+  }
+
+  /** Shared `.old`/.staging crash recovery (the snapshot protocol). */
+  def recoverDebris(spark: SparkSession, ledgerDir: String): Unit = {
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    graft.ops.SwapRecovery.restoreOldSiblings(fs, root)
+    fs.listStatus(root)
+      .filter(_.getPath.getName == ".staging")
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Current ledger rows. A ledger the stream has not yet written
+    * reads as zero rows with the creation-time schema (`_schema`
+    * sidecar); a never-created one as zero rows and zero columns. */
+  def readLedger(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDebris(spark, ledgerDir)
+    val hasBuckets = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
+    if (hasBuckets) spark.read.parquet(ledgerDir).drop("bucket")
+    else {
+      val schema = readSidecar(fs, new Path(root, "_schema"))
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(new org.apache.spark.sql.types.StructType())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  /** The streaming hook: each micro-batch of `deltas` (raw rows — the
+    * reduce happens inside [[applyBatch]], so the stream itself needs
+    * NO stateful operator and no watermark) folds into the ledger
+    * exactly once, keyed by foreachBatch's replay-stable batch id. */
+  def ledgerSink(spark: SparkSession, deltas: DataFrame, keys: Seq[String],
+                 counters: Seq[String], ledgerDir: String, buckets: Int = 32,
+                 checkpointDir: Option[String] = None): StreamingQuery =
+    deltas.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$ledgerDir/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch, keys, counters, ledgerDir, buckets, batchId)
+      }
+      .start()
+}

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingLedger
+
+/** Exactly-once additive ledger: stream ≡ batch group-sums under any
+  * split, a replayed batch is a whole no-op, a crash BETWEEN bucket
+  * swaps converges on replay (the skipped/re-applied split the
+  * in-directory `_applied` watermark exists for), restart resumes on
+  * the durable checkpoint, negative deltas correct, only touched
+  * buckets rewrite, and empty ledgers read as zero rows. */
+class LedgerStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("word", StringType), StructField("n", LongType),
+    StructField("chars", LongType)))
+
+  private def deltas(rows: (String, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("word", "n", "chars")
+  }
+
+  private def wordDeltas(words: String*): Seq[(String, Long, Long)] =
+    words.map(w => (w, 1L, w.length.toLong))
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def ledgerRows(dir: String): Map[String, (Long, Long)] =
+    StreamingLedger.readLedger(spark, dir).collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("chars")))).toMap
+
+  private def batchSums(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+    rows.groupBy(_._1).map { case (w, rs) =>
+      w -> ((rs.map(_._2).sum, rs.map(_._3).sum)) }
+
+  private def writeWave(dir: String, name: String, order: Int,
+                        rows: Seq[(String, Long, Long)]): Unit = {
+    deltas(rows: _*).coalesce(1).write.parquet(s"$dir/$name")
+    val t = System.currentTimeMillis() - 600000 + order * 60000
+    new java.io.File(s"$dir/$name").listFiles().foreach(_.setLastModified(t))
+  }
+
+  private def runSink(streamDir: String, ledgerDir: String): Unit = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+    val q = StreamingLedger.ledgerSink(spark, stream, Seq("word"),
+      Seq("n", "chars"), ledgerDir, buckets = 4)
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private val allRows = wordDeltas(
+    "the", "cat", "the", "dog", "fish", "the", "cat",
+    "bird", "dog", "the", "tree", "cat")
+
+  test("stream ≡ batch group-sums under different batch splits") {
+    val expected = batchSums(allRows)
+    for ((split, i) <- Seq(Seq(4, 8, 12), Seq(7, 12)).zipWithIndex) {
+      val streamDir = tmp(s"led_in$i")
+      val ledgerDir = tmp(s"led_out$i")
+      var prev = 0
+      for ((end, j) <- split.zipWithIndex) {
+        writeWave(streamDir, s"f$j", j, allRows.slice(prev, end))
+        prev = end
+      }
+      runSink(streamDir, ledgerDir)
+      assert(ledgerRows(ledgerDir) == expected, s"split $split")
+    }
+  }
+
+  test("a replayed batch id is a whole no-op (addition made replay-safe)") {
+    val dir = tmp("led_replay")
+    val b1 = deltas(wordDeltas("the", "cat", "the"): _*)
+    val b2 = deltas(wordDeltas("cat", "dog"): _*)
+    StreamingLedger.applyBatch(spark, b1, Seq("word"), Seq("n", "chars"), dir, 4, 0L)
+    StreamingLedger.applyBatch(spark, b2, Seq("word"), Seq("n", "chars"), dir, 4, 1L)
+    val after = ledgerRows(dir)
+    assert(after == batchSums(wordDeltas("the", "cat", "the", "cat", "dog")))
+    StreamingLedger.applyBatch(spark, b2, Seq("word"), Seq("n", "chars"), dir, 4, 1L)
+    assert(ledgerRows(dir) == after, "an at-least-once redelivery must not double-count")
+    StreamingLedger.applyBatch(spark, b1, Seq("word"), Seq("n", "chars"), dir, 4, 0L)
+    assert(ledgerRows(dir) == after, "an OLDER replayed id must not re-add either")
+  }
+
+  test("crash between bucket swaps: replay re-applies only the unswapped buckets") {
+    val dir = tmp("led_crash")
+    // enough distinct words that both buckets are touched by each batch
+    val b1 = wordDeltas("the", "cat", "dog", "fish", "bird", "tree", "ant", "bee")
+    val b2 = b1 ++ wordDeltas("the", "cat", "wasp")
+    StreamingLedger.applyBatch(spark, deltas(b1: _*), Seq("word"),
+      Seq("n", "chars"), dir, 2, 0L)
+    // stash bucket 0's pre-batch-1 state (files are flat in the dir)
+    def bucket(i: Int) = new java.io.File(dir, s"bucket=$i")
+    val stash = java.nio.file.Files.createTempDirectory("led_stash")
+    bucket(0).listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, stash.resolve(f.getName)) }
+    StreamingLedger.applyBatch(spark, deltas(b2: _*), Seq("word"),
+      Seq("n", "chars"), dir, 2, 1L)
+    val converged = ledgerRows(dir)
+    assert(converged == batchSums(b1 ++ b2))
+    // crash window: bucket 1 swapped in with _applied=1, bucket 0
+    // rolled back to its pre-batch state (data + _applied=0 together —
+    // exactly what an unswapped bucket looks like after the crash)
+    bucket(0).listFiles().foreach(_.delete()); bucket(0).delete()
+    bucket(0).mkdirs()
+    stash.toFile.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, bucket(0).toPath.resolve(f.getName)) }
+    assert(ledgerRows(dir) != converged, "the staged crash must be observable")
+    // the replay foreachBatch fires with the SAME id: bucket 1 skips
+    // (watermark 1 ≥ 1), bucket 0 re-applies — exactly once overall
+    StreamingLedger.applyBatch(spark, deltas(b2: _*), Seq("word"),
+      Seq("n", "chars"), dir, 2, 1L)
+    assert(ledgerRows(dir) == converged,
+      "replay after a partial crash must converge to the uncrashed ledger")
+  }
+
+  test("restart on the durable checkpoint resumes without re-adding") {
+    val streamDir = tmp("led_rs_in")
+    val ledgerDir = tmp("led_rs_out")
+    writeWave(streamDir, "f0", 0, allRows.take(7))
+    runSink(streamDir, ledgerDir)
+    assert(ledgerRows(ledgerDir) == batchSums(allRows.take(7)))
+    writeWave(streamDir, "f1", 1, allRows.drop(7))
+    runSink(streamDir, ledgerDir) // same checkpoint + ledger
+    assert(ledgerRows(ledgerDir) == batchSums(allRows),
+      "resume must add only the new wave")
+  }
+
+  test("negative deltas correct the ledger") {
+    val dir = tmp("led_neg")
+    StreamingLedger.applyBatch(spark, deltas(("the", 5L, 15L)),
+      Seq("word"), Seq("n", "chars"), dir, 4, 0L)
+    StreamingLedger.applyBatch(spark, deltas(("the", -2L, -6L)),
+      Seq("word"), Seq("n", "chars"), dir, 4, 1L)
+    assert(ledgerRows(dir) == Map("the" -> ((3L, 9L))))
+  }
+
+  test("only touched buckets are rewritten") {
+    val dir = tmp("led_prune")
+    StreamingLedger.applyBatch(spark,
+      deltas(wordDeltas((1 to 64).map(i => s"w$i"): _*): _*),
+      Seq("word"), Seq("n", "chars"), dir, 8, 0L)
+    val root = new java.io.File(dir)
+    def fileSet(b: Int): Set[String] =
+      Option(new java.io.File(root, s"bucket=$b").listFiles())
+        .map(_.map(f => f.getName + ":" + f.lastModified()).toSet)
+        .getOrElse(Set.empty)
+    val before = (0 until 8).map(fileSet)
+    StreamingLedger.applyBatch(spark, deltas(("w1", 1L, 2L)),
+      Seq("word"), Seq("n", "chars"), dir, 8, 1L)
+    val touched = (0 until 8).count(b => fileSet(b) != before(b))
+    assert(touched == 1, s"exactly one bucket must be rewritten, got $touched")
+    assert(ledgerRows(dir)("w1") == ((2L, 4L)))
+  }
+
+  test("empty and not-yet-written ledgers read as zero rows; bucket column rejected") {
+    assert(StreamingLedger.readLedger(spark, tmp("led_empty")).count() == 0L)
+    val dir = tmp("led_schema")
+    StreamingLedger.applyBatch(spark, deltas(("the", 1L, 3L)),
+      Seq("word"), Seq("n", "chars"), dir, 4, 0L)
+    // wipe the buckets but keep the sidecars: schema survives
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).foreach { d =>
+        d.listFiles().foreach(_.delete()); d.delete() }
+    val empty = StreamingLedger.readLedger(spark, dir)
+    assert(empty.count() == 0L &&
+      empty.columns.toSeq == Seq("word", "n", "chars"))
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      StreamingLedger.applyBatch(spark, Seq(("x", 1L)).toDF("word", "bucket"),
+        Seq("word"), Seq("bucket"), tmp("led_reserved"), 4, 0L)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+}

@@ -990,11 +990,19 @@ object Text {
     * second aggregation reduces a vocab-sized frame to one row per
     * source. The oracle groups by the token STRING — same counts. */
   def tokenSpectrum(docs: DataFrame): DataFrame =
-    docs
+    spectrumOfCounts(docs
       .select(col("source"), explode(toks(col("text"))).as("token"))
       .select(col("source"), xxhash64(col("token")).as("fp"))
       .groupBy(col("source"), col("fp"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The spectrum readout over an ALREADY-BUILT (source, fp, n) vocab
+    * digest — the entry point for digests a pipeline maintains
+    * incrementally (the streaming additive ledger keyed (source, fp)
+    * produces exactly this frame; LedgerStreamSpec pins ledger-fed ≡
+    * corpus-scan spectra). */
+  def spectrumOfCounts(tf: DataFrame): DataFrame =
+    tf
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("vocab"),

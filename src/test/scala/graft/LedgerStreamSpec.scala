@@ -160,6 +160,36 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(ledgerRows(dir)("w1") == ((2L, 4L)))
   }
 
+  test("ledger-fed vocab digest reproduces q106's corpus-scan spectrum exactly") {
+    // the composition the ledger exists for: a stream of documents
+    // keeps the (source, token-fp) count digest current; the spectrum
+    // readout over the LEDGER equals the batch corpus scan
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val streamDir = tmp("led_vocab_in")
+    val ledgerDir = tmp("led_vocab_out")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$streamDir/f0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$streamDir/f1")
+    val t0 = System.currentTimeMillis() - 600000
+    Seq("f0", "f1").zipWithIndex.foreach { case (n, j) =>
+      new java.io.File(s"$streamDir/$n").listFiles()
+        .foreach(_.setLastModified(t0 + j * 60000)) }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), xxhash64(col("token")).as("fp"),
+        lit(1L).as("n"))
+    val q = StreamingLedger.ledgerSink(spark, stream, Seq("source", "fp"),
+      Seq("n"), ledgerDir, buckets = 8)
+    q.processAllAvailable()
+    q.stop()
+    val fromLedger = graft.ops.Text.spectrumOfCounts(
+      StreamingLedger.readLedger(spark, ledgerDir)).collect().map(_.toSeq).toSeq
+    val fromScan = graft.ops.Text.tokenSpectrum(docs).collect().map(_.toSeq).toSeq
+    assert(fromLedger == fromScan,
+      "the incrementally-maintained digest must be indistinguishable from a re-scan")
+  }
+
   test("empty and not-yet-written ledgers read as zero rows; bucket column rejected") {
     assert(StreamingLedger.readLedger(spark, tmp("led_empty")).count() == 0L)
     val dir = tmp("led_schema")

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** CLI for the health-dashboard operational loop (README runbook): each
+  * vintage `write`s a report; the scheduler `diff`s consecutive
+  * vintages and acts on the exit code — 0 = all checks unchanged,
+  * 1 = drift beyond tolerance (page), 2 = usage error. The paged rows
+  * print as NDJSON on stdout so an alerting hook can forward them
+  * verbatim.
+  *
+  *   runMain graft.HealthRun write /root/testdata/sf0.01 /tmp/health/2026-08-15
+  *   runMain graft.HealthRun diff  /tmp/health/2026-08-14 /tmp/health/2026-08-15 0.10
+  */
+object HealthRun {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val exit = args.toList match {
+      case "write" :: dataDir :: outDir :: Nil =>
+        ops.Health.writeHealthReport(spark, dataDir, outDir)
+        println(s"""{"written":"$outDir"}""")
+        0
+      case "diff" :: aDir :: bDir :: rest if rest.size <= 1 =>
+        val tol = rest.headOption.map(_.toDouble).getOrElse(0.0)
+        val paged = ops.Health.diffReports(spark, aDir, bDir, tol)
+          .filter(col("status") =!= "unchanged")
+        // bounded by construction (≤ one row per check) — safe to pull
+        val rows = paged.toJSON.collect()
+        rows.foreach(println)
+        if (rows.isEmpty) 0 else 1
+      case _ =>
+        System.err.println(
+          "usage: HealthRun write <dataDir> <outDir> | diff <aDir> <bDir> [tolerance]")
+        2
+    }
+    spark.stop()
+    sys.exit(exit)
+  }
+}

@@ -584,15 +584,26 @@ object Text {
     * and suffix structure is invisible. See the q157 scaladoc above
     * for the distributed shape and tie-break contract. */
   def bpeTrain(docs: DataFrame, nMerges: Int,
-               endOfWord: Boolean = false): DataFrame = {
-    val s = docs.sparkSession
+               endOfWord: Boolean = false): DataFrame =
+    bpeTrainFromVocab(
+      docs.select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc")),
+      nMerges, endOfWord)
+
+  /** Merge training over an ALREADY-BUILT (w, wc) vocabulary digest —
+    * the entry point for digests a pipeline maintains incrementally.
+    * The streaming additive ledger keyed on the word string produces
+    * exactly this frame, so a tokenizer refresh re-runs ONLY the merge
+    * iterations (O(vocab) each) without re-scanning the corpus:
+    * LedgerStreamSpec pins ledger-fed ≡ corpus-scan merge tables. */
+  def bpeTrainFromVocab(vocabCounts: DataFrame, nMerges: Int,
+                        endOfWord: Boolean = false): DataFrame = {
+    val s = vocabCounts.sparkSession
     val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     val symsCol = if (endOfWord) concat(chars, array(lit(BpeEow))) else chars
-    val vocab = docs
-      .select(explode(toks(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(col("wc"), symsCol.as("syms"))
+    val vocab = vocabCounts
+      .select(col("wc").cast("long").as("wc"), symsCol.as("syms"))
       .persist()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false

@@ -190,6 +190,40 @@ class LedgerStreamSpec extends AnyFunSuite {
       "the incrementally-maintained digest must be indistinguishable from a re-scan")
   }
 
+  test("ledger-fed BPE merge refresh reproduces the corpus-scan trainer exactly") {
+    // the tokenizer-drift loop: a stream keeps the (word, count) vocab
+    // ledger current; a merge REFRESH re-runs only the O(vocab)
+    // iterations from the ledger — no corpus re-scan — and must learn
+    // the identical merge table the full-scan trainer does
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val streamDir = tmp("led_bpe_in")
+    val ledgerDir = tmp("led_bpe_out")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$streamDir/f0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$streamDir/f1")
+    val t0 = System.currentTimeMillis() - 600000
+    Seq("f0", "f1").zipWithIndex.foreach { case (n, j) =>
+      new java.io.File(s"$streamDir/$n").listFiles()
+        .foreach(_.setLastModified(t0 + j * 60000)) }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), lit(1L).as("wc"))
+    val q = StreamingLedger.ledgerSink(spark, stream, Seq("w"),
+      Seq("wc"), ledgerDir, buckets = 8)
+    q.processAllAvailable()
+    q.stop()
+    val fromLedger = graft.ops.Text.bpeTrainFromVocab(
+      StreamingLedger.readLedger(spark, ledgerDir),
+      graft.ops.Text.BpeMerges, endOfWord = true)
+      .collect().map(_.toSeq).toSeq
+    val fromScan = graft.ops.Text.bpeTrain(docs,
+      graft.ops.Text.BpeMerges, endOfWord = true)
+      .collect().map(_.toSeq).toSeq
+    assert(fromLedger == fromScan,
+      "a ledger-fed merge refresh must learn the identical merge table")
+  }
+
   test("empty and not-yet-written ledgers read as zero rows; bucket column rejected") {
     assert(StreamingLedger.readLedger(spark, tmp("led_empty")).count() == 0L)
     val dir = tmp("led_schema")

@@ -29,13 +29,29 @@ object HealthRun {
         println(s"""{"written":"$outDir"}""")
         0
       case "diff" :: aDir :: bDir :: rest if rest.size <= 1 =>
-        val tol = rest.headOption.map(_.toDouble).getOrElse(0.0)
-        val paged = ops.Health.diffReports(spark, aDir, bDir, tol)
-          .filter(col("status") =!= "unchanged")
-        // bounded by construction (≤ one row per check) — safe to pull
-        val rows = paged.toJSON.collect()
-        rows.foreach(println)
-        if (rows.isEmpty) 0 else 1
+        // a malformed tolerance or a missing report dir must exit 2
+        // (setup/usage), never 1 — 1 is the page signal and a locale
+        // typo or the loop's very first run (no previous vintage yet)
+        // must not page
+        rest.headOption.map(t => scala.util.Try(t.toDouble)) match {
+          case Some(scala.util.Failure(_)) =>
+            System.err.println(s"malformed tolerance: ${rest.head}")
+            2
+          case tolOpt =>
+            try {
+              val tol = tolOpt.map(_.get).getOrElse(0.0)
+              val paged = ops.Health.diffReports(spark, aDir, bDir, tol)
+                .filter(col("status") =!= "unchanged")
+              // bounded by construction (≤ 1 row per check) — safe to pull
+              val rows = paged.toJSON.collect()
+              rows.foreach(println)
+              if (rows.isEmpty) 0 else 1
+            } catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                System.err.println(s"cannot read reports: ${e.getMessage}")
+                2
+            }
+        }
       case _ =>
         System.err.println(
           "usage: HealthRun write <dataDir> <outDir> | diff <aDir> <bDir> [tolerance]")

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.ops.BucketStore
+
 /** Streaming ADDITIVE COUNT LEDGER — the third persisted-sink contract
   * in the streaming family, for the merge the other two cannot host:
   *
@@ -34,45 +36,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     ([[graft.ops.SwapRecovery]]) restores the pre-swap bucket and
   *     the replay re-applies it.
   *
+  * Rows whose counters ALL reach zero are purged at merge time, so a
+  * fully-retracted key leaves no residue — a readout over the ledger
+  * (vocab size, hapax fraction) stays indistinguishable from a re-scan
+  * of the corrected corpus, not just sum-equal.
+  *
   * Scale shape: per batch the work is O(batch + touched buckets) —
   * identical to the snapshot sink; the exchange carries reduced
   * (key, counter) rows, and B sizes a bucket to a task. Deltas may be
   * negative (corrections); addition is associative/commutative so the
   * ledger is batch-boundary independent. Like its siblings, gated to
-  * atomic-rename filesystems.
+  * atomic-rename filesystems. Bucketed-store mechanics (layout
+  * sidecars, writer-side recovery, reader-side crash-consistent
+  * listing, the swap loop) are single-sourced in
+  * [[graft.ops.BucketStore]]; [[applyBatch]] is the ONLY writer
+  * (foreachBatch runs it serially), while [[readLedger]] is safe to
+  * call concurrently with a running sink — it never deletes.
   */
 object StreamingLedger {
-
-  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                          f: Path): Option[String] =
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
-      finally in.close()
-    }
-
-  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                           f: Path, v: String): Unit = {
-    val out = fs.create(f, true)
-    try out.write(v.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Bucket modulus is a creation-time layout property (the snapshot
-    * sink's `_buckets` contract, same failure mode if violated). */
-  private def layoutBuckets(fs: org.apache.hadoop.fs.FileSystem,
-                            root: Path, buckets: Int): Int =
-    readSidecar(fs, new Path(root, "_buckets")) match {
-      case Some(v) => v.toInt
-      case None =>
-        writeSidecar(fs, new Path(root, "_buckets"), buckets.toString)
-        buckets
-    }
 
   /** Applies one delta batch exactly once. `keys` identify a ledger
     * row; `counters` are its additive BIGINT columns; `batchId` must
     * be monotone across calls (foreachBatch's contract) — a replayed
-    * id re-applies only the buckets the crash left behind. */
+    * id re-applies only the buckets the crash left behind. Key names
+    * AND order are a creation-time layout property (they feed the
+    * bucket hash); a later call with a different order is rejected. */
   def applyBatch(spark: SparkSession, batch: DataFrame, keys: Seq[String],
                  counters: Seq[String], ledgerDir: String, buckets: Int,
                  batchId: Long): Unit = {
@@ -83,19 +71,20 @@ object StreamingLedger {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(graft.ops.Ivf.atomicRenameScheme(fs),
       s"ledger sink requires atomic directory rename; scheme of $ledgerDir lacks it")
-    recoverDebris(spark, ledgerDir)
-    val b = layoutBuckets(fs, root, buckets)
+    BucketStore.recoverDebris(fs, root)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val b = BucketStore.layoutBuckets(fs, root, buckets)
+    BucketStore.layoutKeys(fs, root, keys)
 
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(b)).cast("int")
-    val reduced = batch
+    def sumCounters(df: DataFrame): DataFrame = df
       .groupBy(keys.map(col): _*)
       .agg(sum(col(counters.head)).cast("long").as(counters.head),
         counters.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
-      .withColumn("bucket", bucketOf)
-      .persist()
+    val reduced = sumCounters(batch).withColumn("bucket", bucketOf).persist()
     try {
-      if (readSidecar(fs, new Path(root, "_schema")).isEmpty)
-        writeSidecar(fs, new Path(root, "_schema"),
+      if (BucketStore.readSidecar(fs, new Path(root, "_schema")).isEmpty)
+        BucketStore.writeSidecar(fs, new Path(root, "_schema"),
           org.apache.spark.sql.types.StructType(
             reduced.schema.fields.filterNot(_.name == "bucket")).toDDL)
       val touched = reduced.select("bucket").distinct()
@@ -103,7 +92,7 @@ object StreamingLedger {
       // the exactly-once gate: skip buckets whose published watermark
       // already covers this batch (their atomic rename included it)
       val toApply = touched.filter { bk =>
-        readSidecar(fs, new Path(root, s"bucket=$bk/_applied"))
+        BucketStore.readSidecar(fs, new Path(root, s"bucket=$bk/_applied"))
           .forall(_.toLong < batchId)
       }
       if (toApply.nonEmpty) {
@@ -118,58 +107,59 @@ object StreamingLedger {
             .select(deltas.columns.map(col): _*)
         val staging = new Path(root, ".staging")
         fs.delete(staging, true)
-        existing.unionByName(deltas)
-          .groupBy(keys.map(col): _*)
-          .agg(sum(col(counters.head)).cast("long").as(counters.head),
-            counters.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
+        sumCounters(existing.unionByName(deltas))
+          // purge fully-retracted rows: a key whose counters all sum
+          // to zero must leave no residue (see the class doc)
+          .filter(counters.map(c => col(c) =!= 0L).reduce(_ || _))
           .withColumn("bucket", bucketOf)
           .write.partitionBy("bucket").parquet(staging.toString)
         toApply.foreach { bk =>
+          val staged = new Path(staging, s"bucket=$bk")
+          // a bucket whose every row was retracted stages as an empty
+          // dir — the swap must still run so the watermark advances
+          // and the old rows are removed
+          if (!fs.exists(staged)) fs.mkdirs(staged)
           // the watermark rides INSIDE the staged dir: the swap rename
           // publishes data + applied-id in one atomic step
-          writeSidecar(fs, new Path(staging, s"bucket=$bk/_applied"),
-            batchId.toString)
-          val live = new Path(root, s"bucket=$bk")
-          val old = new Path(root, s"bucket=$bk.old")
-          val staged = new Path(staging, s"bucket=$bk")
-          if (fs.exists(live))
-            require(fs.rename(live, old), s"swap failed: $live -> $old")
-          require(fs.rename(staged, live), s"swap failed: $staged -> $live")
-          fs.delete(old, true)
+          BucketStore.writeSidecar(fs, new Path(staged, "_applied"),
+            batchId.toString, overwrite = true)
         }
-        fs.delete(staging, true)
+        BucketStore.swapIn(fs, root, staging, toApply)
       }
     } finally { reduced.unpersist(); () }
   }
 
-  /** Shared `.old`/.staging crash recovery (the snapshot protocol). */
+  /** Shared `.old`/.staging crash recovery (the snapshot protocol).
+    * WRITER-side only — a reader running this concurrently with a
+    * live sink would delete the writer's staged data mid-swap. */
   def recoverDebris(spark: SparkSession, ledgerDir: String): Unit = {
     val root = new Path(ledgerDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    graft.ops.SwapRecovery.restoreOldSiblings(fs, root)
-    fs.listStatus(root)
-      .filter(_.getPath.getName == ".staging")
-      .foreach(st => fs.delete(st.getPath, true))
+    BucketStore.recoverDebris(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  /** Current ledger rows. A ledger the stream has not yet written
-    * reads as zero rows with the creation-time schema (`_schema`
-    * sidecar); a never-created one as zero rows and zero columns. */
+  /** Current ledger rows. Reads the crash-consistent bucket listing
+    * ([[graft.ops.BucketStore.liveBucketDirs]]) WITHOUT running
+    * recovery, so it is safe while the sink is running. A ledger the
+    * stream has not yet written reads as zero rows with the
+    * creation-time schema (`_schema` sidecar); a never-created one as
+    * zero rows and zero columns. */
   def readLedger(spark: SparkSession, ledgerDir: String): DataFrame = {
     val root = new Path(ledgerDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverDebris(spark, ledgerDir)
-    val hasBuckets = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
-    if (hasBuckets) spark.read.parquet(ledgerDir).drop("bucket")
-    else {
-      val schema = readSidecar(fs, new Path(root, "_schema"))
-        .map(org.apache.spark.sql.types.StructType.fromDDL)
-        .getOrElse(new org.apache.spark.sql.types.StructType())
+    val schema = BucketStore.readSidecar(fs, new Path(root, "_schema"))
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val dirs = BucketStore.liveBucketDirs(fs, root)
+    // leaf-dir reads carry no partition column, and the declared
+    // schema keeps a fully-retracted (all-buckets-empty) ledger
+    // readable where inference would throw
+    if (dirs.nonEmpty)
+      schema.fold(spark.read)(spark.read.schema)
+        .parquet(dirs.map(_.toString): _*)
+    else
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new org.apache.spark.sql.types.StructType()))
   }
 
   /** The streaming hook: each micro-batch of `deltas` (raw rows — the

@@ -39,7 +39,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * snapshot. Like the IVF lifecycle, the swap's crash-safety rests on
   * atomic directory rename, so the sink is gated to those filesystem
   * schemes (HDFS/local); on object stores a table format with a real
-  * commit log is the right tool, not this sink.
+  * commit log is the right tool, not this sink. Bucketed-store
+  * mechanics are single-sourced in [[graft.ops.BucketStore]]:
+  * [[applyBatch]] is the ONLY writer (foreachBatch runs it serially)
+  * and runs destructive crash recovery; [[readSnapshot]] is safe
+  * concurrently with a running sink — it never deletes.
   */
 object StreamingSnapshot {
 
@@ -57,32 +61,13 @@ object StreamingSnapshot {
       .select(col(key) +: payload.map(c => col("v." + c).as(c)): _*)
   }
 
-  /** The bucket modulus is a LAYOUT property fixed when the snapshot
-    * is created: merging with a different modulus than the live dirs
-    * were hashed with silently drops keys (the merged row re-buckets
-    * outside the touched set and is discarded with the staging dir)
-    * and duplicates others across dirs. First use persists `buckets`
-    * to a `_buckets` sidecar; every later apply uses the stored
-    * value and IGNORES its parameter. */
-  private def layoutBuckets(fs: org.apache.hadoop.fs.FileSystem,
-                            root: Path, buckets: Int): Int = {
-    val f = new Path(root, "_buckets")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-    } else {
-      val out = fs.create(f, false)
-      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
-      buckets
-    }
-  }
-
   /** Applies one change batch to the snapshot at `snapDir`. Exposed
     * (not just the stream hook) so batch backfills and the replay
     * tests drive the exact code the stream runs. `buckets` only takes
-    * effect on the FIRST apply ([[layoutBuckets]]). The column name
-    * `bucket` is reserved by the snapshot layout. */
+    * effect on the FIRST apply
+    * ([[graft.ops.BucketStore.layoutBuckets]]); the key column is
+    * likewise pinned at creation. The column name `bucket` is
+    * reserved by the snapshot layout. */
   def applyBatch(spark: SparkSession, batch: DataFrame, key: String,
                  ord: Seq[String], snapDir: String, buckets: Int): Unit = {
     require(!batch.columns.contains("bucket"),
@@ -91,8 +76,10 @@ object StreamingSnapshot {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(graft.ops.Ivf.atomicRenameScheme(fs),
       s"snapshot sink requires atomic directory rename; scheme of $snapDir lacks it")
-    recoverDebris(spark, snapDir)
-    val b = layoutBuckets(fs, root, buckets)
+    graft.ops.BucketStore.recoverDebris(fs, root)
+    val b = graft.ops.BucketStore.layoutBuckets(fs, root, buckets)
+    // the key column feeds the bucket hash — pin it like the modulus
+    graft.ops.BucketStore.layoutKeys(fs, root, Seq(key))
 
     val bl = latestPerKey(batch, key, ord)
       .withColumn("bucket", pmod(xxhash64(col(key)), lit(b)).cast("int"))
@@ -112,16 +99,7 @@ object StreamingSnapshot {
       latestPerKey(existing.unionByName(bl), key, ord)
         .withColumn("bucket", pmod(xxhash64(col(key)), lit(b)).cast("int"))
         .write.partitionBy("bucket").parquet(staging.toString)
-      touched.foreach { b =>
-        val live = new Path(root, s"bucket=$b")
-        val old = new Path(root, s"bucket=$b.old")
-        val staged = new Path(staging, s"bucket=$b")
-        if (fs.exists(live))
-          require(fs.rename(live, old), s"swap failed: $live -> $old")
-        require(fs.rename(staged, live), s"swap failed: $staged -> $live")
-        fs.delete(old, true)
-      }
-      fs.delete(staging, true)
+      graft.ops.BucketStore.swapIn(fs, root, staging, touched)
     } finally bl.unpersist()
     ()
   }
@@ -129,25 +107,30 @@ object StreamingSnapshot {
   /** Restores a crashed [[applyBatch]]'s swap debris: `.old`
     * restore/drop is the shared recoverable-rename protocol
     * ([[graft.ops.SwapRecovery]], single-sourced with the IVF
-    * compaction); `.staging` never swapped in — drop it. */
+    * compaction); `.staging` never swapped in — drop it. WRITER-side
+    * only — a reader running this concurrently with a live sink would
+    * delete the writer's staged data mid-swap. */
   def recoverDebris(spark: SparkSession, snapDir: String): Unit = {
     val root = new Path(snapDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    graft.ops.SwapRecovery.restoreOldSiblings(fs, root)
-    fs.listStatus(root)
-      .filter(_.getPath.getName == ".staging")
-      .foreach(st => fs.delete(st.getPath, true))
+    graft.ops.BucketStore.recoverDebris(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  /** Reads the current snapshot (all buckets). Runs debris recovery
-    * first: `bucket=N.old` from a mid-swap crash is NOT hidden from
-    * partition discovery (only dot/underscore prefixes are), so an
-    * unrecovered read would surface the stale pre-swap rows alongside
-    * the live ones and break one-current-row-per-key. */
+  /** Reads the current snapshot (all buckets) via the crash-consistent
+    * listing ([[graft.ops.BucketStore.liveBucketDirs]]): live buckets
+    * win, an orphaned `bucket=N.old` from a mid-swap crash stands in
+    * for its missing live sibling, and NOTHING is deleted — so the
+    * read is safe while the sink is running (debris cleanup belongs to
+    * the writer's next apply). Leaf-dir reads carry no partition
+    * column; an empty store falls back to the root read so its
+    * behavior (schema-inference error, as [[StreamingSurvival]]
+    * documents) is unchanged. */
   def readSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
-    recoverDebris(spark, snapDir)
-    spark.read.parquet(snapDir).drop("bucket")
+    val root = new Path(snapDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = graft.ops.BucketStore.liveBucketDirs(fs, root)
+    if (dirs.nonEmpty) spark.read.parquet(dirs.map(_.toString): _*)
+    else spark.read.parquet(snapDir).drop("bucket")
   }
 
   /** The streaming hook: each micro-batch of `changes` upserts into
@@ -156,7 +139,8 @@ object StreamingSnapshot {
     * expresses; the durable checkpoint (same lifecycle as the
     * snapshot it feeds) plus keep-latest idempotence close the
     * at-least-once window. `buckets` fixes the layout only when the
-    * snapshot is first created ([[layoutBuckets]]). */
+    * snapshot is first created
+    * ([[graft.ops.BucketStore.layoutBuckets]]). */
   def snapshotSink(spark: SparkSession, changes: DataFrame, key: String,
                    ord: Seq[String], snapDir: String, buckets: Int = 32,
                    checkpointDir: Option[String] = None): StreamingQuery =

@@ -142,6 +142,71 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(ledgerRows(dir) == Map("the" -> ((3L, 9L))))
   }
 
+  test("retract-to-zero purges the row: readouts stay ≡ a re-scan of the corrected corpus") {
+    val dir = tmp("led_retract")
+    StreamingLedger.applyBatch(spark,
+      deltas(("the", 2L, 6L), ("cat", 1L, 3L)),
+      Seq("word"), Seq("n", "chars"), dir, 4, 0L)
+    // full retraction of "cat": all counters reach zero → no residue
+    // (a zero row would inflate a vocab/hapax readout over the ledger)
+    StreamingLedger.applyBatch(spark, deltas(("cat", -1L, -3L)),
+      Seq("word"), Seq("n", "chars"), dir, 4, 1L)
+    assert(ledgerRows(dir) == Map("the" -> ((2L, 6L))),
+      "a fully-retracted key must leave no row")
+    // partial retraction keeps the row — and a row with ONE zero
+    // counter is not purged (only all-zero rows are residue)
+    StreamingLedger.applyBatch(spark, deltas(("the", -2L, 0L)),
+      Seq("word"), Seq("n", "chars"), dir, 4, 2L)
+    assert(ledgerRows(dir) == Map("the" -> ((0L, 6L))))
+  }
+
+  test("retracting a bucket's every row still advances its watermark (empty-dir swap)") {
+    val dir = tmp("led_retract_all")
+    StreamingLedger.applyBatch(spark, deltas(("the", 1L, 3L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 0L)
+    StreamingLedger.applyBatch(spark, deltas(("the", -1L, -3L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 1L)
+    assert(ledgerRows(dir).isEmpty, "the ledger must read as empty")
+    // the empty bucket's _applied must have advanced: a replay of the
+    // retraction batch is a no-op, not a double-subtract
+    StreamingLedger.applyBatch(spark, deltas(("the", -1L, -3L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 1L)
+    assert(ledgerRows(dir).isEmpty,
+      "replaying the retraction must not re-apply it")
+  }
+
+  test("key-column ORDER is a creation-time layout: a reordered apply is rejected") {
+    import spark.implicits._
+    val dir = tmp("led_keyorder")
+    val two = Seq(("s1", 7L, 1L)).toDF("source", "fp", "n")
+    StreamingLedger.applyBatch(spark, two, Seq("source", "fp"),
+      Seq("n"), dir, 4, 0L)
+    // groupBy is order-insensitive but xxhash64(keys...) is NOT:
+    // silently accepting Seq(fp, source) would re-hash existing rows
+    // outside the touched set and drop them with the staging dir
+    val e = intercept[IllegalArgumentException] {
+      StreamingLedger.applyBatch(spark, two, Seq("fp", "source"),
+        Seq("n"), dir, 4, 1L)
+    }
+    assert(e.getMessage.contains("key columns"))
+  }
+
+  test("readLedger never deletes: a running writer's staging/.old survive a concurrent read") {
+    val dir = tmp("led_read_safe")
+    StreamingLedger.applyBatch(spark, deltas(("the", 1L, 3L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 0L)
+    // plant a mid-apply state: a writer's staging dir in flight, plus
+    // completed-swap .old debris alongside its live sibling
+    val staging = new java.io.File(dir, ".staging/bucket=0")
+    staging.mkdirs()
+    val old = new java.io.File(dir, "bucket=0.old")
+    old.mkdirs()
+    assert(ledgerRows(dir) == Map("the" -> ((1L, 3L))),
+      "live rows win; .old with a live sibling is ignored")
+    assert(staging.exists() && old.exists(),
+      "the reader must leave the writer's files untouched — recovery is writer-side")
+  }
+
   test("only touched buckets are rewritten") {
     val dir = tmp("led_prune")
     StreamingLedger.applyBatch(spark,

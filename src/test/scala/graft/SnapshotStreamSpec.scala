@@ -209,7 +209,45 @@ class SnapshotStreamSpec extends AnyFunSuite {
     changes((1L, 1L, "a1")).coalesce(1).write.parquet(stale.toString)
     assert(snapRows(snapDir) == Set((1L, 2L, "a2")),
       "a read between the crash and the next apply must not see stale versions")
-    assert(!stale.exists(), "the read recovers the debris it would otherwise surface")
+    // the read must NOT clean up: recovery is writer-side only — a
+    // reader deleting debris could destroy a concurrently-running
+    // writer's mid-swap state (review finding). The next apply cleans.
+    assert(stale.exists(), "readSnapshot must never delete (reader/writer split)")
+    StreamingSnapshot.applyBatch(spark,
+      changes((2L, 1L, "b1")), "k", Seq("ver"), snapDir, 1)
+    assert(!stale.exists(), "the writer's next apply owns the cleanup")
+    assert(snapRows(snapDir) == Set((1L, 2L, "a2"), (2L, 1L, "b1")))
+  }
+
+  test("read mid-crash (live missing) surfaces the authoritative .old rows, deletes nothing") {
+    val snapDir = tmp("snap_read_midcrash")
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 1L, "a1")), "k", Seq("ver"), snapDir, 1)
+    // crash between the two renames: live moved away, staged present
+    val live = new java.io.File(snapDir, "bucket=0")
+    val old = new java.io.File(snapDir, "bucket=0.old")
+    assert(live.renameTo(old))
+    val staged = new java.io.File(snapDir, ".staging/bucket=0")
+    staged.mkdirs()
+    assert(snapRows(snapDir) == Set((1L, 1L, "a1")),
+      "the orphaned .old is the authoritative pre-swap state")
+    assert(old.exists() && staged.exists(),
+      "a concurrent reader must leave the writer's files untouched")
+  }
+
+  test("key column is a creation-time layout: a different key is rejected") {
+    val snapDir = tmp("snap_keyguard")
+    StreamingSnapshot.applyBatch(spark,
+      changes((1L, 1L, "a1")), "k", Seq("ver"), snapDir, 4)
+    import spark.implicits._
+    // same schema, different bucket-hash column: silently re-hashing
+    // would strand existing rows outside the touched set
+    val e = intercept[IllegalArgumentException] {
+      StreamingSnapshot.applyBatch(spark,
+        Seq((1L, 5L, "x")).toDF("k", "ver", "payload"),
+        "payload", Seq("ver"), snapDir, 4)
+    }
+    assert(e.getMessage.contains("key columns"))
   }
 
   test("swap debris recovers: orphaned .old restores, .staging drops") {

@@ -47,7 +47,10 @@ object HealthRun {
               rows.foreach(println)
               if (rows.isEmpty) 0 else 1
             } catch {
-              case e: org.apache.spark.sql.AnalysisException =>
+              // any failure to READ the reports — analysis-time
+              // (missing dir) or execution-time (torn parquet from a
+              // crashed write) — is a setup error, never a page
+              case scala.util.control.NonFatal(e) =>
                 System.err.println(s"cannot read reports: ${e.getMessage}")
                 2
             }

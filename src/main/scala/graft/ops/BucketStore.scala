@@ -23,6 +23,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     ran recovery could destroy a concurrently-running writer's
   *     staged data mid-swap (the documented read-while-streaming
   *     composition makes that race real, not theoretical).
+  *
+  * What concurrent reads guarantee — and what they don't: a read
+  * NEVER corrupts the store or the writer, and each bucket it returns
+  * is a published (pre- or post-swap) state. But the listing and the
+  * Spark scan are not one atomic step, so a swap completing in
+  * between can (a) make the read fail transiently (the chosen dir was
+  * renamed away — retry) or (b) return a torn cross-bucket view
+  * (batch N applied in one bucket, not yet in another). Readers
+  * needing cross-bucket atomicity should read a quiesced store or use
+  * a table format with a commit log — that isolation level is exactly
+  * what these sinks trade away for plain directories.
   */
 private[graft] object BucketStore {
 

@@ -50,8 +50,10 @@ import graft.ops.BucketStore
   * sidecars, writer-side recovery, reader-side crash-consistent
   * listing, the swap loop) are single-sourced in
   * [[graft.ops.BucketStore]]; [[applyBatch]] is the ONLY writer
-  * (foreachBatch runs it serially), while [[readLedger]] is safe to
-  * call concurrently with a running sink — it never deletes.
+  * (foreachBatch runs it serially), while [[readLedger]] never deletes,
+  * so it cannot corrupt a concurrently-running sink — though a read
+  * racing a swap can transiently fail or see a torn cross-bucket
+  * view (see the BucketStore doc for the exact guarantee).
   */
 object StreamingLedger {
 
@@ -72,21 +74,30 @@ object StreamingLedger {
     require(graft.ops.Ivf.atomicRenameScheme(fs),
       s"ledger sink requires atomic directory rename; scheme of $ledgerDir lacks it")
     BucketStore.recoverDebris(fs, root)
-    if (!fs.exists(root)) fs.mkdirs(root)
     val b = BucketStore.layoutBuckets(fs, root, buckets)
     BucketStore.layoutKeys(fs, root, keys)
 
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(b)).cast("int")
+    // coalesce: a null delta contributes zero, so stored counters are
+    // never null and the purge filter below stays two-valued (a null
+    // would three-value the =!= and silently drop the row)
     def sumCounters(df: DataFrame): DataFrame = df
       .groupBy(keys.map(col): _*)
-      .agg(sum(col(counters.head)).cast("long").as(counters.head),
-        counters.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
+      .agg(coalesce(sum(col(counters.head)), lit(0L)).cast("long").as(counters.head),
+        counters.tail.map(c => coalesce(sum(col(c)), lit(0L)).cast("long").as(c)): _*)
     val reduced = sumCounters(batch).withColumn("bucket", bucketOf).persist()
     try {
-      if (BucketStore.readSidecar(fs, new Path(root, "_schema")).isEmpty)
-        BucketStore.writeSidecar(fs, new Path(root, "_schema"),
+      val schemaSidecar = new Path(root, "_schema")
+      if (BucketStore.readSidecar(fs, schemaSidecar).isEmpty)
+        BucketStore.writeSidecar(fs, schemaSidecar,
           org.apache.spark.sql.types.StructType(
             reduced.schema.fields.filterNot(_.name == "bucket")).toDDL)
+      // the merge read MUST use the declared schema: a fully-retracted
+      // bucket's live dir holds only the _applied sidecar (hidden from
+      // the file index), and schema INFERENCE over zero visible files
+      // throws — wedging the stream on the next batch into that bucket
+      val ledgerSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        BucketStore.readSidecar(fs, schemaSidecar).get)
       val touched = reduced.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ B ints — never data
       // the exactly-once gate: skip buckets whose published watermark
@@ -101,9 +112,14 @@ object StreamingLedger {
           .filter(fs.exists).map(_.toString)
         val existing =
           if (liveDirs.isEmpty) deltas.limit(0)
-          else spark.read.option("basePath", ledgerDir)
+          else spark.read.schema(ledgerSchema)
             .parquet(liveDirs: _*)
-            .withColumn("bucket", col("bucket").cast("int"))
+            // recompute the bucket from the keys (it is a pure function
+            // of them) rather than reading the partition column: an
+            // all-empty-dirs read discovers no partitions, so the
+            // column would not exist to read
+            .select(ledgerSchema.fieldNames.map(col): _*)
+            .withColumn("bucket", bucketOf)
             .select(deltas.columns.map(col): _*)
         val staging = new Path(root, ".staging")
         fs.delete(staging, true)

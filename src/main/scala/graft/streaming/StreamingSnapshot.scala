@@ -42,8 +42,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * commit log is the right tool, not this sink. Bucketed-store
   * mechanics are single-sourced in [[graft.ops.BucketStore]]:
   * [[applyBatch]] is the ONLY writer (foreachBatch runs it serially)
-  * and runs destructive crash recovery; [[readSnapshot]] is safe
-  * concurrently with a running sink — it never deletes.
+  * and runs destructive crash recovery; [[readSnapshot]] never
+  * deletes, so it cannot corrupt a concurrently-running sink — though
+  * a read racing a swap can transiently fail or see a torn
+  * cross-bucket view (see the BucketStore doc).
   */
 object StreamingSnapshot {
 

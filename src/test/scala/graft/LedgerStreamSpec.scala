@@ -175,6 +175,43 @@ class LedgerStreamSpec extends AnyFunSuite {
       "replaying the retraction must not re-apply it")
   }
 
+  test("a new batch into a fully-retracted bucket merges cleanly (declared-schema read)") {
+    // the wedge case: after full retraction the live bucket dir holds
+    // only the hidden _applied sidecar — the writer's merge read must
+    // use the _schema sidecar, or inference over zero visible files
+    // throws and foreachBatch crashes identically on every replay
+    val dir = tmp("led_retract_then_add")
+    StreamingLedger.applyBatch(spark, deltas(("the", 1L, 3L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 0L)
+    StreamingLedger.applyBatch(spark, deltas(("the", -1L, -3L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 1L)
+    assert(ledgerRows(dir).isEmpty)
+    StreamingLedger.applyBatch(spark, deltas(("cat", 2L, 6L)),
+      Seq("word"), Seq("n", "chars"), dir, 1, 2L)
+    assert(ledgerRows(dir) == Map("cat" -> ((2L, 6L))),
+      "the empty live bucket must not wedge the next merge")
+  }
+
+  test("null deltas contribute zero — never stored as null, never purge-dropped") {
+    val dir = tmp("led_null")
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("the", null, 3L),
+      org.apache.spark.sql.Row("the", 2L, null))
+    val batch = spark.createDataFrame(rows, schema)
+    StreamingLedger.applyBatch(spark, batch,
+      Seq("word"), Seq("n", "chars"), dir, 4, 0L)
+    assert(ledgerRows(dir) == Map("the" -> ((2L, 3L))),
+      "null deltas are zero contributions")
+    // an ALL-null counter column sums to zero, not null: the row with
+    // another live counter must survive the purge filter exactly
+    val rows2 = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("dog", null, 5L))
+    StreamingLedger.applyBatch(spark, spark.createDataFrame(rows2, schema),
+      Seq("word"), Seq("n", "chars"), dir, 4, 1L)
+    assert(ledgerRows(dir)("dog") == ((0L, 5L)),
+      "a (0, nonzero) row is live, not residue — the purge must be two-valued")
+  }
+
   test("key-column ORDER is a creation-time layout: a reordered apply is rejected") {
     import spark.implicits._
     val dir = tmp("led_keyorder")

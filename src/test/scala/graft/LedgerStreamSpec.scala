@@ -326,6 +326,41 @@ class LedgerStreamSpec extends AnyFunSuite {
       "a ledger-fed merge refresh must learn the identical merge table")
   }
 
+  test("randomized: any batch sequence with corrections equals a driver brute force; random replays are no-ops") {
+    // fixed seed — reproducible, and the repo's randomized-
+    // characterization pattern: the property, not hand-picked cases
+    val rnd = new scala.util.Random(20260815L)
+    val words = (1 to 12).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val dir = tmp(s"led_rand$trial")
+      val truth = scala.collection.mutable.Map[String, (Long, Long)]()
+      val applied = scala.collection.mutable.ArrayBuffer[Seq[(String, Long, Long)]]()
+      for (batchId <- 0 until 6) {
+        val batch = (0 until (1 + rnd.nextInt(8))).map { _ =>
+          val w = words(rnd.nextInt(words.size))
+          // corrections included: deltas may drive a key exactly to zero
+          val n = (rnd.nextInt(5) - 2).toLong
+          val c = (rnd.nextInt(7) - 3).toLong
+          (w, n, c)
+        }
+        applied += batch
+        StreamingLedger.applyBatch(spark, deltas(batch: _*),
+          Seq("word"), Seq("n", "chars"), dir, 3, batchId.toLong)
+        batch.foreach { case (w, n, c) =>
+          val (pn, pc) = truth.getOrElse(w, (0L, 0L))
+          truth(w) = (pn + n, pc + c)
+        }
+        // a random already-applied batch replays as a whole no-op
+        val rb = rnd.nextInt(applied.size)
+        StreamingLedger.applyBatch(spark, deltas(applied(rb): _*),
+          Seq("word"), Seq("n", "chars"), dir, 3, rb.toLong)
+        val expect = truth.filter { case (_, (n, c)) => n != 0 || c != 0 }.toMap
+        assert(ledgerRows(dir) == expect,
+          s"trial $trial batch $batchId: ledger must equal the running truth (minus all-zero rows)")
+      }
+    }
+  }
+
   test("empty and not-yet-written ledgers read as zero rows; bucket column rejected") {
     assert(StreamingLedger.readLedger(spark, tmp("led_empty")).count() == 0L)
     val dir = tmp("led_schema")

@@ -55,9 +55,16 @@ object HealthRun {
                 2
             }
         }
+      case "fsck" :: storeDir :: Nil =>
+        // persisted-sink integrity audit (ledger/snapshot store dirs):
+        // warns (debris pending recovery) don't page — fails do
+        val report = ops.BucketStore.fsck(spark, storeDir)
+        report.toJSON.collect().foreach(println) // ≤ 6 rows by construction
+        if (report.filter(col("status") === "fail").isEmpty) 0 else 1
       case _ =>
         System.err.println(
-          "usage: HealthRun write <dataDir> <outDir> | diff <aDir> <bDir> [tolerance]")
+          "usage: HealthRun write <dataDir> <outDir> | diff <aDir> <bDir> [tolerance]" +
+            " | fsck <storeDir>")
         2
     }
     spark.stop()

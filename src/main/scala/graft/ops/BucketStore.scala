@@ -115,6 +115,99 @@ private[graft] object BucketStore {
     }
   }
 
+  /** Store integrity audit — the fsck a scheduler runs against a
+    * persisted sink's directory before trusting it (or after an
+    * incident): one bounded-digest row per check.
+    *
+    *   - `layout` / `layout_keys` — the `_buckets` / `_keys` sidecars
+    *     exist and parse (fail/warn: without them the writer cannot
+    *     guard the modulus/key-order layout properties);
+    *   - `debris_old` / `debris_staging` — swap debris present (warn:
+    *     normal between a crash and the writer's next recovery, or
+    *     transiently while a swap is in flight — not corruption);
+    *   - `bucket_range` — every bucket index parses and is < modulus
+    *     (fail: a foreign or renamed dir would shadow real buckets);
+    *   - `bucket_hash` — ONE distributed pass over all live rows
+    *     recomputing `pmod(xxhash64(keys), B)` and counting rows that
+    *     sit in the wrong directory (fail: misplaced rows are
+    *     invisible to the touched-bucket merge and would never update
+    *     or retract). The pass reads every row once — run it at audit
+    *     cadence, not per batch.
+    *
+    * Statuses: `ok` | `warn` | `fail`. The check column keys the rows
+    * for a vintage diff, same shape as the health report families. */
+  def fsck(spark: org.apache.spark.sql.SparkSession,
+           dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    if (!fs.exists(root))
+      rows += (("layout", "fail", s"store dir missing: $dir"))
+    else {
+      val bOpt = readSidecar(fs, new Path(root, "_buckets"))
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+      rows += (bOpt match {
+        case Some(b) => ("layout", "ok", s"buckets=$b")
+        case None => ("layout", "fail", "_buckets sidecar missing or unparseable")
+      })
+      val keysOpt = readSidecar(fs, new Path(root, "_keys"))
+        .map(_.split(",").toSeq)
+      rows += (keysOpt match {
+        case Some(ks) => ("layout_keys", "ok", ks.mkString(","))
+        case None => ("layout_keys", "warn",
+          "_keys sidecar missing — key-order guard inactive (store predates it?)")
+      })
+      val names = fs.listStatus(root).map(_.getPath.getName)
+      val olds = names.filter(n => n.startsWith("bucket=") && n.endsWith(".old"))
+      rows += (("debris_old", if (olds.isEmpty) "ok" else "warn",
+        if (olds.isEmpty) "none"
+        else s"${olds.length} .old dir(s) pending writer recovery: ${olds.sorted.mkString(",")}"))
+      rows += (("debris_staging",
+        if (names.contains(".staging")) "warn" else "ok",
+        if (names.contains(".staging"))
+          ".staging present (swap in flight, or crash pending recovery)"
+        else "none"))
+      val liveNames = names
+        .filter(n => n.startsWith("bucket=") && !n.endsWith(".old"))
+      val parsed = liveNames.map(n =>
+        n -> scala.util.Try(n.stripPrefix("bucket=").toInt).toOption)
+      val badNames = parsed.collect { case (n, None) => n }
+      val outOfRange = bOpt.fold(Array.empty[String])(b =>
+        parsed.collect { case (n, Some(i)) if i < 0 || i >= b => n })
+      rows += (("bucket_range",
+        if (badNames.isEmpty && outOfRange.isEmpty) "ok" else "fail",
+        if (badNames.isEmpty && outOfRange.isEmpty) s"${liveNames.length} live bucket(s)"
+        else s"unparseable: [${badNames.mkString(",")}] out-of-range: [${outOfRange.mkString(",")}]"))
+      (bOpt, keysOpt) match {
+        case (Some(b), Some(ks)) =>
+          val dirs = liveBucketDirs(fs, root)
+          if (dirs.isEmpty)
+            rows += (("bucket_hash", "ok", "no data yet"))
+          else {
+            val schemaOpt = readSidecar(fs, new Path(root, "_schema"))
+              .map(org.apache.spark.sql.types.StructType.fromDDL)
+            val misplaced = schemaOpt.fold(spark.read)(spark.read.schema)
+              .parquet(dirs.map(_.toString): _*)
+              .select(
+                pmod(xxhash64(ks.map(col): _*), lit(b)).cast("int").as("expect"),
+                regexp_extract(input_file_name(), "bucket=([0-9]+)", 1)
+                  .cast("int").as("actual"))
+              .filter(col("expect") =!= col("actual"))
+              .count()
+            rows += (("bucket_hash", if (misplaced == 0L) "ok" else "fail",
+              if (misplaced == 0L) "all rows in their hash bucket"
+              else s"$misplaced row(s) in the wrong bucket dir — invisible to touched-bucket merges"))
+          }
+        case _ =>
+          rows += (("bucket_hash", "warn",
+            "skipped — needs both _buckets and _keys sidecars"))
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("check", "status", "detail")
+  }
+
   /** Publishes staged bucket dirs with the recoverable-rename
     * sequence (live → `.old`, staged → live, drop `.old`), then drops
     * the staging dir. Callers stage everything — including any

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.BucketStore
+import graft.streaming.StreamingLedger
+
+/** Store integrity audit (fsck): a healthy store reads all-ok; each
+  * planted defect class — missing layout sidecar, swap debris,
+  * foreign bucket dir, a row sitting in the wrong hash bucket — is
+  * flagged with the right status, and warns are distinguished from
+  * fails (debris is normal mid-recovery; misplaced rows never are). */
+class BucketStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def mkLedger(dir: String): Unit = {
+    import spark.implicits._
+    StreamingLedger.applyBatch(spark,
+      Seq(("the", 2L), ("cat", 1L), ("dog", 3L)).toDF("word", "n"),
+      Seq("word"), Seq("n"), dir, 2, 0L)
+  }
+
+  private def statuses(dir: String): Map[String, (String, String)] =
+    BucketStore.fsck(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+  test("a healthy store audits all-ok") {
+    val dir = tmp("fsck_ok")
+    mkLedger(dir)
+    val st = statuses(dir)
+    assert(st.values.forall(_._1 == "ok"), s"expected all ok, got $st")
+    assert(st("layout")._2 == "buckets=2")
+    assert(st("layout_keys")._2 == "word")
+  }
+
+  test("a missing store dir and a missing _buckets sidecar fail layout") {
+    val missing = statuses("/tmp/fsck_nowhere_" + System.nanoTime())
+    assert(missing("layout")._1 == "fail")
+    val dir = tmp("fsck_nobuckets")
+    mkLedger(dir)
+    new java.io.File(dir, "_buckets").delete()
+    val st = statuses(dir)
+    assert(st("layout")._1 == "fail")
+    assert(st("bucket_hash")._1 == "warn",
+      "without the modulus the hash check must skip as warn, not guess")
+  }
+
+  test("swap debris warns (normal pending recovery), never fails") {
+    val dir = tmp("fsck_debris")
+    mkLedger(dir)
+    new java.io.File(dir, ".staging/bucket=0").mkdirs()
+    new java.io.File(dir, "bucket=0.old").mkdirs()
+    val st = statuses(dir)
+    assert(st("debris_old")._1 == "warn" && st("debris_staging")._1 == "warn")
+    assert(!st.values.exists(_._1 == "fail"),
+      "debris alone is a warn-state store, not a corrupt one")
+  }
+
+  test("a foreign bucket dir fails bucket_range") {
+    val dir = tmp("fsck_range")
+    mkLedger(dir) // modulus 2 → valid buckets are 0 and 1
+    new java.io.File(dir, "bucket=7").mkdirs()
+    assert(statuses(dir)("bucket_range")._1 == "fail")
+  }
+
+  test("a row in the wrong hash bucket fails bucket_hash with the misplaced count") {
+    val dir = tmp("fsck_misplaced")
+    mkLedger(dir)
+    // plant: copy one bucket's parquet files into the OTHER bucket dir
+    // — those rows no longer hash to their directory, the exact state
+    // a touched-bucket merge can never see or repair
+    val src = new java.io.File(dir, "bucket=0")
+    val dst = new java.io.File(dir, "bucket=1")
+    assert(src.exists() && dst.exists(), "test needs both buckets live")
+    src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        dst.toPath.resolve("planted_" + f.getName))
+    }
+    val st = statuses(dir)
+    assert(st("bucket_hash")._1 == "fail", s"got $st")
+    assert(st("bucket_hash")._2.contains("wrong bucket"))
+  }
+}

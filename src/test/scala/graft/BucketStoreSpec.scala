@@ -36,6 +36,17 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(st("layout_keys")._2 == "word")
   }
 
+  test("a snapshot store (no _schema sidecar) audits clean via the inference path") {
+    import spark.implicits._
+    val dir = tmp("fsck_snap")
+    graft.streaming.StreamingSnapshot.applyBatch(spark,
+      Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "ver", "v"),
+      "k", Seq("ver"), dir, 2)
+    val st = statuses(dir)
+    assert(st.values.forall(_._1 == "ok"), s"expected all ok, got $st")
+    assert(st("layout_keys")._2 == "k")
+  }
+
   test("a missing store dir and a missing _buckets sidecar fail layout") {
     val missing = statuses("/tmp/fsck_nowhere_" + System.nanoTime())
     assert(missing("layout")._1 == "fail")

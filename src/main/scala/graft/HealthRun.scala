@@ -58,9 +58,18 @@ object HealthRun {
       case "fsck" :: storeDir :: Nil =>
         // persisted-sink integrity audit (ledger/snapshot store dirs):
         // warns (debris pending recovery) don't page — fails do
-        val report = ops.BucketStore.fsck(spark, storeDir)
-        report.toJSON.collect().foreach(println) // ≤ 6 rows by construction
-        if (report.filter(col("status") === "fail").isEmpty) 0 else 1
+        try {
+          val report = ops.BucketStore.fsck(spark, storeDir)
+          report.toJSON.collect().foreach(println) // ≤ 6 rows by construction
+          if (report.filter(col("status") === "fail").isEmpty) 0 else 1
+        } catch {
+          // same contract as diff: a failure to READ the store
+          // (unreachable mount, torn parquet mid-scan) is a setup
+          // error — exit 2, never the page signal
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"cannot audit store: ${e.getMessage}")
+            2
+        }
       case _ =>
         System.err.println(
           "usage: HealthRun write <dataDir> <outDir> | diff <aDir> <bDir> [tolerance]" +

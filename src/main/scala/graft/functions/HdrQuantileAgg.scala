@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Mergeable QUANTILE sketch as a Catalyst TypedImperativeAggregate —
   * the quantile member of the suite's sketch family (HLL distincts,
@@ -150,6 +151,17 @@ case class HdrQuantileAgg(child: Expression, qs: Seq[Double],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hdr_quantiles"
 
+  // analysis-time guard: a non-integral child would otherwise fail
+  // per-row at execution (ClassCastException) — or WORSE, a double
+  // would silently truncate 3.7→3 and skew every quantile readout
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an integral column (cast explicitly — a " +
+        s"silent double truncation would skew quantiles), got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
@@ -188,6 +200,17 @@ case class HdrSketchBytesAgg(child: Expression,
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "hdr_sketch"
+
+  // analysis-time guard: a non-integral child would otherwise fail
+  // per-row at execution (ClassCastException) — or WORSE, a double
+  // would silently truncate 3.7→3 and skew every quantile readout
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an integral column (cast explicitly — a " +
+        s"silent double truncation would skew quantiles), got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
 
@@ -229,6 +252,15 @@ case class HdrMergeAgg(child: Expression, qs: Seq[Double],
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hdr_merge"
+
+  // analysis-time guard: the child must be a stored-sketch BINARY
+  // column; anything else died per-row as a ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hdr_merge expects a binary sketch column (from hdr_sketch), " +
+        s"got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** HyperLogLog distinct-count sketch as a Catalyst
@@ -173,6 +174,15 @@ case class HllMergeAgg(child: Expression, p: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "hll_merge"
+
+  // analysis-time guard: the child must be a stored-register BINARY
+  // column; anything else died per-row as a ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_merge expects a binary register column (from hll_sketch), " +
+        s"got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 

@@ -95,6 +95,28 @@ class HdrSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-typed children fail at ANALYSIS, not per-row at execution") {
+    import spark.implicits._
+    val doubles = Seq(3.7, 1.2).toDF("v")
+    // a double child would silently truncate 3.7→3 and skew quantiles
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.agg(hdrQuantiles(col("v"), Seq(0.5))).collect()
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.agg(hdrSketch(col("v"))).collect()
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // merge over a non-binary (not-a-stored-sketch) column
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("v").agg(hdrMergeQuantiles(col("v"), Seq(0.5))).collect()
+    }
+    assert(e3.getMessage.contains("binary sketch"), e3.getMessage)
+    // the explicit cast is the sanctioned path
+    assert(doubles.agg(hdrQuantiles(col("v").cast("long"), Seq(1.0)))
+      .collect().head.getSeq[Long](0).head == 3L)
+  }
+
   test("stored sketches from a different precision fail fast, never mis-bucket") {
     import graft.functions.Hdr
     val buf = new Array[Long](Hdr.Size)

@@ -90,6 +90,15 @@ class HllSpec extends AnyFunSuite {
       s"ALL: ${got("ALL")} vs exact $exactAll")
   }
 
+  test("a non-binary merge child fails at ANALYSIS, not per-row at execution") {
+    import spark.implicits._
+    import graft.functions.HllSketchAgg.hllMergeEstimate
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("not-a-sketch").toDF("sk").agg(hllMergeEstimate(col("sk"))).collect()
+    }
+    assert(e.getMessage.contains("binary register"), e.getMessage)
+  }
+
   test("sketches at different precisions fail fast instead of mis-merging") {
     import spark.implicits._
     import graft.functions.HllSketchAgg.{hllSketch, hllMergeEstimate}

@@ -512,6 +512,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("hdr_merge"), s"rollup must merge stored sketches:\n$s")
   }
 
+  test("q193 fertility and q195 survival keep their agg-only shapes: no join, no window") {
+    // both queries' scaladocs claim pure-aggregation plans (q193: one
+    // map-side agg per predicted label; q195: per-user agg → one
+    // conditional-aggregate row → map-side explode) — pin the claims
+    // so a refactor can't quietly introduce a join or an all-data
+    // window
+    for (name <- Seq("q193_lang_fertility", "q195_retention_survival")) {
+      val s = sparkPlan(q(name)).toString
+      assert(!s.contains("Join"), s"$name must stay join-free:\n$s")
+      assert(!s.contains("Window"), s"$name must stay window-free:\n$s")
+    }
+  }
+
   test("q158 rebalance: per-bucket stats broadcast; docs never shuffle for the join") {
     val p = plan(q("q158_match_distribution"))
     assert(p.contains("BroadcastHashJoin"),

@@ -25,9 +25,18 @@ object HealthRun {
     spark.sparkContext.setLogLevel("WARN")
     val exit = args.toList match {
       case "write" :: dataDir :: outDir :: Nil =>
-        ops.Health.writeHealthReport(spark, dataDir, outDir)
-        println(s"""{"written":"$outDir"}""")
-        0
+        // same contract as diff/fsck: a failed write (bad dataDir,
+        // unwritable outDir) is a setup error — exit 2, never 1; an
+        // uncaught throw would exit the JVM with the page signal
+        try {
+          ops.Health.writeHealthReport(spark, dataDir, outDir)
+          println(s"""{"written":"$outDir"}""")
+          0
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"cannot write report: ${e.getMessage}")
+            2
+        }
       case "diff" :: aDir :: bDir :: rest if rest.size <= 1 =>
         // a malformed tolerance or a missing report dir must exit 2
         // (setup/usage), never 1 — 1 is the page signal and a locale

@@ -721,7 +721,17 @@ object Quality {
     * the driver's gate while matching locally. Both engines now
     * derive the column from identical integer rank arithmetic
     * (row_number over (n_chars, doc_id), middle ranks by integer
-    * division) — the q103/q117/q121 portable-arithmetic discipline. */
+    * division) — the q103/q117/q121 portable-arithmetic discipline.
+    *
+    * Round-12 verdict root cause (the rank fix alone did not cure the
+    * gate): DuckDB types a windowed `sum(BIGINT)` as HUGEINT, and
+    * `max(tot)` carries it through — `total_chars` was the ONE
+    * decimal128 Arrow column in all 154 oracle SQLs; values matched
+    * row-for-row, only the type differed, and the driver's hasher is
+    * Arrow-typed. Hence the `CAST(max(tot) AS BIGINT)` in q169Sql and
+    * the suite-wide oracle-type guard (OracleTypeGuard in
+    * tools/compare_oracle.py + VerifySpec) that fails any oracle
+    * emitting decimal/hugeint output columns. */
   def q169ByteWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
@@ -760,7 +770,7 @@ object Quality {
       | FROM documents
       |)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |  max(tot) AS total_chars,
+      |  CAST(max(tot) AS BIGINT) AS total_chars,
       |  min(CASE WHEN cum * 2 >= tot THEN n_chars END) AS byte_median,
       |  max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END)
       |    + max(CASE WHEN rn = (cnt + 2) // 2 THEN n_chars END) AS doc_median_x2

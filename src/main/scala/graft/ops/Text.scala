@@ -603,6 +603,14 @@ object Text {
     val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     val symsCol = if (endOfWord) concat(chars, array(lit(BpeEow))) else chars
     val vocab = vocabCounts
+      // guard the incremental-refresh entry point against correction
+      // residue: an over-retracted ledger legitimately holds wc ≤ 0
+      // rows (LedgerStreamSpec's randomized trial produces them), and
+      // a negative wc fed into the merge loop silently SUBTRACTS from
+      // pair statistics; empty words carry no pairs but would add an
+      // all-NULL/empty symbol row. Matches the corpus-scan path's
+      // length(w) > 0 filter.
+      .filter(col("wc") > 0 && length(col("w")) > 0)
       .select(col("wc").cast("long").as("wc"), symsCol.as("syms"))
       .persist()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()

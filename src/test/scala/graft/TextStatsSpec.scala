@@ -175,6 +175,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(1) == ((2, "ab", "c", 4L)))
   }
 
+  test("bpeTrainFromVocab ignores correction residue (wc <= 0, empty words)") {
+    import spark.implicits._
+    // an over-retracted streaming ledger legitimately holds negative
+    // counters (LedgerStreamSpec's randomized trial produces them) and
+    // may carry empty-word rows; fed raw into the merge loop a
+    // negative wc would silently SUBTRACT from pair statistics
+    val clean = Seq(("abc", 4L), ("ab", 3L), ("xy", 3L)).toDF("w", "wc")
+    val dirty = clean.union(
+      Seq(("abq", -5L), ("xy", 0L), ("", 7L)).toDF("w", "wc"))
+    val want = graft.ops.Text.bpeTrainFromVocab(clean, 4)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.ops.Text.bpeTrainFromVocab(dirty, 4)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "residue rows must not perturb the learned merge table")
+  }
+
   test("bpe end-of-word marker: learns a word-final suffix invisible without it") {
     import spark.implicits._
     // four distinct words all ending in 's', no other repeated pair:

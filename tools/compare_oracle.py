@@ -6,10 +6,28 @@ Usage: compare_oracle.py <sfDir> <verifyOutDir>
 For each query dir under verifyOutDir: load the Spark parquet result,
 run the matching oracle SQL (oracle_sql.json) in DuckDB against views
 over the sfDir tables, then compare row count, schema (column names),
-and a hash over column-name-sorted, row-sorted values.
+a hash over column-name-sorted, row-sorted values, AND the Arrow-level
+column types of both sides.
+
+The type check exists because of q169 (rounds 11-12): DuckDB types a
+windowed sum(BIGINT) as HUGEINT, which reaches Arrow as decimal128 —
+the values matched row-for-row but the driver's (Arrow-typed) hasher
+failed while this tool's old repr(fetchall()) canonicalization
+flattened HUGEINT to a plain int and passed. Two rules now:
+  1. Any DECIMAL-family Arrow column on EITHER side is an outright
+     FAIL (`TYPE` line) — Spark never emits decimal in this suite, so
+     a decimal oracle column is always the DuckDB HUGEINT trap and
+     needs a CAST(... AS BIGINT) in the oracle SQL.
+  2. Coarse type families (int / float / str / bool / date /
+     timestamp / binary / list<...> / struct) must agree per column
+     between the Spark parquet schema and the oracle's Arrow schema.
+     Families are coarse on purpose: int32-vs-int64 width differences
+     are value-identical under both hashers and would only add noise.
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["lineitem", "orders", "customer", "supplier", "part",
           "nation", "region", "events", "documents", "embeddings"]
@@ -21,6 +39,55 @@ def canon(rows, cols):
     out = [tuple(repr(r[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+def arrow_family(t):
+    """Coarse, hash-relevant canonical family for an Arrow type."""
+    if pa.types.is_decimal(t):
+        return "DECIMAL"  # always a finding — see module docstring
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return "list<" + arrow_family(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def type_problems(spark_schema, oracle_schema):
+    """TYPE findings between a Spark parquet schema and an oracle
+    Arrow schema. Compared by column NAME (the hashers sort by name).
+    Returns a list of problem strings (empty = clean)."""
+    probs = []
+    sfam = {f.name: arrow_family(f.type) for f in spark_schema}
+    ofam = {f.name: arrow_family(f.type) for f in oracle_schema}
+    for name in sorted(set(sfam) | set(ofam)):
+        s, o = sfam.get(name), ofam.get(name)
+        if s == "DECIMAL" or o == "DECIMAL":
+            probs.append(
+                f"TYPE {name}: spark={s} duck={o} — decimal/hugeint "
+                "reaches Arrow as decimal128; CAST the oracle column "
+                "to BIGINT/DOUBLE")
+        elif s is not None and o is not None and s != o \
+                and "null" not in (s, o):
+            # a pure-null column (all-NULL at this sf) has no family
+            probs.append(f"TYPE {name}: spark={s} duck={o}")
+    return probs
 
 
 def main(sf_dir, out_dir):
@@ -45,9 +112,9 @@ def main(sf_dir, out_dir):
             print(f"{status} {q}: rows-only check, {len(grows)} rows")
             continue
         try:
-            exp = con.execute(oracle[q])
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            oracle_tbl = con.execute(oracle[q]).arrow()
+            ecols = oracle_tbl.column_names
+            erows = [tuple(r.values()) for r in oracle_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL  {q}: oracle SQL error: {e}"); n_fail += 1; continue
         problems = []
@@ -55,6 +122,12 @@ def main(sf_dir, out_dir):
             problems.append(f"schema {sorted(gcols)} != {sorted(ecols)}")
         if len(grows) != len(erows):
             problems.append(f"rowcount {len(grows)} != {len(erows)}")
+        # Arrow-level type fidelity (the driver's hasher is Arrow-typed)
+        try:
+            spark_schema = pq.read_table(os.path.join(out_dir, q)).schema
+            problems.extend(type_problems(spark_schema, oracle_tbl.schema))
+        except Exception as e:
+            problems.append(f"TYPE check unreadable: {e}")
         if not problems:
             cg, ce = canon(grows, gcols), canon(erows, ecols)
             if cg != ce:

@@ -24,19 +24,35 @@ object HealthRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val exit = args.toList match {
-      case "write" :: dataDir :: outDir :: Nil =>
-        // same contract as diff/fsck: a failed write (bad dataDir,
-        // unwritable outDir) is a setup error — exit 2, never 1; an
-        // uncaught throw would exit the JVM with the page signal
-        try {
-          ops.Health.writeHealthReport(spark, dataDir, outDir)
-          println(s"""{"written":"$outDir"}""")
-          0
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"cannot write report: ${e.getMessage}")
-            2
+      case "write" :: dataDir :: outDir :: storeArgs =>
+        // trailing label=storeDir args append the store_fsck family
+        // (persisted-sink integrity rides the same vintage loop); a
+        // malformed store arg is a usage error — exit 2
+        val stores = storeArgs.map { a =>
+          a.split("=", 2) match {
+            case Array(l, d) if l.nonEmpty && d.nonEmpty => Some(l -> d)
+            case _ => None
+          }
         }
+        if (stores.exists(_.isEmpty)) {
+          System.err.println(
+            s"malformed store arg (want label=storeDir): " +
+              storeArgs.mkString(" "))
+          2
+        } else
+          // same contract as diff/fsck: a failed write (bad dataDir,
+          // unwritable outDir) is a setup error — exit 2, never 1; an
+          // uncaught throw would exit the JVM with the page signal
+          try {
+            ops.Health.writeHealthReport(spark, dataDir, outDir,
+              stores.flatten.toMap)
+            println(s"""{"written":"$outDir"}""")
+            0
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"cannot write report: ${e.getMessage}")
+              2
+          }
       case "diff" :: aDir :: bDir :: rest if rest.size <= 1 =>
         // a malformed tolerance or a missing report dir must exit 2
         // (setup/usage), never 1 — 1 is the page signal and a locale
@@ -81,8 +97,8 @@ object HealthRun {
         }
       case _ =>
         System.err.println(
-          "usage: HealthRun write <dataDir> <outDir> | diff <aDir> <bDir> [tolerance]" +
-            " | fsck <storeDir>")
+          "usage: HealthRun write <dataDir> <outDir> [label=storeDir ...]" +
+            " | diff <aDir> <bDir> [tolerance] | fsck <storeDir>")
         2
     }
     spark.stop()

@@ -65,10 +65,43 @@ object Health {
       .unionByName(tag("lang_fertility", Text.q193LangFertility(s, d)))
   }
 
+  /** STORE-INTEGRITY HEALTH FAMILY (round-12 verdict ask #7): the
+    * [[BucketStore.fsck]] rows of each persisted sink (streaming
+    * ledger / snapshot stores), tagged into the report's
+    * (check, payload) union shape so a store that silently grows
+    * debris or misplaced rows pages in the SAME vintage-diff loop as
+    * corpus drift — one scheduler, one exit-code contract.
+    *
+    * Identity for the diff is (store label, fsck check); the compared
+    * metric is STATUS only (`ok`/`warn`/`fail`). `detail` is
+    * deliberately left to the `HealthRun fsck` CLI: it carries
+    * healthy-growth churn (live-bucket counts, debris dir name lists)
+    * that would page on a string compare without any state
+    * transition, while every condition worth paging on — debris
+    * appearing, a misplaced row, a lost sidecar — IS a status
+    * transition. */
+  def storeFsckReport(s: SparkSession,
+                      stores: Map[String, String]): DataFrame = {
+    require(stores.nonEmpty, "storeFsckReport needs at least one store")
+    stores.toSeq.sortBy(_._1).map { case (label, dir) =>
+      BucketStore.fsck(s, dir).select(
+        lit("store_fsck").as("check"),
+        to_json(struct(lit(label).as("store"),
+          col("check").as("fsck_check"), col("status"))).as("payload"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sink: one directory per check, NDJSON rows — the shape a
-    * scheduler diffs between vintages. */
-  def writeHealthReport(s: SparkSession, d: String, outDir: String): Unit =
-    healthReport(s, d).write.mode("overwrite").partitionBy("check").json(outDir)
+    * scheduler diffs between vintages. `stores` (label → store dir)
+    * appends the [[storeFsckReport]] family so persisted-sink
+    * integrity rides the same vintage loop. */
+  def writeHealthReport(s: SparkSession, d: String, outDir: String,
+                        stores: Map[String, String] = Map.empty): Unit = {
+    val base = healthReport(s, d)
+    val full = if (stores.isEmpty) base
+               else base.unionByName(storeFsckReport(s, stores))
+    full.write.mode("overwrite").partitionBy("check").json(outDir)
+  }
 
   /** Identity columns of each constituent's digest rows — what
     * [[diffReports]] pairs rows on before comparing the remaining
@@ -86,7 +119,10 @@ object Health {
     "cdc_dup" -> Seq("source"),
     "length_quantiles" -> Seq("source"),
     "span_dup" -> Seq("source"),
-    "lang_fertility" -> Seq("predicted_lang"))
+    "lang_fertility" -> Seq("predicted_lang"),
+    // persisted-sink integrity ([[storeFsckReport]]): one row per
+    // (store label, fsck check); the lone metric field is `status`
+    "store_fsck" -> Seq("store", "fsck_check"))
 
   /** VINTAGE DIFF (round-11 verdict ask #6) — the artifact a scheduler
     * actually pages on: two [[writeHealthReport]] directories → one
@@ -146,18 +182,23 @@ object Health {
     val b = load(bDir, "b")
     // per paired field: relative diff for numerics with the absFloor
     // dead-band (see the scaladoc), 0/1 for strings, 1 for a field
-    // present on one side only (null lambda arg)
-    val fieldDiff = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+    // present on one side only (null lambda arg). The numeric probe
+    // MUST be try_cast: under ANSI (Spark 4 default) a plain cast
+    // THROWS on a non-numeric metric string instead of falling
+    // through to the string branch — latent until the store_fsck
+    // family added the suite's first string metric (`status`)
+    val fieldDiff = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => {
+      val (xd, yd) = (x.try_cast("double"), y.try_cast("double"))
       when(x.isNull || y.isNull, lit(1.0))
-        .when(x.cast("double").isNotNull && y.cast("double").isNotNull,
+        .when(xd.isNotNull && yd.isNotNull,
           // equality first: NaN/Infinity pairs would otherwise yield a
           // NaN diff that sorts above every tolerance (Spark's = treats
           // NaN = NaN and inf = inf as true)
-          when(x.cast("double") === y.cast("double"), lit(0.0))
-            .when(abs(x.cast("double") - y.cast("double")) < absFloor, lit(0.0))
-            .otherwise(abs(x.cast("double") - y.cast("double")) /
-              greatest(abs(x.cast("double")), abs(y.cast("double")))))
+          when(xd === yd, lit(0.0))
+            .when(abs(xd - yd) < absFloor, lit(0.0))
+            .otherwise(abs(xd - yd) / greatest(abs(xd), abs(yd))))
         .otherwise(when(x === y, lit(0.0)).otherwise(lit(1.0)))
+    }
     val joined = a.join(b, Seq("check", "key"), "full_outer")
       .withColumn("row_diff",
         when(col("vals_a").isNull || col("vals_b").isNull, lit(null))

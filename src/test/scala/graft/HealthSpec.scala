@@ -122,6 +122,68 @@ class HealthSpec extends AnyFunSuite {
     }
   }
 
+  test("store_fsck family: a planted fsck status change pages in the vintage diff; the healthy store stays quiet") {
+    import spark.implicits._
+    // two persisted ledger stores ride the same vintage loop
+    val okStore = java.nio.file.Files.createTempDirectory("fsck_ok").toString
+    val badStore = java.nio.file.Files.createTempDirectory("fsck_bad").toString
+    Seq(okStore, badStore).foreach { d =>
+      graft.streaming.StreamingLedger.applyBatch(spark,
+        Seq(("the", 2L), ("cat", 1L)).toDF("word", "n"),
+        Seq("word"), Seq("n"), d, 2, 0L)
+    }
+    val stores = Map("ok_store" -> okStore, "bad_store" -> badStore)
+    def writeFsckVintage(): String = {
+      val out = java.nio.file.Files.createTempDirectory("fsck_v").toString
+      Health.storeFsckReport(spark, stores)
+        .write.mode("overwrite").partitionBy("check").json(out)
+      out
+    }
+    val a = writeFsckVintage()
+    // identity keys on (store, fsck_check): 2 stores × 6 checks
+    assert(spark.read.json(a).count() == 12L)
+    // self-diff: quiet
+    val self = Health.diffReports(spark, a, a).collect()
+    assert(self.length == 1 && self.head.getAs[String]("check") == "store_fsck")
+    assert(self.head.getAs[String]("status") == "unchanged")
+    // plant debris in ONE store between vintages: debris_old ok→warn
+    new java.io.File(badStore, "bucket=0.old").mkdirs()
+    val b = writeFsckVintage()
+    val row = Health.diffReports(spark, a, b).collect().head
+    assert(row.getAs[String]("status") == "changed",
+      s"a silent ok→warn transition must page: $row")
+    assert(row.getAs[Long]("n_changed") == 1L,
+      s"exactly the planted (bad_store, debris_old) row changed: $row")
+    assert(row.getAs[Long]("n_unchanged") == 11L,
+      s"the healthy store and the other checks stay paired-quiet: $row")
+  }
+
+  test("writeHealthReport with stores appends the store_fsck family next to the corpus checks") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("fsck_w").toString
+    graft.streaming.StreamingLedger.applyBatch(spark,
+      Seq(("dog", 3L)).toDF("word", "n"),
+      Seq("word"), Seq("n"), store, 2, 0L)
+    val out = java.nio.file.Files.createTempDirectory("health_ws").toString
+    Health.writeHealthReport(spark, TestSpark.sf0001, out,
+      stores = Map("led" -> store))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("check=store_fsck"), s"got $dirs")
+    val fsckRows = spark.read.json(out)
+      .filter(col("check") === "store_fsck")
+      .select(from_json(col("payload"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("m")("store"), col("m")("fsck_check"), col("m")("status"))
+      .collect()
+    assert(fsckRows.length == 6, "one row per fsck check")
+    assert(fsckRows.forall(_.getString(0) == "led"))
+    assert(fsckRows.forall(_.getString(2) == "ok"),
+      "a freshly-written store audits all-ok")
+  }
+
   test("diffReports: absFloor dead-band absorbs zero-centered jitter, relative diff keeps unit-scale sensitivity") {
     import spark.implicits._
     def writeReport(dir: String, payload: String): Unit =

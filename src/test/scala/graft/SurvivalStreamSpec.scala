@@ -108,6 +108,52 @@ class SurvivalStreamSpec extends AnyFunSuite {
       "a not-yet-populated vintage is valid: 5-row zero curve, no throw")
   }
 
+  test("staged crash between bucket swaps: keep-latest replay converges to the uncrashed snapshot") {
+    // the ledger sink proves this with an _applied watermark; the
+    // snapshot sink underneath q195's stream needs no watermark —
+    // keep-latest over the strictly-increasing n_events ordinal is
+    // idempotent — but the convergence deserves its own crash proof
+    // (round-12 verdict ask #8)
+    val snapDir = tmp("surv_crash")
+    val w1: Seq[(Long, Long)] =
+      (1L to 8L).flatMap(u => Seq((u, u * day), (u, u * day + day)))
+    val all: Seq[(Long, Long)] =
+      w1 ++ (1L to 8L).map(u => (u, u * day + 40 * day))
+    def profilesOf(rows: Seq[(Long, Long)]) =
+      StreamingSurvival.userLifetimes(ev(rows: _*))
+    def storeProfiles() =
+      StreamingSurvival.readProfiles(spark, snapDir).collect()
+        .map(_.toSeq).toSet
+    StreamingSnapshot.applyBatch(spark, profilesOf(w1),
+      "user_id", Seq("n_events"), snapDir, 2)
+    def bucket(i: Int) = new java.io.File(snapDir, s"bucket=$i")
+    assert(bucket(0).isDirectory && bucket(1).isDirectory,
+      "8 users must populate both buckets for the crash window to exist")
+    // stash bucket 0's pre-batch-2 state
+    val stash = java.nio.file.Files.createTempDirectory("surv_stash")
+    bucket(0).listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, stash.resolve(f.getName)) }
+    StreamingSnapshot.applyBatch(spark, profilesOf(all),
+      "user_id", Seq("n_events"), snapDir, 2)
+    val converged = storeProfiles()
+    assert(curve(snapDir) == batchCurve(all))
+    // crash window: bucket 1 swapped in, bucket 0 rolled back to its
+    // pre-batch state — what an unswapped bucket looks like post-crash
+    bucket(0).listFiles().foreach(_.delete()); bucket(0).delete()
+    bucket(0).mkdirs()
+    stash.toFile.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, bucket(0).toPath.resolve(f.getName)) }
+    assert(storeProfiles() != converged, "the staged crash must be observable")
+    // replay the SAME batch: bucket 1's redelivered rows tie the
+    // keep-latest comparison (no-op), bucket 0 re-applies
+    StreamingSnapshot.applyBatch(spark, profilesOf(all),
+      "user_id", Seq("n_events"), snapDir, 2)
+    assert(storeProfiles() == converged,
+      "replay after a partial crash must converge to the uncrashed snapshot")
+    assert(curve(snapDir) == batchCurve(all),
+      "and the curve readout equals batch q195 on the converged store")
+  }
+
   test("stale profile redelivery never regresses the store") {
     val snapDir = tmp("surv_stale")
     val fresh = StreamingSurvival.userLifetimes(ev(allRows: _*))

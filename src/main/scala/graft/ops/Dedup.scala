@@ -1416,7 +1416,8 @@ object Dedup {
     * production rewrite sinks straight from the rebuild); the global
     * doc_id sort lives in the q192 bench wrapper, where the verify
     * hash needs it. */
-  def despanApply(docs: DataFrame, n: Int = SpanN): DataFrame = {
+  def despanApply(docs: DataFrame, n: Int = SpanN,
+                  carry: Seq[String] = Nil): DataFrame = {
     val spans = duplicateSpans(docs, n)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
@@ -1425,15 +1426,89 @@ object Dedup {
       col("spans").isNull ||
         !exists(col("spans"), sp =>
           i >= sp("start_tok") && i < sp("end_tok")))
+    // `carry` passes input columns through unchanged (q196 carries
+    // `source` into the repack) without widening q192's contract
     docs.join(spans, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
+      .select(carry.map(col) ++ Seq(col("doc_id"),
         array_join(kept, " ").as("clean_text"),
         size(toks).as("n_tokens"),
-        size(kept).as("kept_tokens"))
+        size(kept).as("kept_tokens")): _*)
   }
 
   def q192DespanApply(s: SparkSession, d: String): DataFrame =
     despanApply(documents(s, d)).orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- q196
+
+  /** q196: DESPANNED-CORPUS REPACK — the span arc's last production
+    * step (round-12 verdict ask #5): the corpus with its cross-doc
+    * duplicate runs excised (q192's rewrite), re-packed into fixed
+    * [[Curation.SeqLen]]-token training chunks with q65's prefix-sum
+    * chunking — find (q188) → measure (q190) → apply (q192) → REPACK,
+    * the full pipeline a pretraining data job actually ships, as one
+    * oracle-hash query. Chunk counts come out LOWER than raw q65's:
+    * the delta is the training-step budget the dedup actually bought,
+    * the number that justifies the span pass.
+    *
+    * Scale shape: q192's rewrite (span derivation + codegen'd token
+    * filter) flows straight into q65's packing — the only addition is
+    * the per-source prefix-sum exchange over (source, doc_id,
+    * kept_tokens), three BIGINTs per doc, never the rebuilt text
+    * (despanApply's `carry` threads `source` through, so no second
+    * corpus join). Fully-despanned docs (kept_tokens = 0) drop before
+    * packing — a zero-token doc does not exist in the packed corpus.
+    *
+    * Oracle equivalence: islands are disjoint and clipped to doc
+    * bounds by construction (end_tok = max(pos) + n with pos ≤
+    * len − n), so kept_tokens = len − Σ(end − start) without
+    * rebuilding any text — the SQL takes that arithmetic route, which
+    * makes it an INDEPENDENT derivation of the same packing rather
+    * than a mirrored rebuild. */
+  def q196DespanRepack(s: SparkSession, d: String): DataFrame =
+    despanRepack(documents(s, d))
+
+  /** Core of q196 over any (source, doc_id, text) frame.
+    *
+    * The kept-tokens digest is `localCheckpoint`ed (eager, the q187
+    * idiom) before packing: [[Curation.packChunks]]'s two-level scan
+    * consumes its input TWICE (within-bucket window + bucket-totals
+    * aggregate) — free over q65's bare scan projection, but here the
+    * input is the whole span derivation (corpus explode, two wide
+    * windows), and measured plans recompute it per consumption (AQE
+    * reused only the small span-agg broadcast, not the derivation).
+    * Materializing 3 numerics/doc costs far less than a second
+    * derivation pass — the same compute-once/digest-twice call the
+    * two-level scan itself makes. */
+  def despanRepack(docs: DataFrame, n: Int = SpanN): DataFrame =
+    Curation.packChunks(
+      despanApply(docs, n, carry = Seq("source"))
+        .filter(col("kept_tokens") > 0)
+        .select(col("source"), col("doc_id"),
+          col("kept_tokens").cast("long").as("n_tokens"))
+        .localCheckpoint())
+
+  val q196Sql: String = {
+    val n = SpanN
+    spanCtes(n) +
+    s""", per_doc AS (
+      | SELECT doc_id, CAST(sum(end_tok - start_tok) AS BIGINT) AS dup_tokens
+      | FROM spans GROUP BY doc_id
+      |), kept AS (
+      | SELECT d.source, d.doc_id,
+      |  CAST(len(str_split(d.text, ' ')) AS BIGINT)
+      |    - coalesce(p.dup_tokens, 0) AS n_tokens
+      | FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |), c AS (
+      | SELECT source, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM kept WHERE n_tokens > 0
+      |)
+      |SELECT source,
+      | CAST((cum_tokens - n_tokens) // ${Curation.SeqLen} AS BIGINT) AS chunk_id,
+      | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+  }
 
   val q192Sql: String = {
     val n = SpanN
@@ -1505,5 +1580,6 @@ object Dedup {
     ("q188_duplicate_spans", q188DuplicateSpans _, Some(q188Sql)),
     ("q190_duplication_rate", q190DuplicationRate _, Some(q190Sql)),
     ("q192_despan_apply", q192DespanApply _, Some(q192Sql)),
+    ("q196_despan_repack", q196DespanRepack _, Some(q196Sql)),
   )
 }

@@ -708,6 +708,29 @@ class DedupSpec extends AnyFunSuite {
       (3L, "", 5, 0)))
   }
 
+  test("despan repack: cleaned corpus re-packs into fewer chunks; emptied docs drop") {
+    import spark.implicits._
+    // a 100-token passage shared by three docs (two sources): cut from
+    // all of them, doc 3 empties and must vanish from the packing
+    val P = (1 to 100).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, (1 to 200).map(i => s"u$i").mkString(" ") + " " + P),
+      ("A", 2L, P + " " + (1 to 50).map(i => s"v$i").mkString(" ")),
+      ("B", 3L, P)).toDF("source", "doc_id", "text")
+    // kept: doc1 200, doc2 50, doc3 0 (dropped) → one 250-token chunk
+    val out = graft.ops.Dedup.despanRepack(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("A", 0L, 2L, 250L)),
+      s"B must vanish with its emptied doc, A packs into one chunk: ${out.toSeq}")
+    // raw q65 packing needs TWO chunks for A (300 + 150 tokens) — the
+    // delta is the training-step budget the span pass bought
+    val raw = graft.ops.Curation.packChunks(docs.select(col("source"),
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")))
+      .collect()
+    assert(raw.count(_.getString(0) == "A") == 2 &&
+      raw.count(_.getString(0) == "B") == 1, s"raw: ${raw.toSeq}")
+  }
+
   test("duplicate spans ≡ driver brute force on random small-vocab corpora") {
     // the q167 discipline: randomized corpora (small vocab → dense
     // accidental shingle sharing), exact row-for-row equality against

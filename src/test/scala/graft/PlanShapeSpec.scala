@@ -559,6 +559,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "no unpartitioned window: islands merge per doc over hits only"))
   }
 
+  test("q196 repack packs the materialized digest: no corpus rescan, no text in exchanges") {
+    // despanRepack localCheckpoints the (source, doc_id, kept) digest
+    // because packChunks consumes its input twice — pin that the
+    // packing plan reads ONLY the materialized digest (the span
+    // derivation ran once, at construction) and that nothing textual
+    // ever moves
+    val sp = sparkPlan(q("q196_despan_repack"))
+    val s = sp.toString
+    assert(!s.contains("FileScan") && !s.contains("Scan parquet"),
+      s"packing must read the checkpointed digest, not rescan the corpus:\n$s")
+    sp.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+      .foreach { cols =>
+        assert(!cols.exists(c => c == "text" || c == "clean_text"),
+          s"rebuilt text must never reach the packing exchanges: $cols")
+      }
+  }
+
   test("q182 zipf: every window is partitioned and fed by the tf aggregation") {
     val sp = sparkPlan(q("q182_zipf_fit"))
     val wins = sp.collect {

@@ -1478,7 +1478,11 @@ object Dedup {
     * reused only the small span-agg broadcast, not the derivation).
     * Materializing 3 numerics/doc costs far less than a second
     * derivation pass — the same compute-once/digest-twice call the
-    * two-level scan itself makes. */
+    * two-level scan itself makes. The q187 trade applies: checkpoint
+    * truncates lineage, so a lost executor re-runs the job instead of
+    * recomputing partitions — acceptable for a digest this narrow; a
+    * deployment with strict fault budgets would checkpoint to
+    * reliable storage instead. */
   def despanRepack(docs: DataFrame, n: Int = SpanN): DataFrame =
     Curation.packChunks(
       despanApply(docs, n, carry = Seq("source"))

@@ -34,10 +34,31 @@ object HealthRun {
             case _ => None
           }
         }
+        lazy val labels = stores.flatten.map(_._1)
+        lazy val missing = stores.flatten.filterNot { case (_, dir) =>
+          // a store REGISTERED for monitoring must exist at write
+          // time: fsck reports a missing dir as a ('layout','fail')
+          // STATUS row, so a typo'd path would exit 0 here, page once
+          // as family-added, then compare fail==fail "unchanged"
+          // forever — the real store rots silently. Same contract as
+          // a bad dataDir: setup error, exit 2.
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
         if (stores.exists(_.isEmpty)) {
           System.err.println(
             s"malformed store arg (want label=storeDir): " +
               storeArgs.mkString(" "))
+          2
+        } else if (labels.distinct.size != labels.size) {
+          // toMap would silently keep only the LAST dir per label,
+          // dropping a store from monitoring with no error
+          System.err.println(s"duplicate store label(s): " +
+            labels.diff(labels.distinct).distinct.mkString(","))
+          2
+        } else if (missing.nonEmpty) {
+          System.err.println(s"store dir(s) not found: " +
+            missing.map { case (l, d) => s"$l=$d" }.mkString(" "))
           2
         } else
           // same contract as diff/fsck: a failed write (bad dataDir,

@@ -218,20 +218,27 @@ object Curation {
       .orderBy(col("source"), col("chunk_id"))
   }
 
+  /** The packing window CTE + chunk rollup over a prior CTE
+    * `rel`(source, doc_id, n_tokens) — q65's oracle and q196's
+    * (Dedup.q196Sql) share this ONE definition so the two cannot
+    * drift, the same reason the span family single-sources spanCtes. */
+  def packingSql(rel: String): String =
+    s""", c AS (
+      | SELECT source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      | FROM $rel
+      |)
+      |SELECT source, CAST((cum_tokens - n_tokens) // $SeqLen AS BIGINT) AS chunk_id,
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+
   val q65Sql: String =
     s"""WITH t AS (
       | SELECT source, doc_id,
       |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
       | FROM documents
-      |), c AS (
-      | SELECT source, n_tokens,
-      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-      | FROM t
-      |)
-      |SELECT source, CAST((cum_tokens - n_tokens) // $SeqLen AS BIGINT) AS chunk_id,
-      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
-      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+      |)""".stripMargin + packingSql("t")
 
   // ---------------------------------------------------------------- q66
 

@@ -1497,21 +1497,14 @@ object Dedup {
     s""", per_doc AS (
       | SELECT doc_id, CAST(sum(end_tok - start_tok) AS BIGINT) AS dup_tokens
       | FROM spans GROUP BY doc_id
-      |), kept AS (
+      |), kept0 AS (
       | SELECT d.source, d.doc_id,
       |  CAST(len(str_split(d.text, ' ')) AS BIGINT)
       |    - coalesce(p.dup_tokens, 0) AS n_tokens
       | FROM documents d LEFT JOIN per_doc p USING (doc_id)
-      |), c AS (
-      | SELECT source, n_tokens,
-      |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-      | FROM kept WHERE n_tokens > 0
-      |)
-      |SELECT source,
-      | CAST((cum_tokens - n_tokens) // ${Curation.SeqLen} AS BIGINT) AS chunk_id,
-      | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
-      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+      |), kept AS (
+      | SELECT * FROM kept0 WHERE n_tokens > 0
+      |)""".stripMargin + Curation.packingSql("kept")
   }
 
   val q192Sql: String = {

@@ -729,9 +729,9 @@ object Quality {
     * decimal128 Arrow column in all 154 oracle SQLs; values matched
     * row-for-row, only the type differed, and the driver's hasher is
     * Arrow-typed. Hence the `CAST(max(tot) AS BIGINT)` in q169Sql and
-    * the suite-wide oracle-type guard (OracleTypeGuard in
-    * tools/compare_oracle.py + VerifySpec) that fails any oracle
-    * emitting decimal/hugeint output columns. */
+    * the suite-wide oracle-type guard (tools/oracle_type_guard.py,
+    * run by OracleTypeGuardSpec) that fails any oracle emitting
+    * decimal/hugeint output columns. */
   def q169ByteWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))

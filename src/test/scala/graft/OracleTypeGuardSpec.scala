@@ -24,7 +24,11 @@ class OracleTypeGuardSpec extends AnyFunSuite {
     assume(sfDir.isDirectory, s"testdata ${sfDir} not present")
     val guard = new java.io.File("tools/oracle_type_guard.py")
     assume(guard.isFile, "guard script not found (cwd not repo root?)")
-    val pyOk = Process(Seq("python3", "-c", "import duckdb, pyarrow")).! == 0
+    // Try-wrapped: with no python3 binary at all, ProcessBuilder.start()
+    // throws IOException BEFORE the exit code exists — that must still
+    // cancel (the documented contract), not fail the suite
+    val pyOk = scala.util.Try(
+      Process(Seq("python3", "-c", "import duckdb, pyarrow")).!).getOrElse(1) == 0
     assume(pyOk, "driver-side python3 + duckdb + pyarrow not available")
 
     val tmp = Files.createTempFile("oracle_sql", ".json")

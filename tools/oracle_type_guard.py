@@ -26,15 +26,24 @@ TABLES = ["lineitem", "orders", "customer", "supplier", "part",
           "nation", "region", "events", "documents", "embeddings"]
 
 
+def has_decimal(t):
+    """True if a decimal lurks ANYWHERE in the type tree — structs and
+    nested lists included (a HUGEINT inside a struct output column is
+    just as hash-visible to the driver as a top-level one)."""
+    if pa.types.is_decimal(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        return has_decimal(t.value_type)
+    if pa.types.is_struct(t):
+        return any(has_decimal(t.field(i).type) for i in range(t.num_fields))
+    if pa.types.is_map(t):
+        return has_decimal(t.key_type) or has_decimal(t.item_type)
+    return False
+
+
 def decimal_columns(schema):
-    out = []
-    for f in schema:
-        t = f.type
-        if pa.types.is_decimal(t) or (
-                (pa.types.is_list(t) or pa.types.is_large_list(t))
-                and pa.types.is_decimal(t.value_type)):
-            out.append(f"{f.name}:{t}")
-    return out
+    return [f"{f.name}:{f.type}" for f in schema if has_decimal(f.type)]
 
 
 def main(sf_dir, oracle_json):

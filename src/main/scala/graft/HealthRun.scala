@@ -106,7 +106,7 @@ object HealthRun {
         // warns (debris pending recovery) don't page — fails do
         try {
           val report = ops.BucketStore.fsck(spark, storeDir)
-          report.toJSON.collect().foreach(println) // ≤ 6 rows by construction
+          report.toJSON.collect().foreach(println) // ≤ 7 rows by construction
           if (report.filter(col("status") === "fail").isEmpty) 0 else 1
         } catch {
           // same contract as diff: a failure to READ the store

@@ -127,6 +127,11 @@ private[graft] object BucketStore {
     *     transiently while a swap is in flight — not corruption);
     *   - `bucket_range` — every bucket index parses and is < modulus
     *     (fail: a foreign or renamed dir would shadow real buckets);
+    *   - `applied_watermarks` — ledger stores only: every live bucket
+    *     carries a parseable `_applied` sidecar (fail: the replay
+    *     gate treats a missing watermark as never-applied and would
+    *     DOUBLE-APPLY a redelivered batch into that bucket — additive
+    *     corruption, not idempotent redelivery);
     *   - `bucket_hash` — ONE distributed pass over all live rows
     *     recomputing `pmod(xxhash64(keys), B)` and counting rows that
     *     sit in the wrong directory (fail: misplaced rows are
@@ -179,6 +184,36 @@ private[graft] object BucketStore {
         if (badNames.isEmpty && outOfRange.isEmpty) "ok" else "fail",
         if (badNames.isEmpty && outOfRange.isEmpty) s"${liveNames.length} live bucket(s)"
         else s"unparseable: [${badNames.mkString(",")}] out-of-range: [${outOfRange.mkString(",")}]"))
+      // exactly-once watermarks (ledger protocol only — a store with a
+      // `_schema` sidecar): every live bucket must carry a parseable
+      // `_applied`, because the replay gate treats a MISSING sidecar
+      // as "never applied" (None.forall = true) and re-adds the
+      // batch — for an ADDITIVE ledger that is silent double-count
+      // corruption, not idempotent redelivery. Snapshot stores have
+      // no watermarks (keep-latest is idempotent without them).
+      val validLive = parsed.collect { case (n, Some(_)) => n }
+      rows += (if (readSidecar(fs, new Path(root, "_schema")).isEmpty)
+        ("applied_watermarks", "ok",
+          "snapshot protocol — keep-latest needs no watermarks")
+      else {
+        val bad = validLive.filter { nm =>
+          // Try around the READ too: on a checksummed FS a torn/
+          // corrupt sidecar throws (ChecksumException) rather than
+          // returning None — for the audit that is the same fail
+          // class as missing/unparseable, not an abort. (The WRITER
+          // deliberately does NOT catch this: a corrupt watermark
+          // must crash the stream loudly, never read as "never
+          // applied" and double-apply.)
+          scala.util.Try(readSidecar(fs, new Path(root, s"$nm/_applied")))
+            .toOption.flatten
+            .flatMap(v => scala.util.Try(v.toLong).toOption).isEmpty
+        }
+        if (bad.isEmpty)
+          ("applied_watermarks", "ok", s"${validLive.length} bucket watermark(s)")
+        else ("applied_watermarks", "fail",
+          s"missing/unparseable _applied in: ${bad.sorted.mkString(",")}" +
+            " — a replayed batch would double-apply there")
+      })
       (bOpt, keysOpt) match {
         case (Some(b), Some(ks)) =>
           val dirs = liveBucketDirs(fs, root)

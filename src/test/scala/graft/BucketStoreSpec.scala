@@ -77,6 +77,37 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(statuses(dir)("bucket_range")._1 == "fail")
   }
 
+  test("a ledger bucket missing its _applied watermark fails (replay would double-apply)") {
+    val dir = tmp("fsck_wm")
+    mkLedger(dir)
+    assert(statuses(dir)("applied_watermarks")._1 == "ok")
+    // plant: lose one bucket's watermark — the replay gate reads
+    // None.forall(_ < batchId) = true and re-ADDS the batch there
+    new java.io.File(dir, "bucket=0/_applied").delete()
+    val st = statuses(dir)
+    assert(st("applied_watermarks")._1 == "fail", s"got $st")
+    assert(st("applied_watermarks")._2.contains("bucket=0"))
+    // an unparseable watermark is the same corruption class (written
+    // through the FS API so the checksum stays valid and only the
+    // VALUE is bad)
+    val dir2 = tmp("fsck_wm2")
+    mkLedger(dir2)
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BucketStore.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir2, "bucket=0/_applied"),
+      "not-a-long", overwrite = true)
+    assert(statuses(dir2)("applied_watermarks")._1 == "fail")
+    // and a TORN sidecar (raw overwrite invalidates the FS checksum →
+    // the read itself throws) must audit as fail, not abort the fsck
+    val dir3 = tmp("fsck_wm3")
+    mkLedger(dir3)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir3, "bucket=0/_applied"), "torn")
+    assert(statuses(dir3)("applied_watermarks")._1 == "fail",
+      "a checksum-failing watermark is corruption, not a setup error")
+  }
+
   test("a row in the wrong hash bucket fails bucket_hash with the misplaced count") {
     val dir = tmp("fsck_misplaced")
     mkLedger(dir)

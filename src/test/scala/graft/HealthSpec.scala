@@ -140,8 +140,8 @@ class HealthSpec extends AnyFunSuite {
       out
     }
     val a = writeFsckVintage()
-    // identity keys on (store, fsck_check): 2 stores × 6 checks
-    assert(spark.read.json(a).count() == 12L)
+    // identity keys on (store, fsck_check): 2 stores × 7 checks
+    assert(spark.read.json(a).count() == 14L)
     // self-diff: quiet
     val self = Health.diffReports(spark, a, a).collect()
     assert(self.length == 1 && self.head.getAs[String]("check") == "store_fsck")
@@ -154,7 +154,7 @@ class HealthSpec extends AnyFunSuite {
       s"a silent ok→warn transition must page: $row")
     assert(row.getAs[Long]("n_changed") == 1L,
       s"exactly the planted (bad_store, debris_old) row changed: $row")
-    assert(row.getAs[Long]("n_unchanged") == 11L,
+    assert(row.getAs[Long]("n_unchanged") == 13L,
       s"the healthy store and the other checks stay paired-quiet: $row")
   }
 
@@ -178,7 +178,7 @@ class HealthSpec extends AnyFunSuite {
           org.apache.spark.sql.types.StringType)).as("m"))
       .select(col("m")("store"), col("m")("fsck_check"), col("m")("status"))
       .collect()
-    assert(fsckRows.length == 6, "one row per fsck check")
+    assert(fsckRows.length == 7, "one row per fsck check")
     assert(fsckRows.forall(_.getString(0) == "led"))
     assert(fsckRows.forall(_.getString(2) == "ok"),
       "a freshly-written store audits all-ok")

@@ -31,9 +31,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * between can (a) make the read fail transiently (the chosen dir was
   * renamed away — retry) or (b) return a torn cross-bucket view
   * (batch N applied in one bucket, not yet in another). Readers
-  * needing cross-bucket atomicity should read a quiesced store or use
-  * a table format with a commit log — that isolation level is exactly
-  * what these sinks trade away for plain directories.
+  * needing cross-bucket atomicity on a LEDGER store have
+  * [[graft.streaming.StreamingLedger.readLedgerConsistent]] — a
+  * validated-retry read made sound by the per-bucket `_applied`
+  * watermarks publishing atomically with the data; snapshot stores
+  * carry no version marker, so there the options remain a quiesced
+  * store or a table format with a commit log — that isolation level
+  * is what the snapshot sink trades away for plain directories.
   */
 private[graft] object BucketStore {
 

@@ -178,6 +178,89 @@ object StreamingLedger {
         schema.getOrElse(new org.apache.spark.sql.types.StructType()))
   }
 
+  /** The ledger's published per-bucket watermark map — bucket index →
+    * `_applied` batch id. Because each swap publishes a bucket's data
+    * and its watermark in ONE atomic rename, two equal captures of
+    * this map bracket a window in which no bucket was republished. */
+  def watermarks(spark: SparkSession, ledgerDir: String): Map[Int, Long] = {
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BucketStore.liveBucketDirs(fs, root).flatMap { d =>
+      for {
+        bk <- scala.util.Try(
+          d.getName.stripPrefix("bucket=").toInt).toOption
+        // a torn/unreadable sidecar reads as a sentinel so a capture
+        // taken mid-damage never matches a healthy one (two STABLE
+        // corrupt captures still match — that is a standing-damage
+        // state for fsck, not a race for this retry loop to spin on)
+        v <- Some(scala.util.Try(
+          BucketStore.readSidecar(fs, new Path(d, "_applied")))
+          .toOption.flatten.flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(Long.MinValue))
+      } yield bk -> v
+    }.toMap
+  }
+
+  /** True while swap debris (`.staging`, `bucket=N.old`) is present —
+    * either a swap in flight or a crash pending writer recovery. A
+    * consistent read must refuse both: mid-rename a bucket is
+    * momentarily absent from the live listing, so two equal watermark
+    * captures could bracket a read that silently MISSED that bucket;
+    * and a crash-pending store is legitimately half-applied (some
+    * buckets swapped, some not) until the replay converges it. */
+  def storeBusy(spark: SparkSession, ledgerDir: String): Boolean = {
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).map(_.getPath.getName)
+      .exists(n => n == ".staging" ||
+        (n.startsWith("bucket=") && n.endsWith(".old")))
+  }
+
+  /** CROSS-BUCKET CONSISTENT READ (the round-12 ROADMAP candidate):
+    * [[readLedger]] never corrupts a running sink, but a read racing a
+    * swap can transiently fail or see a TORN view — some buckets
+    * pre-batch, some post. This helper retries until one read
+    * provably saw a single consistent cut: capture the watermark map,
+    * MATERIALIZE the read (localCheckpoint — a lazy frame handed to
+    * the caller would re-read later and be torn all over again),
+    * capture again, and accept only if the two captures are equal —
+    * sound because data + watermark publish in one atomic rename, so
+    * equal captures mean no bucket was republished in between.
+    *
+    * Ledger stores only (the snapshot sink has no per-bucket version
+    * marker — its keep-latest consumers tolerate torn views by
+    * construction). `beforeValidate` is a test seam (the injectable-
+    * transport precedent) for deterministically racing a writer
+    * between materialization and validation. Throws after
+    * `maxAttempts` torn reads — under a pathologically hot writer the
+    * caller should read from a quiesced replica instead of spinning. */
+  def readLedgerConsistent(spark: SparkSession, ledgerDir: String,
+                           maxAttempts: Int = 5,
+                           beforeValidate: () => Unit = () => ()): DataFrame = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val busyPre = storeBusy(spark, ledgerDir)
+      val pre = watermarks(spark, ledgerDir)
+      val frame = scala.util.Try(readLedger(spark, ledgerDir).localCheckpoint())
+      beforeValidate()
+      frame match {
+        // transient read failure (a swap deleted a listed file mid-
+        // scan) is the same retry class as a torn view; debris at
+        // EITHER capture means in-flight or crash-pending — see
+        // [[storeBusy]] for why equal watermarks alone don't cover it
+        case scala.util.Success(df)
+            if !busyPre && watermarks(spark, ledgerDir) == pre &&
+              !storeBusy(spark, ledgerDir) =>
+          return df
+        case _ => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"no consistent ledger read in $maxAttempts attempts ($ledgerDir): " +
+        "writer too hot — read a quiesced replica")
+  }
+
   /** The streaming hook: each micro-batch of `deltas` (raw rows — the
     * reduce happens inside [[applyBatch]], so the stream itself needs
     * NO stateful operator and no watermark) folds into the ledger

@@ -361,6 +361,50 @@ class LedgerStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("consistent read: quiet store reads equal readLedger; a racing writer forces one retry") {
+    val dir = tmp("led_cons")
+    val b1 = wordDeltas("the", "cat", "dog", "fish")
+    StreamingLedger.applyBatch(spark, deltas(b1: _*), Seq("word"),
+      Seq("n", "chars"), dir, 4, 0L)
+    // quiet store: one attempt, rows ≡ the plain read
+    def rows(df: DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("chars")))).toMap
+    assert(rows(StreamingLedger.readLedgerConsistent(spark, dir)) ==
+      ledgerRows(dir))
+    // racing writer via the test seam: a second batch lands BETWEEN
+    // materialization and validation — attempt 1 must be rejected
+    // (its watermarks moved) and attempt 2 must return the POST-batch
+    // ledger, not the torn capture
+    val b2 = wordDeltas("the", "wasp")
+    var fired = false
+    val got = StreamingLedger.readLedgerConsistent(spark, dir,
+      beforeValidate = () => if (!fired) {
+        fired = true
+        StreamingLedger.applyBatch(spark, deltas(b2: _*), Seq("word"),
+          Seq("n", "chars"), dir, 4, 1L)
+      })
+    assert(fired, "the seam must have raced the first attempt")
+    assert(rows(got) == batchSums(b1 ++ b2),
+      "the accepted read must be the post-batch consistent cut")
+  }
+
+  test("consistent read refuses a busy store (debris) and throws after maxAttempts") {
+    val dir = tmp("led_cons_busy")
+    StreamingLedger.applyBatch(spark, deltas(wordDeltas("the", "cat"): _*),
+      Seq("word"), Seq("n", "chars"), dir, 2, 0L)
+    // crash-pending debris: the store is legitimately half-applied
+    // until the writer's replay converges it — a consistent read must
+    // refuse, not return a cut that silently misses a bucket
+    new java.io.File(dir, "bucket=0.old").mkdirs()
+    val e = intercept[IllegalStateException] {
+      StreamingLedger.readLedgerConsistent(spark, dir, maxAttempts = 2)
+    }
+    assert(e.getMessage.contains("no consistent ledger read"))
+    // plain readLedger stays available (never corrupts, may be torn)
+    assert(ledgerRows(dir).nonEmpty)
+  }
+
   test("empty and not-yet-written ledgers read as zero rows; bucket column rejected") {
     assert(StreamingLedger.readLedger(spark, tmp("led_empty")).count() == 0L)
     val dir = tmp("led_schema")

@@ -31,8 +31,19 @@ object Tables {
     * identity — same instants DuckDB's naive TIMESTAMP oracle sees). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong must be ON to even read a TIMESTAMP(NANOS) vintage's
+    // schema, and the scan consults it at execution too — so for a
+    // nanos vintage it has to stay set for the session (a deliberate,
+    // documented session-level effect: any reader of nanos parquet
+    // needs it). For every other vintage, restore the prior value so
+    // one events read doesn't silently re-type unrelated nanos
+    // datasets read later in the session.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
     val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      prior.fold(s.conf.unset(confKey))(v => s.conf.set(confKey, v))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))

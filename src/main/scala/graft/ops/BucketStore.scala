@@ -210,7 +210,12 @@ private[graft] object BucketStore {
           // applied" and double-apply.)
           scala.util.Try(readSidecar(fs, new Path(root, s"$nm/_applied")))
             .toOption.flatten
-            .flatMap(v => scala.util.Try(v.toLong).toOption).isEmpty
+            .flatMap(v => scala.util.Try(v.toLong).toOption).isEmpty &&
+          // ...but a bucket whose DIR vanished between the listing
+          // and this read is a swap in flight (live → .old mid-
+          // rename), the exact transient the debris checks grade
+          // warn — a false corruption page, not a lost watermark
+          fs.exists(new Path(root, nm))
         }
         if (bad.isEmpty)
           ("applied_watermarks", "ok", s"${validLive.length} bucket watermark(s)")
@@ -230,7 +235,15 @@ private[graft] object BucketStore {
               .parquet(dirs.map(_.toString): _*)
               .select(
                 pmod(xxhash64(ks.map(col): _*), lit(b)).cast("int").as("expect"),
-                regexp_extract(input_file_name(), "bucket=([0-9]+)", 1)
+                // anchored to the file's PARENT segment: a store
+                // rooted under a path that itself contains a
+                // bucket=N component (e.g. a dataset partitioned by
+                // a column named `bucket`) must not match the outer
+                // segment and brand every row misplaced; the
+                // optional .old covers an orphaned dir standing in
+                // for its missing live sibling (liveBucketDirs)
+                regexp_extract(input_file_name(),
+                  "bucket=([0-9]+)(\\.old)?/[^/]*$", 1)
                   .cast("int").as("actual"))
               .filter(col("expect") =!= col("actual"))
               .count()

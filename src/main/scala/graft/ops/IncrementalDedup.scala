@@ -66,6 +66,16 @@ object IncrementalDedup {
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
     val cands = batchSigs.join(index.hint("MERGE"), Seq("bucket"))
+      // NEVER match a doc against its own index entry: a micro-batch
+      // replayed AFTER its appendToIndex landed (crash before the
+      // streaming checkpoint committed) probes an index containing the
+      // batch's own rows — every survivor would self-match at
+      // est_jaccard 1.0, dedupedIngest's anti-join would drop them
+      // all, and the overwrite-by-batch-id replay would rewrite the
+      // batch dir EMPTY: silent data loss. q189's disjoint hash slices
+      // can't produce a self-pair, so the bench is blind to this;
+      // StreamingDedupSpec's replay-after-append test pins it.
+      .filter(col("new_id") =!= col("doc_id"))
       .select(col("new_id"), col("new_sig"),
               col("doc_id").as("match_id"), col("sig").as("match_sig"))
       .dropDuplicates("new_id", "match_id")

@@ -38,8 +38,17 @@ object EventStream {
     * no data scan), then normalize to session-zone TimestampType the
     * same way Tables.events does for the batch twin. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same contract as Tables.events: the conf is required to sniff
+    // (and, for a nanos vintage, to RUN — the stream's scans consult
+    // it for its whole life, so it stays set then); for any other
+    // vintage restore the prior value rather than leak a session-wide
+    // re-typing of unrelated nanos datasets
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
     val tsType = spark.read.parquet(dir).schema("ts").dataType
+    if (tsType != LongType)
+      prior.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
     val raw = spark.readStream
       .schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")

@@ -132,16 +132,14 @@ object StreamingAttribution {
         (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Double)],
          state: GroupState[AttrState]) =>
           val st0 = state.getOption.getOrElse(emptyState)
-          val fresh = rows.map(r => (r._3.getTime * 1000L + (r._3.getNanos / 1000) % 1000,
-            r._4, r._2, r._5)).toSeq
+          val fresh = rows.map(r =>
+            (StatefulTime.micros(r._3), r._4, r._2, r._5)).toSeq
           val (emitted, st2) =
             stepUser(st0, fresh, state.getCurrentWatermarkMs(), windowUs, gapUs)
           state.update(st2)
-          if (st2.bufTs.nonEmpty) {
-            val wakeMs = math.max(state.getCurrentWatermarkMs() + 1,
-              st2.bufTs.min / 1000L + 1)
-            state.setTimeoutTimestamp(wakeMs)
-          }
+          if (st2.bufTs.nonEmpty)
+            state.setTimeoutTimestamp(
+              StatefulTime.wakeMs(state.getCurrentWatermarkMs(), st2.bufTs.min))
           emitted.iterator.map { case (ch, v) => (uid, ch, v) }
       }
   }

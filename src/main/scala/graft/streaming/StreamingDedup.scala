@@ -46,18 +46,27 @@ object StreamingDedup {
     * (one overwritten subdirectory per micro-batch) and are folded
     * into the index table.
     *
-    * Restart semantics: the corpus write is per-batch OVERWRITE into
-    * `batch_id=<id>/`, so a replayed micro-batch rewrites its own
-    * directory instead of appending duplicates. The index append is
-    * not transactional with it, but replayed index rows are harmless:
-    * probeBatch takes distinct (new_id, match_id) candidates, so a
-    * doubled index entry changes no dedup decision — only wastes the
-    * space of the replayed rows. */
+    * Restart semantics: the checkpoint is DURABLE by default
+    * (`outDir/_checkpoint`, the StreamingDecontam/StreamingNovelty
+    * convention — a temp checkpoint would restart batch ids at 0
+    * after a crash and leave the old batch_id dirs behind as silent
+    * corpus duplicates), and the corpus write is per-batch OVERWRITE
+    * into `batch_id=<id>/`, so a replayed micro-batch rewrites its
+    * own directory instead of appending duplicates. The index append
+    * is not transactional with the corpus write, but a replay
+    * converges: probeBatch excludes self-matches (a batch replayed
+    * after its own appendToIndex landed would otherwise self-match at
+    * 1.0 and rewrite its dir EMPTY) and takes distinct (new_id,
+    * match_id) candidates, so doubled index rows change no dedup
+    * decision — they only waste the replayed rows' space. */
   def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
                     indexTable: String, outDir: String,
-                    threshold: Double = 0.8): StreamingQuery =
+                    threshold: Double = 0.8,
+                    checkpointDir: Option[String] = None): StreamingQuery =
     streamingDocs.writeStream
       .outputMode("append")
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$outDir/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
@@ -67,9 +76,12 @@ object StreamingDedup {
           val survivors = dropInternalDups(spark,
             b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),
             threshold).persist()
-          survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          IncrementalDedup.appendToIndex(survivors, indexTable)
-          survivors.unpersist()
+          // survivors' cache has its own finally: a failed corpus
+          // write or index append must not pin it for the session
+          try {
+            survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            IncrementalDedup.appendToIndex(survivors, indexTable)
+          } finally survivors.unpersist()
         } finally b.unpersist()
         ()
       }

@@ -98,6 +98,23 @@ object StreamingLedger {
       // throws — wedging the stream on the next batch into that bucket
       val ledgerSchema = org.apache.spark.sql.types.StructType.fromDDL(
         BucketStore.readSidecar(fs, schemaSidecar).get)
+      // counters are a creation-time contract too (the layoutKeys
+      // rule): the merge below projects `existing` to THIS call's
+      // columns, so a caller passing a subset would silently drop a
+      // stored counter column from every touched bucket — destroyed,
+      // not preserved. Types matter as well (a re-typed key re-hashes
+      // rows into different buckets); nullability deliberately not
+      // compared (it varies by batch source and changes no data).
+      val current = org.apache.spark.sql.types.StructType(
+        reduced.schema.fields.filterNot(_.name == "bucket"))
+      require(
+        current.fields.map(f => (f.name, f.dataType)).toSeq ==
+          ledgerSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"ledger at $root was created with schema [${ledgerSchema.toDDL}]; " +
+          s"this apply carries [${current.toDDL}] — key AND counter " +
+          "columns (names, order, types) are a creation-time layout " +
+          "property; a subset would silently destroy the missing " +
+          "counters in every touched bucket")
       val touched = reduced.select("bucket").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ B ints — never data
       // the exactly-once gate: skip buckets whose published watermark

@@ -175,20 +175,16 @@ object StreamingPaths {
           // watermark-UNSET rather than an epoch-0 horizon. An event AT
           // the horizon is kept (nothing at the horizon has been
           // finalized — see finalizeUpTo's strict bound).
-          val fresh = rows.map(r => (r._3.getTime * 1000L + (r._3.getNanos / 1000) % 1000,
-            r._4, r._2)).toSeq
+          val fresh = rows.map(r =>
+            (StatefulTime.micros(r._3), r._4, r._2)).toSeq
           val (emitted, st2) =
             stepUser(st0, fresh, state.getCurrentWatermarkMs(), n, gapUs)
           state.update(st2)
-          if (st2.bufTs.nonEmpty) {
+          if (st2.bufTs.nonEmpty)
             // flush the tail when the watermark passes it, even if this
-            // user never produces another event; must be strictly
-            // beyond the current watermark AND beyond the buffered
-            // timestamp (finalization is strict-below-horizon)
-            val wakeMs = math.max(state.getCurrentWatermarkMs() + 1,
-              st2.bufTs.min / 1000L + 1)
-            state.setTimeoutTimestamp(wakeMs)
-          }
+            // user never produces another event (see StatefulTime.wakeMs)
+            state.setTimeoutTimestamp(
+              StatefulTime.wakeMs(state.getCurrentWatermarkMs(), st2.bufTs.min))
           emitted.iterator.map(p => (uid, p))
       }
   }

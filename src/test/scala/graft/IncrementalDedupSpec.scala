@@ -32,13 +32,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("match_id") -> r.getAs[Double]("est_jaccard")).toMap
     assert(planted.get(0L).contains(1.0), s"planted dup not found: $planted")
 
-    // append the uniques; the index then matches them exactly on re-probe
+    // append the uniques; the index then matches them exactly on
+    // re-probe. Self-matches are EXCLUDED by design (the replay
+    // data-loss guard), so the verification probes RENAMED copies:
+    // each must match its own original at est 1.0
     val uniques = batch.join(matches.select("new_id").distinct(),
       batch("doc_id") === col("new_id"), "left_anti")
     IncrementalDedup.appendToIndex(uniques, "dedup_index")
-    val reprobe = IncrementalDedup.probeBatch(spark, uniques, "dedup_index")
-      .filter(col("new_id") === col("match_id") && col("est_jaccard") === 1.0)
+    val renamed = uniques.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    val reprobe = IncrementalDedup.probeBatch(spark, renamed, "dedup_index")
+      .filter(col("new_id") === col("match_id") + 100000L &&
+        col("est_jaccard") === 1.0)
     assert(reprobe.count() == uniques.count())
+    // and a batch probed against an index containing ITSELF never
+    // reports a doc as its own duplicate — the StreamingDedup
+    // replay-after-append crash window depends on this
+    assert(IncrementalDedup.probeBatch(spark, uniques, "dedup_index")
+      .filter(col("new_id") === col("match_id")).count() == 0L)
   }
 
   test("degenerate index buckets are skipped at the cap, kept below it") {

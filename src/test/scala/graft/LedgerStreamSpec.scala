@@ -212,6 +212,31 @@ class LedgerStreamSpec extends AnyFunSuite {
       "a (0, nonzero) row is live, not residue — the purge must be two-valued")
   }
 
+  test("counter columns are a creation-time layout: a subset apply is rejected, not silently destructive") {
+    import spark.implicits._
+    val dir = tmp("led_ctr")
+    StreamingLedger.applyBatch(spark, deltas(wordDeltas("the", "cat"): _*),
+      Seq("word"), Seq("n", "chars"), dir, 2, 0L)
+    val before = ledgerRows(dir)
+    // a deploy that forgets a counter would have its merge PROJECT the
+    // stored column away and swap the destroyed buckets in — the
+    // _schema guard must reject it loudly instead
+    val e = intercept[IllegalArgumentException] {
+      StreamingLedger.applyBatch(spark,
+        Seq(("the", 5L)).toDF("word", "n"),
+        Seq("word"), Seq("n"), dir, 2, 1L)
+    }
+    assert(e.getMessage.contains("creation-time layout"))
+    assert(ledgerRows(dir) == before, "the rejected apply must not touch data")
+    // and a re-TYPED key is the same rejection class (it re-hashes
+    // rows into different buckets)
+    intercept[IllegalArgumentException] {
+      StreamingLedger.applyBatch(spark,
+        Seq((7, 1L, 1L)).toDF("word", "n", "chars"),
+        Seq("word"), Seq("n", "chars"), dir, 2, 1L)
+    }
+  }
+
   test("key-column ORDER is a creation-time layout: a reordered apply is rejected") {
     import spark.implicits._
     val dir = tmp("led_keyorder")

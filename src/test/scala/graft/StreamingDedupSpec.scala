@@ -59,6 +59,53 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(indexed == Set(0L, 1L, 100L, 200L))
   }
 
+  test("replay against an index already holding the batch's own docs converges — no self-match data loss") {
+    // the crash window: a batch's appendToIndex lands, the process
+    // dies BEFORE the streaming checkpoint commits, and the replay
+    // probes an index containing the batch's own signatures. Without
+    // probeBatch's self-match exclusion every survivor matches itself
+    // at est_jaccard 1.0 and the overwrite-by-batch-id replay rewrites
+    // the batch dir EMPTY. Simulated exactly: same input, same index,
+    // same outDir, FRESH checkpoint.
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_index3")
+    val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index3")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    import spark.implicits._
+    IncrementalDedup.buildIndex(
+      Seq((0L, "seed document with some words")).toDF("doc_id", "text"),
+      "stream_dedup_index3")
+    val streamDir = java.nio.file.Files.createTempDirectory("sdedup3_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sdedup3_out").toString + "/uniques"
+    Seq((400L, "fresh content the index has never seen"),
+        (401L, "other new words entirely distinct again"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir + "/f*")
+      val q = StreamingDedup.dedupedIngest(spark, stream,
+        "stream_dedup_index3", outDir,
+        checkpointDir = Some(java.nio.file.Files
+          .createTempDirectory(cp).toString))
+      q.processAllAvailable()
+      q.stop()
+    }
+    run("sdedup3_cp1")
+    def corpus(): Set[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus() == Set(400L, 401L))
+    run("sdedup3_cp2") // the replay
+    assert(corpus() == Set(400L, 401L),
+      "a replayed batch must not be deleted by its own index entries")
+    // doubled index rows are allowed; the distinct doc set is not
+    val indexed = spark.table("stream_dedup_index3")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 400L, 401L))
+  }
+
   test("batch-internal dup (same micro-batch) is also dropped") {
     spark.sql("DROP TABLE IF EXISTS stream_dedup_index2")
     val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index2")

@@ -154,17 +154,30 @@ private[graft] object BucketStore {
     if (!fs.exists(root))
       rows += (("layout", "fail", s"store dir missing: $dir"))
     else {
-      val bOpt = readSidecar(fs, new Path(root, "_buckets"))
+      // a sidecar read that THROWS (torn file on a checksummed FS) is
+      // store corruption the audit must REPORT as a fail row — never
+      // an abort, which HealthRun's NonFatal handler would demote to
+      // a non-paging setup error and which would kill the whole
+      // vintage report in Health.storeFsckReport
+      def sidecar(name: String): Either[Throwable, Option[String]] =
+        scala.util.Try(readSidecar(fs, new Path(root, name))).toEither
+      val bucketsRead = sidecar("_buckets")
+      val bOpt = bucketsRead.toOption.flatten
         .flatMap(v => scala.util.Try(v.toInt).toOption)
       rows += (bOpt match {
         case Some(b) => ("layout", "ok", s"buckets=$b")
-        case None => ("layout", "fail", "_buckets sidecar missing or unparseable")
+        case None => ("layout", "fail", bucketsRead match {
+          case Left(e) => s"_buckets sidecar unreadable (torn?): ${e.getMessage}"
+          case _ => "_buckets sidecar missing or unparseable"
+        })
       })
-      val keysOpt = readSidecar(fs, new Path(root, "_keys"))
-        .map(_.split(",").toSeq)
-      rows += (keysOpt match {
-        case Some(ks) => ("layout_keys", "ok", ks.mkString(","))
-        case None => ("layout_keys", "warn",
+      val keysRead = sidecar("_keys")
+      val keysOpt = keysRead.toOption.flatten.map(_.split(",").toSeq)
+      rows += ((keysRead, keysOpt) match {
+        case (_, Some(ks)) => ("layout_keys", "ok", ks.mkString(","))
+        case (Left(e), _) => ("layout_keys", "fail",
+          s"_keys sidecar unreadable (torn?): ${e.getMessage}")
+        case _ => ("layout_keys", "warn",
           "_keys sidecar missing — key-order guard inactive (store predates it?)")
       })
       val names = fs.listStatus(root).map(_.getPath.getName)
@@ -179,14 +192,25 @@ private[graft] object BucketStore {
         else "none"))
       val liveNames = names
         .filter(n => n.startsWith("bucket=") && !n.endsWith(".old"))
+      // ORPHANED .old dirs (live sibling missing) are authoritative:
+      // liveBucketDirs serves their data to readers and the next
+      // applyBatch restores them live — so range and watermark checks
+      // must cover them, or a foreign/damaged orphan evades the audit
+      // until the moment it goes live
+      val orphanOlds = olds.filter(o =>
+        !liveNames.contains(o.stripSuffix(".old")))
       val parsed = liveNames.map(n =>
-        n -> scala.util.Try(n.stripPrefix("bucket=").toInt).toOption)
+        n -> scala.util.Try(n.stripPrefix("bucket=").toInt).toOption) ++
+        orphanOlds.map(n => n -> scala.util.Try(
+          n.stripPrefix("bucket=").stripSuffix(".old").toInt).toOption)
       val badNames = parsed.collect { case (n, None) => n }
       val outOfRange = bOpt.fold(Array.empty[String])(b =>
         parsed.collect { case (n, Some(i)) if i < 0 || i >= b => n })
       rows += (("bucket_range",
         if (badNames.isEmpty && outOfRange.isEmpty) "ok" else "fail",
-        if (badNames.isEmpty && outOfRange.isEmpty) s"${liveNames.length} live bucket(s)"
+        if (badNames.isEmpty && outOfRange.isEmpty)
+          s"${liveNames.length} live bucket(s)" +
+            (if (orphanOlds.nonEmpty) s" + ${orphanOlds.length} orphaned .old" else "")
         else s"unparseable: [${badNames.mkString(",")}] out-of-range: [${outOfRange.mkString(",")}]"))
       // exactly-once watermarks (ledger protocol only — a store with a
       // `_schema` sidecar): every live bucket must carry a parseable
@@ -196,7 +220,12 @@ private[graft] object BucketStore {
       // corruption, not idempotent redelivery. Snapshot stores have
       // no watermarks (keep-latest is idempotent without them).
       val validLive = parsed.collect { case (n, Some(_)) => n }
-      rows += (if (readSidecar(fs, new Path(root, "_schema")).isEmpty)
+      val schemaRead = sidecar("_schema")
+      rows += (if (schemaRead.isLeft)
+        ("applied_watermarks", "fail",
+          "_schema sidecar unreadable (torn?) — cannot tell ledger " +
+            "from snapshot; ledger replay safety is unverifiable")
+      else if (schemaRead.toOption.flatten.isEmpty)
         ("applied_watermarks", "ok",
           "snapshot protocol — keep-latest needs no watermarks")
       else {
@@ -229,8 +258,13 @@ private[graft] object BucketStore {
           if (dirs.isEmpty)
             rows += (("bucket_hash", "ok", "no data yet"))
           else {
-            val schemaOpt = readSidecar(fs, new Path(root, "_schema"))
-              .map(org.apache.spark.sql.types.StructType.fromDDL)
+            // torn/unparseable _schema → fall back to inference for
+            // the hash recount (the applied_watermarks row already
+            // failed on the corruption itself)
+            val schemaOpt = scala.util.Try(
+              readSidecar(fs, new Path(root, "_schema"))
+                .map(org.apache.spark.sql.types.StructType.fromDDL))
+              .toOption.flatten
             val misplaced = schemaOpt.fold(spark.read)(spark.read.schema)
               .parquet(dirs.map(_.toString): _*)
               .select(

@@ -479,20 +479,26 @@ object Curation {
     * are bit-identical to [[decontaminate]] — same oracle SQL shape.
     * This is Spark's runtime-filter idea (InjectRuntimeFilter) applied
     * explicitly, so it works regardless of join eligibility heuristics. */
-  def decontaminateBloom(train: DataFrame, test: DataFrame): DataFrame = {
+  /** Builds the decontam pre-screen Bloom over a distinct-fp frame.
+    * Persisted across the build's two jobs only (count for sizing +
+    * the bloom aggregation), then released in finally: the result
+    * DataFrame is lazy, so a cache held into the exact join has no
+    * later unpersist hook and leaks for the JVM lifetime (r7 ADVICE).
+    * ONE definition for the exact (decontaminateBloom) and span
+    * (decontaminateSpans) screens — the sizing/fpp/lifecycle contract
+    * must not drift between them (the BucketStore lesson). */
+  private def prescreenBloom(fps: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.storage.StorageLevel
-    // Persisted across the filter build's two jobs only (count for
-    // sizing + the bloom aggregation), then released in finally: the
-    // result DataFrame is lazy, so a cache held into the exact join
-    // has no later unpersist hook and leaks for the JVM lifetime
-    // (r7 ADVICE). The exact join re-derives the test fingerprints at
-    // execution — one extra shingle+distinct of the SMALL side.
+    fps.persist(StorageLevel.MEMORY_AND_DISK)
+    try fps.stat.bloomFilter("fp", math.max(fps.count(), 1L), DecontamBloomFpp)
+    finally { fps.unpersist(); () }
+  }
+
+  def decontaminateBloom(train: DataFrame, test: DataFrame): DataFrame = {
+    // the exact join re-derives the test fingerprints at execution —
+    // one extra shingle+distinct of the SMALL side
     val testFps = shingledFps(test).select(col("fp")).distinct()
-    testFps.persist(StorageLevel.MEMORY_AND_DISK)
-    val bloom =
-      try testFps.stat.bloomFilter(
-        "fp", math.max(testFps.count(), 1L), DecontamBloomFpp)
-      finally testFps.unpersist()
+    val bloom = prescreenBloom(testFps)
     val candidates = shingledFps(train)
       .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bloom))
     val hits = candidates.join(testFps, Seq("fp"))
@@ -800,16 +806,8 @@ object Curation {
     * die in the exact join that follows, so results stay bit-identical
     * to the unscreened formulation (same oracle SQL). */
   def decontaminateSpans(train: DataFrame, test: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // persisted only across the filter build's two jobs (count for
-    // sizing + bloom aggregation), released in finally — same
-    // lifecycle discipline as decontaminateBloom (r7 ADVICE)
     val testFps = shingledFps(test).select(col("fp")).distinct()
-    testFps.persist(StorageLevel.MEMORY_AND_DISK)
-    val bloom =
-      try testFps.stat.bloomFilter(
-        "fp", math.max(testFps.count(), 1L), DecontamBloomFpp)
-      finally testFps.unpersist()
+    val bloom = prescreenBloom(testFps)
     val pos = train.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
         posexplode(graft.functions.NativeExprs.shingleHashes(
@@ -884,9 +882,17 @@ object Curation {
     * same two-phase shape as the adaptive filter's rank cut; the
     * fallback full sort is still one shuffle, spilling, never
     * collecting. */
+  /** q84/q178's shared rank key — ONE definition (the wsampPrio
+    * discipline): the reservoir form's correctness contract is
+    * row-identity with the window form against q84's oracle, so the
+    * salt, prefix width, and tie-break must be a single expression
+    * the two samplers cannot drift apart on. */
+  private def stratRank: Column =
+    substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
+
   def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
+    val u = stratRank
     val w = Window.partitionBy(col("source")).orderBy(u.asc, col("doc_id").asc)
     docs.select(col("source"), col("doc_id"))
       .withColumn("rk", row_number().over(w))
@@ -911,9 +917,8 @@ object Curation {
     * row-identical, which is the whole point. */
   def q178ReservoirSample(s: SparkSession, d: String): DataFrame = {
     import graft.functions.HashReservoirAgg.hashReservoir
-    val u = substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
     documents(s, d)
-      .select(col("source"), col("doc_id"), u.as("rnk"))
+      .select(col("source"), col("doc_id"), stratRank.as("rnk"))
       .groupBy(col("source"))
       .agg(hashReservoir(col("rnk"), col("doc_id"), 20).as("ids"))
       .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
@@ -1243,11 +1248,22 @@ object Curation {
       .withColumn("t", coalesce(element_at(tgt, col(bucketCol)), lit(0.0)))
       .withColumn("ratio",
         col("t") / (col("n_docs").cast("double") / col("n_tot")))
-      .withColumn("rate", col("ratio") / max(col("ratio")).over(all))
+      // a target naming NO data bucket makes every ratio 0 and the
+      // max-normalization 0/0 = NaN, which sampleByRate's hex
+      // threshold turns into NULL n_kept — the documented contract
+      // (absent-from-target buckets drop to rate 0) must hold in that
+      // degenerate case too
+      .withColumn("rate",
+        when(max(col("ratio")).over(all) === 0.0, lit(0.0))
+          .otherwise(col("ratio") / max(col("ratio")).over(all)))
       .select(col(bucketCol), col("n_docs"), col("rate"))
     sampleByRate(docs, stats, bucketCol, ":rebal")
       .withColumn("share_after",
-        round(col("n_kept").cast("double") / sum(col("n_kept")).over(all), 6))
+        // all-zero keeps (the degenerate target above): 0/0 is a
+        // NaN share — an empty rebalance has zero share everywhere
+        when(sum(col("n_kept")).over(all) === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_kept").cast("double") / sum(col("n_kept")).over(all), 6)))
       .orderBy(col(bucketCol))
   }
 

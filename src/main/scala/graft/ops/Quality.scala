@@ -200,8 +200,14 @@ object Quality {
     * wordcount digest (map-side combined; at real scale the key would
     * be the 8-byte xxhash64 fp, q106's discipline). Everything after
     * operates on that vocab-sized digest: corpus totals re-aggregate
-    * it, both total frames broadcast back (vocab + #sources rows),
-    * and the KL sum is one more map-side-combined aggregation. */
+    * it, the BOUNDED frames (#sources rows, one total row) broadcast
+    * back by explicit hint, and the KL sum is one more map-side-
+    * combined aggregation. The vocab-sized corpus frame is left to
+    * the planner on purpose: a forced broadcast() bypasses
+    * autoBroadcastJoinThreshold, and a billion-token vocabulary would
+    * OOM the driver instead of falling back to the (token-keyed,
+    * digest-vs-digest) shuffle join that is the correct shape at that
+    * scale — AQE still broadcasts it whenever it is actually small. */
   def klDivergence(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("source"), explode(toks(col("text"))).as("token"))
@@ -212,7 +218,7 @@ object Quality {
     val total = corpus.agg(sum(col("c_t")).as("n_total"))
     val p = col("c_st").cast("double") / col("n_s")
     val q = col("c_t").cast("double") / col("n_total")
-    tf.join(broadcast(corpus), Seq("token"))
+    tf.join(corpus, Seq("token"))
       .join(broadcast(perSource), Seq("source"))
       .crossJoin(broadcast(total))
       .select(col("source"), col("n_s"), (p * log2(p / q)).as("term"))

@@ -108,6 +108,39 @@ class BucketStoreSpec extends AnyFunSuite {
       "a checksum-failing watermark is corruption, not a setup error")
   }
 
+  test("a torn layout sidecar is a FAIL row, never an fsck abort") {
+    // raw overwrite invalidates the local FS checksum → the sidecar
+    // read THROWS; the audit must report corruption (page, exit 1),
+    // not throw into HealthRun's NonFatal handler (exit 2, no page)
+    val dir = tmp("fsck_torn")
+    mkLedger(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "_buckets"), "torn")
+    val st = statuses(dir)
+    assert(st("layout")._1 == "fail" && st("layout")._2.contains("unreadable"),
+      s"got $st")
+  }
+
+  test("orphaned .old dirs are audited: readers serve them, so range and watermarks must cover them") {
+    // a crash between the publish renames leaves bucket=N.old with no
+    // live sibling — liveBucketDirs treats it as authoritative, so a
+    // damaged orphan must not evade the audit until recovery goes live
+    val dir = tmp("fsck_orphan")
+    mkLedger(dir)
+    val live = new java.io.File(dir, "bucket=0")
+    val orphan = new java.io.File(dir, "bucket=0.old")
+    assert(live.renameTo(orphan), "stage the orphan")
+    new java.io.File(orphan, "_applied").delete()
+    val st = statuses(dir)
+    assert(st("applied_watermarks")._1 == "fail" &&
+      st("applied_watermarks")._2.contains("bucket=0.old"), s"got $st")
+    // and a FOREIGN orphan fails bucket_range like its live twin would
+    val dir2 = tmp("fsck_orphan2")
+    mkLedger(dir2) // modulus 2
+    new java.io.File(dir2, "bucket=9.old").mkdirs()
+    assert(statuses(dir2)("bucket_range")._1 == "fail")
+  }
+
   test("a row in the wrong hash bucket fails bucket_hash with the misplaced count") {
     val dir = tmp("fsck_misplaced")
     mkLedger(dir)

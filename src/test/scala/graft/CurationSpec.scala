@@ -514,6 +514,22 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got.map { case (k, r) => k -> r.getAs[Long]("n_kept") })
   }
 
+  test("q158 degenerate target (no data bucket named): rates and shares are 0, never NaN/NULL") {
+    import spark.implicits._
+    // every ratio is 0 → the max-normalization used to be 0/0 = NaN,
+    // which the hex sampler turned into NULL n_kept — the documented
+    // contract is rate 0 for buckets absent from the target
+    val docs = (1 to 50).map(i => (i.toLong, "a")).toDF("doc_id", "lang")
+    val got = Curation.matchDistribution(docs, "lang", Map("xx" -> 1.0))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Double]("rate") == 0.0, s"rate must be 0: $r")
+    assert(r.getAs[Long]("n_kept") == 0L, s"n_kept must be 0, not NULL: $r")
+    assert(r.getAs[Double]("share_after") == 0.0,
+      s"an empty rebalance has zero share, not 0/0: $r")
+  }
+
   // ------------------------------------------------------------- q181
 
   test("q181: cluster-keyed rekey repairs the tear the id-keyed rule exhibits") {

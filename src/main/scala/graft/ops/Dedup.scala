@@ -171,21 +171,27 @@ object Dedup {
     * near-dup path above and the containment path (which skips the
     * signature rejoin entirely, see [[containmentCandidates]]).
     *
-    *  - bucket-size cap as groupBy-count + BROADCAST rejoin, not a
-    *    count window: the partial-aggregated counts are tiny and
-    *    broadcast, so degenerate (over-cap) buckets are dropped
-    *    MAP-SIDE and their rows never shuffle — a count window would
-    *    haul every hot-bucket row into one window task, the exact skew
-    *    this cap exists to prevent;
+    *  - bucket-size cap as groupBy-count + broadcast ANTI-join on the
+    *    OVER-cap keys, not a count window: degenerate buckets are
+    *    dropped MAP-SIDE and their rows never shuffle (a count window
+    *    would haul every hot-bucket row into one window task, the
+    *    exact skew this cap exists to prevent) — and the broadcast
+    *    side is the set of DEGENERATE bucket keys, which is tiny BY
+    *    DEFINITION at any corpus size. The round-13 review caught the
+    *    original inner-join-on-the-UNDER-cap form: that broadcast was
+    *    ~one key per (doc, band) — linear in the corpus — and would
+    *    OOM the driver at the billions-of-docs scale this cap is
+    *    designed for;
     *  - distinct BEFORE any payload rejoin, so downstream payloads
     *    move once per unique pair, not once per colliding band. */
   private def bandedPairs(signed: DataFrame): DataFrame = {
     val ex = signed.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    val small = ex.groupBy(col("band_idx"), col("bucket"))
+    val big = ex.groupBy(col("band_idx"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucket)
-    val inSmall = ex.join(broadcast(small), Seq("band_idx", "bucket"))
+      .filter(col("bucket_n") > MaxBucket)
+      .select(col("band_idx"), col("bucket"))
+    val inSmall = ex.join(broadcast(big), Seq("band_idx", "bucket"), "left_anti")
       .select(col("band_idx"), col("bucket"), col("doc_id"))
     inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
       .join(inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b")),
@@ -264,7 +270,10 @@ object Dedup {
     * removing ZERO of 119,010 banded pairs at sf0.1 while paying a
     * 64-slot signature rejoin per pair, so [[containmentCandidates]]
     * now scores every banded pair directly — the exact ≥minCont
-    * filter subsumes the estimate floor and recall can only grow.) */
+    * filter subsumes the estimate floor and recall can only grow.
+    * The constant's one remaining consumer is
+    * [[crossSplitLeakageLsh]], whose rejoin prices only the
+    * cross-split minority.) */
   val ContainmentMinEst = 0.5
 
   /** Output floor: only pairs where one side is ≥95% contained in the
@@ -404,10 +413,14 @@ object Dedup {
       posexplode(array((0 until SimhashBands).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "key")))
-    val small = banded.groupBy(col("band_idx"), col("key"))
+    // over-cap ANTI-join, not under-cap inner: the broadcast side must
+    // be the DEGENERATE keys (tiny by definition), never the ~one-key-
+    // per-(doc, band) under-cap set — see the bandedPairs doc
+    val big = banded.groupBy(col("band_idx"), col("key"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucket)
-    val inSmall = banded.join(broadcast(small), Seq("band_idx", "key"))
+      .filter(col("bucket_n") > MaxBucket)
+      .select(col("band_idx"), col("key"))
+    val inSmall = banded.join(broadcast(big), Seq("band_idx", "key"), "left_anti")
       .select(col("band_idx"), col("key"), col("doc_id"), col("sh"))
     inSmall.select(col("band_idx"), col("key"), col("doc_id").as("id_a"),
         col("sh").as("sh_a"))
@@ -662,7 +675,15 @@ object Dedup {
     var prevChk: DataFrame = null
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    // 25 materialized rounds = diameter ≤ 50 (two relaxations each) —
+    // ample for near-dup cluster graphs, but a chain-shaped component
+    // (chained version histories) can exceed it; overridable like the
+    // fast-path ceiling (SPARK_GRAFT_CC_SINGLE_MAX) so a scale run
+    // with a deeper graph raises the cap instead of aborting after
+    // paying for every round
+    val maxRounds = sys.env.get("SPARK_GRAFT_CC_MAX_ROUNDS")
+      .map(_.toInt).getOrElse(25)
+    while (changed > 0 && rounds < maxRounds) {
       // TWO relaxations per materialized round: labels spread two hops
       // per checkpoint cycle, halving the dominant per-round fixed
       // cost (job scheduling, AQE stage materialization, broadcast) —
@@ -1037,16 +1058,30 @@ object Dedup {
   /** Unbounded production path for q108: banded MinHash candidates
     * (ids-only exchange, bucket caps intact) restricted to cross-split
     * pairs, then exact token-set verification of the candidates only —
-    * never test × train. The est floor reuses q92's 0.5 (leakage worth
+    * never test × train. The est floor uses 0.5 (leakage worth
     * flagging sits well above it; the banding recall envelope is the
-    * same documented trade). Output: (test_id, train_id, jaccard) for
-    * verified pairs at or above `minJaccard`. */
+    * same documented trade — NOTE this is the one remaining consumer
+    * of [[ContainmentMinEst]]; q92's containment path dropped its
+    * floor in round 10). Order of operations (round-13 review): the
+    * split label derives from ids ALONE, so the cross-split filter
+    * runs on the banded pairs BEFORE the 64-slot signature rejoin —
+    * the rejoin and est scoring then price only the cross-split
+    * minority instead of every candidate, with results byte-identical
+    * to the filter-after form. Output: (test_id, train_id, jaccard)
+    * for verified pairs at or above `minJaccard`. */
   def crossSplitLeakageLsh(docs: DataFrame, minJaccard: Double): DataFrame = {
     val lab = (id: String) => Curation.splitLabel(col(id))
-    val cross = minhashCandidatePairsOf(docs, minEst = ContainmentMinEst)
+    val signed = swapSigCache(withMinhash(docs)
+      .select(col("doc_id"), col("sig"), col("bands")))
+    val crossCands = bandedPairs(signed)
       .select(col("id_a"), col("id_b"), lab("id_a").as("sp_a"), lab("id_b").as("sp_b"))
       .filter((col("sp_a") === "train" && col("sp_b") === "test") ||
         (col("sp_a") === "test" && col("sp_b") === "train"))
+    val cross = crossCands
+      .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(graft.functions.NativeExprs.sigMatches(col("sig_a"), col("sig_b"))
+        .cast("double") / SigLen >= ContainmentMinEst)
       .select(
         when(col("sp_a") === "test", col("id_a")).otherwise(col("id_b")).as("test_id"),
         when(col("sp_a") === "test", col("id_b")).otherwise(col("id_a")).as("train_id"))

@@ -129,11 +129,15 @@ object Similarity {
   def embedNearDupPairs(signed: DataFrame, maxBucket: Int): DataFrame = {
     val ex = signed.select(col("vec_id"), col("e"),
         posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val small = ex.groupBy(col("band_idx"), col("band_val"))
+    // over-cap ANTI-join (the round-13 bandedPairs fix): the broadcast
+    // side is the DEGENERATE keys — tiny by definition — never the
+    // ~one-key-per-(vec, band) under-cap set, which is corpus-sized
+    val big = ex.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band_idx"), col("band_val"))
     val inSmall = ex.select(col("band_idx"), col("band_val"), col("vec_id"))
-      .join(small.select(col("band_idx"), col("band_val")), Seq("band_idx", "band_val"))
+      .join(broadcast(big), Seq("band_idx", "band_val"), "left_anti")
     val cands = inSmall.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
       .join(inSmall.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b")),
             Seq("band_idx", "band_val"))

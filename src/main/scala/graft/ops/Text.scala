@@ -1207,17 +1207,27 @@ object Text {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
+    // the unigram digest is consumed THREE times (a-side, b-side,
+    // total) and Spark re-runs the corpus explode per consumer (the
+    // measured q82/q85 non-reuse) — materialize the vocab-sized
+    // digest once (the q187/q196 localCheckpoint idiom)
     val uni = docs.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .localCheckpoint()
     // n_pairs = Σ(len−1) = n_tokens − n_docs (split() output is never
     // empty): derived from the unigram digest + a metadata-only row
     // count instead of a third corpus tokenization
     val nTotal = uni.agg(sum(col("n_w")).as("n_tokens"))
     val nPairs = nTotal.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
       .select((col("n_tokens") - col("n_docs")).as("n_pairs"))
+    // the vocab-sized uni joins are left to the planner (the q112
+    // rule: a forced broadcast of an unbounded digest bypasses the
+    // threshold and OOMs at real vocab scale; AQE still broadcasts
+    // the materialized digest whenever it is actually small) — only
+    // the one-row totals keep their hints
     pairs
-      .join(broadcast(uni.select(col("w").as("a"), col("n_w").as("n_a"))), Seq("a"))
-      .join(broadcast(uni.select(col("w").as("b"), col("n_w").as("n_b"))), Seq("b"))
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), Seq("b"))
       .crossJoin(broadcast(nTotal)).crossJoin(broadcast(nPairs))
       .select(col("a"), col("b"), col("n_ab"),
         round(log2((col("n_ab").cast("double") / col("n_pairs")) /

@@ -93,12 +93,23 @@ object Cluster {
     * assignment — non-increasing in t by Lloyd's argument, which
     * ClusterSpec pins. */
   def kmeansDistributed(vecs: DataFrame, k: Int = K, iters: Int = Iters): KmeansModel = {
-    var cents = farthestPointSeeds(vecs, k)
-    val dim = cents(0).length
+    // the malformed-embedding guard belongs HERE, not per caller
+    // (round-13 review; round 12 had guarded only q171's scoring
+    // frame): a wrong-dimension array makes nearestCentroid return
+    // null and the driver fold below NPE on getInt — crashing every
+    // fit consumer (q97/q168/q171) on one bad row — and it must run
+    // BEFORE seeding too, or a malformed min-hash row becomes seed 1
+    // and poisons the model dimension itself. The model dimension is
+    // the corpus's DOMINANT embedding length (one tiny agg job).
+    val dim = vecs.groupBy(size(col("e")).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc).head().getInt(0)
+    val clean = vecs.filter(size(col("e")) === dim)
+    var cents = farthestPointSeeds(clean, k)
+    require(cents(0).length == dim, "seeding must follow the guard")
     val costs = scala.collection.mutable.ArrayBuffer[Double]()
     var it = 0
     while (it < iters) {
-      val assigned = vecs.select(
+      val assigned = clean.select(
         graft.functions.NativeExprs.nearestCentroid(col("e"), cents).as("c"),
         minSqDist(col("e"), cents).as("d2"),
         col("e"))
@@ -143,13 +154,12 @@ object Cluster {
 
   // ---------------------------------------------------------------- q98
 
-  /** Unit-normalized (id, u) frame; zero-norm vectors dropped (the
-    * q76/q86 guard — cosine against them is 0/0). */
+  /** Unit-normalized (vec_id, u) frame — [[Similarity.unitVectors]]'s
+    * zero-norm guard, single-sourced there (round-13 review: this was
+    * a third copy of the normalize+filter logic, and a changed
+    * zero-norm policy would have silently diverged q98 from q76/q86). */
   private def unit(vecs: DataFrame): DataFrame =
-    vecs
-      .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+    Similarity.unitVectors(vecs, "vec_id")
 
   /** Greedy semantic dedup on an explicit candidate-pair frame
     * (id_a < id_b, cos ≥ τ already applied): a vector is kept iff no

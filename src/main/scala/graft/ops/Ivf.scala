@@ -123,8 +123,11 @@ object Ivf {
     val corpus = emb(s, d)
     val cents = trainCentroids(corpus)
     // driver-side O(1): the single query row and the k-row centroid rank
-    val qVec = corpus.filter(col("vec_id") === 0).select(col("e"))
-      .head().getSeq[Double](0)
+    val qRow = corpus.filter(col("vec_id") === 0).select(col("e")).head(1)
+    require(qRow.nonEmpty, "query vector vec_id=0 absent from embeddings" +
+      " — this query family anchors its probe on it (q40/q41 degrade to" +
+      " empty instead; this one cannot rank probes without a query)")
+    val qVec = qRow.head.getSeq[Double](0)
     val probes = rankProbes(cents, qVec, nprobe)
     val qe = typedLit(qVec)
     corpus
@@ -301,8 +304,10 @@ object Ivf {
     * result-for-result, and PartitionFilters present in the scan. */
   def q70IvfProbeIndex(s: SparkSession, d: String): DataFrame = {
     val path = ensureIndex(s, d)
-    val qVec = emb(s, d).filter(col("vec_id") === 0).select(col("e"))
-      .head().getSeq[Double](0)
+    val qRow = emb(s, d).filter(col("vec_id") === 0).select(col("e")).head(1)
+    require(qRow.nonEmpty, "query vector vec_id=0 absent from embeddings" +
+      " — q70 anchors its probe on it")
+    val qVec = qRow.head.getSeq[Double](0)
     probeIndex(s, path, qVec, NProbe, excludeVecId = Some(0L))
   }
 
@@ -357,13 +362,27 @@ object Ivf {
     * bounded like the centroids themselves. One combined map-side
     * pass; the exchange carries dim × tasks scalar partials. */
   private[graft] def dimProfile(embs: DataFrame): Array[(Double, Double)] =
-    embs
+    dimProfileWithCount(embs)._1
+
+  /** The per-dim profile PLUS the batch row count, from one
+    * aggregation: syncIndex's append path needs both, and a separate
+    * newDf.count() was a second full scan of every appended drop —
+    * the exact per-drop cost the append path exists to minimize
+    * (round-13 review). The count is the max per-dim row count, which
+    * equals the vector count for any uniform-dimension batch. */
+  private[graft] def dimProfileWithCount(
+      embs: DataFrame): (Array[(Double, Double)], Long) = {
+    val rows = embs
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(avg(col("v")).as("m"),
-           coalesce(stddev_samp(col("v")), lit(0.0)).as("sd"))
+           coalesce(stddev_samp(col("v")), lit(0.0)).as("sd"),
+           count(lit(1)).as("n"))
       .orderBy(col("pos"))
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .collect()
+    (rows.map(r => (r.getDouble(1), r.getDouble(2))),
+      if (rows.isEmpty) 0L else rows.map(_.getLong(3)).max)
+  }
 
   /** (max per-dim normalized mean shift, dead→alive flips, alive→dead
     * flips) between the train-time profile and a batch of new data.
@@ -583,7 +602,7 @@ object Ivf {
       .flatMap(t => scala.util.Try(parseDimStats(t)).toOption)
     if (trainProfOpt.isEmpty) return fullBuild("rebuild")
     val trainProf = trainProfOpt.get
-    val newProf = dimProfile(newDf)
+    val (newProf, nNew) = dimProfileWithCount(newDf)
     if (newProf.length != trainProf.length) return fullBuild("rebuild")
     // drift thresholds must respect the NEW batch's sample size
     // (round-10 high review): a tiny drop's per-dim sample mean has
@@ -593,7 +612,6 @@ object Ivf {
     // threshold; the dead↔alive gate counts dead→ALIVE always (any
     // observed variance on a trained-dead dim is positive evidence)
     // but alive→dead only when n can actually witness variance.
-    val nNew = newDf.count()
     val slack = DriftRebuildSds + 3.0 / math.sqrt(math.max(1.0, nNew.toDouble))
     val (shift, deadToAlive, aliveToDead) = geometryDrift(trainProf, newProf)
     val deadFlips = deadToAlive + (if (nNew >= 30) aliveToDead else 0)
@@ -874,8 +892,11 @@ object Ivf {
     // materialize it and release the cached per-query score frame —
     // the bench runs 143 queries in one session and a leaked cache
     // holds corpus-sized partitions in executor storage (r9 ADVICE)
-    val rows = out.collect().toSeq
-    scored.unpersist()
+    val rows =
+      try out.collect().toSeq
+      finally scored.unpersist() // in finally: a failed/cancelled
+      // collect must not pin the corpus-sized cache for the session
+      // (the truncationRecall/silhouetteSampled discipline)
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }
 

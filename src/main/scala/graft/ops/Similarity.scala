@@ -172,7 +172,10 @@ object Similarity {
     val qz = emb(s, d)
       .withColumn("q8", graft.functions.NativeExprs.quantizeI8(col("e")))
     // driver-side O(1): the single query row
-    val qRow = qz.filter(col("vec_id") === 0).select(col("q8"), col("e")).head()
+    val qRows = qz.filter(col("vec_id") === 0).select(col("q8"), col("e")).head(1)
+    require(qRows.nonEmpty, "query vector vec_id=0 absent from embeddings" +
+      " — q56 anchors its scan on it")
+    val qRow = qRows.head
     val q8 = lit(qRow.getAs[Array[Byte]](0))
     val qe = typedLit(qRow.getSeq[Double](1))
     qz.filter(col("vec_id") =!= 0)
@@ -201,9 +204,10 @@ object Similarity {
 
   /** Unit-normalized vectors with zero-norm rows dropped (x/0 → NaN
     * would poison every downstream sum) — shared by q76 and q86 so
-    * the guard lives in exactly one place. Keeps `keep` columns plus
-    * the normalized array as `u`. */
-  private def unitVectors(embs: DataFrame, keep: String*): DataFrame =
+    * the guard lives in exactly one place (q98's semantic dedup in
+    * Cluster uses it too — round-13 review removed a third copy).
+    * Keeps `keep` columns plus the normalized array as `u`. */
+  private[ops] def unitVectors(embs: DataFrame, keep: String*): DataFrame =
     embs
       .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
       .filter(col("nrm") > 0)

@@ -40,6 +40,21 @@ class ClusterSpec extends AnyFunSuite {
     assert(Set(4L, 5L, 6L, 7L).map(asg).size == 1)
   }
 
+  test("kmeans tolerates malformed embeddings: wrong-dim and empty rows are excluded from the fit") {
+    // one wrong-dimension row and one empty row ride along; pre-fix a
+    // wrong-dim row made nearestCentroid return null and NPE'd the
+    // driver fold (and could even poison the model dimension by
+    // becoming seed 1 via the min-hash order)
+    val dirty = vecsDF(Seq(
+      (100L, Seq(1.0)), (101L, Seq.empty[Double])))
+      .unionByName(blobs)
+    val m = Cluster.kmeansDistributed(dirty, k = 2, iters = 4)
+    val clean = Cluster.kmeansDistributed(blobs, k = 2, iters = 4)
+    assert(m.centroids.map(_.toSeq).sortBy(_.sum).toSeq ==
+      clean.centroids.map(_.toSeq).sortBy(_.sum).toSeq,
+      "malformed rows must not perturb the fitted model")
+  }
+
   test("kmeans cost sequence is non-increasing (Lloyd's invariant)") {
     val vecs = vecsDF((0L until 40L).map(i =>
       (i, Seq((i % 7).toDouble, (i % 5).toDouble, (i % 3).toDouble))))

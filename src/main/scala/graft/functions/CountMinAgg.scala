@@ -39,6 +39,16 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 
   require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2; got $depth x $width")
 
+  // analysis-time guard (the HashReservoirAgg/HdrQuantileAgg class):
+  // update casts straight to UTF8String, so a non-string child died
+  // per-row as a ClassCastException in running tasks
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_min_sketch_agg expects a string column (cast first), " +
+        s"got ${other.catalogString}")
+  }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

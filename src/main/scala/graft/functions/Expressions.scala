@@ -77,7 +77,11 @@ object NativeExprs {
     Seq(
       ("cosine_sim",
         "cosine_sim(a, b) - fused cosine similarity of two array<double>",
-        es => CosineSim(es(0), es(1))),
+        {
+          case Seq(a, b) => CosineSim(a, b)
+          case es => throw new IllegalArgumentException(
+            s"cosine_sim expects exactly 2 arguments; got ${es.length}")
+        }),
       ("minhash_sig",
         "minhash_sig(tokens[, slots]) - MinHash signature of array<string> " +
           "or pre-hashed array<bigint> (e.g. shingle_hashes output)",
@@ -90,10 +94,18 @@ object NativeExprs {
         }),
       ("simhash64",
         "simhash64(tokens) - 63-bit SimHash of array<string>",
-        es => SimHash64(es.head)),
+        {
+          case Seq(t) => SimHash64(t)
+          case es => throw new IllegalArgumentException(
+            s"simhash64 expects exactly 1 argument; got ${es.length}")
+        }),
       ("sig_matches",
         "sig_matches(a, b) - equal-slot count of two array<bigint> signatures",
-        es => SigMatches(es(0), es(1))),
+        {
+          case Seq(a, b) => SigMatches(a, b)
+          case es => throw new IllegalArgumentException(
+            s"sig_matches expects exactly 2 arguments; got ${es.length}")
+        }),
       ("shingle_hashes",
         "shingle_hashes(tokens, n) - xxhash64 of each n-token sliding window",
         {
@@ -112,10 +124,18 @@ object NativeExprs {
         }),
       ("quantize_i8",
         "quantize_i8(e) - max-abs int8 quantization of array<double> to binary",
-        es => QuantizeI8(es.head)),
+        {
+          case Seq(e) => QuantizeI8(e)
+          case es => throw new IllegalArgumentException(
+            s"quantize_i8 expects exactly 1 argument; got ${es.length}")
+        }),
       ("cosine_sim_i8",
         "cosine_sim_i8(a, b) - cosine of two int8-quantized binary vectors",
-        es => CosineSimI8(es(0), es(1))),
+        {
+          case Seq(a, b) => CosineSimI8(a, b)
+          case es => throw new IllegalArgumentException(
+            s"cosine_sim_i8 expects exactly 2 arguments; got ${es.length}")
+        }),
       ("hll_distinct",
         "hll_distinct(x[, p]) - HyperLogLog approximate distinct count (2^p registers)",
         {
@@ -143,7 +163,17 @@ object NativeExprs {
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must already be array<double> (callers cast explicitly)
+  // analysis-time type gate: registry-exposed (cosine_sim in SQL), so
+  // a wrong-typed argument must fail analysis — an array<int> would
+  // otherwise MISREAD unsafe array bytes as doubles and return
+  // plausible-looking garbage silently (the MinHashSig discipline)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects two array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override def nullable: Boolean = true
@@ -210,6 +240,8 @@ case class CosineSim(left: Expression, right: Expression)
   * same branch. */
 case class MinHashSig(child: Expression, slots: Int)
     extends UnaryExpression {
+
+  require(slots >= 1, s"slots must be >= 1, got $slots")
 
   // analysis-time type gate (AbstractDataType/ExpectsInputTypes are
   // private[sql], so the check is spelled out): the SQL registry
@@ -289,7 +321,18 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
                          bitsPerBand: Int)
     extends UnaryExpression {
 
-  // input must be array<double>
+  require(bitsPerBand >= 1, s"bitsPerBand must be >= 1, got $bitsPerBand")
+  // the kernel sizes its band array as planes/bitsPerBand and indexes
+  // p / bitsPerBand — a non-divisible plane count would throw a
+  // data-dependent AIOOBE mid-scan (only on rows with dot > 0)
+  require(planes.length % bitsPerBand == 0,
+    s"planes (${planes.length}) must be divisible by bitsPerBand ($bitsPerBand)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects array<double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sig"
 
@@ -346,7 +389,12 @@ case class ShingleHashes(child: Expression, n: Int)
   * the memory-bandwidth lever for 100 TB embedding tables. */
 case class QuantizeI8(child: Expression) extends UnaryExpression {
 
-  // input must be array<double>
+  // registry-exposed: wrong-typed input must fail analysis (see CosineSim)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_i8 expects array<double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = BinaryType
   override def prettyName: String = "quantize_i8"
 
@@ -425,6 +473,13 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
 case class CosineSimI8(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // registry-exposed: wrong-typed input must fail analysis (see CosineSim)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_i8 expects two binary vectors, got ${l.catalogString}, ${r.catalogString}")
+    }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim_i8"
   override def nullable: Boolean = true
@@ -466,7 +521,15 @@ case class CosineSimI8(left: Expression, right: Expression)
 case class SigMatches(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<long> signatures of equal length
+  // registry-exposed: wrong-typed input must fail analysis (see
+  // CosineSim); length equality stays a runtime null (data-dependent)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_matches expects two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_matches"
   override def nullable: Boolean = true

@@ -123,15 +123,24 @@ private[graft] object Hdr {
   }
 
   def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](Size)
+    addBytesInto(buf, bytes)
+  }
+
+  /** Adds a serialized sketch's sparse (idx, count) pairs STRAIGHT
+    * into `buf` — the rollup hot path: fromBytes + mergeInto
+    * allocated a dense Size-long (~18 KB) array and scanned every
+    * slot per input ROW, where a stored per-group sketch typically
+    * holds a handful of non-zero buckets (round-13 review). */
+  def addBytesInto(buf: Array[Long], bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val size = bb.getInt
     require(size == Size,
       s"HDR sketch layout mismatch: stored Size=$size, this build Size=$Size " +
         "(SubBits/MaxExp changed) — rebuild the stored sketches")
     val nz = bb.getInt
-    val buf = new Array[Long](Size)
     var k = 0
-    while (k < nz) { val i = bb.getInt; buf(i) = bb.getLong; k += 1 }
+    while (k < nz) { val i = bb.getInt; buf(i) += bb.getLong; k += 1 }
     buf
   }
 }
@@ -266,7 +275,8 @@ case class HdrMergeAgg(child: Expression, qs: Seq[Double],
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) Hdr.mergeInto(buf, Hdr.fromBytes(v.asInstanceOf[Array[Byte]]))
+    // sparse add, no dense intermediate (see Hdr.addBytesInto)
+    if (v != null) Hdr.addBytesInto(buf, v.asInstanceOf[Array[Byte]])
     buf
   }
 

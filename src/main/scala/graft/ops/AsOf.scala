@@ -65,10 +65,16 @@ object AsOf {
     val lT = left.select(
       (Seq(col(key), col(ts), lit(1).as("_side"),
            lit(null).cast(rStructType).as("_r")) ++ lPayload.map(col)): _*)
-    // null-key right rows can never match (SQL ASOF semantics) — drop
-    // them before the union so they don't land in the null partition
-    // where they would otherwise "match" null-key left rows
-    val rT = right.filter(col(key).isNotNull).select(
+    // null-key AND null-ts right rows can never match (SQL ASOF
+    // semantics: NULL = k and NULL ≤ t are both unknown) — drop them
+    // before the union. A null key would land in the null partition
+    // and "match" null-key left rows; a null TS sorts FIRST in the
+    // window order and would become the match for any left row with
+    // no earlier real right row (round-13 review — the native execs
+    // skip both classes identically). Null-ts LEFT rows then fall out
+    // naturally: they sort before every remaining right row, so
+    // last(_r) sees nothing and they emit null-extended.
+    val rT = right.filter(col(key).isNotNull && col(ts).isNotNull).select(
       (Seq(col(key), col(ts), lit(0).as("_side"),
            struct(rStructFields.map(col): _*).as("_r")) ++
         lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

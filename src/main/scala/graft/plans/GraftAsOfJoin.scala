@@ -42,6 +42,17 @@ case class GraftAsOfJoin(
     broadcastHint: Option[Boolean] = None,
     rightUnique: Boolean = false) extends BinaryNode {
 
+  // the execs build key/ts orderings from the LEFT side's types and
+  // apply them to right-side rows — a type mismatch (e.g. LONG vs INT
+  // ts) would compare garbage bytes and produce silently wrong
+  // matches, so it must fail at construction, not at execution
+  require(org.apache.spark.sql.catalyst.types.DataTypeUtils.sameType(
+      leftKey.dataType, rightKey.dataType),
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(org.apache.spark.sql.catalyst.types.DataTypeUtils.sameType(
+      leftTs.dataType, rightTs.dataType),
+    s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+
   // LEFT OUTER semantics: every left row survives; unmatched right
   // columns are null, so the right output is re-declared nullable
   override def output: Seq[Attribute] =
@@ -174,19 +185,25 @@ case class AsOfJoinExec(
         private var heldTs: InternalRow = _
         advanceRight()
 
-        // skips null-key right rows: NULL keys never match (SQL ASOF
-        // semantics); left null-key rows then fall out naturally —
-        // nulls sort first, so no right row compares ≤ them and the
-        // row emits null-extended
+        // skips null-key AND null-ts right rows: NULL keys never
+        // match (SQL ASOF semantics), and a NULL right ts sorts FIRST
+        // under the required ordering, so without this skip it would
+        // compare ≤ every probe and become a bogus match (NULL ≤ x is
+        // not true in SQL; the composed AsOf form never matches it) —
+        // worse, with a tolerance the null slot reads as 0 and
+        // survives the staleness mask. Left null-key rows then fall
+        // out naturally — nulls sort first, so no right row compares
+        // ≤ them and the row emits null-extended.
         private def advanceRight(): Unit = {
           rRow = null; rKey = null; rTs = null
           while (rRow == null && rIter.hasNext) {
             val r = rIter.next()
             val k = rKeyProj(r)
-            if (!k.isNullAt(0)) {
+            val t = rTsProj(r)
+            if (!k.isNullAt(0) && !t.isNullAt(0)) {
               rRow = r
               rKey = k.copy()
-              rTs = rTsProj(r).copy()
+              rTs = t.copy()
             }
           }
         }
@@ -197,6 +214,10 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTs = lTsProj(l)
+          // a NULL left ts matches nothing (right.ts ≤ NULL is never
+          // true) — guard explicitly, or a held match from an earlier
+          // same-key probe would leak onto this row
+          val lTsNull = lTs.isNullAt(0)
           // a held match never outlives its key group
           if (held != null && keyOrd.compare(heldKey, lKey) != 0) {
             held = null; heldKey = null; heldTs = null
@@ -219,7 +240,7 @@ case class AsOfJoinExec(
             }
           }
           val matched =
-            if (held == null) nullRight
+            if (held == null || lTsNull) nullRight
             // tolerance masking: a match staler than `tol` units is
             // nulled, row kept. Long and Timestamp[NTZ] ts types both
             // store as physical long (micros for timestamps — so tol
@@ -321,7 +342,10 @@ case class BroadcastAsOfJoinExec(
         val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
         bRight.value.foreach { r =>
           val k = rKeyProj(r)
-          if (!k.isNullAt(0)) { // null keys never match — keep them out
+          // null keys and null timestamps never match — keep them out
+          // of the index (a null ts sorts first and binary search
+          // would select it for EVERY probe, including null-ts probes)
+          if (!k.isNullAt(0) && !rTsProj(r).isNullAt(0)) {
             var buf = grouped.get(k)
             if (buf == null) {
               buf = new scala.collection.mutable.ArrayBuffer[InternalRow]

@@ -105,4 +105,22 @@ class CodegenSpec extends AnyFunSuite {
       .selectExpr("hll_distinct(v) AS n").head().getLong(0)
     assert(math.abs(agg - 3000) < 200, s"hll_distinct via SQL gave $agg")
   }
+
+  test("registry-exposed expressions fail ANALYSIS on wrong types/arity, never misread at runtime") {
+    NativeExprs.registerAll(spark)
+    // array<int> into cosine_sim would misread 4-byte elements as
+    // doubles on unsafe rows — plausible garbage, silently
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"$sql: expected '$frag' in: ${e.getMessage.take(300)}")
+    }
+    fails("SELECT cosine_sim(array(1, 2), array(2, 3))", "array<double>")
+    fails("SELECT sig_matches(array(1, 2), array(1, 9))", "array<bigint>")
+    fails("SELECT cosine_sim_i8('a', 'b')", "binary")
+    fails("SELECT quantize_i8(array('a'))", "array<double>")
+    fails("SELECT simhash64(array('a'), array('b'))", "exactly 1")
+    fails("SELECT cosine_sim(array(1.0D))", "exactly 2")
+    fails("SELECT minhash_sig(array('a'), -1)", ">= 1")
+  }
 }

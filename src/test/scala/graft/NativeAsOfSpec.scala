@@ -234,6 +234,48 @@ class NativeAsOfSpec extends AnyFunSuite {
     check(AsOf.asOfJoin(left, right, "k", "t"), "composed")
   }
 
+  test("NULL timestamps never match on any form: null-ts right rows excluded, null-ts left rows null-extended") {
+    import spark.implicits._
+    // SQL ASOF: NULL ≤ x and x ≤ NULL are both unknown. Pre-fix the
+    // native execs matched the null-ts right row (it sorts FIRST, so
+    // tsOrd.compare ≤ held for every probe and the zeroed null slot
+    // even survived tolerance masking), and the composed window form
+    // picked it as last(_r) whenever no real right row preceded.
+    val left = Seq((1L, Option(4L), "a"),   // only the null-ts right row "precedes" → must be null
+                   (1L, Option(6L), "b"),   // real match at 5
+                   (1L, Option.empty[Long], "c")) // null-ts left → null-extended
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, Option.empty[Long], 99.0), (1L, Option(5L), 1.0))
+      .toDF("k", "t", "v")
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val got = df.collect()
+        .map(r => r.getString(r.fieldIndex("tag")) ->
+          (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v")))))
+        .toMap
+      assert(got("a") == None, s"$label: a null-ts right row must never match")
+      assert(got("b") == Some(1.0), s"$label: the real row still matches")
+      assert(got("c") == None, s"$label: a null-ts left row is null-extended")
+    }
+    check(NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(false)), "sort-merge")
+    check(NativeAsOf.asOfJoin(left, right, "k", "t", broadcast = Some(true)), "broadcast")
+    check(AsOf.asOfJoin(left, right, "k", "t"), "composed")
+    // and with a tolerance, the zeroed null slot must not slip through
+    check(NativeAsOf.asOfJoin(left, right, "k", "t", tolerance = Some(100L),
+      broadcast = Some(false)), "sort-merge+tol")
+    check(NativeAsOf.asOfJoin(left, right, "k", "t", tolerance = Some(100L),
+      broadcast = Some(true)), "broadcast+tol")
+  }
+
+  test("mismatched key/ts types fail at construction, not with garbage comparisons") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1, 5, 1.0)).toDF("k", "t", "v") // INT key + ts
+    val e = intercept[IllegalArgumentException] {
+      NativeAsOf.asOfJoin(left, right, "k", "t").collect()
+    }
+    assert(e.getMessage.contains("types differ"))
+  }
+
   test("rightUnique prunes unreferenced right columns; results unchanged on unique input") {
     import graft.plans.GraftAsOfJoin
     import spark.implicits._

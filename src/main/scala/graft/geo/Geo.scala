@@ -125,24 +125,22 @@ object Geo {
     * Returns (a,b,c,d,e,f) with lon = a·x + b·y + c, lat = d·x + e·y + f,
     * or None when < 3 GCPs or a degenerate (collinear) configuration. */
   def gcpAffineFit(gcps: Seq[Seq[Double]]): Option[Array[Double]] = {
-    if (gcps.length < 3) return None
-    // normal equations: M · [p,q,r]ᵀ = v for each target dimension
-    var sxx = 0.0; var sxy = 0.0; var sx = 0.0
-    var syy = 0.0; var sy = 0.0; var n = 0.0
-    var sxLon = 0.0; var syLon = 0.0; var sLon = 0.0
-    var sxLat = 0.0; var syLat = 0.0; var sLat = 0.0
-    gcps.foreach { g =>
-      val x = g.head; val y = g(1); val lat = g(2); val lon = g(3)
-      sxx += x * x; sxy += x * y; sx += x
-      syy += y * y; sy += y; n += 1
-      sxLon += x * lon; syLon += y * lon; sLon += lon
-      sxLat += x * lat; syLat += y * lat; sLat += lat
+    // delegate to the NORMALIZED order-1 polynomial fit and convert
+    // the weights back to raw-pixel affine coefficients: the previous
+    // raw-pixel normal equations re-implemented this solve WITHOUT
+    // the centering/scaling the PolyModel doc calls part of the model
+    // — clustered high-magnitude pixel GCPs conditioned far worse in
+    // the affine path than in the (mathematically identical) order-1
+    // poly path (round-13 review). lon = w0 + w1·(x−xOff)/s +
+    // w2·(y−yOff)/s ⇒ p = w1/s, q = w2/s, r = w0 − (w1·xOff + w2·yOff)/s.
+    gcpPolyFit(gcps, 1).map { m =>
+      def raw(w: Array[Double]): Array[Double] = Array(
+        w(1) / m.scale, w(2) / m.scale,
+        w(0) - (w(1) * m.xOff + w(2) * m.yOff) / m.scale)
+      val lonC = raw(m.lonW)
+      val latC = raw(m.latW)
+      Array(lonC(0), lonC(1), lonC(2), latC(0), latC(1), latC(2))
     }
-    val m = Array(Array(sxx, sxy, sx), Array(sxy, syy, sy), Array(sx, sy, n))
-    for {
-      lonC <- solveN(m, Array(sxLon, syLon, sLon))
-      latC <- solveN(m, Array(sxLat, syLat, sLat))
-    } yield Array(lonC(0), lonC(1), lonC(2), latC(0), latC(1), latC(2))
   }
 
   /** Dense Gaussian elimination with partial pivoting; None on a

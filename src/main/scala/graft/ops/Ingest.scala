@@ -123,6 +123,13 @@ object Ingest {
     }
     val dir = new java.io.File(outDir)
     dir.mkdirs()
+    // clear STALE pages from a previous crawl into the same spool: a
+    // shrunken upstream leaves orphan page-NNNN files past the new
+    // last page, and PagedNdjsonSource would read their deleted
+    // records as live data (round-13 review)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".ndjson"))
+      .foreach(_.delete())
     fetchAllPages(perPage, retries)(fetch).map { case (page, result) =>
       val f = new java.io.File(dir, f"page-$page%04d.ndjson")
       val lines = result match {

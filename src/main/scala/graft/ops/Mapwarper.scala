@@ -90,8 +90,14 @@ object Mapwarper {
       entry(truthy(col("maskError")), "mask_to_geojson", col("maskError")),
       entry(col("status") === "warped" && col("mask_status") === "unmasked",
         "warped_but_unmasked", lit("Map is warped, but not masked")),
-      entry(col("status") =!= "warped" && col("status") =!= "published" &&
-              col("mask_status") =!= "unmasked",
+      // null-SAFE inequality (<=>): the reference's `!==`
+      // (mapwarper.js:301) is TRUE for an undefined status or
+      // mask_status, while Spark's =!= evaluates to NULL and the rule
+      // silently never fires — shipping a dirty map as a clean object
+      // (round-13 review). Rule 7 above needs no change: JS === is
+      // false for undefined, matching ===/null's non-fire.
+      entry(!(col("status") <=> "warped") && !(col("status") <=> "published") &&
+              !(col("mask_status") <=> "unmasked"),
         "unwarped_but_masked", lit("Map is masked, but not warped")))
 
     val firing = filter(ruleEntries, x => x.isNotNull)
@@ -268,7 +274,14 @@ object Mapwarper {
   /** The full transform step: tagged union of objects ∪ relations ∪
     * logs from one validated, cached frame. */
   def pipeline(records: DataFrame): DataFrame = {
-    val validated = withLogs(enrichMasks(eligibleMaps(records))).cache()
+    // lazy localCheckpoint, not cache(): both give exactly-once rule
+    // evaluation across the clean/dead branches (§7.4 — kinks is
+    // O(n²), it must not recompute per output), but a cache()
+    // registers in the CacheManager and is never released — one
+    // leaked storage entry PER pipeline() call in a long session;
+    // checkpoint blocks die with the RDD via the ContextCleaner
+    val validated = withLogs(enrichMasks(eligibleMaps(records)))
+      .localCheckpoint(false)
     val clean = validated.filter(size(col("logs")) === 0)
     val dead = validated.filter(size(col("logs")) > 0)
     mapObjects(clean)

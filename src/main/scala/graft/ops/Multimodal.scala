@@ -61,8 +61,12 @@ object Multimodal {
   object ImageIODecoder extends MediaDecoder {
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val img =
+        // NonFatal, not just IOException: a reader that CLAIMS a
+        // corrupt payload throws RuntimeExceptions (CMMException on a
+        // bad ICC profile, AIOOBE/NegativeArraySize on crafted GIF/BMP
+        // headers) — all must fall back, per the contract above
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) FakeDecoder.features(payload, dim)
       else {
         val out = new Array[Float](dim)
@@ -153,8 +157,12 @@ object Multimodal {
       // evenly-spaced offsets over the payload; substring on binary is
       // positional (1-based), codegen'd — no UDF in the slicing path
       .withColumn("offset",
-        (col("frame_idx") * greatest(total - frameBytes, lit(1)) / lit(math.max(n - 1, 1)))
-          .cast("int") + 1)
+        // 64-bit arithmetic: frame_idx * (total - frameBytes) wraps a
+        // 32-bit int for payloads past ~2GB/n, and a negative offset
+        // makes substring count from the END — silently wrong frames
+        (col("frame_idx").cast("long") *
+          greatest(total.cast("long") - frameBytes, lit(1L))
+          / lit(math.max(n - 1, 1).toLong)).cast("long") + 1)
       .withColumn("frame",
         expr(s"substring(media.payload, offset, $frameBytes)"))
       .select(col("doc_id"), col("frame_idx"), col("offset"), col("frame"),

@@ -34,8 +34,14 @@ class PagedNdjsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedNdjsonSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PagedTable(properties.get("path"))
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    // fail HERE with the actual problem — a null path otherwise
+    // surfaces later as a bare NPE from planInputPartitions
+    require(path != null && path.nonEmpty,
+      "PagedNdjsonSource requires .option(\"path\", <dir of page-*.ndjson>)")
+    new PagedTable(path)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -71,8 +77,17 @@ class PagedScan(path: String) extends Scan with Batch {
   override def readSchema(): StructType = PagedNdjsonSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
+    // page provenance comes from the FILE NAME's number, not the
+    // lexical list position: page-10000 sorts between page-1000 and
+    // page-1001, and a missing middle file would silently shift every
+    // later page's attribution (round-13 review); unnumbered files
+    // fall back to a position past every numbered page
     PagedNdjsonSource.pageFiles(path).zipWithIndex
-      .map { case (f, i) => PagePartition(i, f.getAbsolutePath): InputPartition }
+      .map { case (f, i) =>
+        val page = "page-([0-9]+)\\.ndjson$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt).getOrElse(1000000 + i)
+        PagePartition(page, f.getAbsolutePath): InputPartition
+      }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = new PageReaderFactory
 }
@@ -92,21 +107,36 @@ class PageReaderFactory extends PartitionReaderFactory {
         catch { case e: Exception => Iterator(s"__READ_ERROR__${e.getMessage}") }
       }
       private var current: InternalRow = _
+      private var failed = false
       override def next(): Boolean = {
-        while (iter.hasNext) {
-          val raw = iter.next()
-          if (raw.trim.nonEmpty) { // blank-line compact, as the reference does
-            current =
-              if (raw.startsWith("__READ_ERROR__"))
-                new GenericInternalRow(Array[Any](p.page, null,
-                  UTF8String.fromString(raw.stripPrefix("__READ_ERROR__"))))
-              else
-                new GenericInternalRow(Array[Any](p.page,
-                  UTF8String.fromString(raw), null))
-            return true
+        if (failed) return false
+        // ITERATION can throw too (MalformedInputException on invalid
+        // UTF-8, IOException on a truncated file) — the in-band error
+        // contract ("never a task failure") must cover hasNext/next,
+        // not just reader construction; the page ends with one error
+        // row (round-13 review)
+        try {
+          while (iter.hasNext) {
+            val raw = iter.next()
+            if (raw.trim.nonEmpty) { // blank-line compact, as the reference does
+              current =
+                if (raw.startsWith("__READ_ERROR__"))
+                  new GenericInternalRow(Array[Any](p.page, null,
+                    UTF8String.fromString(raw.stripPrefix("__READ_ERROR__"))))
+                else
+                  new GenericInternalRow(Array[Any](p.page,
+                    UTF8String.fromString(raw), null))
+              return true
+            }
           }
+          false
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            failed = true
+            current = new GenericInternalRow(Array[Any](p.page, null,
+              UTF8String.fromString(s"read failed mid-page: ${e}")))
+            true
         }
-        false
       }
       override def get(): InternalRow = current
       override def close(): Unit = if (source != null) source.close()

@@ -48,6 +48,25 @@ class MapwarperSpec extends AnyFunSuite {
     assert(byId("21") == Seq("mask_to_geojson")) // unrecognized transform_options
   }
 
+  test("unwarped_but_masked fires for a NULL status, matching JS !== semantics") {
+    // the reference's `map.status !== 'warped'` is TRUE for undefined;
+    // Spark's =!= evaluated to NULL and the rule silently never fired,
+    // shipping the dirty map as a clean object (round-13 review)
+    val spark = TestSpark.spark
+    val lines = Seq(
+      // status field ABSENT → null after from_json; masked + geometry
+      """{"type":"map","data":{"id":"n1","uuid":"u-n1","bbox":"-74,40,-73,41",""" +
+        """"map_type":"is_map","mask_status":"masked","status_mask_geojson":""" +
+        """"{\"type\":\"Polygon\",\"coordinates\":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"}}""")
+    val out = graft.ops.Mapwarper.pipeline(
+      graft.ops.Mapwarper.parseRecords(spark, lines)).collect()
+    val log = out.filter(_.getAs[String]("type") == "log")
+    assert(log.length == 1, s"null-status map must dead-letter: ${out.toSeq}")
+    val types = log.head.getAs[Row]("obj").getSeq[Row](
+      log.head.getAs[Row]("obj").fieldIndex("logs")).map(_.getAs[String]("type"))
+    assert(types.contains("unwarped_but_masked"), s"got $types")
+  }
+
   test("turf.kinks parity: bowtie reports 2 features (one per segment ordering)") {
     val l4 = deadLogs.find(_.getAs[String]("id") == "4").get
     val msg = l4.getSeq[Row](l4.fieldIndex("logs")).head.getAs[String]("message")

@@ -98,6 +98,9 @@ object Classifier {
               - (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("l0"),
           count(lit(1)).as("n"))
         .collect()
+      // named precondition (the Pca.moments/Pq.trainCodebooks
+      // discipline) instead of an opaque 'next on empty iterator'
+      require(rows.nonEmpty, "logregFit needs a non-empty features frame")
       val n = rows.head.getLong(3).toDouble
       val grad = new Array[Double](Dim)
       var loss = 0.0

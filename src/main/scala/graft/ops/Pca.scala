@@ -211,8 +211,12 @@ object Pca {
     var cum = 0.0
     val rows = model.eigenvalues.zipWithIndex.map { case (ev, i) =>
       cum += ev
+      // zero-variance corpus (all embeddings identical): total = 0 and
+      // cum/total = NaN, which BigDecimal REJECTS — the explained
+      // ratio of a spectrum with no variance is 0 by convention
+      val ratio = if (total == 0.0) 0.0 else cum / total
       (i, BigDecimal(ev).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(cum / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     rows.toSeq.toDF("component", "variance", "cum_var_ratio")
   }

@@ -43,6 +43,10 @@ object Pq {
   def trainCodebooks(df: DataFrame, m: Int = M, k: Int = K): Array[Array[Array[Double]]] = {
     val sample = Ivf.sampleVectors(df, SampleN).map(normalize)
     require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    require(sample(0).length % m == 0,
+      s"embedding dim ${sample(0).length} must be divisible by M=$m — " +
+        "integer division would silently drop the trailing dimensions " +
+        "from training, encoding, AND the ADC LUT")
     val dsub = sample(0).length / m
     Array.tabulate(m) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))

@@ -46,7 +46,15 @@ object EventStream {
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // restore on the THROW path too (missing dir → AnalysisException
+    // would otherwise leak the conf session-wide); on success the
+    // nanos vintage keeps it set deliberately (see above)
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case e: Throwable =>
+        prior.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
+        throw e
+      }
     if (tsType != LongType)
       prior.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
     val raw = spark.readStream
@@ -132,10 +140,14 @@ object EventStream {
 
   /** Event-time session windows (30-minute gap), Spark's native
     * session_window operator — works identically over a batch frame or
-    * a watermarked stream; the batch twin of Relational.q28Sessionize.
-    * State per (user, open session), closed by the watermark. */
+    * a stream; the batch twin of Relational.q28Sessionize. State per
+    * (user, open session), closed by the watermark, which is applied
+    * HERE like every sibling helper (a no-op on batch frames; without
+    * it a streaming caller fails at start() with the
+    * watermark-required AnalysisException). */
   def sessionWindows(events: DataFrame): DataFrame =
     events
+      .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
       .select(col("user_id"), unix_timestamp(col("sw.start")).as("sess_start"),

@@ -122,9 +122,19 @@ object StreamingFunnel {
     val settled = updates.groupBy(col("_1").as("user_id"))
       .agg(max(col("_2")).as("stage"))
     val all = settled.agg(count(lit(1)).as("n_all"))
-    settled
-      .select(explode(sequence(lit(1), col("stage"))).as("stage_n"))
-      .groupBy(col("stage_n")).agg(count(lit(1)).as("n_users"))
+    val spark = updates.sparkSession
+    import spark.implicits._
+    // anchor on the STATIC 4-stage frame: batch q130 emits a row per
+    // stage even at count 0 (its global aggs over empty frames), and
+    // the stream ≡ batch contract must hold on a corpus where a stage
+    // was never reached — explode alone drops unreached stages
+    val stages = Seq(1, 2, 3, 4).toDF("stage_n")
+    stages
+      .join(settled
+        .select(explode(sequence(lit(1), col("stage"))).as("stage_n"))
+        .groupBy(col("stage_n")).agg(count(lit(1)).as("n_reached")),
+        Seq("stage_n"), "left_outer")
+      .select(col("stage_n"), coalesce(col("n_reached"), lit(0L)).as("n_users"))
       .crossJoin(broadcast(all))
       .select(
         element_at(array(lit("1_all"), lit("2_viewed"), lit("3_clicked"),

@@ -40,6 +40,20 @@ class FunnelStreamSpec extends AnyFunSuite {
       s"stream $streamed != batch $batch")
   }
 
+  test("an unreached stage still emits its zero row (the batch q130 shape)") {
+    import spark.implicits._
+    // nobody purchases: batch q130 emits ('4_purchased', 0, 0.0) via
+    // its global aggs; explode-only counting dropped the row entirely
+    // and broke the pinned stream ≡ batch row-shape (round-13 review)
+    val updates = Seq((1L, 3), (2L, 2), (3L, 1)).toDF("_1", "_2")
+    val got = StreamingFunnel.stageCounts(updates)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("1_all", 3L, 1.0), ("2_viewed", 2L, 0.666667),
+      ("3_clicked", 1L, 0.333333), ("4_purchased", 0L, 0.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("funnel state is order-independent: pre-view clicks/purchases kept " +
        "until a later-arriving earlier view makes them eligible") {
     import spark.implicits._

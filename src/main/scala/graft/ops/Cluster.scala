@@ -50,7 +50,7 @@ object Cluster {
   val SemDedupTau = 0.30
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    graft.Tables.embeddingVectors(s, d)
 
   /** Squared L2 distance from an array<double> column to a literal
     * centroid (HOF form — cold path: seeding + per-iteration cost
@@ -101,9 +101,17 @@ object Cluster {
     // BEFORE seeding too, or a malformed min-hash row becomes seed 1
     // and poisons the model dimension itself. The model dimension is
     // the corpus's DOMINANT embedding length (one tiny agg job).
-    val dim = vecs.groupBy(size(col("e")).as("d")).count()
-      .orderBy(col("count").desc, col("d").asc).head().getInt(0)
-    val clean = vecs.filter(size(col("e")) === dim)
+    // NULL embeddings are the guard's job too (size(NULL) is NULL — a
+    // dominant null group would NPE the getInt below), as is the
+    // empty frame (bare head() throws an opaque NoSuchElementException
+    // where a named precondition belongs).
+    val top = vecs.filter(col("e").isNotNull)
+      .groupBy(size(col("e")).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc).head(1)
+    require(top.nonEmpty,
+      "kmeansDistributed: no non-null embeddings to fit a model on")
+    val dim = top(0).getInt(0)
+    val clean = vecs.filter(col("e").isNotNull && size(col("e")) === dim)
     var cents = farthestPointSeeds(clean, k)
     require(cents(0).length == dim, "seeding must follow the guard")
     val costs = scala.collection.mutable.ArrayBuffer[Double]()

@@ -27,14 +27,24 @@ object IncrementalDedup {
 
   import Dedup.{withMinhash, SigLen}
 
-  /** One row per (band bucket, doc): the probe index. */
-  private def explodedSigs(docs: DataFrame): DataFrame =
+  /** Batch id recorded on index rows written outside any micro-batch
+    * (initial builds, ad-hoc appends). Spark streaming batch ids start
+    * at 0, so -1 can never collide with a real micro-batch. */
+  val NoBatch = -1L
+
+  /** One row per (band bucket, doc): the probe index. `src_batch`
+    * records WHICH micro-batch wrote the row — what lets probeBatch
+    * distinguish a replay of the same batch (must not self-match, see
+    * there) from a cross-batch redelivery of the same doc_id (must). */
+  private def explodedSigs(docs: DataFrame, srcBatch: Long): DataFrame =
     withMinhash(docs)
-      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bucket"))
+      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bucket"),
+              lit(srcBatch).as("src_batch"))
 
   /** (Re)builds the persisted index as a bucketed managed table. */
-  def buildIndex(docs: DataFrame, table: String, buckets: Int = 32): Unit =
-    Bucketing.writeBucketed(explodedSigs(docs), table, "bucket", buckets)
+  def buildIndex(docs: DataFrame, table: String, buckets: Int = 32,
+                 srcBatch: Long = NoBatch): Unit =
+    Bucketing.writeBucketed(explodedSigs(docs, srcBatch), table, "bucket", buckets)
 
   /** Dedupes a new batch against the index: returns (new_id, match_id,
     * est_jaccard) for batch docs whose estimated Jaccard against an
@@ -55,7 +65,8 @@ object IncrementalDedup {
     * transactionally consistent with appendToIndex — not worth it. */
   def probeBatch(spark: SparkSession, batch: DataFrame, table: String,
                  threshold: Double = 0.8,
-                 maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+                 maxBucket: Int = Dedup.MaxBucket,
+                 batchId: Long = NoBatch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val batchSigs = withMinhash(batch)
       .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
@@ -66,16 +77,23 @@ object IncrementalDedup {
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
     val cands = batchSigs.join(index.hint("MERGE"), Seq("bucket"))
-      // NEVER match a doc against its own index entry: a micro-batch
-      // replayed AFTER its appendToIndex landed (crash before the
-      // streaming checkpoint committed) probes an index containing the
-      // batch's own rows — every survivor would self-match at
-      // est_jaccard 1.0, dedupedIngest's anti-join would drop them
-      // all, and the overwrite-by-batch-id replay would rewrite the
-      // batch dir EMPTY: silent data loss. q189's disjoint hash slices
-      // can't produce a self-pair, so the bench is blind to this;
-      // StreamingDedupSpec's replay-after-append test pins it.
-      .filter(col("new_id") =!= col("doc_id"))
+      // NEVER match a doc against the index entry ITS OWN batch wrote:
+      // a micro-batch replayed AFTER its appendToIndex landed (crash
+      // before the streaming checkpoint committed) probes an index
+      // containing the batch's own rows — every survivor would
+      // self-match at est_jaccard 1.0, dedupedIngest's anti-join would
+      // drop them all, and the overwrite-by-batch-id replay would
+      // rewrite the batch dir EMPTY: silent data loss. The exclusion
+      // is scoped to src_batch === batchId (round-13 advice; a blanket
+      // same-id filter also disabled the LEGITIMATE match when an
+      // at-least-once source redelivers the same doc_id in a LATER
+      // batch — that doc must still hit its own earlier index entry or
+      // it lands duplicated across two batch_id dirs). q189's disjoint
+      // hash slices can't produce a self-pair, so the bench is blind
+      // to both cases; StreamingDedupSpec's replay-after-append and
+      // cross-batch-redelivery tests pin them.
+      .filter(!(col("new_id") === col("doc_id") &&
+                col("src_batch") === lit(batchId)))
       .select(col("new_id"), col("new_sig"),
               col("doc_id").as("match_id"), col("sig").as("match_sig"))
       .dropDuplicates("new_id", "match_id")
@@ -87,14 +105,18 @@ object IncrementalDedup {
   }
 
   /** Appends a batch's signatures to the index (after dedup decisions). */
-  def appendToIndex(docs: DataFrame, table: String): Unit =
-    explodedSigs(docs).write.mode("append")
+  def appendToIndex(docs: DataFrame, table: String,
+                    srcBatch: Long = NoBatch): Unit =
+    explodedSigs(docs, srcBatch).write.mode("append")
       .format("parquet").insertInto(table)
 
   // ------------------------------------------------- q189 (bench form)
 
-  /** Lifecycle via the shared [[IndexTables]] discipline. */
-  private val TablePrefix = "graft_dedup_idx_v1_"
+  /** Lifecycle via the shared [[IndexTables]] discipline. v2: the
+    * src_batch column landed in the index schema (round-14) — the
+    * bumped prefix keeps a v1 index from a prior session from being
+    * probed with a column it doesn't have. */
+  private val TablePrefix = "graft_dedup_idx_v2_"
 
   /** q189: the PERSISTED-index near-dup probe, bench-visible — the
     * third member of the incremental-index trio (q78 contamination,
@@ -115,6 +137,10 @@ object IncrementalDedup {
       IndexTables.dataFingerprint(s, d))
     if (!s.catalog.tableExists(table)) {
       IndexTables.gcTables(s, TablePrefix, d)
+      // retired schema generation (pre-src_batch); gcTables is
+      // prefix-scoped, so the old family needs its own sweep or a
+      // prior session's v1 table leaks warehouse disk forever
+      IndexTables.gcTables(s, "graft_dedup_idx_v1_", d)
       buildIndex(documents(s, d)
         .filter(hashBucket(col("doc_id").cast("string")) < "c0")
         .select(col("doc_id"), col("text")), table)

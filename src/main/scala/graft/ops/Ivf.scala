@@ -107,7 +107,7 @@ object Ivf {
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    graft.Tables.embeddingVectors(s, d)
 
   /** Centroid ids ranked by distance to the query, nearest first. */
   private def rankProbes(cents: Array[Array[Double]], qVec: Seq[Double],

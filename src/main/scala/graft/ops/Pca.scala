@@ -199,7 +199,7 @@ object Pca {
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    graft.Tables.embeddingVectors(s, d)
 
   /** q101: the corpus spectrum — per-component variance and cumulative
     * explained ratio, the table a pipeline reads to choose an index's

@@ -70,7 +70,7 @@ object Pq {
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    graft.Tables.embeddingVectors(s, d)
 
   /** q57: PQ top-k — 8-byte-code candidate scan (map-only +
     * TakeOrdered, zero shuffles like q40/q56), exact re-rank of the

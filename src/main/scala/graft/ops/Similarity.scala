@@ -39,7 +39,7 @@ object Similarity {
     graft.functions.NativeExprs.cosineSim(a, b)
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    graft.Tables.embeddingVectors(s, d)
 
   /** Exact top-k cosine against a query vector (vec_id 0). */
   def q40CosineTopK(s: SparkSession, d: String): DataFrame = {

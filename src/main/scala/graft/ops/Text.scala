@@ -827,12 +827,22 @@ object Text {
     *     text; PlanShapeSpec pins the fp-only exchange). Survivors
     *     (df ≥ minDf) are a tiny frame.
     *  2. string recovery for survivors only: re-scan, zip the ALIGNED
-    *     fp and string window arrays, explode, join the BROADCAST
-    *     survivor counts — only matching spans ever materialize as
-    *     strings off the scan, and the final sort handles a
-    *     findings-sized frame. Fp collisions would merge two spans'
-    *     counts (~|spans|²/2⁶⁴ — negligible; the distinct() keeps
-    *     both strings, so a collision is visible, not silent). */
+    *     fp and string window arrays, explode, join the survivor
+    *     counts. The join is deliberately UNHINTED (round-13 verdict:
+    *     a forced broadcast here was the suite's last unbounded one —
+    *     the survivor set is content-dependent, and a heavily
+    *     templated web crawl, the exact corpus a boilerplate pass
+    *     exists for, yields billions of survivors and a driver OOM).
+    *     AQE sees the ACTUAL post-aggregation size at the shuffle
+    *     boundary and picks the broadcast join whenever survivors
+    *     genuinely fit (the common case — PlanShapeSpec pins the
+    *     adaptive demotion at test scale); when they don't, the
+    *     shuffle join's span-string exchange is pruned map-side by
+    *     Spark's runtime Bloom/semi-join filter on fp, so the strings
+    *     that move are ~output-sized, not corpus-sized. Fp collisions
+    *     would merge two spans' counts (~|spans|²/2⁶⁴ — negligible;
+    *     the distinct() keeps both strings, so a collision is
+    *     visible, not silent). */
   def boilerplateSpans(docs: DataFrame, n: Int, minDf: Long): DataFrame = {
     val toksCol = split(col("text"), " ")
     val fpCounts = docs
@@ -845,7 +855,7 @@ object Text {
           graft.functions.NativeExprs.shingleHashes(toksCol, n).as("fp"),
           Dedup.shinglesOfTokens(toksCol, n).as("span")))).as("z"))
       .select(col("z.fp").as("fp"), col("z.span").as("span"))
-      .join(broadcast(fpCounts), Seq("fp"))
+      .join(fpCounts, Seq("fp"))
       .select(col("span"), col("n_docs"))
       .distinct()
       .orderBy(col("n_docs").desc, col("span").asc)

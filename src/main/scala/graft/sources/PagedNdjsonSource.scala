@@ -80,12 +80,15 @@ class PagedScan(path: String) extends Scan with Batch {
     // page provenance comes from the FILE NAME's number, not the
     // lexical list position: page-10000 sorts between page-1000 and
     // page-1001, and a missing middle file would silently shift every
-    // later page's attribution (round-13 review); unnumbered files
+    // later page's attribution (round-13 review); unnumbered files —
+    // including numbers past Int.MaxValue, where toInt would throw at
+    // planInputPartitions and kill the scan the fallback exists for —
     // fall back to a position past every numbered page
     PagedNdjsonSource.pageFiles(path).zipWithIndex
       .map { case (f, i) =>
         val page = "page-([0-9]+)\\.ndjson$".r.findFirstMatchIn(f.getName)
-          .map(_.group(1).toInt).getOrElse(1000000 + i)
+          .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+          .getOrElse(1000000 + i)
         PagePartition(page, f.getAbsolutePath): InputPartition
       }
       .toArray

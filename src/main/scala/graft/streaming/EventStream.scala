@@ -38,35 +38,17 @@ object EventStream {
     * no data scan), then normalize to session-zone TimestampType the
     * same way Tables.events does for the batch twin. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // same contract as Tables.events: the conf is required to sniff
-    // (and, for a nanos vintage, to RUN — the stream's scans consult
-    // it for its whole life, so it stays set then); for any other
-    // vintage restore the prior value rather than leak a session-wide
-    // re-typing of unrelated nanos datasets
-    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "true")
-    // restore on the THROW path too (missing dir → AnalysisException
-    // would otherwise leak the conf session-wide); on success the
-    // nanos vintage keeps it set deliberately (see above)
-    val tsType =
-      try spark.read.parquet(dir).schema("ts").dataType
-      catch { case e: Throwable =>
-        prior.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
-        throw e
-      }
-    if (tsType != LongType)
-      prior.fold(spark.conf.unset(confKey))(v => spark.conf.set(confKey, v))
+    // vintage handling is single-sourced in Tables (round-13 advice:
+    // the twins had drifted once already): the sniff manages the
+    // nanosAsLong conf — set to read the footer, restored on throw and
+    // for non-nanos vintages, kept set for a nanos vintage because the
+    // stream's scans consult it for its whole life
+    val tsType = graft.Tables.sniffEventsTs(spark, dir)
     val raw = spark.readStream
       .schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-    tsType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    graft.Tables.normalizeEventsTs(raw, tsType)
   }
 
   /** 10-minute tumbling windows per event_type with a 30-minute

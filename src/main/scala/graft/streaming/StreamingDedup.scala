@@ -54,11 +54,16 @@ object StreamingDedup {
     * into `batch_id=<id>/`, so a replayed micro-batch rewrites its
     * own directory instead of appending duplicates. The index append
     * is not transactional with the corpus write, but a replay
-    * converges: probeBatch excludes self-matches (a batch replayed
-    * after its own appendToIndex landed would otherwise self-match at
-    * 1.0 and rewrite its dir EMPTY) and takes distinct (new_id,
-    * match_id) candidates, so doubled index rows change no dedup
-    * decision — they only waste the replayed rows' space. */
+    * converges: index rows carry the batch id that wrote them and
+    * probeBatch excludes exactly the SAME-batch self-matches (a batch
+    * replayed after its own appendToIndex landed would otherwise
+    * self-match at 1.0 and rewrite its dir EMPTY) and takes distinct
+    * (new_id, match_id) candidates, so doubled index rows change no
+    * dedup decision — they only waste the replayed rows' space. The
+    * batch-scoped exclusion (round-13 advice) keeps the OTHER
+    * redelivery mode covered too: an at-least-once source re-sending
+    * a doc_id in a LATER batch still matches its own earlier index
+    * entry and is dropped instead of landing in two batch dirs. */
   def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
                     indexTable: String, outDir: String,
                     threshold: Double = 0.8,
@@ -71,7 +76,7 @@ object StreamingDedup {
         val b = batch.persist()
         try {
           val crossBatchDups = IncrementalDedup
-            .probeBatch(spark, b, indexTable, threshold)
+            .probeBatch(spark, b, indexTable, threshold, batchId = batchId)
             .select(col("new_id")).distinct()
           val survivors = dropInternalDups(spark,
             b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),
@@ -80,7 +85,7 @@ object StreamingDedup {
           // write or index append must not pin it for the session
           try {
             survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-            IncrementalDedup.appendToIndex(survivors, indexTable)
+            IncrementalDedup.appendToIndex(survivors, indexTable, srcBatch = batchId)
           } finally survivors.unpersist()
         } finally b.unpersist()
         ()

@@ -27,6 +27,21 @@ class PlanShapeSpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.sf0001)
 
+  /** One QueryExecution per declared query, built once: both
+    * suite-wide sweeps (unpartitioned windows, forced broadcasts)
+    * read from here so each query's construction — which for the
+    * fit-style queries eagerly runs driver-bounded jobs — happens
+    * once, not once per sweep. */
+  private lazy val allQueryExecs: Seq[(String, org.apache.spark.sql.execution.QueryExecution)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, TestSpark.sf0001).queryExecution
+    }
+
+  private def unwrapAdaptive(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.initialPlan
+    case other => other
+  }
+
   test("q15 top-k is TakeOrderedAndProject — never a global sort") {
     val p = plan(q("q15_topk"))
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not total-sort:\n$p")
@@ -263,21 +278,31 @@ class PlanShapeSpec extends AnyFunSuite {
         s"span decontamination must never shuffle document text: $cols"))
   }
 
-  test("q96 boilerplate df-count exchange carries BIGINT fps, never span strings") {
+  test("q96 boilerplate: BIGINT-fp df count; recovery join AQE-chosen, never forced") {
     // phase 1's groupBy must aggregate 8-byte window fingerprints: a
     // string-keyed df count would shuffle ~corpus-sized span text
-    val p = sparkPlan(q("q96_boilerplate"))
+    val df = q("q96_boilerplate")
+    val p = sparkPlan(df)
     val aggExchanges = p.collect {
-      case e: ShuffleExchangeExec if e.output.exists(_.name == "fp") => e
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "fp") &&
+        !e.output.exists(a => a.name == "span" || a.name == "text") => e
     }
-    assert(aggExchanges.nonEmpty, s"expected the fp df-count exchange:\n$p")
+    assert(aggExchanges.nonEmpty, s"expected the fp-only df-count exchange:\n$p")
     aggExchanges.foreach { e =>
       val fp = e.output.find(_.name == "fp").get
       assert(fp.dataType == org.apache.spark.sql.types.LongType,
         s"df counting must key on BIGINT fps, got ${fp.dataType}")
-      assert(!e.output.exists(a => a.name == "span" || a.name == "text"),
-        s"df-count exchange must not carry span strings: ${e.output.map(_.name)}")
     }
+    // phase 2's recovery join must NOT force a broadcast (round-13
+    // verdict: the df≥minDf survivor set is content-dependent — a
+    // templated web crawl makes it unbounded, the one frame here that
+    // cannot be hinted safely). AQE decides from the ACTUAL survivor
+    // size: run it and pin that the final adaptive plan broadcast the
+    // genuinely-tiny frame without the hint.
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin"),
+      s"AQE should demote the recovery join to broadcast at this scale:\n$fin")
   }
 
   test("q82 bigram-LM exchanges carry BIGINT hashes, never text or bigram strings") {
@@ -436,8 +461,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val aggNames = Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate")
     def hasAggBelow(p: SparkPlan): Boolean =
       p.collect { case n if aggNames.exists(n.nodeName.contains) => n }.nonEmpty
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val unbounded = sparkPlan(SparkEntry.queries(name)(spark, TestSpark.sf0001))
+    val offenders = allQueryExecs.flatMap { case (name, qe) =>
+      val unbounded = unwrapAdaptive(qe.executedPlan)
         .collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
@@ -451,6 +476,77 @@ class PlanShapeSpec extends AnyFunSuite {
         s"${offenders.filterNot(allow.contains)}")
     assert(allow.forall(offenders.contains),
       s"allowlist entry no longer violates — prune it: ${allow.diff(offenders.toSet)}")
+  }
+
+  test("forced broadcast hints appear only on provably bounded frames (allowlist)") {
+    // Suite-wide invariant (round-13 verdict: q96's hinted survivor
+    // set was the last content-unbounded forced broadcast): a
+    // broadcast() hint bypasses both the planner's size estimate AND
+    // AQE's runtime demotion — the hinted frame ships to every
+    // executor and lives on the driver no matter how big it actually
+    // is. That is only safe when the frame is bounded by
+    // CONSTRUCTION: a fixed dimension table, a digest grouped by a
+    // bounded key domain (source/event_type/cluster ≤ K), a top-k/
+    // limit, or a cap's over-limit key set (≤ corpus/cap keys by
+    // definition). Content-dependent frames (survivor sets, match
+    // sets, per-value frames over unbounded domains) must stay
+    // unhinted and let AQE decide from the actual size. Every
+    // declared query carrying a hint must therefore be allowlisted
+    // here WITH its boundedness witness; a new forced broadcast
+    // fails this sweep until it is consciously justified.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val dim = "star-schema dimension (nation 25 / region 5 / part / supplier — orders smaller than the fact side)"
+    val srcDigest = "digest grouped by source — bounded by the source count"
+    val oneRow = "single-row corpus total / stat digest (crossJoin broadcast)"
+    val overCap = "bucket-cap over-limit key set — ≤ corpus/cap keys by definition"
+    val fixedQ = "fixed query/probe set — size set by the caller, not the corpus"
+    val kBounded = "≤K-row model digest (centroids / cluster sizes / labels)"
+    val allow: Map[String, String] = Map(
+      "q03_join_multi" -> dim, "q06_join_anti" -> dim,
+      "q07_join_broadcast" -> dim, "q08_join_theta" -> dim,
+      "q118_array_agg" -> dim, "q137_star_join" -> dim,
+      "q144_brand_by_nation" -> dim, "q145_string_agg" -> dim,
+      "q147_waiting_orders" -> dim, "q164_brand_hhi" -> dim,
+      "q111_winsorize" -> srcDigest,
+      "q112_kl_divergence" -> (srcDigest + " + value-domain grid (round-12 fix keeps the per-VALUE side unhinted)"),
+      "q114_ks_drift" -> srcDigest, "q119_mad" -> srcDigest,
+      "q121_length_histogram" -> srcDigest,
+      "q83_temperature_mix" -> srcDigest,
+      "q99_source_overlap" -> "per-source shingle totals — ≤ #sources² pair rows",
+      "q124_curation_funnel" -> oneRow, "q158_match_distribution" -> srcDigest,
+      "q117_bootstrap_ci" -> oneRow, "q123_heaps_law" -> oneRow,
+      "q127_pmi_bigrams" -> (oneRow + " (round-13 fix keeps the per-bigram side unhinted)"),
+      "q129_dupgroup_spectrum" -> oneRow,
+      "q130_conversion_funnel" -> oneRow,
+      "q131_retention_cohorts" -> "per-cohort sizes — bounded by the day/date domain",
+      "q132_daily_anomaly" -> oneRow,
+      "q133_transition_matrix" -> "per-event-type totals — ≤ |event_type|² pairs",
+      "q134_hourly_seasonality" -> "per-event-type totals — ≤ 24·|event_type| rows",
+      "q148_power_users" -> oneRow, "q170_revenue_share" -> oneRow,
+      "q40_cosine_topk" -> fixedQ, "q41_ann_lsh" -> fixedQ,
+      "q85_tfidf" -> (fixedQ + " — df computed over the query-term-filtered tokens"),
+      "q154_bm25" -> (fixedQ + " — df computed over the query-term-filtered tokens"),
+      "q89_hard_negatives" -> kBounded, "q86_centroid_outliers" -> kBounded,
+      "q150_ivf_balance" -> kBounded,
+      "q42_embed_neardup" -> overCap, "q43_minhash_pairs" -> overCap,
+      "q92_containment_lsh" -> overCap, "q152_crosssource_neardup" -> overCap,
+      "q167_simhash_pairs" -> overCap,
+      "q79_salted_join" -> "hot-key set — ≤ corpus/skew-threshold keys by definition",
+      "q95_vocab_coverage" -> "top-V vocab via limit(topV)",
+      "q176_fuzzy_match" -> fixedQ,
+      "q179_weighted_reservoir" -> "reservoir sample — ≤ k rows by construction",
+    )
+    val offenders = allQueryExecs.flatMap { case (name, qe) =>
+      val hinted = qe.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
+      if (hinted.nonEmpty) Seq(name) else Nil
+    }
+    assert(offenders.forall(allow.contains),
+      s"forced broadcast hints outside the allowlist: " +
+        s"${offenders.filterNot(allow.contains)}")
+    assert(allow.keySet.forall(offenders.contains),
+      s"allowlist entry no longer hints — prune it: ${allow.keySet.diff(offenders.toSet)}")
   }
 
   test("q160 bucketed bands: no window at all, map-side assignment + one group agg") {

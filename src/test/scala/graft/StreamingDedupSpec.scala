@@ -106,6 +106,42 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(indexed == Set(0L, 400L, 401L))
   }
 
+  test("same doc_id redelivered in a LATER batch dedups against its own index entry") {
+    // the OTHER redelivery mode (round-13 advice): an at-least-once
+    // source re-sends a doc_id in a later batch — OUTSIDE checkpoint
+    // replay, so the batch id differs. A blanket same-id self-match
+    // filter (the round-13 fix's first form) made that doc invisible
+    // to its own index entry and it landed duplicated across two
+    // batch_id dirs; the batch-scoped exclusion must let it match.
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_index4")
+    val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index4")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    import spark.implicits._
+    IncrementalDedup.buildIndex(
+      Seq((0L, "seed document with some words")).toDF("doc_id", "text"),
+      "stream_dedup_index4")
+    val streamDir = java.nio.file.Files.createTempDirectory("sdedup4_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sdedup4_out").toString + "/uniques"
+    Seq((500L, "content that will be redelivered later on"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
+    Seq((500L, "content that will be redelivered later on"), // redelivery
+        (501L, "a genuinely new second batch document"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f2")
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir + "/f*")
+    val q = StreamingDedup.dedupedIngest(spark, stream, "stream_dedup_index4", outDir)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.sorted == Seq(500L, 501L),
+      s"redelivered doc_id must land exactly once across batch dirs, got $rows")
+  }
+
   test("batch-internal dup (same micro-batch) is also dropped") {
     spark.sql("DROP TABLE IF EXISTS stream_dedup_index2")
     val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index2")

@@ -84,10 +84,29 @@ def type_problems(spark_schema, oracle_schema):
     Arrow schema. Compared by column NAME (the hashers sort by name).
     Returns a list of problem strings (empty = clean)."""
     probs = []
-    sfam = {f.name: arrow_family(f.type) for f in spark_schema}
-    ofam = {f.name: arrow_family(f.type) for f in oracle_schema}
+    # multidict, not dict: a {name: family} dict would silently keep
+    # only the LAST instance of a duplicate-named column — the exact
+    # pitfall the rows path's zip-of-arrays comment warns about — and
+    # a dup whose second instance has a divergent type would be
+    # type-checked against the wrong family. Dup names are also a
+    # finding in their own right: the hashers sort columns by name, so
+    # two same-named columns have no stable cross-engine pairing.
+    def families(schema):
+        fams = {}
+        for f in schema:
+            fams.setdefault(f.name, []).append(arrow_family(f.type))
+        return fams
+    sfam = families(spark_schema)
+    ofam = families(oracle_schema)
     for name in sorted(set(sfam) | set(ofam)):
-        s, o = sfam.get(name), ofam.get(name)
+        ss, oo = sfam.get(name, []), ofam.get(name, [])
+        if len(ss) > 1 or len(oo) > 1:
+            probs.append(
+                f"TYPE {name}: duplicate column name "
+                f"(spark×{len(ss)}={ss} duck×{len(oo)}={oo}) — "
+                "name-sorted hashing cannot pair these; alias them apart")
+            continue
+        s, o = (ss[0] if ss else None), (oo[0] if oo else None)
         if (s and "DECIMAL" in s) or (o and "DECIMAL" in o):
             probs.append(
                 f"TYPE {name}: spark={s} duck={o} — decimal/hugeint "

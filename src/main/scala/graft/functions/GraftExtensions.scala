@@ -16,11 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    NativeExprs.sqlBuilders.foreach { case (name, usage, builder) =>
-      e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name, usage),
-        builder))
-    }
+    GraftExtensions.functionEntries.foreach(e.injectFunction)
     // whole-operator extension: plans graft.plans.GraftAsOfJoin nodes
     // (the programmatic twin is PlanBridge.ensureStrategy, which the
     // NativeAsOf.asOfJoin API applies itself)
@@ -29,4 +25,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filter pushdown + left column pruning through GraftAsOfJoin
     e.injectOptimizerRule(_ => graft.plans.AsOfPushdownRule)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The injected catalog entries, exposed so the spec can pin that
+    * name/usage land in the RIGHT ExpressionInfo slots — the 3-arg
+    * ctor this once used is (className, db, NAME), which registered
+    * the usage sentence as the function name and the name as a
+    * database (round-14 review). */
+  private[graft] def functionEntries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    NativeExprs.sqlBuilders.map { case (name, usage, builder) =>
+      (FunctionIdentifier(name),
+       // 5-arg ctor: (className, db, name, usage, extended)
+       new ExpressionInfo("graft.functions.NativeExprs", null, name, usage, ""),
+       builder)
+    }
 }

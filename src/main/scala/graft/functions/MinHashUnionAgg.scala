@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed Aggregator unioning per-document MinHash signatures into one
@@ -16,9 +16,17 @@ class MinHashUnionAgg(slots: Int) extends Aggregator[Seq[Long], Array[Long], Seq
   override def zero: Array[Long] = Array.fill(slots)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // SQL aggregate convention (HllSketchAgg/CountMinAgg do the same):
+    // a null input contributes nothing — MinHashSig is null-in/null-out,
+    // so a null-text document reaches here as a null signature
+    if (sig == null) return buf
+    // a SHORT signature would leave trailing slots at Long.MaxValue,
+    // and sigMatches counts MaxValue==MaxValue as matching slots — a
+    // slots/SigLen wiring drift must fail loudly, not inflate Jaccard
+    require(sig.length >= slots,
+      s"MinHashUnionAgg($slots) fed a ${sig.length}-slot signature")
     var i = 0
-    val n = math.min(slots, sig.length)
-    while (i < n) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }
+    while (i < slots) { if (sig(i) < buf(i)) buf(i) = sig(i); i += 1 }
     buf
   }
 

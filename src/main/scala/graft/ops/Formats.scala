@@ -27,6 +27,12 @@ object Formats {
     spark.read.schema(schema)
       .option("header", "true")
       .option("timestampFormat", TsFormat)
+      // lossless contract, part 2: the writer quotes embedded newlines;
+      // without multiLine the reader splits such a record across two
+      // physical lines, and PERMISSIVE would then hand back null-padded
+      // fragments SILENTLY — parse divergence must be loud
+      .option("multiLine", "true")
+      .option("mode", "FAILFAST")
       .csv(path)
 
   def writeOrc(df: DataFrame, path: String): Unit =

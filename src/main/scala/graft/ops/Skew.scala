@@ -38,6 +38,17 @@ object Skew {
     * definition). */
   def saltedJoinWithHotKeys(left: DataFrame, right: DataFrame, key: String,
                             salt: Int, hotKeys: DataFrame): DataFrame = {
+    // salt = 0 would make the probe side's pmod(..., 0) NULL under
+    // non-ANSI SQL and the build side's sequence(0, -1) = [0, -1] —
+    // every hot-key row silently vanishes from the inner join on
+    // _salt instead of failing here
+    require(salt >= 1, s"salt fan-out must be >= 1, got $salt")
+    // the helper columns would silently overwrite (then drop) a user
+    // column of the same name, breaking the bag-equality contract
+    Seq("_hot", "_salt").foreach { h =>
+      require(!left.columns.contains(h) && !right.columns.contains(h),
+        s"saltedJoin reserves helper column '$h'; rename it on the input")
+    }
     val hotSet = broadcast(
       hotKeys.toDF(key).distinct().withColumn("_hot", lit(true)))
     val salted = left.join(hotSet, Seq(key), "left")

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ops.IncrementalDecontam
@@ -54,11 +53,16 @@ object StreamingDecontam {
         try {
           val hits = IncrementalDecontam.screenBatch(spark, b, indexTable)
             .persist()
-          b.join(hits, Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$outDir/clean/batch_id=$batchId")
-          b.join(hits, Seq("doc_id"))
-            .write.mode("overwrite").parquet(s"$outDir/quarantine/batch_id=$batchId")
-          hits.unpersist()
+          // hits' cache gets its own finally (the StreamingDedup
+          // discipline): a failed quarantine write must not pin it —
+          // the stream retries the batch and would stack a fresh
+          // persist per attempt
+          try {
+            b.join(hits, Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(s"$outDir/clean/batch_id=$batchId")
+            b.join(hits, Seq("doc_id"))
+              .write.mode("overwrite").parquet(s"$outDir/quarantine/batch_id=$batchId")
+          } finally hits.unpersist()
         } finally b.unpersist()
         ()
       }

@@ -20,11 +20,16 @@ class BucketingSpec extends AnyFunSuite {
           .forEach(p => java.nio.file.Files.delete(p))
       }
     }
+    // MULTI-partition inputs on purpose (round-14 review): bucketBy
+    // writes one file per bucket PER TASK, and Spark only trusts the
+    // per-bucket sort when a bucket is exactly one file — a
+    // single-partition sf0.001 frame would hide a missing write-side
+    // repartition and the join would silently re-Sort at read time
     Bucketing.writeBucketed(
-      Tables.orders(spark, TestSpark.sf0001)
+      Tables.orders(spark, TestSpark.sf0001).repartition(5)
         .withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 8)
     Bucketing.writeBucketed(
-      Tables.customer(spark, TestSpark.sf0001)
+      Tables.customer(spark, TestSpark.sf0001).repartition(5)
         .withColumnRenamed("c_custkey", "custkey"), "b_customer", "custkey", 8)
 
     val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer", "custkey")
@@ -32,6 +37,10 @@ class BucketingSpec extends AnyFunSuite {
 
     assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    // "Sort [" matches a Sort exec's argument list but not the
+    // SortMergeJoin node name
+    assert(!plan.contains("Sort ["),
+      s"bucketed join must read the write-time sort, not re-sort:\n$plan")
 
     // correctness: same count as the plain join
     val plain = Tables.orders(spark, TestSpark.sf0001)

@@ -25,6 +25,25 @@ class FormatParitySpec extends AnyFunSuite {
       s"CSV round-trip diverged (rows ${a.length} vs ${b.length})")
   }
 
+  test("CSV round-trips embedded newlines and quotes (multiLine read, loud on divergence)") {
+    // lineitem has no embedded newlines, so the lossless contract was
+    // untested exactly where CSV breaks (round-14 review): the writer
+    // quotes a field containing '\n'; a non-multiLine reader splits it
+    // into two malformed physical rows and PERMISSIVE nulls them out
+    // silently — row count changes and nobody throws
+    import spark.implicits._
+    val src = Seq(
+      (1L, "plain text"),
+      (2L, "two\nphysical\nlines"),
+      (3L, "a \"quoted\" bit, with comma"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fmt_csv_nl").toString + "/docs"
+    Formats.writeCsv(src, dir)
+    val back = Formats.readCsv(spark, src.schema, dir)
+    assert(canon(src).sameElements(canon(back)),
+      "newline/quote-bearing strings must survive the CSV round-trip")
+  }
+
   test("ORC sink/source round-trips lineitem losslessly") {
     val src = Tables.lineitem(spark, TestSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("fmt_orc").toString + "/lineitem"

@@ -82,6 +82,21 @@ class SimilaritySpec extends AnyFunSuite {
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
 
+  test("GraftExtensions catalog entries put name/usage in the right ExpressionInfo slots") {
+    // the 3-arg ExpressionInfo ctor is (className, db, NAME) — using it
+    // registered the usage sentence as the function NAME (round-14
+    // review); pin the corrected slot assignment for every builder
+    val entries = graft.functions.GraftExtensions.functionEntries
+    assert(entries.nonEmpty)
+    entries.foreach { case (ident, info, _) =>
+      assert(info.getName == ident.funcName,
+        s"ExpressionInfo name must be the function name, got '${info.getName}'")
+      assert(info.getUsage != null && info.getUsage.nonEmpty &&
+        info.getUsage != ident.funcName,
+        s"usage for ${ident.funcName} must be the usage text, got '${info.getUsage}'")
+    }
+  }
+
   test("ANN recall@10 vs brute force, tracked per variant") {
     val brute = Similarity.q40CosineTopK(spark, TestSpark.sf0001)
       .limit(10).collect().map(_.getLong(0)).toSet

@@ -62,6 +62,32 @@ class StreamingTopKSpec extends AnyFunSuite {
     assert(finalEst.values.forall(_._2 == 0L), "below capacity the sketch is exact")
   }
 
+  test("null user_ids are skipped, like the batch aggregate") {
+    // SpaceSavingAgg.update drops null inputs (SQL aggregate
+    // convention); the stream must not count a "null" key or let it
+    // pressure evictions (round-14 review)
+    import spark.implicits._
+    val src = Files.createTempDirectory("topk-null-src")
+    Seq((Some("click"), Some(1L)), (Some("click"), None),
+        (Some("click"), Some(1L)), (Some("click"), None))
+      .toDF("event_type", "user_id").coalesce(1)
+      .write.mode("overwrite").parquet(src.toString)
+    val out = runStream(src.toString, m = 10, k = 10, "topk_nulls")
+    val keys = out.select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("1"), s"null user_id must be skipped, got keys $keys")
+    assert(out.filter(col("key") === "1").agg(max("est")).head().getLong(0) == 2L)
+  }
+
+  test("restart with a smaller m shrinks rehydrated state to the new bound") {
+    val state = graft.streaming.TopKState(
+      Array("a", "b", "c", "d"), Array(10L, 40L, 20L, 30L), Array(0L, 1L, 2L, 3L))
+    val buf = StreamingTopK.toBuf(state, 2)
+    assert(buf.size == 2, s"state must shrink to m=2, got ${buf.size}")
+    assert(buf.contains("b") && buf.contains("d"),
+      "the m highest-count counters survive the truncation")
+    assert(buf("b")(0) == 40L && buf("b")(1) == 1L, "count+err survive intact")
+  }
+
   test("exact regime: final emission ranks match the batch space_saving aggregate") {
     val b1 = (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(("t", i.toLong)))
     val src = stageBatches(Seq(b1))

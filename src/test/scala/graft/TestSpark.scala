@@ -12,6 +12,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .config("spark.ui.enabled", "false")
+      // write-sorted bucketed tables (Bucketing.writeBucketed: one
+      // sorted file per bucket) read back sort-free; Spark guards the
+      // reported ordering behind single-file-per-bucket, so appended
+      // (multi-file) buckets still plan their own Sort correctly
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -628,7 +628,6 @@ object Curation {
     * q63/q66 discipline — rerunnable, join-free, skew-proof). Docs
     * never shuffle; the output is per-source accounting. */
   def temperatureMix(docs: DataFrame, alpha: Double, budget: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
     val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("n_tot", sum(col("n_docs")).over(all))
@@ -891,7 +890,6 @@ object Curation {
     substring(md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 16)
 
   def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val u = stratRank
     val w = Window.partitionBy(col("source")).orderBy(u.asc, col("doc_id").asc)
     docs.select(col("source"), col("doc_id"))
@@ -1051,10 +1049,18 @@ object Curation {
     * frac is an exact int/int division and the 0.2 comparison is on
     * bit-identical doubles in both engines. */
   def contaminationRatio(train: DataFrame, test: DataFrame): DataFrame = {
+    // explode_OUTER on the train side (round-14 review): a train doc
+    // shorter than the shingle width has no shingle rows, and a plain
+    // explode dropped it from EVERY verdict bucket — not even "clean"
+    // — so verdict counts didn't reconcile against split totals. The
+    // null-sfp row never matches a test fp (null join key), lands at
+    // n_hit 0 → clean, and its frac 0 can't move the clean bucket's
+    // avg (every clean doc's frac is 0 by definition).
     def sh(df: DataFrame) = df.select(col("source"), col("doc_id"),
-      explode(array_distinct(graft.functions.NativeExprs
+      explode_outer(array_distinct(graft.functions.NativeExprs
         .shingleHashes(split(col("text"), " "), DecontamN))).as("sfp"))
-    val testFps = sh(test).select(col("sfp")).distinct()
+    val testFps = sh(test).filter(col("sfp").isNotNull)
+      .select(col("sfp")).distinct()
     // single consumption of the train shingles (r9 ADVICE: the old
     // two-consumer formulation cached trainSh and leaked the cached
     // partitions for the rest of the session): a left join marks each
@@ -1083,15 +1089,17 @@ object Curation {
   val q125Sql: String =
     s"""WITH sh AS (
       | SELECT source, doc_id,
-      |   unnest(list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
-      |     for i in range(1, len(t) - ${DecontamN - 2})])) AS s
+      |   unnest(CASE WHEN len(t) >= $DecontamN
+      |     THEN list_distinct([array_to_string(t[i:i+${DecontamN - 1}], ' ')
+      |       for i in range(1, len(t) - ${DecontamN - 2})])
+      |     ELSE [CAST(NULL AS VARCHAR)] END) AS s
       | FROM (SELECT source, doc_id, str_split(text, ' ') AS t FROM documents)
-      | WHERE len(t) >= $DecontamN
       |), train_sh AS (
       | SELECT * FROM sh WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
       |), test_fp AS (
       | SELECT DISTINCT s FROM sh
       | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      |   AND s IS NOT NULL
       |), hits AS (
       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
       | FROM train_sh JOIN test_fp USING (s) GROUP BY doc_id
@@ -1147,28 +1155,40 @@ object Curation {
     val s2 = base.withColumn("rn", row_number().over(rnW))
       .filter(col("rn") === 1).drop("rn")
     val s3 = s2.filter(col("n_tokens") >= 20 && col("swr") >= 0.02)
-    // contamination ids: survivors sharing any 5-shingle fp with the
-    // test split — 8-byte xxhash64 fps both sides (q99/q102 collision
-    // argument); ids-only exchange
+    // contamination ids: TRAIN-split survivors sharing any 5-shingle
+    // fp with the test split — 8-byte xxhash64 fps both sides
+    // (q99/q102 collision argument); ids-only exchange. The probe side
+    // is restricted to the train split (round-14 review): probing the
+    // full corpus self-flagged every test doc (each trivially shares
+    // its own shingles), conflating "is the test split" with
+    // "contaminated by it" and baking a permanent ~10% stage-4 drop
+    // into the funnel whose whole purpose is spotting abnormal drops.
+    // Test docs ride the funnel unflagged like every other stage —
+    // this query measures stage attrition, it doesn't route splits.
     val shingled = docs.select(col("doc_id"),
       explode(array_distinct(graft.functions.NativeExprs
         .shingleHashes(split(col("text"), " "), DecontamN))).as("sfp"))
     val testFps = shingled
       .filter(hashBucket(col("doc_id").cast("string")) >= "e6")
       .select(col("sfp")).distinct()
-    val contaminated = shingled.join(testFps, Seq("sfp"))
+    val contaminated = shingled
+      .filter(hashBucket(col("doc_id").cast("string")) < "e6")
+      .join(testFps, Seq("sfp"))
       .select(col("doc_id")).distinct()
     val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
     def stat(df: DataFrame, idx: Int, name: String) =
       df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
                 col("n_docs"), col("n_tokens"))
-    val raw = base
-    val stages = stat(raw, 1, "raw")
+    // the raw-stage row feeds BOTH the stage union and the retention
+    // denominators — two plan consumptions recompute the whole scored
+    // scan (the q187/q196 lesson), so pin the 1-row digest once
+    val rawStat = stat(base, 1, "raw").localCheckpoint()
+    val stages = rawStat
       .unionByName(stat(s2, 2, "exact_dedup"))
       .unionByName(stat(s3, 3, "quality"))
       .unionByName(stat(s4, 4, "decontam"))
-    val totals = stat(raw, 1, "raw")
+    val totals = rawStat
       .select(col("n_docs").as("raw_docs"), col("n_tokens").as("raw_tokens"))
     stages.crossJoin(broadcast(totals))
       .select(col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens"),
@@ -1199,6 +1219,7 @@ object Curation {
       | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
       |), contaminated AS (
       | SELECT DISTINCT sh.doc_id FROM sh JOIN test_fp USING (s)
+      | WHERE substr(md5(CAST(sh.doc_id AS VARCHAR)), 1, 2) < 'e6'
       |), s4 AS (
       | SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
       |), stages AS (
@@ -1240,7 +1261,6 @@ object Curation {
     * ignored; data buckets absent from the target drop to rate 0. */
   def matchDistribution(docs: DataFrame, bucketCol: String,
                         target: Map[String, Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
     val tgt = typedLit(target)
     val stats = docs.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_docs"))

@@ -450,7 +450,8 @@ class CurationSpec extends AnyFunSuite {
     val train = Seq(
       (1L, "a", (1 to 10).map(t).mkString(" ")),   // 6 shingles; 1 hits → 1/6 partial
       (2L, "a", (21 to 30).map(t).mkString(" ")),  // fully copied → contaminated
-      (3L, "a", (41 to 50).map(t).mkString(" ")))  // disjoint → clean
+      (3L, "a", (41 to 50).map(t).mkString(" ")),  // disjoint → clean
+      (4L, "a", "too short"))                      // < 5 tokens, 0 shingles → clean
       .toDF("doc_id", "source", "text")
     val test = Seq(
       (90L, "a", (1 to 5).map(t).mkString(" ")),   // exactly train doc 1's first shingle
@@ -458,7 +459,10 @@ class CurationSpec extends AnyFunSuite {
       .toDF("doc_id", "source", "text")
     val got = Curation.contaminationRatio(train, test).collect()
       .map(r => r.getString(1) -> (r.getAs[Long]("n_docs"), r.getAs[Double]("avg_frac"))).toMap
-    assert(got("clean") == (1L, 0.0))
+    // the sub-shingle-width doc counts as CLEAN (round-14 review: a
+    // plain explode dropped it from every bucket, so verdict counts
+    // didn't reconcile against the split's doc total)
+    assert(got("clean") == (2L, 0.0))
     assert(got("partial")._1 == 1L && math.abs(got("partial")._2 - 1.0 / 6) < 1e-4,
       s"one of six shingles hit: $got")
     assert(got("contaminated") == (1L, 1.0), "verbatim copy scores frac 1.0")
@@ -470,14 +474,30 @@ class CurationSpec extends AnyFunSuite {
       // ≥20 tokens with stopwords → survives quality
       (i.toLong, "a", ("the of and " + (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
     }
-    val dup = Seq((100L, "a", good.head._3))          // exact dup of doc 1 → stage 2 drop
+    // md5("201") < 'e6': the dup must sit in the TRAIN split, or its
+    // copy of doc 1's text lands doc 1's shingles in the test set and
+    // doc 1 is (correctly!) decontaminated away at stage 4
+    val dup = Seq((201L, "a", good.head._3))          // exact dup of doc 1 → stage 2 drop
     val short = Seq((101L, "a", "the tiny doc"))      // <20 tokens → stage 3 drop
-    val funnel = Curation.curationFunnel((good ++ dup ++ short).toDF("doc_id", "source", "text"))
+    // md5("205") >= 'e6' → test split; md5("200") < 'e6' → train.
+    // 200 shares 5-shingles with 205 → genuinely contaminated, drops
+    // at stage 4; 205 itself must RIDE the funnel (round-14 review:
+    // the old full-corpus probe self-flagged every test-split doc,
+    // baking a permanent stage-4 drop into the attrition dashboard)
+    val shared = (1 to 20).map(j => s"s$j").mkString(" ")
+    val testDoc = Seq((205L, "a", s"the of and $shared"))
+    val contam = Seq((200L, "a",
+      s"the of and ${(1 to 10).map(j => s"s$j").mkString(" ")} " +
+        (1 to 10).map(j => s"u$j").mkString(" ")))
+    val funnel = Curation.curationFunnel(
+        (good ++ dup ++ short ++ testDoc ++ contam).toDF("doc_id", "source", "text"))
       .collect().sortBy(_.getAs[Int]("stage_idx"))
     val docsAt = funnel.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
-    assert(docsAt("raw") == 32)
-    assert(docsAt("exact_dedup") == 31, "the planted exact dup drops at stage 2")
-    assert(docsAt("quality") == 30, "the short doc drops at stage 3")
+    assert(docsAt("raw") == 34)
+    assert(docsAt("exact_dedup") == 33, "the planted exact dup drops at stage 2")
+    assert(docsAt("quality") == 32, "the short doc drops at stage 3")
+    assert(docsAt("decontam") == 31,
+      "the contaminated TRAIN doc drops; the test-split doc itself survives")
     val counts = funnel.map(_.getAs[Long]("n_docs"))
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, "funnel is monotone")
     assert(funnel.head.getAs[Double]("doc_retention") == 1.0)

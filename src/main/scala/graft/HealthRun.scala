@@ -41,9 +41,15 @@ object HealthRun {
           // STATUS row, so a typo'd path would exit 0 here, page once
           // as family-added, then compare fail==fail "unchanged"
           // forever — the real store rots silently. Same contract as
-          // a bad dataDir: setup error, exit 2.
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          // a bad dataDir: setup error, exit 2. The probe itself must
+          // be TOTAL (round-14 review): a malformed URI or missing
+          // filesystem jar throws from Path/getFileSystem/exists, and
+          // an uncaught throw here would escape main and exit 1 — the
+          // page signal — for what is by definition a setup error.
+          scala.util.Try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+          }.getOrElse(false)
         }
         if (stores.exists(_.isEmpty)) {
           System.err.println(

@@ -79,6 +79,12 @@ private[graft] object BucketStore {
     * failure mode as a modulus change. First use persists the list;
     * later applies must match it exactly. */
   def layoutKeys(fs: FileSystem, root: Path, keys: Seq[String]): Unit = {
+    // the sidecar encoding (and fsck's split(",") re-parse) is only
+    // injective for comma-free names — a column literally named "a,b"
+    // would collide with the two-key list ["a","b"] and defeat the
+    // exact guard this sidecar exists for
+    require(keys.forall(!_.contains(",")),
+      s"bucket-store key columns must not contain ',': $keys")
     val f = new Path(root, "_keys")
     readSidecar(fs, f) match {
       case Some(v) =>
@@ -206,12 +212,21 @@ private[graft] object BucketStore {
       val badNames = parsed.collect { case (n, None) => n }
       val outOfRange = bOpt.fold(Array.empty[String])(b =>
         parsed.collect { case (n, Some(i)) if i < 0 || i >= b => n })
+      // two dirs parsing to the SAME index (bucket=01 beside bucket=1
+      // after a sloppy restore) both pass the range check and both
+      // hash clean — yet liveBucketDirs serves BOTH, double-counting
+      // the bucket's rows for every reader (round-14 review)
+      val aliased = parsed.collect { case (n, Some(i)) => (i, n) }
+        .groupBy(_._1).filter(_._2.length > 1)
+        .toSeq.sortBy(_._1)
+        .map { case (i, ns) => s"$i<-[${ns.map(_._2).sorted.mkString(",")}]" }
       rows += (("bucket_range",
-        if (badNames.isEmpty && outOfRange.isEmpty) "ok" else "fail",
-        if (badNames.isEmpty && outOfRange.isEmpty)
+        if (badNames.isEmpty && outOfRange.isEmpty && aliased.isEmpty) "ok" else "fail",
+        if (badNames.isEmpty && outOfRange.isEmpty && aliased.isEmpty)
           s"${liveNames.length} live bucket(s)" +
             (if (orphanOlds.nonEmpty) s" + ${orphanOlds.length} orphaned .old" else "")
-        else s"unparseable: [${badNames.mkString(",")}] out-of-range: [${outOfRange.mkString(",")}]"))
+        else s"unparseable: [${badNames.mkString(",")}] out-of-range: [${outOfRange.mkString(",")}]" +
+          (if (aliased.nonEmpty) s" aliased: [${aliased.mkString(" ")}]" else "")))
       // exactly-once watermarks (ledger protocol only — a store with a
       // `_schema` sidecar): every live bucket must carry a parseable
       // `_applied`, because the replay gate treats a MISSING sidecar
@@ -260,30 +275,45 @@ private[graft] object BucketStore {
           else {
             // torn/unparseable _schema → fall back to inference for
             // the hash recount (the applied_watermarks row already
-            // failed on the corruption itself)
-            val schemaOpt = scala.util.Try(
-              readSidecar(fs, new Path(root, "_schema"))
-                .map(org.apache.spark.sql.types.StructType.fromDDL))
-              .toOption.flatten
-            val misplaced = schemaOpt.fold(spark.read)(spark.read.schema)
-              .parquet(dirs.map(_.toString): _*)
-              .select(
-                pmod(xxhash64(ks.map(col): _*), lit(b)).cast("int").as("expect"),
-                // anchored to the file's PARENT segment: a store
-                // rooted under a path that itself contains a
-                // bucket=N component (e.g. a dataset partitioned by
-                // a column named `bucket`) must not match the outer
-                // segment and brand every row misplaced; the
-                // optional .old covers an orphaned dir standing in
-                // for its missing live sibling (liveBucketDirs)
-                regexp_extract(input_file_name(),
-                  "bucket=([0-9]+)(\\.old)?/[^/]*$", 1)
-                  .cast("int").as("actual"))
-              .filter(col("expect") =!= col("actual"))
-              .count()
-            rows += (("bucket_hash", if (misplaced == 0L) "ok" else "fail",
-              if (misplaced == 0L) "all rows in their hash bucket"
-              else s"$misplaced row(s) in the wrong bucket dir — invisible to touched-bucket merges"))
+            // failed on the corruption itself); reuse the sidecar
+            // read captured above rather than a second FS round-trip
+            val schemaOpt = schemaRead.toOption.flatten
+              .flatMap(v => scala.util.Try(
+                org.apache.spark.sql.types.StructType.fromDDL(v)).toOption)
+            // the recount itself must be TOTAL (round-14 review): a
+            // corrupt-but-readable _keys sidecar (or data files that
+            // no longer carry a listed key column) makes the select
+            // throw UNRESOLVED_COLUMN — report-don't-abort means that
+            // is a fail row, never an AnalysisException that kills
+            // the whole vintage report
+            val misplaced = scala.util.Try(
+              schemaOpt.fold(spark.read)(spark.read.schema)
+                .parquet(dirs.map(_.toString): _*)
+                .select(
+                  pmod(xxhash64(ks.map(col): _*), lit(b)).cast("int").as("expect"),
+                  // anchored to the file's PARENT segment: a store
+                  // rooted under a path that itself contains a
+                  // bucket=N component (e.g. a dataset partitioned by
+                  // a column named `bucket`) must not match the outer
+                  // segment and brand every row misplaced; the
+                  // optional .old covers an orphaned dir standing in
+                  // for its missing live sibling (liveBucketDirs)
+                  regexp_extract(input_file_name(),
+                    "bucket=([0-9]+)(\\.old)?/[^/]*$", 1)
+                    .cast("int").as("actual"))
+                .filter(col("expect") =!= col("actual"))
+                .count())
+            rows += (misplaced match {
+              case scala.util.Success(0L) =>
+                ("bucket_hash", "ok", "all rows in their hash bucket")
+              case scala.util.Success(m) =>
+                ("bucket_hash", "fail",
+                  s"$m row(s) in the wrong bucket dir — invisible to touched-bucket merges")
+              case scala.util.Failure(e) =>
+                ("bucket_hash", "fail",
+                  s"recount failed — _keys don't resolve against the data " +
+                    s"(corrupt sidecar or schema drift): ${e.getMessage.linesIterator.next()}")
+            })
           }
         case _ =>
           rows += (("bucket_hash", "warn",

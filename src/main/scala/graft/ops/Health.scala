@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** CORPUS HEALTH REPORT — the per-vintage operational dashboard a
   * 100 TB pipeline schedules (round-10 verdict ask #5): one entry
-  * point composing the five audit digests a data owner actually reads
-  * before training on a new drop, as a tagged union mirroring
-  * [[Mapwarper.writeTagged]]'s (type, payload) sink shape:
+  * point composing the audit digests a data owner actually reads
+  * before training on a new drop (ten families as of round 13, plus
+  * the optional store_fsck rows — [[checkKeys]] is the authoritative
+  * list), as a tagged union mirroring [[Mapwarper.writeTagged]]'s
+  * (type, payload) sink shape:
   *
   *  - `key_skew`        — q155: join-key multiplicity profile of the
   *                        event fact (decides the q79 salted-join

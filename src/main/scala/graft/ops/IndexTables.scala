@@ -30,10 +30,17 @@ private[graft] object IndexTables {
     val p = new org.apache.hadoop.fs.Path(s"$d/$file")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val rootUri = p.toUri.getPath
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      // path RELATIVE to the root, not the basename: the listing is
+      // recursive, and two same-named files swapping subdirectories
+      // (partition dirs reshuffled on restore, mtimes preserved)
+      // must change the fingerprint — basenames alone key the SAME
+      // table name and the probe silently hits a stale index
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+      entries += s"$rel:${st.getLen}:${st.getModificationTime}"
     }
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(entries.sorted.mkString("\n")
@@ -90,5 +97,7 @@ private[graft] object IndexTables {
       fs.listStatus(wh)
         .filter(st => isGen(st.getPath.getName))
         .foreach { st => onSweep(st.getPath); fs.delete(st.getPath, true) }
-    } catch { case _: Exception => () }
+      // NonFatal, not Exception: best-effort GC must not eat an
+      // InterruptedException and lose the thread's cancellation
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

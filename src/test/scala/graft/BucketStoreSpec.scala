@@ -77,6 +77,41 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(statuses(dir)("bucket_range")._1 == "fail")
   }
 
+  test("a zero-padded alias dir (bucket=01 beside bucket=1) fails bucket_range") {
+    // both dirs parse to index 1, both hash clean — yet liveBucketDirs
+    // serves BOTH, double-counting the bucket's rows for every reader
+    // (round-14 review): the audit must flag the aliasing itself
+    val dir = tmp("fsck_alias")
+    mkLedger(dir)
+    val src = new java.io.File(dir, "bucket=1")
+    val dst = new java.io.File(dir, "bucket=01")
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, dst.toPath.resolve(f.getName))
+    }
+    val st = statuses(dir)
+    assert(st("bucket_range")._1 == "fail", s"got $st")
+    assert(st("bucket_range")._2.contains("aliased"))
+  }
+
+  test("a corrupt _keys sidecar fails bucket_hash as a row, never an fsck abort") {
+    // report-don't-abort: keys that don't resolve against the data
+    // (torn sidecar content, schema drift) must surface as a fail row
+    // — an AnalysisException here killed the whole vintage report
+    val dir = tmp("fsck_badkeys")
+    mkLedger(dir)
+    // write through the Hadoop FS so the CRC sidecar updates too —
+    // a raw java.nio write trips the checksum and lands in the
+    // torn-sidecar (layout_keys fail) class instead of this one
+    val p = new org.apache.hadoop.fs.Path(dir, "_keys")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("no_such_column".getBytes("UTF-8")); out.close()
+    val st = statuses(dir)
+    assert(st("bucket_hash")._1 == "fail", s"got $st")
+    assert(st("bucket_hash")._2.contains("recount failed"))
+  }
+
   test("a ledger bucket missing its _applied watermark fails (replay would double-apply)") {
     val dir = tmp("fsck_wm")
     mkLedger(dir)

@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
 object IncrementalNovelty {
 
   /** One row per (doc, distinct shingle fp) — q180's exact shingle
-    * rule ([[Text.NoveltyN]]-gram xxhash64 fps). */
-  private def docShingles(docs: DataFrame): DataFrame =
+    * rule ([[Text.NoveltyN]]-gram xxhash64 fps). Exposed to
+    * [[graft.streaming.StreamingNovelty]] so one trigger shingles its
+    * batch ONCE (persisted) and feeds both the screen and the append —
+    * the shingling explode is the dominant batch-side cost and ran
+    * twice per trigger before (round-14 review). */
+  private[graft] def docShingles(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("doc_id"),
       explode(array_distinct(graft.functions.NativeExprs.shingleHashes(
         split(col("text"), " "), Text.NoveltyN))).as("fp"))
@@ -62,7 +66,13 @@ object IncrementalNovelty {
     * appendToIndex only appends anti-joined survivors; the min window
     * partitions by fp over the BATCH only. */
   def screenBatch(spark: SparkSession, batch: DataFrame, table: String): DataFrame =
-    docShingles(batch)
+    screenShingled(spark, docShingles(batch), table)
+
+  /** [[screenBatch]] over a pre-shingled `(source, doc_id, fp)` frame
+    * ([[docShingles]] output — possibly persisted by the caller). */
+  private[graft] def screenShingled(spark: SparkSession, shingles: DataFrame,
+                                    table: String): DataFrame =
+    shingles
       .withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .join(spark.table(table).hint("MERGE")
@@ -79,9 +89,13 @@ object IncrementalNovelty {
   /** Appends a batch's shingles to the index, deduplicated against it
     * (one merge anti-join; the index side stays in place). Idempotent:
     * a replayed append finds its own fps present and adds nothing. */
-  def appendToIndex(batch: DataFrame, table: String): Unit = {
-    val s = batch.sparkSession
-    fpOwners(batch)
+  def appendToIndex(batch: DataFrame, table: String): Unit =
+    appendShingled(docShingles(batch), table)
+
+  /** [[appendToIndex]] over a pre-shingled frame; see [[docShingles]]. */
+  private[graft] def appendShingled(shingles: DataFrame, table: String): Unit = {
+    val s = shingles.sparkSession
+    shingles.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
       .join(s.table(table).hint("MERGE"), Seq("fp"), "left_anti")
       .write.mode("append").format("parquet").insertInto(table)
   }

@@ -88,16 +88,18 @@ object StreamingLedger {
     val reduced = sumCounters(batch).withColumn("bucket", bucketOf).persist()
     try {
       val schemaSidecar = new Path(root, "_schema")
-      if (BucketStore.readSidecar(fs, schemaSidecar).isEmpty)
-        BucketStore.writeSidecar(fs, schemaSidecar,
-          org.apache.spark.sql.types.StructType(
-            reduced.schema.fields.filterNot(_.name == "bucket")).toDDL)
+      // ONE sidecar read per trigger (the fsck discipline): this is
+      // the per-batch hot path, and a second open/read/close round
+      // trip to the same tiny file buys nothing
+      val currentDdl = org.apache.spark.sql.types.StructType(
+        reduced.schema.fields.filterNot(_.name == "bucket")).toDDL
+      val storedDdl = BucketStore.readSidecar(fs, schemaSidecar)
+        .getOrElse { BucketStore.writeSidecar(fs, schemaSidecar, currentDdl); currentDdl }
       // the merge read MUST use the declared schema: a fully-retracted
       // bucket's live dir holds only the _applied sidecar (hidden from
       // the file index), and schema INFERENCE over zero visible files
       // throws — wedging the stream on the next batch into that bucket
-      val ledgerSchema = org.apache.spark.sql.types.StructType.fromDDL(
-        BucketStore.readSidecar(fs, schemaSidecar).get)
+      val ledgerSchema = org.apache.spark.sql.types.StructType.fromDDL(storedDdl)
       // counters are a creation-time contract too (the layoutKeys
       // rule): the merge below projects `existing` to THIS call's
       // columns, so a caller passing a subset would silently drop a
@@ -204,8 +206,12 @@ object StreamingLedger {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     BucketStore.liveBucketDirs(fs, root).flatMap { d =>
       for {
+        // strip the .old suffix too: liveBucketDirs serves an ORPHANED
+        // bucket=N.old (crash between swapIn's renames) as bucket N's
+        // authoritative data, and a bare toInt on "N.old" silently
+        // dropped that bucket from the published map (round-14 review)
         bk <- scala.util.Try(
-          d.getName.stripPrefix("bucket=").toInt).toOption
+          d.getName.stripPrefix("bucket=").stripSuffix(".old").toInt).toOption
         // a torn/unreadable sidecar reads as a sentinel so a capture
         // taken mid-damage never matches a healthy one (two STABLE
         // corrupt captures still match — that is a standing-damage

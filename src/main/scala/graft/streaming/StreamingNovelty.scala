@@ -41,14 +41,19 @@ object StreamingNovelty {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir/_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
+        // shingle ONCE per trigger: the screen and the append both
+        // consume the same (source, doc_id, fp) frame, and the
+        // shingling explode over full text is the dominant batch-side
+        // cost — caching the raw docs instead ran it twice (round-14
+        // review)
+        val sh = IncrementalNovelty.docShingles(batch).persist()
         try {
           // score BEFORE append: a crash between the two replays the
           // whole batch, and self-attribution keeps the re-screen
           // identical whether or not the append had landed
-          IncrementalNovelty.screenBatch(spark, b, indexTable)
+          IncrementalNovelty.screenShingled(spark, sh, indexTable)
             .write.mode("overwrite").parquet(s"$outDir/scores/batch_id=$batchId")
-          IncrementalNovelty.appendToIndex(b, indexTable)
+          IncrementalNovelty.appendShingled(sh, indexTable)
           // foreachBatch binds `b` to a CLONED session; the append's
           // insertInto refreshes the CLONE's relation cache, while the
           // outer session — which the next micro-batch's screen reads
@@ -56,7 +61,7 @@ object StreamingNovelty {
           // silently miss everything just appended (caught by
           // StreamingNoveltySpec's cross-batch restatement case)
           spark.catalog.refreshTable(indexTable)
-        } finally b.unpersist()
+        } finally sh.unpersist()
         ()
       }
       .start()

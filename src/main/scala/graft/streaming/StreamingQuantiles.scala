@@ -51,12 +51,34 @@ object StreamingQuantiles {
     * stream runs. Empty batches (no window closed this trigger) write
     * nothing — an absent directory and an empty one read the same.
     * The batch is cached around the emptiness probe so the stateful
-    * aggregation runs once per trigger, not once per action. */
+    * aggregation runs once per trigger, not once per action.
+    *
+    * Publication is write-to-dot-staging + RENAME (round-14 review —
+    * the sibling ledger/snapshot sinks' discipline): a direct
+    * mode(overwrite) commits part-files into the live dir one rename
+    * at a time, so a crash mid-job-commit left a SUBSET of the
+    * batch's windows readable as durable store content until the
+    * replay. The dot-prefixed staging dir is invisible to both the
+    * `batch=` listing probe and the parquet reader; crash debris
+    * there is deleted by the replay before re-writing. The remaining
+    * exposure is the delete→rename instant on the live dir — the
+    * already-documented reads-as-zero-rows window — not a partial
+    * batch. */
   def persistBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
     val cached = batch.persist()
     try {
-      if (!cached.isEmpty)
-        cached.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      if (!cached.isEmpty) {
+        val staging = new Path(s"$storeDir/.staging-batch=$batchId")
+        val live = new Path(s"$storeDir/batch=$batchId")
+        val fs = staging.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(staging, true)
+        cached.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(live, true)
+        if (!fs.rename(staging, live))
+          throw new java.io.IOException(
+            s"cannot publish $staging -> $live (rename returned false)")
+      }
     } finally { cached.unpersist(); () }
   }
 
@@ -124,6 +146,9 @@ object StreamingQuantiles {
   def rollupTotal(spark: SparkSession, storeDir: String,
                   qs: Seq[Double]): DataFrame =
     readSketchStore(spark, storeDir)
-      .agg(sum(col("n_events")).as("n_events"),
+      // coalesce: sum over ZERO rows (absent/never-written store) is
+      // null while qv is a real zero-quantile array — callers read
+      // n_events as a long (the survivalCurve discipline)
+      .agg(coalesce(sum(col("n_events")), lit(0L)).as("n_events"),
         graft.functions.HdrQuantileAgg.hdrMergeQuantiles(col("sk"), qs).as("qv"))
 }

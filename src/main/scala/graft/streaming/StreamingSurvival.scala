@@ -53,24 +53,32 @@ object StreamingSurvival {
       }
       .start()
 
+  /** The store's row shape — what [[userLifetimes]] writes and the
+    * empty-store branch of [[readProfiles]] declares. A named constant
+    * (the StreamingQuantiles.storeSchema discipline) so the producer
+    * and the empty-read path cannot drift apart silently;
+    * SurvivalStreamSpec pins it against userLifetimes' actual output. */
+  val profileSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("user_id", LongType),
+      StructField("first_ts", TimestampType),
+      StructField("last_ts", TimestampType),
+      StructField("n_events", LongType)))
+  }
+
   /** The persisted profiles (one current row per user). A store whose
     * stream has not yet upserted anything (only `_checkpoint`/
     * `_buckets` present, or nothing at all) reads as zero rows — the
     * readSketchStore discipline; the snapshot reader would otherwise
     * throw on schema inference over the bucket-less directory. */
   def readProfiles(spark: SparkSession, snapDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val root = new org.apache.hadoop.fs.Path(snapDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasBuckets = fs.exists(root) &&
       fs.listStatus(root).exists(_.getPath.getName.startsWith("bucket="))
     if (!hasBuckets)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("user_id", LongType),
-          StructField("first_ts", TimestampType),
-          StructField("last_ts", TimestampType),
-          StructField("n_events", LongType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], profileSchema)
     else StreamingSnapshot.readSnapshot(spark, snapDir)
   }
 

@@ -62,6 +62,17 @@ class SurvivalStreamSpec extends AnyFunSuite {
     Relational.retentionSurvival(ev(rows: _*)).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
 
+  test("producer schema is pinned to the store contract") {
+    // names + types only (parquet round-trips every column nullable):
+    // userLifetimes writes the store; profileSchema declares the
+    // empty-store read — the pair must not drift (round-14 review:
+    // the empty branch used to hardcode its own copy)
+    assert(StreamingSurvival.userLifetimes(ev((1L, 0L)))
+      .schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      StreamingSurvival.profileSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "userLifetimes and profileSchema must not drift")
+  }
+
   test("stream ≡ batch survival under different batch splits, backward-late included") {
     val expected = batchCurve(allRows)
     // u1 lifetime 0, u2 lifetime 10, u3 lifetime 30 (20→40, extended

@@ -38,6 +38,10 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
     extends TypedImperativeAggregate[Array[Long]] {
 
   require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2; got $depth x $width")
+  // depth*width overflowing Int would wrap to a zero/negative buffer
+  // size and die per-row in running tasks instead of here
+  require(depth.toLong * width <= Int.MaxValue,
+    s"depth x width must fit an Int array: $depth x $width")
 
   // analysis-time guard (the HashReservoirAgg/HdrQuantileAgg class):
   // update casts straight to UTF8String, so a non-string child died
@@ -99,9 +103,22 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 
 /** Point-query probe over a CMS produced by [[CountMinAgg]] with the
   * SAME depth/width: min over the d counter rows. Codegen'd call into
-  * the shared kernel, so probing stays inside whole-stage codegen. */
+  * the shared kernel, so probing stays inside whole-stage codegen.
+  *
+  * The (depth, width) pair is a CREATION-TIME contract (the layoutKeys
+  * rule): the length guard below nulls on a wrong TOTAL, but it cannot
+  * distinguish two factorizations of the same product (a 4×1024 sketch
+  * probed as 2×2048 reads aliased cells and can under-estimate,
+  * breaking the true ≤ est guarantee). Embedding a shape header in the
+  * array was considered and rejected — the raw register array is what
+  * makes persisted sketches roll up with plain elementwise addition
+  * (CmsSpec's stored-rollup contract); keep build and probe wired to
+  * one shared constant pair, as [[graft.ops.Text.cmsProbe]] does. */
 case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: Int)
     extends BinaryExpression {
+
+  require(depth >= 1 && width >= 2 && depth.toLong * width <= Int.MaxValue,
+    s"need depth >= 1, width >= 2, depth x width <= Int.MaxValue; got $depth x $width")
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), StringType) => TypeCheckResult.TypeCheckSuccess

@@ -451,17 +451,32 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 case class PqAdc(child: Expression, lut: Array[Array[Double]])
     extends UnaryExpression {
 
-  // input must be the binary output of PqEncode with matching m
+  require(lut.nonEmpty && lut.forall(_.length == lut(0).length),
+    "pq_adc needs a non-empty rectangular m x k lookup table")
+
+  // input must be the binary output of PqEncode with matching m and
+  // byte values < k — a mismatched code NULLs (sibling convention)
+  // instead of an AIOOBE mid-scan on a foreign binary column
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any =
-    SketchKernels.pqAdc(v.asInstanceOf[Array[Byte]], lut)
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[Array[Byte]]
+    if (!SketchKernels.pqAdcValid(code, lut.length, lut(0).length)) null
+    else SketchKernels.pqAdc(code, lut)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lut", lut, "double[][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchKernels.pqAdc($c, $ref);")
+      s"""
+         |if (!graft.functions.SketchKernels.pqAdcValid($c, ${lut.length}, ${lut(0).length})) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SketchKernels.pqAdc($c, $ref);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): PqAdc = copy(child = c)

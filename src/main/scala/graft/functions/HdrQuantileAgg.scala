@@ -99,6 +99,33 @@ private[graft] object Hdr {
     lowerBound(buf.length - 1)
   }
 
+  /** One-pass readout of SEVERAL quantiles — the aggregate eval hot
+    * path: the per-q form re-sums and re-walks the full Size-slot
+    * histogram once per requested quantile, per group (round-14
+    * review). Results positionally match `qs`; empty sketch → zeros,
+    * like [[quantile]]. */
+  def quantiles(buf: Array[Long], qs: Seq[Double]): Array[Long] = {
+    var total = 0L
+    var i = 0
+    while (i < buf.length) { total += buf(i); i += 1 }
+    val out = new Array[Long](qs.length)
+    if (total == 0L) return out
+    val order = qs.indices.sortBy(qs(_)).toArray
+    val targets = order.map(j => math.max(1L, math.ceil(qs(j) * total).toLong))
+    var k = 0
+    var cum = 0L
+    i = 0
+    while (i < buf.length && k < order.length) {
+      cum += buf(i)
+      while (k < order.length && cum >= targets(k)) {
+        out(order(k)) = lowerBound(i); k += 1
+      }
+      i += 1
+    }
+    while (k < order.length) { out(order(k)) = lowerBound(buf.length - 1); k += 1 }
+    out
+  }
+
   /** Sparse serialization: (int idx, long count) pairs for non-zero
     * slots — a near-empty group costs bytes, not Size·8. */
   def toBytes(buf: Array[Long]): Array[Byte] = {
@@ -139,8 +166,21 @@ private[graft] object Hdr {
       s"HDR sketch layout mismatch: stored Size=$size, this build Size=$Size " +
         "(SubBits/MaxExp changed) — rebuild the stored sketches")
     val nz = bb.getInt
+    // validate BEFORE mutating buf: a truncated byte string (valid
+    // header, pairs cut short) threw a raw BufferUnderflowException
+    // mid-add, and a corrupt pair index an AIOOBE — the
+    // stored-sketch-outlives-the-build case deserves the same named
+    // failure as the Size header (round-14 review)
+    require(nz >= 0 && bytes.length == 8 + nz.toLong * 12,
+      s"HDR sketch truncated/corrupt: header says $nz pair(s) but " +
+        s"${bytes.length} bytes (expected ${8 + nz.toLong * 12})")
     var k = 0
-    while (k < nz) { val i = bb.getInt; buf(i) += bb.getLong; k += 1 }
+    while (k < nz) {
+      val i = bb.getInt
+      require(i >= 0 && i < Size,
+        s"HDR sketch corrupt: bucket index $i outside [0, $Size)")
+      buf(i) += bb.getLong; k += 1
+    }
     buf
   }
 }
@@ -183,7 +223,7 @@ case class HdrQuantileAgg(child: Expression, qs: Seq[Double],
     Hdr.mergeInto(b1, b2)
 
   override def eval(buf: Array[Long]): Any =
-    new GenericArrayData(qs.map(Hdr.quantile(buf, _)).toArray)
+    new GenericArrayData(Hdr.quantiles(buf, qs))
 
   override def serialize(buf: Array[Long]): Array[Byte] = Hdr.toBytes(buf)
   override def deserialize(bytes: Array[Byte]): Array[Long] = Hdr.fromBytes(bytes)
@@ -284,7 +324,7 @@ case class HdrMergeAgg(child: Expression, qs: Seq[Double],
     Hdr.mergeInto(b1, b2)
 
   override def eval(buf: Array[Long]): Any =
-    new GenericArrayData(qs.map(Hdr.quantile(buf, _)).toArray)
+    new GenericArrayData(Hdr.quantiles(buf, qs))
 
   override def serialize(buf: Array[Long]): Array[Byte] = Hdr.toBytes(buf)
   override def deserialize(bytes: Array[Byte]): Array[Long] = Hdr.fromBytes(bytes)

@@ -74,6 +74,28 @@ private[functions] object Hll {
       else raw
     math.round(est)
   }
+
+  /** Analysis-time guard shared by the two sketch-building aggregates:
+    * the hasher iterates MapData in STORED ENTRY ORDER, so two
+    * logically equal maps built in different orders hash apart and
+    * inflate the distinct estimate silently — Spark bans xxhash64 /
+    * exact count-distinct on maps at analysis for exactly this reason
+    * (round-14 review). Rejects maps at any nesting depth. */
+  def checkHashable(dt: org.apache.spark.sql.types.DataType,
+                    name: String): TypeCheckResult = {
+    def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case org.apache.spark.sql.types.ArrayType(e, _) => hasMap(e)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    if (hasMap(dt))
+      TypeCheckResult.TypeCheckFailure(
+        s"$name cannot hash a map-bearing column (${dt.catalogString}): " +
+          "map entry order is undefined, so equal maps would count as " +
+          "distinct — convert with map_entries + array_sort first")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 }
 
 case class HllSketchAgg(child: Expression, p: Int,
@@ -88,6 +110,8 @@ case class HllSketchAgg(child: Expression, p: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "hll_distinct"
+  override def checkInputDataTypes(): TypeCheckResult =
+    Hll.checkHashable(child.dataType, prettyName)
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
@@ -130,6 +154,8 @@ case class HllSketchBytesAgg(child: Expression, p: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "hll_sketch"
+  override def checkInputDataTypes(): TypeCheckResult =
+    Hll.checkHashable(child.dataType, prettyName)
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 

@@ -233,9 +233,26 @@ object SketchKernels {
     out
   }
 
+  /** Shape guard for [[pqAdc]]: the code must carry exactly m bytes
+    * and every byte must index inside the k-entry tables — a foreign
+    * binary column (say a 64-byte int8 vector against an 8-subspace
+    * LUT, or codes trained with a larger k) otherwise dies mid-scan
+    * with an ArrayIndexOutOfBoundsException where every sibling
+    * expression nulls (round-14 review). */
+  def pqAdcValid(code: Array[Byte], m: Int, k: Int): Boolean = {
+    if (code.length != m) return false
+    var s = 0
+    while (s < code.length) {
+      if ((code(s) & 0xFF) >= k) return false
+      s += 1
+    }
+    true
+  }
+
   /** Asymmetric distance computation: approximate inner product of the
     * (normalized) query against a PQ code — m table lookups, no
-    * vector math at scan time. lut(s)(c) = ⟨query_sub_s, centroid_c⟩. */
+    * vector math at scan time. lut(s)(c) = ⟨query_sub_s, centroid_c⟩.
+    * Callers guard with [[pqAdcValid]] first. */
   def pqAdc(code: Array[Byte], lut: Array[Array[Double]]): Double = {
     var acc = 0.0
     var s = 0

@@ -117,6 +117,35 @@ class HdrSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0).head == 3L)
   }
 
+  test("multi-quantile readout equals the per-q readout, in caller order") {
+    import graft.functions.Hdr
+    val buf = new Array[Long](Hdr.Size)
+    Seq(1L, 5L, 5L, 63L, 100L, 5000L, 123456L).foreach(Hdr.update(buf, _))
+    // deliberately UNSORTED qs: the one-pass walk must restore caller order
+    val qs = Seq(0.99, 0.1, 0.5, 1.0, 0.9)
+    assert(Hdr.quantiles(buf, qs).toSeq == qs.map(Hdr.quantile(buf, _)),
+      "one-pass readout must match the per-quantile walk positionally")
+    assert(Hdr.quantiles(new Array[Long](Hdr.Size), qs).toSeq ==
+      Seq.fill(qs.length)(0L), "empty sketch reads zeros, like quantile()")
+  }
+
+  test("truncated or index-corrupt stored sketches fail fast with a named error") {
+    import graft.functions.Hdr
+    val buf = new Array[Long](Hdr.Size)
+    Hdr.update(buf, 100L); Hdr.update(buf, 7L)
+    val bytes = Hdr.toBytes(buf)
+    // cut mid-pairs: valid header, missing payload — must not be a raw
+    // BufferUnderflowException after partially mutating the target
+    val truncated = java.util.Arrays.copyOf(bytes, bytes.length - 6)
+    val e1 = intercept[IllegalArgumentException] { Hdr.fromBytes(truncated) }
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // corrupt a pair's bucket index out of range
+    val forged = bytes.clone()
+    java.nio.ByteBuffer.wrap(forged).putInt(8, Hdr.Size + 3)
+    val e2 = intercept[IllegalArgumentException] { Hdr.fromBytes(forged) }
+    assert(e2.getMessage.contains("bucket index"), e2.getMessage)
+  }
+
   test("stored sketches from a different precision fail fast, never mis-bucket") {
     import graft.functions.Hdr
     val buf = new Array[Long](Hdr.Size)

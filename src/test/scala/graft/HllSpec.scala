@@ -36,6 +36,20 @@ class HllSpec extends AnyFunSuite {
     assert(math.abs(tight - exact) < 30)
   }
 
+  test("map-typed children fail at ANALYSIS — entry order would inflate the estimate") {
+    import spark.implicits._
+    import graft.functions.HllSketchAgg.{hllDistinct, hllSketch}
+    val maps = Seq(Map("a" -> 1, "b" -> 2)).toDF("m")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      maps.agg(hllDistinct(col("m"))).collect()
+    }
+    assert(e1.getMessage.contains("map"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      maps.agg(hllSketch(col("m"))).collect()
+    }
+    assert(e2.getMessage.contains("map"), e2.getMessage)
+  }
+
   test("grouped q53 estimates track the exact distinct counts per source") {
     val rows = graft.ops.Text.q53HllDistinct(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

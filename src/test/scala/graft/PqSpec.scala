@@ -21,6 +21,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdc NULLs on foreign codes (wrong m, byte >= k) instead of crashing") {
+    import spark.implicits._
+    // a 2x4 LUT: valid codes are 2 bytes with values < 4
+    val lut = Array(Array(1.0, 2.0, 3.0, 4.0), Array(5.0, 6.0, 7.0, 8.0))
+    val rows = Seq(
+      (1L, Array[Byte](1, 2)),        // valid → 2.0 + 7.0
+      (2L, Array[Byte](1, 2, 3)),     // wrong m → null
+      (3L, Array[Byte](1, 9)),        // byte >= k (foreign k) → null
+      (4L, null.asInstanceOf[Array[Byte]])) // null in → null out
+      .toDF("id", "code")
+    val got = rows.select(col("id"),
+        graft.functions.NativeExprs.pqAdc(col("code"), lut).as("adc"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(9.0))
+    assert(got(2L).isEmpty && got(3L).isEmpty && got(4L).isEmpty,
+      s"foreign/mismatched codes must null, got $got")
+  }
+
   test("PQ codes are m bytes of valid centroid indices") {
     import spark.implicits._
     val e = Tables.embeddings(spark, TestSpark.sf0001)

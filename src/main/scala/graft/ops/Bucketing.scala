@@ -54,4 +54,58 @@ object Bucketing {
                    key: String): DataFrame =
     spark.table(left).hint("MERGE")
       .join(spark.table(right).hint("MERGE"), key)
+
+  // ------------------------------------------------- q197 (bench form)
+
+  /** Bucket count for the q197 tables — small enough that sf0.001
+    * buckets aren't empty, large enough to exercise real fan-out. */
+  val Q197Buckets = 16
+
+  /** q197: the CO-LOCATED FACT-FACT JOIN, bench-visible — the write
+    * path every repeated 100 TB join amortizes into: orders and
+    * customer land hash-bucketed AND sorted on the join key once per
+    * (source dir, data fingerprint) via the [[IndexTables]] lifecycle,
+    * then what the bench times is the recurring cost — a SortMergeJoin
+    * that moves NOTHING (no exchange on either side; no sort either,
+    * the write-time order is trusted via the session's bucketed-scan
+    * conf) feeding a revenue rollup per market segment. The q79 salted
+    * join attacks the skewed one-shot join; this is its planned twin
+    * for the join you run every day. PlanShapeSpec pins
+    * exchange-free + sort-free; the oracle is the plain SQL join. */
+  def q197BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def ensure(prefix: String, file: String, table: String,
+               build: String => Unit): String = {
+      val fp = IndexTables.dataFingerprint(s, d, file)
+      val t = IndexTables.tableName(prefix, d, fp)
+      if (!s.catalog.tableExists(t)) {
+        IndexTables.gcTables(s, prefix, d)
+        build(t)
+      }
+      t
+    }
+    val tOrders = ensure("graft_bkt_orders_v1_", "orders.parquet",
+      "graft_bkt_orders_v1_", t => writeBucketed(
+        graft.Tables.orders(s, d).withColumnRenamed("o_custkey", "custkey"),
+        t, "custkey", Q197Buckets))
+    val tCust = ensure("graft_bkt_customer_v1_", "customer.parquet",
+      "graft_bkt_customer_v1_", t => writeBucketed(
+        graft.Tables.customer(s, d).withColumnRenamed("c_custkey", "custkey"),
+        t, "custkey", Q197Buckets))
+    bucketedJoin(s, tOrders, tCust, "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q197Sql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q197_bucketed_join", q197BucketedJoin _, Some(q197Sql)),
+  )
 }

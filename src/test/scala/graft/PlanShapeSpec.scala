@@ -478,6 +478,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"allowlist entry no longer violates — prune it: ${allow.diff(offenders.toSet)}")
   }
 
+  test("q197 bucketed join: the join subtree has no exchange and no sort") {
+    // the bucketed layout (one sorted file per bucket + the session's
+    // bucketed-scan ordering conf) must do ALL the join's work — the
+    // only legal data movements in the query are the 5-row segment
+    // aggregation and the final orderBy, both ABOVE the join
+    val sp = sparkPlan(q("q197_bucketed_join"))
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a SortMergeJoin:\n$sp")
+    joins.foreach { j =>
+      assert(j.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed join must not shuffle either side:\n$j")
+      assert(j.children.forall(_.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty),
+        s"bucketed join must trust the write-time sort:\n$j")
+    }
+  }
+
   test("forced broadcast hints appear only on provably bounded frames (allowlist)") {
     // Suite-wide invariant (round-13 verdict: q96's hinted survivor
     // set was the last content-unbounded forced broadcast): a

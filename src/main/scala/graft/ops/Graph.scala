@@ -90,6 +90,25 @@ object Graph {
 
   val q187Sql: String = {
     val d = PrDamping
+    // the teleport NUMERATOR must be the Scala double: DuckDB computes
+    // (1.0 - 0.85) in exact DECIMAL (0.15) while Spark folds the Scala
+    // expression (0.15000000000000002) — a 1-ulp divergence amplified
+    // through the damped rounds that could flip a rank_ppm rounding
+    // boundary (round-14 review). Scala's toString is the shortest
+    // round-trip representation, so CASTing it back to DOUBLE is exact.
+    val teleport = s"CAST(${1.0 - PrDamping} AS DOUBLE)"
+    // rounds are GENERATED from PrIters — the hand-unrolled form let
+    // someone bump the Scala constant and silently desync the oracle
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""), r$i AS (
+        | SELECT nodes.id,
+        |   $teleport / n + $d * coalesce(sum(t.p * $prev.r), 0.0) AS r
+        | FROM nodes CROSS JOIN nn
+        | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
+        | LEFT JOIN $prev ON $prev.id = t.src
+        | GROUP BY nodes.id, nn.n""".stripMargin
+    }
     s"""WITH flow AS (
       | SELECT o_custkey, l_suppkey, count(*) AS w
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -106,31 +125,12 @@ object Graph {
       |), trans AS (
       | SELECT src, dst, CAST(w AS DOUBLE) / sum(w) OVER (PARTITION BY src) AS p
       | FROM edges
-      |), r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn
-      |), r1 AS (
-      | SELECT nodes.id,
-      |   (1.0 - $d) / n + $d * coalesce(sum(t.p * r0.r), 0.0) AS r
-      | FROM nodes CROSS JOIN nn
-      | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
-      | LEFT JOIN r0 ON r0.id = t.src
-      | GROUP BY nodes.id, nn.n
-      |), r2 AS (
-      | SELECT nodes.id,
-      |   (1.0 - $d) / n + $d * coalesce(sum(t.p * r1.r), 0.0) AS r
-      | FROM nodes CROSS JOIN nn
-      | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
-      | LEFT JOIN r1 ON r1.id = t.src
-      | GROUP BY nodes.id, nn.n
-      |), r3 AS (
-      | SELECT nodes.id,
-      |   (1.0 - $d) / n + $d * coalesce(sum(t.p * r2.r), 0.0) AS r
-      | FROM nodes CROSS JOIN nn
-      | LEFT JOIN (SELECT * FROM trans) t ON t.dst = nodes.id
-      | LEFT JOIN r2 ON r2.id = t.src
-      | GROUP BY nodes.id, nn.n
+      |), r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn""".stripMargin +
+      "\n" + (1 to PrIters).map(round).mkString("\n") +
+      s"""
       |)
       |SELECT id AS s_suppkey, round(r * 1e6, 4) AS rank_ppm
-      |FROM r3 WHERE id >= 0 ORDER BY s_suppkey""".stripMargin
+      |FROM r$PrIters WHERE id >= 0 ORDER BY s_suppkey""".stripMargin
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

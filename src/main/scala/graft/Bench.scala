@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * sample, so a kill at any instant leaves a complete, parseable
   * artifact covering everything measured so far — and the whole
   * schedule runs under a hard wall-clock budget
-  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 1140 s):
+  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 1050 s):
   *
   *  - each sample runs inside a Spark job group with a watchdog that
   *    cancels it at a cap derived from the remaining budget (an equal
@@ -159,7 +159,7 @@ object Bench {
                  complete: Boolean, sf: String): String = {
     val v = BigDecimal(totalSec).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     s"""{"metric":"total","value":$v,"unit":"sec","queries_timed":$timed,""" +
-      s""""queries_total":$total,"complete":$complete,"sf":"$sf"}"""
+      s""""queries_total":$total,"complete":$complete,"sf":${Verify.jsonString(sf)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -204,29 +204,49 @@ object Bench {
       // tasks exit at their next kill check (per-batch for parquet scans)
       // without the thread-interrupt/HDFS-client deadlock caveat
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
+      // watchdog bookkeeping is RACE-HARDENED (round-14 review): the
+      // timer could fire in the gap between a clean finish and
+      // task.cancel() (mislabeling a good sample as capped), or while
+      // a REAL failure propagated to the catch (recording the failure
+      // as a cap and suppressing failedN). The done-lock stops any
+      // fire after the sample's fate is sealed; the catch classifies
+      // by the EXCEPTION (a cancellation mentions "cancel"), not by
+      // timer timing alone.
+      val lock = new Object
+      var done = false
       @volatile var fired = false
       val task = new java.util.TimerTask {
-        def run(): Unit = { fired = true; spark.sparkContext.cancelJobGroup(group) }
+        def run(): Unit = lock.synchronized {
+          if (!done) { fired = true; spark.sparkContext.cancelJobGroup(group) }
+        }
       }
       watchdog.schedule(task, math.max(1L, (capSec * 1000).toLong))
       val t0 = System.nanoTime()
+      var wasCapped = false
       // noop-format write: materializes EVERY output column through the
       // full plan (a count() would let Catalyst prune unreferenced
       // projections, flattering map-only queries) without sink IO cost
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable =>
-        val what = if (fired) s"capped at ${capSec.round}s" else s"failed: ${e.getMessage}"
-        if (!fired) failedN(name) += 1
-        System.err.println(s"[bench] $name $what")
+        lock.synchronized { done = true }
+        wasCapped = fired && Option(e.getMessage).exists(
+          _.toLowerCase.contains("cancel"))
+        if (wasCapped)
+          System.err.println(s"[bench] $name capped at ${capSec.round}s")
+        else {
+          failedN(name) += 1
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      lock.synchronized { done = true }
       task.cancel()
       spark.sparkContext.clearJobGroup()
       // queries that cache intermediates (sketch/signature frames) must
       // not leak executor memory into the next measurement
       spark.catalog.clearCache()
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-      if (fired) cappedN(name) += 1
+      if (wasCapped) cappedN(name) += 1
       writeArtifact(complete = false)
     }
 
@@ -255,7 +275,7 @@ object Bench {
         s""""queries_timed":${have.length},"queries_total":${ordered.length},""" +
         s""""complete":$complete,"deadline_s":${fmt(deadlineSec)},"elapsed_s":${fmt(elapsedSec)},""" +
         s""""spread_format":"[min,max,n_samples,agreed,n_capped,n_failed]","spread":$spread,""" +
-        s""""queries":$queriesJson,"sf":"$sfDir"}"""
+        s""""queries":$queriesJson,"sf":${Verify.jsonString(sfDir)}}"""
     }
 
     /** Atomic rewrite: tmp file + move, so a kill mid-write can never

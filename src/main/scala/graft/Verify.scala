@@ -17,6 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json FIRST (it depends only on SparkEntry, not on any
+    // query run): written last, one hung or killed query dump lost the
+    // whole round's DuckDB compare — including every query that HAD
+    // dumped successfully (round-14 review; the Bench artifact is
+    // kill-proof the same way)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
     // local-iteration filter (comma-separated name substrings); the
     // driver never sets it, so its runs always dump every query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -30,9 +36,20 @@ object Verify {
       }
       spark.catalog.clearCache() // don't leak cached sketch frames across queries
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleSqlJson)
     spark.stop()
   }
+
+  /** JSON string literal (escaped) — shared with Bench's artifact so
+    * both driver surfaces survive hostile paths/SQL identically. */
+  private[graft] def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** JSON dump of SparkEntry.oracleSql — written by main for the
     * driver's DuckDB compare, and reused by OracleTypeGuardSpec to
@@ -42,17 +59,8 @@ object Verify {
     * (<0x20) — a tab or CR in builder-authored SQL would otherwise
     * make the driver's json.load fail and silently zero the round's
     * correctness. */
-  def oracleSqlJson: String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  def oracleSqlJson: String =
     SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-  }
+      .map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
+      .mkString("{", ",", "}")
 }

@@ -104,12 +104,16 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true))), nullable = false)))
 
   /** Packs documents into a multimodal frame: opaque binary payload +
-    * typed metadata struct (mime/width/height/duration). */
+    * typed metadata struct (mime/width/height/duration). A null-text
+    * document packs as an EMPTY payload — mediaSchema declares payload
+    * non-null, and a null would NPE both decoders' payload.length and
+    * the phash digest, killing the whole query on one bad row
+    * (round-14 review; both decoders handle zero-length payloads). */
   def packMedia(df: DataFrame): DataFrame =
     df.select(
       col("doc_id"),
       struct(
-        encode(col("text"), "UTF-8").as("payload"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
         struct(
           lit("application/x-fake-image").as("mime"),
           (col("n_chars") % 1024).cast("int").as("width"),
@@ -121,7 +125,7 @@ object Multimodal {
 
   /** Batch feature extraction: one decoder per partition, iterator-to-
     * iterator (streaming, no partition materialization). */
-  def extractFeatures(spark: SparkSession, packed: DataFrame,
+  def extractFeatures(packed: DataFrame,
                       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -150,6 +154,10 @@ object Multimodal {
     * codec, the slicing/schema/explode plumbing is real). One row per
     * (doc, frame) with the frame payload as binary. */
   def frameSample(packed: DataFrame, n: Int, frameBytes: Int): DataFrame = {
+    // n = 0 would make sequence(0, -1) COUNT DOWN (step inference) and
+    // emit frame_idx -1, whose negative offset substring reads from
+    // the payload's END — silently wrong frames, not zero frames
+    require(n >= 1, s"frameSample needs n >= 1 frames, got $n")
     val total = length(col("media.payload"))
     val idx = explode(sequence(lit(0), lit(n - 1))).as("frame_idx")
     packed
@@ -159,9 +167,13 @@ object Multimodal {
       .withColumn("offset",
         // 64-bit arithmetic: frame_idx * (total - frameBytes) wraps a
         // 32-bit int for payloads past ~2GB/n, and a negative offset
-        // makes substring count from the END — silently wrong frames
+        // makes substring count from the END — silently wrong frames.
+        // The span floor is 0, not 1 (round-14 review): for payloads
+        // ≤ frameBytes every frame is the whole payload from offset 1,
+        // and a floor of 1 shifted the LAST frame to offset 2, quietly
+        // dropping its first byte.
         (col("frame_idx").cast("long") *
-          greatest(total.cast("long") - frameBytes, lit(1L))
+          greatest(total.cast("long") - frameBytes, lit(0L))
           / lit(math.max(n - 1, 1).toLong)).cast("long") + 1)
       .withColumn("frame",
         expr(s"substring(media.payload, offset, $frameBytes)"))
@@ -193,7 +205,7 @@ object Multimodal {
     * fingerprint and the 64-bit perceptual hash per doc. A one-pixel
     * retouch keeps the phash (the band mean barely moves) while the
     * md5 changes — exactly the near-dup class exact dedup misses. */
-  def extractPhash(spark: SparkSession, packed: DataFrame,
+  def extractPhash(packed: DataFrame,
                    decoder: MediaDecoder = FakeDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -247,7 +259,7 @@ object Multimodal {
     // same phash, and the fp-group min can't precede the bucket min.
     val wP = Window.partitionBy(col("phash"))
     val wF = Window.partitionBy(col("fp"))
-    extractPhash(s, packed, decoder)
+    extractPhash(packed, decoder)
       .withColumn("keep_id", min(col("doc_id")).over(wP))
       .withColumn("fp_keep", min(col("doc_id")).over(wF))
       .select(col("doc_id"), col("phash"), col("keep_id"),
@@ -262,7 +274,7 @@ object Multimodal {
   /** Multimodal pipeline query: pack → batch-decode → per-source feature
     * aggregation. Rows-only check (binary/mapPartitions not in DuckDB). */
   def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
-    val feats = extractFeatures(s, packMedia(documents(s, d)))
+    val feats = extractFeatures(packMedia(documents(s, d)))
     feats
       .select(col("doc_id"), col("source"), col("width"),
         round(sqrt(Similarity.dot(col("feature").cast("array<double>"),

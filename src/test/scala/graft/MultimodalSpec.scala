@@ -70,7 +70,7 @@ class MultimodalSpec extends AnyFunSuite {
       java.util.List.of(
         Row(1L, Row(bos.toByteArray, Row("image/png", 4, 4, null)), "imgs")),
       schema)
-    val feats = Multimodal.extractFeatures(spark, packed, Multimodal.ImageIODecoder)
+    val feats = Multimodal.extractFeatures(packed, Multimodal.ImageIODecoder)
       .collect()
     assert(feats.length == 1)
     val f = feats.head.getSeq[Float](feats.head.fieldIndex("feature"))
@@ -143,6 +143,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
     // frame 0 starts at payload byte 1
     assert(frames.filter(col("frame_idx") === 0 && col("offset") =!= 1).count() == 0)
+  }
+
+  test("frameSample: payload shorter than a frame yields n IDENTICAL whole-payload frames") {
+    // the old span floor of 1 shifted the LAST frame to offset 2,
+    // silently dropping the payload's first byte (round-14 review)
+    import spark.implicits._
+    val packed = Multimodal.packMedia(
+      Seq((1L, "abcd", 4L, "a")).toDF("doc_id", "text", "n_chars", "source"))
+    val frames = Multimodal.frameSample(packed, 4, 16)
+      .select(col("frame_idx"), col("frame").cast("string").as("f"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(frames.size == 4)
+    assert(frames.values.forall(_ == "abcd"),
+      s"every frame must be the whole payload, got $frames")
+    intercept[IllegalArgumentException] { Multimodal.frameSample(packed, 0, 16) }
+  }
+
+  test("a null-text document packs as an empty payload and flows through decode + phash") {
+    import spark.implicits._
+    val packed = Multimodal.packMedia(
+      Seq((1L, null.asInstanceOf[String], 0L, "a"),
+          (2L, "real text here", 14L, "a")).toDF("doc_id", "text", "n_chars", "source"))
+    val feats = Multimodal.extractFeatures(packed).collect()
+    assert(feats.length == 2, "the null-text doc must not kill the extraction")
+    val ph = Multimodal.extractPhash(packed).collect()
+    assert(ph.length == 2 && ph.forall(!_.isNullAt(1)))
   }
 
   test("resizeMeta: aspect preserved, bounded by maxDim") {

@@ -86,11 +86,21 @@ object Ivf {
     * space and the quantizer collapses. Hash order ≈ uniform random,
     * is independent of file layout, and plans as TakeOrderedAndProject
     * (per-partition heaps — no global sort, one scan). */
-  private[ops] def sampleVectors(df: DataFrame, sampleN: Int): Array[Array[Double]] =
-    df.select(col("e"))
+  private[ops] def sampleVectors(df: DataFrame, sampleN: Int): Array[Array[Double]] = {
+    // degenerate-row guard (round-14 review, the kmeansDistributed
+    // discipline): a null embedding in the sample NPE'd .toArray and a
+    // ragged one AIOOBE'd kmeansFit's distance loop — one bad corpus
+    // row killed every IVF training entry point, where the query paths
+    // degrade per-row. Dominant length decided INSIDE the ≤sampleN
+    // driver-side sample (no extra corpus job).
+    val raw = df.select(col("e")).filter(col("e").isNotNull)
       .orderBy(xxhash64(col("e")))
       .limit(sampleN)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .collect().map(_.getSeq[Double](0)).filter(_ != null).map(_.toArray)
+    require(raw.nonEmpty, "sampleVectors: no non-null embeddings to train on")
+    val dim = raw.groupBy(_.length).maxBy { case (l, v) => (v.length, -l) }._1
+    raw.filter(_.length == dim)
+  }
 
   /** Deterministic centroids from a bounded sample of the corpus.
     * The only driver-side data movement in the whole path: ≤ sampleN
@@ -237,11 +247,20 @@ object Ivf {
     digest.take(8).map(b => f"$b%02x").mkString
   }
 
-  private def indexDirName(d: String, fingerprint: String): String =
+  private def indexDirName(d: String, fingerprint: String): String = {
     // v-tag: a layout change invalidates old on-disk indexes instead
     // of silently probing a stale format across build rounds; the
-    // data fingerprint does the same for a rewritten source table
-    "graft_ivf_index_v1_" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + fingerprint
+    // data fingerprint does the same for a rewritten source table.
+    // v2 adds the 8-hex PATH digest managedIndexPath already carries
+    // (round-14 review): sanitization alone is lossy ('/a/sf0-1' and
+    // '/a/sf0_1' collide), and two sources sharing a GC prefix would
+    // collect each other's LIVE index on every alternating build.
+    val pathDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    "graft_ivf_index_v2_" + d.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_" + pathDigest + "_" + fingerprint
+  }
 
   /** Root for persisted/managed indexes: Spark conf `graft.index.root`
     * if set, else the JVM temp dir — the only writable scratch in this
@@ -281,19 +300,24 @@ object Ivf {
     try {
       val prefix = indexDirName(d, "")
       val keep = indexDirName(d, keepFingerprint)
+      // retired v1 generation (pre-path-digest names): same sanitized
+      // stem, no digest — sweep it too or a prior session's v1 index
+      // leaks scratch disk forever (the IncrementalDedup v1 pattern)
+      val retired = "graft_ivf_index_v1_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_") + "_"
       val root = new org.apache.hadoop.fs.Path(indexRoot(s))
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def fpShaped(suffix: String): Boolean =
+        suffix.length == 16 && suffix.forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
       fs.listStatus(root)
         .filter { st =>
           val n = st.getPath.getName
-          n.startsWith(prefix) && n != keep && {
-            val suffix = n.drop(prefix.length)
-            suffix.length == 16 && suffix.forall(c =>
-              (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
-          }
+          (n.startsWith(prefix) && n != keep && fpShaped(n.drop(prefix.length))) ||
+            (n.startsWith(retired) && fpShaped(n.drop(retired.length)))
         }
         .foreach(st => fs.delete(st.getPath, true))
-    } catch { case _: Exception => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** q70: the PERSISTED-index probe, bench-visible — builds the
     * cluster-partitioned on-disk index once per sf dir (first call,
@@ -553,6 +577,16 @@ object Ivf {
 
     def fullBuild(action: String): (String, String) = {
       val corpus = listedCorpus(cur)
+      // EXPLICIT wipe before the rewrite (round-14 review): the old
+      // code relied on mode(overwrite) clearing the whole dir, which
+      // is only true under STATIC partitionOverwriteMode — a session
+      // with the common dynamic setting would (a) keep stale files of
+      // any cluster the retrained quantizer emptied, serving them to
+      // every probe forever, and (b) never clear a dangling
+      // _intent.txt, degrading EVERY future sync to another rebuild
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
       writeIndexOf(corpus, path)
       // dimProfile is a third full-corpus pass per (re)build, on top
       // of writeIndex's sample + assignment scans — accepted: builds

@@ -159,15 +159,21 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
 
-  /** q56: scalar-quantized top-k — the memory-bandwidth scale path.
-    * The corpus is scanned as int8 (binary, 64 B/vector vs 512 B
-    * double), approximate cosine picks 50 candidates (map-only +
+  /** q56: scalar-quantized top-k — the candidate pass runs int8
+    * approximate cosine to pick 50 candidates (map-only +
     * TakeOrdered — same zero-shuffle shape as q40), then the exact
     * double cosine re-ranks just those 50. Per-vector quantization
-    * scale cancels inside cosine, so no scale column is needed. At
-    * 100 TB this is an 8× scan-bytes cut on the candidate pass with
-    * a constant-size exact correction. Rows-only; SimilaritySpec
-    * asserts the re-ranked top-10 matches exact brute force. */
+    * scale cancels inside cosine, so no scale column is needed.
+    *
+    * Honest scale note (round-14 review): AT 100 TB the 8× scan-bytes
+    * cut requires the int8 codes to be a PERSISTED column (64 B/vector
+    * binary read instead of the 512 B doubles) — the deploy path this
+    * query demonstrates the math for. Here the codes are derived
+    * inline from the double column (the testdata ships no int8
+    * column), so this form validates candidate quality and the
+    * re-rank contract, not the bandwidth win itself. Rows-only;
+    * SimilaritySpec asserts the re-ranked top-10 matches exact brute
+    * force. */
   def q56QuantizedTopK(s: SparkSession, d: String): DataFrame = {
     val qz = emb(s, d)
       .withColumn("q8", graft.functions.NativeExprs.quantizeI8(col("e")))
@@ -209,7 +215,7 @@ object Similarity {
     * Keeps `keep` columns plus the normalized array as `u`. */
   private[ops] def unitVectors(embs: DataFrame, keep: String*): DataFrame =
     embs
-      .withColumn("nrm", sqrt(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", norm(col("e")))
       .filter(col("nrm") > 0)
       .select(keep.map(col) :+ expr("transform(e, x -> x / nrm)").as("u"): _*)
 
@@ -221,14 +227,19 @@ object Similarity {
     // (the n·(n−1) denominator is 0), so both are excluded rather
     // than emitted as null/NaN rows
     val unit = unitVectors(embs, "label")
+    // n rides the SAME (label, dim) aggregation as the sum-vector
+    // (round-14 review — the dimProfileWithCount pattern): a separate
+    // groupBy(label).count() re-scanned and re-normalized the whole
+    // corpus a second time. Per (label, dim) the row count is the
+    // number of vectors carrying that dim; max over dims = n (every
+    // unit vector has dim 0 — zero-length arrays can't reach norm>0).
     val sums = unit
       .select(col("label"), posexplode(col("u")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg(sum(col("x")).as("sv"))
-    val ss = sums.groupBy(col("label")).agg(sum(col("sv") * col("sv")).as("ss"))
-    unit.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("x")).as("sv"), count(lit(1)).as("nd"))
+    sums.groupBy(col("label"))
+      .agg(sum(col("sv") * col("sv")).as("ss"), max(col("nd")).as("n"))
       .filter(col("n") >= 2)
-      .join(ss, Seq("label"))
       .select(col("label"), col("n"),
         round((col("ss") - col("n")) / (col("n") * (col("n") - 1)), 6)
           .as("mean_pairwise_cos"))
@@ -277,15 +288,14 @@ object Similarity {
       .groupBy(col("label"), col("dim")).agg(sum(col("x")).as("sv"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sv))), s -> s.sv)").as("c"))
-      .withColumn("cnorm", sqrt(expr("aggregate(c, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("cnorm", norm(col("c")))
       // a label whose unit vectors cancel exactly has no mean
       // direction — cosine against it is 0/0; drop the label rather
       // than emit NaN rows (mirrored in the oracle SQL)
       .filter(col("cnorm") > 0)
     val scored = unit.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("vec_id"),
-        round(expr("aggregate(zip_with(u, c, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
-          / col("cnorm"), 6).as("cos_centroid"))
+        round(dot(col("u"), col("c")) / col("cnorm"), 6).as("cos_centroid"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -430,15 +440,20 @@ object Similarity {
       col("e").as("e_a"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("l_b"),
       col("e").as("e_b"))
+    // localCheckpoint: intra + inter both consume the O(n²) cosine
+    // join, and uncached consumers replan it from scratch — three
+    // full pair-cosine evaluations per run (round-14 review); the
+    // bounded pair digest is a few thousand scalar rows
     val pairs = a.join(b, col("id_a") < col("id_b"))
       .select(col("l_a"), col("l_b"), cosine(col("e_a"), col("e_b")).as("cos"))
+      .localCheckpoint()
     val intra = pairs.filter(col("l_a") === col("l_b"))
       .groupBy(col("l_a").as("label"))
       .agg(count(lit(1)).as("n_intra"), round(avg(col("cos")), 6).as("mean_intra"))
+    // each cross-label pair contributes to BOTH endpoints' inter mean:
+    // one explode instead of two unioned re-reads
     val inter = pairs.filter(col("l_a") =!= col("l_b"))
-      .select(col("l_a").as("label"), col("cos"))
-      .unionByName(pairs.filter(col("l_a") =!= col("l_b"))
-        .select(col("l_b").as("label"), col("cos")))
+      .select(explode(array(col("l_a"), col("l_b"))).as("label"), col("cos"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_inter"), round(avg(col("cos")), 6).as("mean_inter"))
     intra.join(inter, Seq("label"))
@@ -508,11 +523,15 @@ object Similarity {
     val b = e.select(col("vec_id").as("id_b"), col("label").as("l_b"),
       col("e").as("e_b"))
     // ordered pairs (i, j≠i): every point sees every other exactly once
+    // localCheckpoint: aDist and bDist both consume the O(n²) distance
+    // join — uncached, the pair cosines were computed twice per run
+    // (round-14 review); the per-(point, label) digest is tiny
     val perLabel = a.join(b, col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("l_a"), col("l_b"),
         (lit(1.0) - cosine(col("e_a"), col("e_b"))).as("dist"))
       .groupBy(col("id_a"), col("l_a"), col("l_b"))
       .agg(avg(col("dist")).as("mean_dist"))
+      .localCheckpoint()
     val aDist = perLabel.filter(col("l_a") === col("l_b"))
       .select(col("id_a"), col("l_a"), col("mean_dist").as("a_dist"))
     val bDist = perLabel.filter(col("l_a") =!= col("l_b"))

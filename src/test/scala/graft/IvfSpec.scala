@@ -85,7 +85,13 @@ class IvfSpec extends AnyFunSuite {
         .toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     def indexDirs(): Seq[String] = {
-      val prefix = "graft_ivf_index_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "_"
+      // v2 naming: sanitized stem + 8-hex path digest (the round-14
+      // fix for lossy-sanitization GC collisions between sources)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      val prefix = "graft_ivf_index_v2_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + digest + "_"
       Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
         .getOrElse(Array.empty).map(_.getName).filter(_.startsWith(prefix)).toSeq
     }

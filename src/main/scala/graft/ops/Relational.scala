@@ -234,9 +234,14 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     orders(s, d)
-      .withColumn("rn", row_number().over(w).cast("bigint"))
+      // filter on the RAW row_number attribute: a cast wrapped around
+      // it blocks InferWindowGroupLimit, so the top-3 ran as a full
+      // per-customer window sort instead of a 3-candidate retention
+      // (round-14 review); the bigint cast moves to the output select
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("bigint").as("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
@@ -523,22 +528,35 @@ object Relational {
       | p_brand IN ('Brand#11', 'Brand#22') AS masked_like
       |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin
 
-  /** Sessionization over the event stream: a session break is a >30 min
-    * gap per user; session ids via prefix-sum of break flags. Gap math
-    * in integer microseconds (unix_micros ↔ epoch_us) so both engines
-    * compare identical values at the threshold boundary. */
-  def q28Sessionize(s: SparkSession, d: String): DataFrame = {
+  /** q28's session-break gap: 30 minutes in microseconds. */
+  val SessionGapUs = 1800000000L
+
+  /** Session ids over a per-user event frame: a break is a gap >
+    * `gapUs` per user; ids via prefix-sum of break flags. ONE
+    * definition (round-14 review hoisted three drifting copies —
+    * q28/q161/q172 vary only in the gap constant): gap math in
+    * integer microseconds (unix_micros ↔ epoch_us) so both engines
+    * compare identical values at the threshold boundary, and the
+    * streaming twins' bridges reset across the same gap — a change to
+    * sessionization semantics lands HERE or nowhere. Adds
+    * gap_us/new_sess/sess_id columns. */
+  private def withSessionIds(ev: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+    ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_sess",
-        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        when(col("gap_us").isNull || col("gap_us") > gapUs, 1L).otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+  }
+
+  /** Sessionization over the event stream (>30 min gap per user). */
+  def q28Sessionize(s: SparkSession, d: String): DataFrame =
+    withSessionIds(events(s, d), SessionGapUs)
       .groupBy(col("user_id"))
       .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
-  }
 
   val q28Sql: String =
     """WITH g AS (
@@ -762,7 +780,6 @@ object Relational {
     * tie rows (same day) are peers — included regardless of order,
     * which keeps both engines deterministic. */
   def q59WindowRange(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
       .rangeBetween(-30, 0)
     orders(s, d)
@@ -1499,7 +1516,6 @@ object Relational {
       |   ORDER BY revenue DESC, p_brand) AS INT) AS rk FROM agg)
       |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
 
-  /** All relational queries, keyed as they appear in SparkEntry. */
   /** q145: ORDERED STRING AGGREGATION (listagg/string_agg surface —
     * q118's string sibling): per nation, the comma-joined names of its
     * top-5 customers by balance, in rank order. collect_list gives no
@@ -1692,11 +1708,20 @@ object Relational {
     * partitioned by user; paths aggregate map-side to the ≤|types|³
     * digest before the final top-k sort. event_id tie-break (q133
     * discipline) keeps simultaneous events deterministic. */
-  def q149EventPaths(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+  def q149EventPaths(s: SparkSession, d: String): DataFrame =
+    pathTrigrams(
+      events(s, d).select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id")),
+      Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+
+  /** Top-20 event-type trigram mining over a windowed sequence — the
+    * shared tail of q149 (per-user windows) and q161 (per-session
+    * windows); one definition so path semantics (separator, n-gram
+    * length, tie-break) cannot drift between them or their streaming
+    * twin (round-14 review hoisted the verbatim copy). */
+  private def pathTrigrams(ev: DataFrame,
+                           w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    ev
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))
       .filter(col("t2").isNotNull && col("t3").isNotNull)
@@ -1704,7 +1729,6 @@ object Relational {
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(20)
-  }
 
   val q149Sql: String =
     """WITH seq AS (
@@ -1874,26 +1898,12 @@ object Relational {
     * whose bridge resets across the same gap (PathStreamSpec pins
     * stream ≡ this batch form). */
   def q161SessionPaths(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("gap_us",
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_sess",
-        when(col("gap_us").isNull || col("gap_us") > SessionPathGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
-    val ws = Window.partitionBy(col("user_id"), col("sess_id"))
-      .orderBy(col("ts"), col("event_id"))
-    sess
-      .withColumn("t2", lead(col("event_type"), 1).over(ws))
-      .withColumn("t3", lead(col("event_type"), 2).over(ws))
-      .filter(col("t2").isNotNull && col("t3").isNotNull)
-      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
-      .groupBy(col("path")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path"))
-      .limit(20)
+    val sess = withSessionIds(
+      events(s, d).select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id")),
+      SessionPathGapUs)
+    pathTrigrams(sess, Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id")))
   }
 
   val q161Sql: String =
@@ -2015,17 +2025,10 @@ object Relational {
     * out so the spec can plant the distinguishing case (an in-window
     * touch severed by a session gap). */
   def sessionAttributedPurchases(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = ev
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
-        col("value"))
-      .withColumn("gap_us",
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_sess",
-        when(col("gap_us").isNull || col("gap_us") > AttributionSessionGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+    val sess = withSessionIds(
+      ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value")),
+      AttributionSessionGapUs)
     val ws = Window.partitionBy(col("user_id"), col("sess_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2199,8 +2202,13 @@ object Relational {
       .groupBy(col("n_name"), col("p_brand"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
     val byNation = Window.partitionBy(col("n_name"))
+    // rank on the ROUNDED revenue (the q144 rule, round-14 review): a
+    // near-tie in the raw double sum can order differently across
+    // engines (partial-aggregation summation order differs), flipping
+    // which brand makes the top-3 cut; rounding first makes the rank
+    // basis cross-engine-stable
     val rk = Window.partitionBy(col("n_name"))
-      .orderBy(col("rev").desc, col("p_brand"))
+      .orderBy(round(col("rev"), 2).desc, col("p_brand"))
     rev
       .withColumn("share", col("rev") / sum(col("rev")).over(byNation))
       .withColumn("rk", row_number().over(rk))
@@ -2223,7 +2231,7 @@ object Relational {
       | SELECT n_name, p_brand, rev,
       |  rev / sum(rev) OVER (PARTITION BY n_name) AS share,
       |  row_number() OVER (PARTITION BY n_name
-      |    ORDER BY rev DESC, p_brand) AS rk
+      |    ORDER BY round(rev, 2) DESC, p_brand) AS rk
       | FROM rev
       |)
       |SELECT n_name, CAST(rk AS INT) AS rk, p_brand,
@@ -2363,6 +2371,7 @@ object Relational {
        |) ORDER BY horizon_days""".stripMargin
   }
 
+  /** All relational queries, keyed as they appear in SparkEntry. */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_join_inner", q02JoinInner _, q02Sql),

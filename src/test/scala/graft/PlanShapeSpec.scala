@@ -326,8 +326,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // row set is sorted and materialized through the window, which is
     // the difference between top-3-per-source and sort-everything at
     // 100 TB
-    Seq("q84_stratified_sample", "q85_tfidf", "q86_centroid_outliers",
-        "q89_hard_negatives", "q166_latest_snapshot").foreach { name =>
+    // q12 included since round 14: a bigint cast wrapped around the
+    // rank attribute BEFORE the filter silently blocked the rewrite
+    Seq("q12_window_rank", "q84_stratified_sample", "q85_tfidf",
+        "q86_centroid_outliers", "q89_hard_negatives",
+        "q166_latest_snapshot").foreach { name =>
       val p = sparkPlan(q(name)).toString
       assert(p.contains("WindowGroupLimit"),
         s"$name must keep the rank filter pushdown:\n$p")

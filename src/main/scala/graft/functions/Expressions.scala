@@ -422,7 +422,15 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   private val dim = if (codebooks.nonEmpty && codebooks(0).nonEmpty)
     codebooks.length * codebooks(0)(0).length else 0
 
-  // input must be array<double> of the training dimensionality
+  // analysis-time type gate: a wrong-typed child (array<float>) would
+  // misread unsafe array bytes as doubles and encode plausible garbage
+  // silently (the CosineSim discipline); the LENGTH check stays a
+  // runtime null because it is data-dependent
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
   override def nullable: Boolean = true
@@ -456,7 +464,13 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
 
   // input must be the binary output of PqEncode with matching m and
   // byte values < k — a mismatched code NULLs (sibling convention)
-  // instead of an AIOOBE mid-scan on a foreign binary column
+  // instead of an AIOOBE mid-scan on a foreign binary column; the
+  // TYPE must be binary at analysis time (CosineSim discipline)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects binary, got ${other.catalogString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
   override def nullable: Boolean = true
@@ -579,7 +593,13 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
   // input must be array<double> of the centroids' dimensionality;
   // null on mismatch (a min-length distance would assign a
-  // plausible-but-wrong cluster to a malformed embedding)
+  // plausible-but-wrong cluster to a malformed embedding); the TYPE
+  // must be array<double> at analysis time (CosineSim discipline)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
   override def nullable: Boolean = true
@@ -624,6 +644,12 @@ case class SampleDistSums(child: Expression,
   private val dim =
     samples.iterator.flatten.map(_.length).nextOption().getOrElse(0)
 
+  // analysis-time type gate (CosineSim discipline)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sample_dist_sums expects array<double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "sample_dist_sums"
   override def nullable: Boolean = true

@@ -42,6 +42,19 @@ case class SpaceSavingAgg(child: Expression, m: Int,
 
   require(m >= 2, s"capacity must be >= 2, got $m")
 
+  // analysis-time type gate (the HllSketchAgg discipline from the r14
+  // sketch sweep, applied to the sibling it missed): update() keys the
+  // counter map on child.eval().toString, which is well-defined for
+  // string input but silently produces unsafe-representation garbage
+  // ("[0,2000000005,...]") for struct/array/map children — every such
+  // value would count as a distinct "token" with no error surfaced
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"space_saving_topk expects a string column, got ${other.catalogString}")
+    }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -31,8 +31,22 @@ object Geo {
 
   private def rad(x: Double): Double = x * math.Pi / 180.0
 
+  /** Coordinate accessor with the reference's JS semantics for
+    * malformed points: a missing element (`p[0]` on an empty array, a
+    * null point in a ring) is `undefined` in JS, and every arithmetic
+    * or comparison involving it behaves like NaN — geojson-area yields
+    * NaN, turf.kinks detects nothing, bounds checks are false. The
+    * Scala translation previously THREW (IndexOutOfBounds /
+    * NoSuchElement) on the same inputs, killing the whole job inside a
+    * UDF before validation could route the record (round-14 review).
+    * NaN reproduces the JS propagation exactly: all comparisons with
+    * NaN are false on both sides of the translation. */
+  private def coord(p: Seq[Double], i: Int): Double =
+    if (p == null || p.length <= i) Double.NaN else p(i)
+
   /** Spherical ring area (signed) — Chamberlain–Duquette approximation
-    * on the WGS84 sphere; same semantics as Mapbox geojson-area. */
+    * on the WGS84 sphere; same semantics as Mapbox geojson-area
+    * (malformed points propagate NaN, as JS undefined does). */
   def ringArea(ring: Seq[Seq[Double]]): Double = {
     val n = ring.length
     if (n <= 2) return 0.0
@@ -41,7 +55,8 @@ object Geo {
     while (i < n) {
       val p1 = ring(i)
       val p2 = ring((i + 1) % n)
-      area += (rad(p2.head) - rad(p1.head)) * (2 + math.sin(rad(p1(1))) + math.sin(rad(p2(1))))
+      area += (rad(coord(p2, 0)) - rad(coord(p1, 0))) *
+        (2 + math.sin(rad(coord(p1, 1))) + math.sin(rad(coord(p2, 1))))
       i += 1
     }
     area * WGS84Radius * WGS84Radius / 2.0
@@ -68,7 +83,7 @@ object Geo {
     lon >= -180.0 && lon <= 180.0 && lat >= -90.0 && lat <= 90.0
 
   def allCoordsValid(coordinates: Seq[Seq[Seq[Double]]]): Boolean =
-    coordinates.forall(_.forall(p => coordValid(p.head, p(1))))
+    coordinates.forall(_.forall(p => coordValid(coord(p, 0), coord(p, 1))))
 
   /** Proper-intersection test between segments p1-p2 and p3-p4,
     * including collinear-overlap and endpoint-touch cases, but the
@@ -78,19 +93,21 @@ object Geo {
                                 p3: Seq[Double], p4: Seq[Double]): Boolean = {
     def cross(ox: Double, oy: Double, ax: Double, ay: Double, bx: Double, by: Double): Double =
       (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
-    val d1 = cross(p3.head, p3(1), p4.head, p4(1), p1.head, p1(1))
-    val d2 = cross(p3.head, p3(1), p4.head, p4(1), p2.head, p2(1))
-    val d3 = cross(p1.head, p1(1), p2.head, p2(1), p3.head, p3(1))
-    val d4 = cross(p1.head, p1(1), p2.head, p2(1), p4.head, p4(1))
+    def x(p: Seq[Double]) = coord(p, 0)
+    def y(p: Seq[Double]) = coord(p, 1)
+    val d1 = cross(x(p3), y(p3), x(p4), y(p4), x(p1), y(p1))
+    val d2 = cross(x(p3), y(p3), x(p4), y(p4), x(p2), y(p2))
+    val d3 = cross(x(p1), y(p1), x(p2), y(p2), x(p3), y(p3))
+    val d4 = cross(x(p1), y(p1), x(p2), y(p2), x(p4), y(p4))
     if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
         ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
     def onSeg(ax: Double, ay: Double, bx: Double, by: Double, px: Double, py: Double): Boolean =
       math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
       math.min(ay, by) <= py && py <= math.max(ay, by)
-    (d1 == 0 && onSeg(p3.head, p3(1), p4.head, p4(1), p1.head, p1(1))) ||
-    (d2 == 0 && onSeg(p3.head, p3(1), p4.head, p4(1), p2.head, p2(1))) ||
-    (d3 == 0 && onSeg(p1.head, p1(1), p2.head, p2(1), p3.head, p3(1))) ||
-    (d4 == 0 && onSeg(p1.head, p1(1), p2.head, p2(1), p4.head, p4(1)))
+    (d1 == 0 && onSeg(x(p3), y(p3), x(p4), y(p4), x(p1), y(p1))) ||
+    (d2 == 0 && onSeg(x(p3), y(p3), x(p4), y(p4), x(p2), y(p2))) ||
+    (d3 == 0 && onSeg(x(p1), y(p1), x(p2), y(p2), x(p3), y(p3))) ||
+    (d4 == 0 && onSeg(x(p1), y(p1), x(p2), y(p2), x(p4), y(p4)))
   }
 
   /** Count of self-intersection features, turf.kinks semantics: turf

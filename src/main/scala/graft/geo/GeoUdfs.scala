@@ -13,10 +13,19 @@ import graft.model.{Geometry, MaskTransformResult}
 object GeoUdfs {
 
   /** Geodesic WGS84 area in m², rounded to whole m²
-    * (turf.area + Math.round semantics, /root/reference/mapwarper.js:364). */
+    * (turf.area + Math.round semantics, /root/reference/mapwarper.js:364).
+    * A malformed point propagates NaN through turf.area in JS, and
+    * Math.round(NaN) is NaN — serialized as null. Scala's
+    * math.round(NaN) is 0, so the NaN case must be caught BEFORE the
+    * round or a broken geometry silently reports a 0 m² area
+    * (round-14 review). */
   val areaM2Udf: UserDefinedFunction =
     udf((coords: Seq[Seq[Seq[Double]]]) =>
-      if (coords == null) null else java.lang.Long.valueOf(Geo.areaM2(coords)))
+      if (coords == null) null
+      else {
+        val a = Geo.polygonArea(coords)
+        if (a.isNaN) null else java.lang.Long.valueOf(math.round(a))
+      })
 
   /** Count of polygon self-intersections (turf.kinks semantics,
     * /root/reference/mapwarper.js:250-257). */

@@ -73,9 +73,20 @@ object Mapwarper {
 
     val ringLen = size(element_at(mgc, 1))
     val kinkCount = when(hasGeom, GeoUdfs.kinks(mgc)).otherwise(lit(null))
+    // Each point predicate is coalesced to FALSE: a malformed point
+    // (null element, [] or [x] — JS undefined) makes `p[0] >= -180`
+    // evaluate to false in the reference (undefined comparisons are
+    // false) so invalid_coordinates FIRES; Spark's three-valued logic
+    // instead yields NULL, forall propagates it, and the rule silently
+    // never fired, shipping a broken mask as clean (round-14 review,
+    // same class as the r13 `!==` fix below).
+    // get() instead of p[i]: ANSI array indexing THROWS on a too-short
+    // point, killing the job before routing; get() yields NULL, which
+    // the coalesce maps to the JS false.
     val allValid = expr(
       """forall(flatten(maskGeometry.coordinates),
-        | p -> p[0] >= -180D AND p[0] <= 180D AND p[1] >= -90D AND p[1] <= 90D)""".stripMargin)
+        | p -> coalesce(get(p, 0) >= -180D AND get(p, 0) <= 180D
+        |               AND get(p, 1) >= -90D AND get(p, 1) <= 90D, false))""".stripMargin)
 
     val ruleEntries = array(
       entry(!truthy(col("uuid")), "missing_uuid", lit("Map has no UUID")),

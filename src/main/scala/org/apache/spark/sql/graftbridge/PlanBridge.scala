@@ -24,11 +24,18 @@ object PlanBridge {
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
   /** Idempotently registers an extra planner strategy on the session
-    * (the programmatic twin of spark.sql.extensions injection). */
+    * (the programmatic twin of spark.sql.extensions injection).
+    * Synchronized on the experimental-methods holder: the append is a
+    * read-modify-write on a shared var, and two threads registering
+    * concurrently (parallel suites over one shared session) could lose
+    * one registration — a data-dependent "no plan for GraftAsOfJoin"
+    * planner error (round-14 review). */
   def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val s = spark.asInstanceOf[classic.SparkSession]
-    if (!s.experimental.extraStrategies.contains(strategy)) {
-      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+    s.experimental.synchronized {
+      if (!s.experimental.extraStrategies.contains(strategy)) {
+        s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+      }
     }
   }
 
@@ -50,8 +57,10 @@ object PlanBridge {
     * optimizer's User Provided Optimizers fixed-point batch). */
   def ensureOptimization(spark: SparkSession, rule: Rule[LogicalPlan]): Unit = {
     val s = spark.asInstanceOf[classic.SparkSession]
-    if (!s.experimental.extraOptimizations.contains(rule)) {
-      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    s.experimental.synchronized {
+      if (!s.experimental.extraOptimizations.contains(rule)) {
+        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+      }
     }
   }
 }

@@ -123,4 +123,23 @@ class CodegenSpec extends AnyFunSuite {
     fails("SELECT cosine_sim(array(1.0D))", "exactly 2")
     fails("SELECT minhash_sig(array('a'), -1)", ">= 1")
   }
+
+  test("plan-static expressions fail ANALYSIS on wrong-typed children too") {
+    // not registry-exposed, but they take arbitrary Columns from Scala
+    // callers: an array<int> child would misread unsafe array bytes as
+    // doubles and return plausible garbage silently (round-14 review)
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), "s")).toDF("ints", "str")
+    def fails(c: org.apache.spark.sql.Column, frag: String): Unit = {
+      val e = intercept[Exception] { df.select(c).collect() }
+      assert(e.getMessage.toLowerCase.contains(frag.toLowerCase),
+        s"expected '$frag' in: ${e.getMessage.take(300)}")
+    }
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    fails(NativeExprs.nearestCentroid(col("ints"), cents), "array<double>")
+    fails(NativeExprs.pqEncode(col("ints"), Array(Array(Array(0.0, 0.0)))), "array<double>")
+    fails(NativeExprs.pqAdc(col("str"), Array(Array(0.0))), "binary")
+    fails(NativeExprs.sampleDistSums(col("ints"), Array(Array(Array(0.0, 0.0)))), "array<double>")
+    fails(NativeExprs.hyperplaneSig(col("ints"), Array(Array(0.0, 0.0)), 1), "array<double>")
+  }
 }

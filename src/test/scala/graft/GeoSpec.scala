@@ -50,6 +50,22 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.allCoordsValid(Seq(Seq(Seq(200.0, 40.0), Seq(0.0, 0.0)))))
   }
 
+  test("malformed points behave like JS undefined: NaN math, no crash") {
+    // a point with a missing element is `undefined` in the reference's
+    // JS — geojson-area yields NaN, turf.kinks finds nothing, bounds
+    // checks are false; the Scala translation used to THROW instead
+    val shortPoint = Seq(Seq(0.0, 0.0), Seq(10.0), Seq(10.0, 10.0),
+                         Seq(0.0, 10.0), Seq(0.0, 0.0))
+    val nullPoint = Seq(Seq(0.0, 0.0), null, Seq(10.0, 10.0),
+                        Seq(0.0, 10.0), Seq(0.0, 0.0))
+    assert(Geo.polygonArea(Seq(shortPoint)).isNaN)
+    assert(Geo.polygonArea(Seq(nullPoint)).isNaN)
+    assert(Geo.selfIntersections(Seq(shortPoint)) == 0)
+    assert(Geo.selfIntersections(Seq(nullPoint)) == 0)
+    assert(!Geo.allCoordsValid(Seq(shortPoint)))
+    assert(!Geo.allCoordsValid(Seq(nullPoint)))
+  }
+
   test("affine GCP fit recovers an exact affine mapping") {
     // lon = 1e-4·x − 74, lat = −1.25e-4·y + 40.8  (gcps are [x, y, lat, lon])
     val gcps = Seq(

@@ -67,6 +67,28 @@ class MapwarperSpec extends AnyFunSuite {
     assert(types.contains("unwarped_but_masked"), s"got $types")
   }
 
+  test("invalid_coordinates fires for a malformed point, matching JS undefined semantics") {
+    // a point with a missing element ([10] instead of [10,0]) is
+    // `undefined` in the reference's coordValid — `lon >= -180` is
+    // FALSE and the rule fires (mapwarper.js:261-276). Spark's
+    // three-valued logic made the predicate NULL, forall propagated
+    // it, and the rule silently never fired; worse, the kinks UDF
+    // threw on the same point and killed the job before validation
+    // could route the record (round-14 review).
+    val spark = TestSpark.spark
+    val lines = Seq(
+      """{"type":"map","data":{"id":101,"uuid":"u-m1","bbox":"-74,40,-73,41",""" +
+        """"map_type":"is_map","status":"warped","mask_status":"masked","maskGeometry":""" +
+        """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}}}""")
+    val out = graft.ops.Mapwarper.pipeline(
+      graft.ops.Mapwarper.parseRecords(spark, lines)).collect()
+    val log = out.filter(_.getAs[String]("type") == "log")
+    assert(log.length == 1, s"malformed-point map must dead-letter: ${out.toSeq}")
+    val types = log.head.getAs[Row]("obj").getSeq[Row](
+      log.head.getAs[Row]("obj").fieldIndex("logs")).map(_.getAs[String]("type"))
+    assert(types.contains("invalid_coordinates"), s"got $types")
+  }
+
   test("turf.kinks parity: bowtie reports 2 features (one per segment ordering)") {
     val l4 = deadLogs.find(_.getAs[String]("id") == "4").get
     val msg = l4.getSeq[Row](l4.fieldIndex("logs")).head.getAs[String]("message")

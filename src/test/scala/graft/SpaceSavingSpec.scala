@@ -57,4 +57,15 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(cnt >= 1000L, "SpaceSaving never underestimates")
     assert(cnt - err <= 1000L, "est - err is a lower bound on the true count")
   }
+
+  test("non-string children fail ANALYSIS, never count toString garbage") {
+    // a struct child would key counters on its unsafe-representation
+    // toString — every value a distinct "token", silently
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("n", "s").select(struct(col("n"), col("s")).as("st"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(SpaceSavingAgg.spaceSavingTopK(col("st"), 8)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("space_saving_topk"))
+  }
 }

@@ -43,17 +43,23 @@ object Tables {
     * read doesn't silently re-type unrelated nanos datasets read later
     * in the session. */
   private[graft] def sniffEventsTs(s: SparkSession,
-                                   path: String): org.apache.spark.sql.types.DataType = {
-    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = s.conf.getOption(confKey)
-    def restore(): Unit = prior.fold(s.conf.unset(confKey))(v => s.conf.set(confKey, v))
-    s.conf.set(confKey, "true")
-    val tsType =
-      try s.read.parquet(path).schema("ts").dataType
-      catch { case e: Throwable => restore(); throw e }
-    if (tsType != org.apache.spark.sql.types.LongType) restore()
-    tsType
-  }
+                                   path: String): org.apache.spark.sql.types.DataType =
+    // serialized on the session: the set→read-schema→restore window
+    // mutates shared session conf, and two concurrent events() calls
+    // (parallel suites) could interleave so one reads the schema with
+    // the conf already restored — a data-dependent nanos-vintage read
+    // failure (the PlanBridge registration-race class, round-14 review)
+    s.synchronized {
+      val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = s.conf.getOption(confKey)
+      def restore(): Unit = prior.fold(s.conf.unset(confKey))(v => s.conf.set(confKey, v))
+      s.conf.set(confKey, "true")
+      val tsType =
+        try s.read.parquet(path).schema("ts").dataType
+        catch { case e: Throwable => restore(); throw e }
+      if (tsType != org.apache.spark.sql.types.LongType) restore()
+      tsType
+    }
 
   /** Normalizes a sniffed-vintage events frame (batch or streaming) to
     * session-zone TimestampType; see [[sniffEventsTs]]. */

@@ -74,7 +74,7 @@ object Bucketing {
     * exchange-free + sort-free; the oracle is the plain SQL join. */
   def q197BucketedJoin(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    def ensure(prefix: String, file: String, table: String,
+    def ensure(prefix: String, file: String,
                build: String => Unit): String = {
       val fp = IndexTables.dataFingerprint(s, d, file)
       val t = IndexTables.tableName(prefix, d, fp)
@@ -85,11 +85,11 @@ object Bucketing {
       t
     }
     val tOrders = ensure("graft_bkt_orders_v1_", "orders.parquet",
-      "graft_bkt_orders_v1_", t => writeBucketed(
+      t => writeBucketed(
         graft.Tables.orders(s, d).withColumnRenamed("o_custkey", "custkey"),
         t, "custkey", Q197Buckets))
     val tCust = ensure("graft_bkt_customer_v1_", "customer.parquet",
-      "graft_bkt_customer_v1_", t => writeBucketed(
+      t => writeBucketed(
         graft.Tables.customer(s, d).withColumnRenamed("c_custkey", "custkey"),
         t, "custkey", Q197Buckets))
     bucketedJoin(s, tOrders, tCust, "custkey")

@@ -277,8 +277,7 @@ object Multimodal {
     val feats = extractFeatures(packMedia(documents(s, d)))
     feats
       .select(col("doc_id"), col("source"), col("width"),
-        round(sqrt(Similarity.dot(col("feature").cast("array<double>"),
-                                  col("feature").cast("array<double>"))), 5).as("feat_norm"))
+        round(Similarity.norm(col("feature").cast("array<double>")), 5).as("feat_norm"))
       .orderBy(col("doc_id"))
   }
 

@@ -31,7 +31,14 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** L2 norm as a DIRECT single fold — NOT sqrt(dot(a, a)): the
+    * zip_with(a, a) form materializes an intermediate array per row
+    * and doubles the interpreted-lambda evals, which regressed
+    * q76/q86 ~1.6× when the r14 dedup sweep routed norm through dot
+    * (unitVectors pays it per vector, q86 twice). Same sequential
+    * fold order, bit-identical result. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   /** Fused one-pass codegen'd cosine (graft.functions.CosineSim).
     * Identical accumulation order to the fold form — oracle-exact. */

@@ -105,6 +105,12 @@ object Cluster {
     // dominant null group would NPE the getInt below), as is the
     // empty frame (bare head() throws an opaque NoSuchElementException
     // where a named precondition belongs).
+    // Fusing evaluated and REJECTED (round-14, closing the r13 ask):
+    // the probe must complete before SEEDING (a malformed seed poisons
+    // the model dimension), and seeding is the first other pass — the
+    // NearestCentroid assignment loop the ask suggested fusing into
+    // runs after it. This is necessarily the pipeline's first job;
+    // its ~0.3 s at sf0.1 is the price of not fitting on garbage.
     val top = vecs.filter(col("e").isNotNull)
       .groupBy(size(col("e")).as("d")).count()
       .orderBy(col("count").desc, col("d").asc).head(1)

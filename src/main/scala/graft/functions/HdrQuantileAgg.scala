@@ -185,21 +185,30 @@ private[graft] object Hdr {
   }
 }
 
-/** Estimating aggregate: `hdr_quantiles(x, [q…])` → ARRAY<BIGINT> of
-  * bucket-lower-bound values, one per requested quantile. */
-case class HdrQuantileAgg(child: Expression, qs: Seq[Double],
-                          mutableAggBufferOffset: Int = 0,
-                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
-
-  require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
-    s"quantiles must sit in (0, 1], got $qs")
+/** Shared histogram lifecycle of the three HDR aggregates (the
+  * round-14 dedup of the twins' checkInputDataTypes/update/merge/
+  * serialize blocks — the HllAggBase pattern): fixed [[Hdr.Size]]
+  * counter array, element-wise-add merge, validated byte
+  * serialization. Subclasses choose only what [[update]] consumes
+  * (raw longs vs stored sketch bytes) and what [[eval]] emits
+  * (quantile readout vs bytes) — one definition, so the persisted
+  * rollup identity (HdrSpec) cannot drift between twins. */
+private[functions] trait HdrAggBase extends TypedImperativeAggregate[Array[Long]] {
+  def child: Expression
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "hdr_quantiles"
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    Hdr.mergeInto(b1, b2)
+  override def serialize(buf: Array[Long]): Array[Byte] = Hdr.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = Hdr.fromBytes(bytes)
+}
 
+/** The sketch-BUILDING side (raw integral values in): the
+  * integral-only analysis gate + the bucket update, shared by the
+  * estimating and emitting twins. */
+private[functions] trait HdrBuildingAgg extends HdrAggBase {
   // analysis-time guard: a non-integral child would otherwise fail
   // per-row at execution (ClassCastException) — or WORSE, a double
   // would silently truncate 3.7→3 and skew every quantile readout
@@ -210,23 +219,33 @@ case class HdrQuantileAgg(child: Expression, qs: Seq[Double],
       s"$prettyName expects an integral column (cast explicitly — a " +
         s"silent double truncation would skew quantiles), got ${other.catalogString}")
   }
-
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) Hdr.update(buf, v.asInstanceOf[Number].longValue())
     buf
   }
+}
 
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    Hdr.mergeInto(b1, b2)
+/** The quantile-READOUT side: validated (0, 1] targets, array-of-
+  * lower-bounds eval — shared by the direct and merge aggregates. */
+private[functions] trait HdrQuantileReadout extends HdrAggBase {
+  def qs: Seq[Double]
+  require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+    s"quantiles must sit in (0, 1], got $qs")
 
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def eval(buf: Array[Long]): Any =
     new GenericArrayData(Hdr.quantiles(buf, qs))
+}
 
-  override def serialize(buf: Array[Long]): Array[Byte] = Hdr.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = Hdr.fromBytes(bytes)
+/** Estimating aggregate: `hdr_quantiles(x, [q…])` → ARRAY<BIGINT> of
+  * bucket-lower-bound values, one per requested quantile. */
+case class HdrQuantileAgg(child: Expression, qs: Seq[Double],
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends HdrBuildingAgg with HdrQuantileReadout {
+
+  override def prettyName: String = "hdr_quantiles"
 
   override def withNewMutableAggBufferOffset(o: Int): HdrQuantileAgg =
     copy(mutableAggBufferOffset = o)
@@ -243,39 +262,12 @@ case class HdrQuantileAgg(child: Expression, qs: Seq[Double],
 case class HdrSketchBytesAgg(child: Expression,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends HdrBuildingAgg {
 
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "hdr_sketch"
 
-  // analysis-time guard: a non-integral child would otherwise fail
-  // per-row at execution (ClassCastException) — or WORSE, a double
-  // would silently truncate 3.7→3 and skew every quantile readout
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects an integral column (cast explicitly — a " +
-        s"silent double truncation would skew quantiles), got ${other.catalogString}")
-  }
-
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
-
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) Hdr.update(buf, v.asInstanceOf[Number].longValue())
-    buf
-  }
-
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    Hdr.mergeInto(b1, b2)
-
   override def eval(buf: Array[Long]): Any = Hdr.toBytes(buf)
-
-  override def serialize(buf: Array[Long]): Array[Byte] = Hdr.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = Hdr.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): HdrSketchBytesAgg =
     copy(mutableAggBufferOffset = o)
@@ -292,14 +284,8 @@ case class HdrSketchBytesAgg(child: Expression,
 case class HdrMergeAgg(child: Expression, qs: Seq[Double],
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends HdrQuantileReadout {
 
-  require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
-    s"quantiles must sit in (0, 1], got $qs")
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hdr_merge"
 
   // analysis-time guard: the child must be a stored-sketch BINARY
@@ -311,23 +297,12 @@ case class HdrMergeAgg(child: Expression, qs: Seq[Double],
         s"got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Hdr.Size)
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     // sparse add, no dense intermediate (see Hdr.addBytesInto)
     if (v != null) Hdr.addBytesInto(buf, v.asInstanceOf[Array[Byte]])
     buf
   }
-
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    Hdr.mergeInto(b1, b2)
-
-  override def eval(buf: Array[Long]): Any =
-    new GenericArrayData(Hdr.quantiles(buf, qs))
-
-  override def serialize(buf: Array[Long]): Array[Byte] = Hdr.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = Hdr.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): HdrMergeAgg =
     copy(mutableAggBufferOffset = o)

@@ -98,36 +98,48 @@ private[functions] object Hll {
   }
 }
 
-case class HllSketchAgg(child: Expression, p: Int,
-                        mutableAggBufferOffset: Int = 0,
-                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
-
+/** Shared register lifecycle of the three HLL aggregates (the round-14
+  * dedup of the twins' checkInputDataTypes/update/merge/serialize
+  * blocks): fixed 2^p buffer, slot-wise-max merge, identity
+  * serialization. Subclasses choose only what [[update]] consumes (raw
+  * values vs stored registers) and what [[eval]] emits (estimate vs
+  * registers) — one definition, so the persisted-sketch identity
+  * (HllSpec) cannot drift between twins. */
+private[functions] trait HllAggBase extends TypedImperativeAggregate[Array[Byte]] {
+  def child: Expression
+  def p: Int
   require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
-  private val m = 1 << p
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
-  override def prettyName: String = "hll_distinct"
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    Hll.mergeInto(b1, b2)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+}
+
+/** The sketch-BUILDING side (raw values in): hashability gate + the
+  * register update, shared by the estimating and emitting twins. */
+private[functions] trait HllBuildingAgg extends HllAggBase {
   override def checkInputDataTypes(): TypeCheckResult =
     Hll.checkHashable(child.dataType, prettyName)
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) Hll.updateValue(buf, v, child.dataType, p)
     buf
   }
+}
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    Hll.mergeInto(b1, b2)
+case class HllSketchAgg(child: Expression, p: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends HllBuildingAgg {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_distinct"
 
   override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
     copy(mutableAggBufferOffset = o)
@@ -145,34 +157,13 @@ case class HllSketchAgg(child: Expression, p: Int,
 case class HllSketchBytesAgg(child: Expression, p: Int,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
+    extends HllBuildingAgg {
 
-  require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
-  private val m = 1 << p
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "hll_sketch"
-  override def checkInputDataTypes(): TypeCheckResult =
-    Hll.checkHashable(child.dataType, prettyName)
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) Hll.updateValue(buf, v, child.dataType, p)
-    buf
-  }
-
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    Hll.mergeInto(b1, b2)
 
   // clone: the buffer object is mutable aggregation state
   override def eval(buf: Array[Byte]): Any = buf.clone()
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(o: Int): HllSketchBytesAgg =
     copy(mutableAggBufferOffset = o)
@@ -191,13 +182,8 @@ case class HllSketchBytesAgg(child: Expression, p: Int,
 case class HllMergeAgg(child: Expression, p: Int,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
+    extends HllAggBase {
 
-  require(p >= 4 && p <= 18, s"precision p must be in [4, 18], got $p")
-  private val m = 1 << p
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "hll_merge"
 
@@ -210,21 +196,13 @@ case class HllMergeAgg(child: Expression, p: Int,
         s"got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) Hll.mergeInto(buf, v.asInstanceOf[Array[Byte]])
     buf
   }
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    Hll.mergeInto(b1, b2)
-
   override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
     copy(mutableAggBufferOffset = o)

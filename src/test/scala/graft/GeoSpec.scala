@@ -66,6 +66,21 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geo.allCoordsValid(Seq(nullPoint)))
   }
 
+  test("areaM2 UDF: NaN area surfaces as null, never a silent 0 m2") {
+    // JS Math.round(NaN) is NaN (JSON null); Scala math.round(NaN) is
+    // 0 — the UDF must catch NaN BEFORE the round (round-14 review)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      Seq(square),                                             // healthy
+      Seq(Seq(Seq(0.0, 0.0), Seq(10.0), Seq(0.0, 10.0), Seq(0.0, 0.0)))) // malformed
+      .toDF("coords")
+    val out = df.select(GeoUdfs.areaM2(org.apache.spark.sql.functions.col("coords")))
+      .collect()
+    assert(!out(0).isNullAt(0) && out(0).getLong(0) > 0)
+    assert(out(1).isNullAt(0), "malformed geometry must area to null")
+  }
+
   test("affine GCP fit recovers an exact affine mapping") {
     // lon = 1e-4·x − 74, lat = −1.25e-4·y + 40.8  (gcps are [x, y, lat, lon])
     val gcps = Seq(

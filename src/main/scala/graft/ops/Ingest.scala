@@ -161,7 +161,10 @@ object Ingest {
           out += ((page, Right(lines)))
           if (lines.length < perPage) done = true
         case Failure(e) =>
-          out += ((page, Left(e.getMessage)))
+          // getMessage can be null (a bare NPE/timeout); the error text
+          // feeds jsonQuote in crawlToSpool, which would itself NPE —
+          // crashing the crawl the in-band channel exists to protect
+          out += ((page, Left(Option(e.getMessage).getOrElse(e.getClass.getName))))
           done = true // can't trust total count after a hard failure
       }
       page += 1

@@ -115,4 +115,22 @@ class IngestSpec extends AnyFunSuite {
     assert(errLine.contains("connection refused"))
     assert(errLine.contains("page=2")) // the failing URL rides in-band
   }
+
+  test("crawlToSpool: a null-message exception still lands in-band, never crashes") {
+    // getMessage is null on a bare NPE/timeout; the error text feeds
+    // jsonQuote, which would itself NPE and crash the crawl the
+    // in-band channel exists to protect (round-14 review)
+    val transport = new Ingest.HttpTransport {
+      def get(url: String): Try[String] =
+        if (url.endsWith("per_page=2")) Success("""{"items":[{"id":0},{"id":1}]}""")
+        else Failure(new NullPointerException())
+    }
+    val dir = java.nio.file.Files.createTempDirectory("crawl_npe").toString
+    Ingest.crawlToSpool(dir, perPage = 2, retries = 0, transport,
+      Ingest.mapsPageUrl("http://maps.nypl.org/warper/", 2))
+    val errLine = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "page-0001.ndjson"))
+    assert(errLine.contains("\"type\":\"error\""))
+    assert(errLine.contains("NullPointerException"), errLine)
+  }
 }

@@ -102,17 +102,30 @@ class PageReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
       private var source: scala.io.BufferedSource = _
+      // construction failure held as an explicit flag, NOT an in-band
+      // sentinel line: the old "__READ_ERROR__..." marker was spliced
+      // into the line stream, so a DATA line that legitimately started
+      // with the sentinel was misrouted to the error channel — and a
+      // null getMessage printed as "null" (round-14 review). e.toString
+      // always carries the class name.
+      private var ctorError: String = null
       private val iter: Iterator[String] = {
         try {
           source = scala.io.Source.fromFile(p.file, "UTF-8")
           source.getLines()
         }
-        catch { case e: Exception => Iterator(s"__READ_ERROR__${e.getMessage}") }
+        catch { case e: Exception => ctorError = e.toString; Iterator.empty }
       }
       private var current: InternalRow = _
       private var failed = false
       override def next(): Boolean = {
         if (failed) return false
+        if (ctorError != null) {
+          failed = true
+          current = new GenericInternalRow(Array[Any](p.page, null,
+            UTF8String.fromString(ctorError)))
+          return true
+        }
         // ITERATION can throw too (MalformedInputException on invalid
         // UTF-8, IOException on a truncated file) — the in-band error
         // contract ("never a task failure") must cover hasNext/next,
@@ -122,13 +135,8 @@ class PageReaderFactory extends PartitionReaderFactory {
           while (iter.hasNext) {
             val raw = iter.next()
             if (raw.trim.nonEmpty) { // blank-line compact, as the reference does
-              current =
-                if (raw.startsWith("__READ_ERROR__"))
-                  new GenericInternalRow(Array[Any](p.page, null,
-                    UTF8String.fromString(raw.stripPrefix("__READ_ERROR__"))))
-                else
-                  new GenericInternalRow(Array[Any](p.page,
-                    UTF8String.fromString(raw), null))
+              current = new GenericInternalRow(Array[Any](p.page,
+                UTF8String.fromString(raw), null))
               return true
             }
           }

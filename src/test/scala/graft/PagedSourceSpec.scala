@@ -47,4 +47,20 @@ class PagedSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted
     assert(viaPages.sameElements(direct))
   }
+
+  test("a data line starting with the old reader sentinel is NOT misrouted to errors") {
+    // the reader used to splice construction failures into the line
+    // stream as "__READ_ERROR__..." — a legitimate line starting with
+    // that text was silently rerouted to the error channel
+    // (round-14 review; failures now ride an explicit flag)
+    val dir = java.nio.file.Files.createTempDirectory("paged_sentinel")
+    java.nio.file.Files.writeString(dir.resolve("page-0001.ndjson"),
+      "__READ_ERROR__not actually an error\n{\"ok\":1}\n")
+    val rows = spark.read.format("graft.sources.PagedNdjsonSource")
+      .option("path", dir.toString).load()
+      .select("line", "error").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(1)), s"no error rows expected: ${rows.toSeq}")
+    assert(rows.exists(r => r.getString(0) == "__READ_ERROR__not actually an error"))
+  }
 }

@@ -48,12 +48,29 @@ private[graft] object IndexTables {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  /** 8-hex SHA-256 digest of the RAW source-dir string — the lossless
+    * complement to the lossy name sanitization below (the Ivf
+    * indexDirName discipline, applied here round-14). */
+  private def pathDigest(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+
   /** Managed table name keyed on (family prefix, source dir, data
     * fingerprint). The prefix carries the family's layout version
     * (e.g. `graft_novelty_idx_v2_`) so a schema change invalidates by
-    * name instead of mis-reading. */
+    * name instead of mis-reading.
+    *
+    * The 8-hex PATH digest exists because sanitization alone is lossy
+    * ('/data/sf0-1' and '/data/sf0_1' both sanitize to '_data_sf0_1'):
+    * without it two distinct source dirs shared one family stem and
+    * [[gcTables]] collected each other's LIVE tables on every
+    * alternating build — the exact GC-collision class the round-14
+    * Ivf sweep fixed in indexDirName, closed here for the four
+    * table-backed families (decontam/novelty/dedup/bucketed-join). */
   def tableName(prefix: String, d: String, fp: String): String =
-    (prefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp).toLowerCase
+    (prefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + pathDigest(d) +
+      "_" + fp).toLowerCase
 
   /** Sidecar filename suffixes a generation may carry next to its
     * table dir (q78's bloom). An ALLOWLIST, not "any non-alphanumeric
@@ -86,7 +103,16 @@ private[graft] object IndexTables {
   def gcTables(s: SparkSession, familyPrefix: String, d: String,
                onSweep: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit =
     try {
-      val isGen = generationOf(tableName(familyPrefix, d, ""))(_)
+      val digested = generationOf(tableName(familyPrefix, d, ""))(_)
+      // retired pre-digest naming (same stem, no path digest): a prior
+      // session's table under the old name would otherwise leak
+      // warehouse disk forever. All old-format tables are stale by
+      // construction — new probes resolve through digested names —
+      // so collecting a sanitization-colliding sibling's old-format
+      // table is also correct (it too can never be probed again).
+      val retired = generationOf(
+        (familyPrefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_").toLowerCase)(_)
+      val isGen = (n: String) => digested(n) || retired(n)
       s.catalog.listTables().collect()
         .filter(t => isGen(t.name))
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${t.name}"))

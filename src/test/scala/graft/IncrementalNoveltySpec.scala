@@ -122,4 +122,20 @@ class IncrementalNoveltySpec extends AnyFunSuite {
     assert(!isGen(self + fp + "_extra"), "unknown suffixes are not sidecars")
     assert(!isGen(self + "deadbeefdeadbee"), "15 hex chars is not a fingerprint")
   }
+
+  test("sanitization-colliding source dirs key DISTINCT index families") {
+    // '/data/sf0-1' and '/data/sf0_1' both sanitize to '_data_sf0_1';
+    // before the path digest they shared one family stem and gcTables
+    // collected each other's LIVE tables on alternating builds (the
+    // Ivf indexDirName collision class, round-14 review)
+    import graft.ops.IndexTables
+    val fp = "deadbeefdeadbeef"
+    val a = IndexTables.tableName("graft_x_idx_v1_", "/data/sf0-1", fp)
+    val b = IndexTables.tableName("graft_x_idx_v1_", "/data/sf0_1", fp)
+    assert(a != b, "lossy sanitization must not merge distinct source dirs")
+    val isGenA = IndexTables.generationOf(
+      IndexTables.tableName("graft_x_idx_v1_", "/data/sf0-1", ""))(_)
+    assert(isGenA(a) && !isGenA(b),
+      "one dir's GC must never match the colliding sibling's live table")
+  }
 }

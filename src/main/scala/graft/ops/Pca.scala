@@ -174,9 +174,23 @@ object Pca {
 
   /** Fit: one distributed pass + a driver-side d×d eigensolve.
     * Covariance is the POPULATION form (÷n) — the convention the
-    * explained-variance ratios don't depend on. */
+    * explained-variance ratios don't depend on.
+    *
+    * Malformed-embedding guard (the kmeansDistributed discipline,
+    * r13 — mirrored here round-14): a null embedding NPE'd the
+    * per-partition fold and a ragged one AIOOBE'd the moment
+    * accumulation — one bad corpus row killed every PCA consumer.
+    * The fit's dimension is the corpus's DOMINANT embedding length
+    * (one tiny agg job, necessarily BEFORE the moment pass — the
+    * fold's buffers are sized by it). */
   def fit(vecs: DataFrame): PcaModel = {
-    val (n, s, gram) = moments(vecs)
+    val top = vecs.filter(col("e").isNotNull)
+      .groupBy(size(col("e")).as("d")).count()
+      .orderBy(col("count").desc, col("d").asc).head(1)
+    require(top.nonEmpty, "PCA needs a non-empty corpus of non-null embeddings")
+    val dim = top(0).getInt(0)
+    val clean = vecs.filter(col("e").isNotNull && size(col("e")) === dim)
+    val (n, s, gram) = moments(clean)
     val d = s.length
     val mean = s.map(_ / n)
     val cov = Array.tabulate(d, d)((i, j) => gram(i)(j) / n - mean(i) * mean(j))

@@ -92,4 +92,18 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(ratios.last - 1.0) < 1e-6)
     assert(a.length == 64)
   }
+
+  test("fit survives null and ragged embeddings (the kmeans guard discipline)") {
+    // a null embedding NPE'd the per-partition fold; a ragged one
+    // AIOOBE'd the moment buffers — one bad corpus row killed every
+    // PCA consumer (round-14 review)
+    import spark.implicits._
+    val base = Seq.tabulate(20)(i => Seq(i.toDouble, 2.0 * i, 1.0))
+    val dirty = (base :+ null :+ Seq(1.0)).toDF("e")
+    val m = Pca.fit(dirty)
+    assert(m.mean.length == 3, "dominant dimension must win")
+    val cleanM = Pca.fit(base.toDF("e"))
+    assert(m.eigenvalues.toSeq == cleanM.eigenvalues.toSeq,
+      "malformed rows must not perturb the fit")
+  }
 }

@@ -86,6 +86,15 @@ object StreamingDedup {
           try {
             survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
             IncrementalDedup.appendToIndex(survivors, indexTable, srcBatch = batchId)
+            // the StreamingNovelty discipline: foreachBatch binds the
+            // batch to a CLONED session, and the append's insertInto
+            // refresh there is not guaranteed to reach the OUTER
+            // session probeBatch reads the table through — a stale
+            // file listing would silently miss everything appended by
+            // earlier batches (a cross-batch dedup miss, the quiet
+            // failure mode). The refresh is idempotent; Novelty's spec
+            // caught this class empirically.
+            spark.catalog.refreshTable(indexTable)
           } finally survivors.unpersist()
         } finally b.unpersist()
         ()

@@ -45,14 +45,19 @@ case class SpaceSavingAgg(child: Expression, m: Int,
   // analysis-time type gate (the HllSketchAgg discipline from the r14
   // sketch sweep, applied to the sibling it missed): update() keys the
   // counter map on child.eval().toString, which is well-defined for
-  // string input but silently produces unsafe-representation garbage
+  // string and atomic-numeric input (UTF8String / boxed
+  // Int/Long/Short/Byte/Boolean toString are stable, canonical
+  // renderings — topk over an int id column was always well-defined)
+  // but silently produces unsafe-representation garbage
   // ("[0,2000000005,...]") for struct/array/map children — every such
   // value would count as a distinct "token" with no error surfaced
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"space_saving_topk expects a string column, got ${other.catalogString}")
+        s"space_saving_topk expects a string or integral column, got ${other.catalogString}" +
+          " (cast explicitly for other types — tokens are keyed on the rendered string)")
     }
 
   override def children: Seq[Expression] = Seq(child)

@@ -32,15 +32,21 @@ object Geo {
   private def rad(x: Double): Double = x * math.Pi / 180.0
 
   /** Coordinate accessor with the reference's JS semantics for
-    * malformed points: a missing element (`p[0]` on an empty array, a
-    * null point in a ring) is `undefined` in JS, and every arithmetic
-    * or comparison involving it behaves like NaN — geojson-area yields
-    * NaN, turf.kinks detects nothing, bounds checks are false. The
-    * Scala translation previously THREW (IndexOutOfBounds /
-    * NoSuchElement) on the same inputs, killing the whole job inside a
-    * UDF before validation could route the record (round-14 review).
-    * NaN reproduces the JS propagation exactly: all comparisons with
-    * NaN are false on both sides of the translation. */
+    * malformed points: a missing element (`p[0]` on a short/empty
+    * array) is `undefined` in JS, and every arithmetic or comparison
+    * involving it behaves like NaN — geojson-area yields NaN,
+    * turf.kinks detects nothing, bounds checks are false. The Scala
+    * translation previously THREW (IndexOutOfBounds / NoSuchElement)
+    * on the same inputs, killing the whole job inside a UDF before
+    * validation could route the record (round-14 review). NaN
+    * reproduces the JS propagation exactly for that case: all
+    * comparisons with NaN are false on both sides of the translation.
+    *
+    * A literal NULL point is the one deliberate divergence: the
+    * reference JS would throw a TypeError on `p[0]` of null and crash
+    * the whole process, whereas here null propagates as NaN too — a
+    * strict superset that dead-letters the record instead of crashing
+    * the job, which is the safer behavior at cluster scale. */
   private def coord(p: Seq[Double], i: Int): Double =
     if (p == null || p.length <= i) Double.NaN else p(i)
 
@@ -71,11 +77,12 @@ object Geo {
       case _ => 0.0
     }
 
-  /** Geodesic area of a full (Multi)Polygon coordinate set, rounded to
-    * whole m² as the reference does (Math.round(turf.area(...)),
-    * /root/reference/mapwarper.js:364). */
-  def areaM2(coordinates: Seq[Seq[Seq[Double]]]): Long =
-    math.round(polygonArea(coordinates))
+  // NOTE: there is deliberately no `areaM2` Long helper here. The
+  // rounded-to-whole-m² form (Math.round(turf.area(...)),
+  // /root/reference/mapwarper.js:364) lives ONLY in GeoUdfs.areaM2,
+  // which guards the NaN-from-malformed-geometry case by returning
+  // null — a bare math.round(polygonArea(...)) silently rounds NaN
+  // to 0 m², the exact bug class the round-14 geo sweep closed.
 
   /** lon ∈ [-180, 180] ∧ lat ∈ [-90, 90]
     * (/root/reference/mapwarper.js:261-266). */

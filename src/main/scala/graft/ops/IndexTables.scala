@@ -110,6 +110,14 @@ private[graft] object IndexTables {
       // construction — new probes resolve through digested names —
       // so collecting a sanitization-colliding sibling's old-format
       // table is also correct (it too can never be probed again).
+      // MIXED-VERSION CAVEAT: that claim assumes every JVM sharing
+      // this warehouse runs the digested naming. A still-running
+      // PRE-digest binary pointed at the same warehouse would have
+      // its live table collected here mid-session; rolling upgrades
+      // against a shared warehouse must drain old-binary sessions
+      // first (or skip GC for one deploy). Same-version concurrency
+      // stays safe — live probes resolve through their own
+      // fingerprint-keyed digested names.
       val retired = generationOf(
         (familyPrefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_").toLowerCase)(_)
       val isGen = (n: String) => digested(n) || retired(n)

@@ -58,6 +58,19 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(cnt - err <= 1000L, "est - err is a lower bound on the true count")
   }
 
+  test("integral children are accepted and keyed on canonical rendering") {
+    // topk over an int id column was always well-defined (boxed
+    // Int.toString is canonical); the r14 StringType-only gate
+    // over-rejected it — pin the widened atomic allowlist
+    import spark.implicits._
+    val df = spark.createDataset(Seq.fill(5)(7) ++ Seq(3, 3, 9)).toDF("id")
+    val hits = df.agg(SpaceSavingAgg.spaceSavingTopK(col("id"), 8).as("ss"))
+      .select(explode(col("ss")).as("hit"))
+      .collect().map(_.getStruct(0))
+    assert(hits.head.getString(0) == "7" && hits.head.getLong(1) == 5L)
+    assert(hits.map(_.getString(0)).toSet == Set("7", "3", "9"))
+  }
+
   test("non-string children fail ANALYSIS, never count toString garbage") {
     // a struct child would key counters on its unsafe-representation
     // toString — every value a distinct "token", silently

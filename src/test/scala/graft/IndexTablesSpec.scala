@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IndexTables
+
+/** End-to-end gcTables behavior against a REAL warehouse — the name-
+  * shape tests in IncrementalNoveltySpec pin what MATCHES; this pins
+  * what a sweep actually DROPS and what survives it, including the
+  * concurrent-builder scenario the round-14 digest fix exists for:
+  * a sanitization-colliding sibling dir's LIVE digested table must
+  * survive the other dir's GC (pre-digest, alternating builds
+  * collected each other forever). */
+class IndexTablesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val prefix = "graft_gcspec_idx_v1_"
+  private val dirA = "/data/sf0-1" // both sanitize to _data_sf0_1
+  private val dirB = "/data/sf0_1"
+
+  private def mkTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.range(1).write.mode("overwrite").saveAsTable(name)
+  }
+
+  test("gcTables sweeps own stale generations + retired names + sidecars; colliding sibling survives") {
+    val staleFp = "aaaaaaaaaaaaaaaa"
+    val ownStale = IndexTables.tableName(prefix, dirA, staleFp)
+    // retired pre-digest format: prefix + sanitized + "_" + fp
+    val ownRetired =
+      (prefix + dirA.replaceAll("[^A-Za-z0-9]", "_") + "_" + staleFp).toLowerCase
+    val siblingLive = IndexTables.tableName(prefix, dirB, "bbbbbbbbbbbbbbbb")
+    Seq(ownStale, ownRetired, siblingLive).foreach(mkTable)
+
+    // sidecar next to the stale generation's table dir
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(wh, ownStale + "_bloom.bin")
+    val out = fs.create(sidecar, true); out.write(Array[Byte](1, 2, 3)); out.close()
+
+    val swept = scala.collection.mutable.ArrayBuffer[String]()
+    IndexTables.gcTables(spark, prefix, dirA, p => swept += p.getName)
+
+    assert(!spark.catalog.tableExists(ownStale), "own stale digested generation must drop")
+    assert(!spark.catalog.tableExists(ownRetired), "own retired pre-digest name must drop")
+    assert(spark.catalog.tableExists(siblingLive),
+      "the sanitization-colliding sibling's LIVE table must survive (concurrent-builder safety)")
+    assert(!fs.exists(sidecar), "stale generation's sidecar must be swept from the warehouse")
+    assert(swept.contains(ownStale + "_bloom.bin"),
+      s"onSweep must see every swept warehouse path, saw: $swept")
+    assert(!swept.exists(_.contains(siblingLive)), "onSweep must never fire for a survivor")
+
+    spark.sql(s"DROP TABLE IF EXISTS $siblingLive")
+  }
+
+  test("interleaved build≡gc from two builders of DIFFERENT dirs leaves both live tables probeable") {
+    // the alternating-build scenario: A gc+build, then B gc+build, then
+    // A gc again (as if rebuilding) — B's live table must still exist
+    val fpA = "cccccccccccccccc"; val fpB = "dddddddddddddddd"
+    val tA = IndexTables.tableName(prefix, dirA, fpA)
+    val tB = IndexTables.tableName(prefix, dirB, fpB)
+    IndexTables.gcTables(spark, prefix, dirA); mkTable(tA)
+    IndexTables.gcTables(spark, prefix, dirB); mkTable(tB)
+    IndexTables.gcTables(spark, prefix, dirA); mkTable(tA)
+    assert(spark.catalog.tableExists(tA) && spark.catalog.tableExists(tB),
+      "alternating builds of colliding dirs must not collect each other")
+    assert(spark.table(tA).count() == 1 && spark.table(tB).count() == 1)
+    Seq(tA, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

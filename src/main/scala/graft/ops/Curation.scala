@@ -458,49 +458,71 @@ object Curation {
            coalesce(max(col("n_hits")), lit(0L)).as("max_hits"))
       .orderBy(col("source"))
 
-  /** False-positive rate for the q80 Bloom pre-screen. At 1% the filter
-    * costs ~9.6 bits per test-set fingerprint (10M fps ≈ 12 MB — well
-    * inside broadcast budget), and the shuffle that follows carries
-    * ~1% of the corpus fingerprints that don't join plus all that do. */
+  /** Target false-positive rate of the decontam pre-screen: the
+    * post-screen shuffle carries ~fpp of the corpus fingerprints that
+    * don't join plus all that do. With the lazy in-plan filter the
+    * realized fpp follows the session's runtime-bloom sizing confs
+    * (see [[prescreenFilter]]); this constant documents the design
+    * point those defaults sit near and anchors the spec's bound. */
   val DecontamBloomFpp: Double = 0.01
 
-  /** DECONTAMINATION with a broadcast Bloom-filter pre-screen — the
-    * 100 TB shape of [[decontaminate]]. The exact-join formulation
-    * shuffles EVERY distinct corpus fingerprint even though almost
-    * none join (the test set is a few thousand benchmark docs against
-    * a corpus of billions). Here the small side is collapsed into a
-    * Bloom filter once (driver merge of per-partition filters —
-    * bounded by the test-set size, like IVF's centroid collect), and
-    * the corpus side drops non-members INSIDE its scan's codegen span
-    * ([[graft.functions.BloomContainsLong]]) before any exchange: the
-    * decontamination shuffle shrinks from O(corpus) to
-    * O(matches + fpp·corpus). Bloom false positives survive the
-    * pre-screen but die in the exact join that follows, so results
-    * are bit-identical to [[decontaminate]] — same oracle SQL shape.
-    * This is Spark's runtime-filter idea (InjectRuntimeFilter) applied
-    * explicitly, so it works regardless of join eligibility heuristics. */
-  /** Builds the decontam pre-screen Bloom over a distinct-fp frame.
-    * Persisted across the build's two jobs only (count for sizing +
-    * the bloom aggregation), then released in finally: the result
-    * DataFrame is lazy, so a cache held into the exact join has no
-    * later unpersist hook and leaks for the JVM lifetime (r7 ADVICE).
+  /** DECONTAMINATION with a Bloom-filter pre-screen — the 100 TB
+    * shape of [[decontaminate]]. The exact-join formulation shuffles
+    * EVERY distinct corpus fingerprint even though almost none join
+    * (the test set is a few thousand benchmark docs against a corpus
+    * of billions). Here the small side is collapsed into a Bloom
+    * filter ([[prescreenFilter]]) and the corpus side drops
+    * non-members before any exchange: the decontamination shuffle
+    * shrinks from O(corpus) to O(matches + fpp·corpus). Bloom false
+    * positives survive the pre-screen but die in the exact join that
+    * follows, so results are bit-identical to [[decontaminate]] —
+    * same oracle SQL shape. */
+  /** The decontam pre-screen as a LAZY in-plan membership predicate:
+    * `might_contain(scalar-subquery(bloom_agg(fp)), fp)` — Spark's own
+    * runtime-filter expressions (BloomFilterAggregate /
+    * BloomFilterMightContain), injected explicitly so the screen fires
+    * regardless of join-eligibility heuristics.
+    *
+    * Why a subquery instead of a driver-built filter: the former
+    * prescreenBloom ran TWO eager Spark jobs (count for sizing + the
+    * bloom aggregation) at DataFrame-CONSTRUCTION time, so a caller
+    * that only wanted the plan (explain, tests, composition) paid two
+    * real scans (builder's round-14 open item). The subquery builds
+    * the filter as part of the query itself: construction runs ZERO
+    * jobs (CurationSpec pins this with a job listener), and at
+    * execution the test-side aggregation Spark was going to run anyway
+    * doubles as the filter build.
+    *
+    * Sizing follows the session's runtime-bloom confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.{expectedNumItems,
+    * numBits}`, defaults 1M items / 1 MB) — the same blind-sizing
+    * defaults Spark's InjectRuntimeFilter ships, tunable per session;
+    * exact count-based sizing is impossible without eager jobs, and
+    * fpp only moves the post-screen shuffle volume, never results
+    * (false positives die in the exact join that follows).
+    *
     * ONE definition for the exact (decontaminateBloom) and span
     * (decontaminateSpans) screens — the sizing/fpp/lifecycle contract
     * must not drift between them (the BucketStore lesson). */
-  private def prescreenBloom(fps: DataFrame): org.apache.spark.util.sketch.BloomFilter = {
-    import org.apache.spark.storage.StorageLevel
-    fps.persist(StorageLevel.MEMORY_AND_DISK)
-    try fps.stat.bloomFilter("fp", math.max(fps.count(), 1L), DecontamBloomFpp)
-    finally { fps.unpersist(); () }
+  private def prescreenFilter(testFps: DataFrame, fp: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("fp")))
+        .toAggregateExpression())
+    val aggPlan = testFps.agg(bloomAgg.as("bloom"))
+      .queryExecution.analyzed // analysis only — no jobs
+    ColumnBridge.column(
+      BloomFilterMightContain(ScalarSubquery(aggPlan), ColumnBridge.expression(fp)))
   }
 
   def decontaminateBloom(train: DataFrame, test: DataFrame): DataFrame = {
     // the exact join re-derives the test fingerprints at execution —
     // one extra shingle+distinct of the SMALL side
     val testFps = shingledFps(test).select(col("fp")).distinct()
-    val bloom = prescreenBloom(testFps)
     val candidates = shingledFps(train)
-      .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bloom))
+      .filter(prescreenFilter(testFps, col("fp")))
     val hits = candidates.join(testFps, Seq("fp"))
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -806,12 +828,11 @@ object Curation {
     * to the unscreened formulation (same oracle SQL). */
   def decontaminateSpans(train: DataFrame, test: DataFrame): DataFrame = {
     val testFps = shingledFps(test).select(col("fp")).distinct()
-    val bloom = prescreenBloom(testFps)
     val pos = train.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
         posexplode(graft.functions.NativeExprs.shingleHashes(
           split(col("text"), " "), DecontamN)).as(Seq("pos", "fp")))
-      .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bloom))
+      .filter(prescreenFilter(testFps, col("fp")))
     pos.join(testFps, Seq("fp"))
       .groupBy(col("source"), col("doc_id"), col("n_tokens"))
       .agg(countDistinct(col("fp")).as("n_hits"),

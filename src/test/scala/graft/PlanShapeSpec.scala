@@ -245,9 +245,11 @@ class PlanShapeSpec extends AnyFunSuite {
           a.dataType == org.apache.spark.sql.types.LongType) => e
     }
     assert(fpExchanges.nonEmpty, s"expected fingerprint exchanges:\n$p")
-    val screened = fpExchanges.filter(_.child.toString.contains("bloom_contains_long"))
+    // the lazy in-plan screen (round-15): BloomFilterMightContain over
+    // a bloom-aggregate scalar subquery, planned below the exchange
+    val screened = fpExchanges.filter(_.child.toString.contains("might_contain"))
     assert(screened.nonEmpty,
-      s"corpus fingerprints must pass bloom_contains_long BEFORE their exchange:\n$p")
+      s"corpus fingerprints must pass might_contain BEFORE their exchange:\n$p")
     // and no exchange ever carries the text
     p.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
       .foreach(cols => assert(!cols.contains("text"),
@@ -269,8 +271,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val posSide = fpExchanges.filter(_.output.exists(_.name == "pos"))
     assert(posSide.nonEmpty, s"expected the posexploded corpus exchange:\n$p")
     posSide.foreach { e =>
-      assert(e.child.toString.contains("bloom_contains_long"),
-        s"posexploded corpus fps must pass bloom_contains_long BEFORE their exchange:\n$e")
+      assert(e.child.toString.contains("might_contain"),
+        s"posexploded corpus fps must pass might_contain BEFORE their exchange:\n$e")
     }
     // and no exchange ever carries the text
     p.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }

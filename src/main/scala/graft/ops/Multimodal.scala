@@ -10,25 +10,33 @@ import graft.Tables._
   * binary columns with typed metadata, batch feature extraction via
   * mapPartitions (the Scala analogue of mapInPandas batch UDFs).
   *
-  * Decoders behind the [[MediaDecoder]] seam: [[ImageIODecoder]] is a
-  * REAL pixel decoder for the formats the JDK ships readers for
+  * ONE decode kernel behind the [[MediaDecoder]] seam (round-15: q46
+  * and q159 share it as the default): [[ImageIODecoder]] is a REAL
+  * pixel decoder for the formats the JDK ships readers for
   * (PNG/BMP/GIF/JPEG via javax.imageio — no external codec needed);
   * payloads no reader claims (plus audio/video, whose codecs are not
   * in this container) fall back to [[FakeDecoder]], a deterministic
-  * hash stub. Everything around the seam is the real Spark plumbing a
+  * hash mix. Everything around the seam is the real Spark plumbing a
   * 100 TB multimodal pipeline needs: binary column + metadata struct
   * schema, partition-batched decode (decoder initialized once per
   * partition, not per row), and a narrow, column-pruned output schema.
   */
 object Multimodal {
 
-  /** Decode stub: replace with a real codec binding at deploy time. */
+  /** Codec seam: one decode kernel behind every media query.
+    * [[ImageIODecoder]] (the default everywhere, declared queries
+    * included) really decodes what the JDK has readers for and falls
+    * back deterministically for the rest; bind a richer
+    * implementation here to add audio/video codecs. */
   trait MediaDecoder extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** Deterministic fake decoder: xxhash-style mixing of payload bytes
-    * into `dim` floats in [-1, 1]. Stands in for image/audio decode. */
+  /** Deterministic fallback decoder: xxhash-style mixing of payload
+    * bytes into `dim` floats in [-1, 1]. Not a declared-query surface
+    * of its own — it is the undecodable-payload fallback inside
+    * [[ImageIODecoder]] (audio/video payloads, corrupt images) and a
+    * direct stand-in only in determinism tests. */
   object FakeDecoder extends MediaDecoder {
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -126,7 +134,7 @@ object Multimodal {
   /** Batch feature extraction: one decoder per partition, iterator-to-
     * iterator (streaming, no partition materialization). */
   def extractFeatures(packed: DataFrame,
-                      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+                      decoder: MediaDecoder = ImageIODecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("source", StringType, nullable = true),
@@ -206,7 +214,7 @@ object Multimodal {
     * retouch keeps the phash (the band mean barely moves) while the
     * md5 changes — exactly the near-dup class exact dedup misses. */
   def extractPhash(packed: DataFrame,
-                   decoder: MediaDecoder = FakeDecoder): DataFrame = {
+                   decoder: MediaDecoder = ImageIODecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("fp", StringType, nullable = false),
@@ -251,7 +259,7 @@ object Multimodal {
     * different fp ⇒ perceptual-only dup) and an inverted image
     * (different bucket). */
   def mediaPhashDedup(s: SparkSession, packed: DataFrame,
-                      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+                      decoder: MediaDecoder = ImageIODecoder): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // is_exact keys on the doc's OWN fp group (not the bucket keeper's
     // fp — round-10 review: a byte copy of a non-keeper would otherwise

@@ -70,13 +70,25 @@ class MultimodalSpec extends AnyFunSuite {
       java.util.List.of(
         Row(1L, Row(bos.toByteArray, Row("image/png", 4, 4, null)), "imgs")),
       schema)
-    val feats = Multimodal.extractFeatures(packed, Multimodal.ImageIODecoder)
-      .collect()
+    // DEFAULT decoder path — the one q46's declared query runs: real
+    // pixels must decode without naming a decoder (round-15: the fake
+    // stub is gone from the declared-query surface; one kernel for
+    // q46 and q159)
+    val feats = Multimodal.extractFeatures(packed).collect()
     assert(feats.length == 1)
     val f = feats.head.getSeq[Float](feats.head.fieldIndex("feature"))
     assert(f.length == Multimodal.FeatureDim)
     assert(f.forall(v => math.abs(v - 1.0f) < 1e-3),
       s"white PNG must decode to all-ones luminance bands, got $f")
+    // and q46's feature surface (feat_norm) sees the REAL decode:
+    // all-ones bands at dim 8 have L2 norm sqrt(8)
+    import org.apache.spark.sql.functions._
+    val norm = Multimodal.extractFeatures(packed)
+      .select(round(graft.ops.Similarity.norm(col("feature").cast("array<double>")), 5)
+        .as("feat_norm"))
+      .collect().head.getDouble(0)
+    assert(math.abs(norm - math.sqrt(8.0)) < 1e-3,
+      s"q46 feat_norm over a white PNG must be sqrt(8), got $norm")
   }
 
   test("q159 phash dedup: one-pixel retouch is a perceptual-only dup; " +

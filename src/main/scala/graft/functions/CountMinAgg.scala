@@ -106,14 +106,18 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
   * the shared kernel, so probing stays inside whole-stage codegen.
   *
   * The (depth, width) pair is a CREATION-TIME contract (the layoutKeys
-  * rule): the length guard below nulls on a wrong TOTAL, but it cannot
-  * distinguish two factorizations of the same product (a 4×1024 sketch
-  * probed as 2×2048 reads aliased cells and can under-estimate,
-  * breaking the true ≤ est guarantee). Embedding a shape header in the
-  * array was considered and rejected — the raw register array is what
-  * makes persisted sketches roll up with plain elementwise addition
-  * (CmsSpec's stored-rollup contract); keep build and probe wired to
-  * one shared constant pair, as [[graft.ops.Text.cmsProbe]] does. */
+  * rule): a register array whose length does not equal depth×width is
+  * ALWAYS a build/probe wiring bug, so the length guard FAILS the
+  * query with a named error instead of nulling silently (round-14
+  * verdict ask — a silent null read as "key absent", hiding the
+  * miswiring). The guard still cannot distinguish two factorizations
+  * of the same product (a 4×1024 sketch probed as 2×2048 reads
+  * aliased cells and can under-estimate, breaking the true ≤ est
+  * guarantee). Embedding a shape header in the array was considered
+  * and rejected — the raw register array is what makes persisted
+  * sketches roll up with plain elementwise addition (CmsSpec's
+  * stored-rollup contract); keep build and probe wired to one shared
+  * constant pair, as [[graft.ops.Text.cmsProbe]] does. */
 case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: Int)
     extends BinaryExpression {
 
@@ -131,19 +135,33 @@ case class CmsEstimate(left: Expression, right: Expression, depth: Int, width: I
 
   override def nullSafeEval(sketch: Any, key: Any): Any = {
     val arr = sketch.asInstanceOf[ArrayData]
-    if (arr.numElements() != depth * width) null
-    else SketchKernels.cmsEstimate(arr, key.asInstanceOf[UTF8String], depth, width)
+    CmsEstimate.requireLayout(arr.numElements(), depth, width)
+    SketchKernels.cmsEstimate(arr, key.asInstanceOf[UTF8String], depth, width)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, k) =>
       s"""
-         |if ($s.numElements() != ${depth * width}) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graft.functions.SketchKernels.cmsEstimate($s, $k, $depth, $width); }
+         |graft.functions.CmsEstimate.requireLayout($s.numElements(), $depth, $width);
+         |${ev.value} = graft.functions.SketchKernels.cmsEstimate($s, $k, $depth, $width);
        """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
     copy(left = l, right = r)
+}
+
+object CmsEstimate {
+  /** Runtime layout gate, called from both eval and generated code: a
+    * register array that is not exactly depth×width longs can only
+    * mean the probe is wired to a different build — fail with the
+    * wiring spelled out rather than return a silent null that reads
+    * as "key absent". */
+  def requireLayout(numElements: Int, depth: Int, width: Int): Unit =
+    if (numElements != depth * width)
+      throw new IllegalArgumentException(
+        s"cms_estimate layout mismatch: probe declared ${depth}x$width " +
+          s"(${depth * width} registers) but the sketch has $numElements — " +
+          "build and probe must share one (depth, width) pair")
 }
 
 object CountMinAgg {

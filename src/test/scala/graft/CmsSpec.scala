@@ -95,6 +95,27 @@ class CmsSpec extends AnyFunSuite {
       "stored CMS rows must re-aggregate to the register-identical global sketch")
   }
 
+  test("probing with a mismatched layout FAILS with a named error, never a silent null") {
+    // a register array that is not depth*width longs is always a
+    // build/probe wiring bug; the old guard nulled, which read as
+    // "key absent" (round-14 verdict ask #7)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sk = Seq("a", "b", "a").toDF("token")
+      .agg(CountMinAgg.countMinSketch(col("token"), 4, 64).as("cms"))
+    val e = intercept[Exception] {
+      sk.select(CountMinAgg.cmsEstimate(col("cms"), lit("a"), 2, 64)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("layout mismatch"), s"got: ${rootMsg(e)}")
+    // the matched layout still answers
+    val ok = sk.select(CountMinAgg.cmsEstimate(col("cms"), lit("a"), 4, 64))
+      .collect().head.getLong(0)
+    assert(ok >= 2L)
+  }
+
   test("q104 over the corpus: absent probes estimate low, stopwords match exact counts") {
     val rows = Text.q104CmsFreq(spark, sf).collect()
     assert(rows.nonEmpty)

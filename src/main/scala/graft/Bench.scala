@@ -72,18 +72,20 @@ object Bench {
   /** Hard wall-clock budget (seconds) for the whole bench run;
     * overridable via SPARK_GRAFT_BENCH_DEADLINE_S. The clock starts
     * AFTER SparkSession init, so the driver-observed wall time adds
-    * ~40-60 s of sbt launch — 17.5 min here keeps the worst case
-    * under a 20-min external kill with slack, while leaving ~10
-    * suite-lengths of clean headroom (the full suite is ~104 s clean
-    * at 178 queries). The all-capped worst case still fits: while the
-    * equal split (deadline − reserve)/n exceeds MinCapSec the sweep
-    * is budget-preserving by construction, and once the floor binds
-    * the worst case is n·MinCapSec — with MinCapSec 5.2 the split
-    * stays binding (and budget-preserving) through n ≤ 196, exactly
-    * the declared [[WorstCaseQueries]] = 196 (BenchSpec pins both the
-    * real suite size and the declared worst case from the constants
-    * alone). */
-  val DefaultDeadlineSec = 1050.0
+    * ~40-60 s of sbt launch — ~17.7 min here keeps the worst case
+    * under a 20-min external kill with ~80-100 s slack, while leaving
+    * ~8 suite-lengths of clean headroom (the full suite is ~125 s
+    * clean at 196 queries). The all-capped worst case still fits:
+    * while the equal split (deadline − reserve)/n exceeds MinCapSec
+    * the sweep is budget-preserving by construction — with MinCapSec
+    * 5.2 the split stays binding (and budget-preserving) through
+    * n ≤ 198, exactly the declared [[WorstCaseQueries]] = 198
+    * (BenchSpec pins both the real suite size and the declared worst
+    * case from the constants alone). 1050 → 1060 in round 15: q198
+    * took the suite to 197, past the 1050-budget binding limit of
+    * 196 — the round-14 scaladoc's own rule ("growth past 196 must
+    * renegotiate the DEADLINE, not the floor"), applied. */
+  val DefaultDeadlineSec = 1060.0
 
   /** Budget reserved at the tail for the final artifact write and
     * spark.stop(). */
@@ -112,13 +114,13 @@ object Bench {
   /** The suite size the all-capped sweep-1 worst case is provisioned
     * for; BenchSpec simulates this many floor-capped samples against
     * the default deadline, so growth past it fails a test instead of
-    * silently eating the finish reserve. At 196 the equal split
-    * ((1050−30)/196 = 5.20 s) still clears the 5.2 s floor, so the
+    * silently eating the finish reserve. At 198 the equal split
+    * ((1060−30)/198 = 5.202 s) still clears the 5.2 s floor, so the
     * sweep stays budget-preserving by construction; the split first
-    * stops binding at 197 queries (1020/197 = 5.18 < 5.2) — with the
-    * floor already at its 2× margin over q92, any growth past 196
-    * must renegotiate the DEADLINE, not the floor. */
-  val WorstCaseQueries = 196
+    * stops binding at 199 queries (1030/199 = 5.18 < 5.2) — with the
+    * floor already at its 2× margin over q92, any growth past 198
+    * must renegotiate the DEADLINE again, not the floor. */
+  val WorstCaseQueries = 198
 
   def agreed(samples: Seq[Double]): Boolean = {
     val s = samples.sorted

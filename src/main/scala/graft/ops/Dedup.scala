@@ -1325,12 +1325,24 @@ object Dedup {
       posexplode(graft.functions.NativeExprs.shingleHashes(
         split(col("text"), " "), n)).as(Seq("pos", "fp")))
     val byFp = Window.partitionBy(col("fp"))
+    islandSpans(
+      pos
+        .withColumn("lo", min(col("doc_id")).over(byFp))
+        .withColumn("hi", max(col("doc_id")).over(byFp))
+        .filter(col("lo") < col("hi"))
+        .select(col("doc_id"), col("pos")), n)
+      .orderBy(col("doc_id"), col("span_idx"))
+  }
+
+  /** The gaps-and-islands merge shared by every span producer (q188's
+    * symmetric rule and [[IncrementalSpans]]' stale rule — one
+    * definition so the island semantics cannot drift): hit rows
+    * `(doc_id, pos)` (unique per doc) merge into maximal token-
+    * coverage islands over one doc-partitioned window. */
+  private[graft] def islandSpans(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos
-      .withColumn("lo", min(col("doc_id")).over(byFp))
-      .withColumn("hi", max(col("doc_id")).over(byFp))
-      .filter(col("lo") < col("hi"))
-      .select(col("doc_id"), col("pos"))
+    hits
       // coverage of the hit at prev is [prev, prev+n); the next hit
       // extends the island iff its coverage overlaps or touches it
       .withColumn("ns",
@@ -1346,7 +1358,6 @@ object Dedup {
         col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok")).as("span_tokens"),
         col("n_dup_shingles"))
-      .orderBy(col("doc_id"), col("span_idx"))
   }
 
   /** q188: remove-spans of every ≥[[SpanN]]-token run shared across

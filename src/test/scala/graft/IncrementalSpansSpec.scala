@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IncrementalSpans, IncrementalDedup}
+import graft.streaming.StreamingSpans
+
+class IncrementalSpansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  // an 8-token run shared verbatim; surrounding text unique per doc
+  private val Run = "one two three four five six seven eight"
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("planted case: the arriving doc's repeated run is found with exact positions") {
+    freshTable("spans_idx_planted")
+    val seed = docsDf(
+      1L -> s"unique seed preamble here $Run and a unique seed tail portion",
+      2L -> "completely unrelated content with nothing shared at all anywhere truly")
+    IncrementalSpans.buildIndex(seed, "spans_idx_planted")
+    // batch doc: 3 unique tokens, then the 8-token run, then tail
+    val batch = docsDf(10L -> s"fresh arriving document now $Run plus fresh trailing words")
+    val got = IncrementalSpans.probeBatch(spark, batch, "spans_idx_planted").collect()
+    assert(got.length == 1, s"exactly one span expected, got ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 10L && r.getInt(2) == 4 && r.getInt(3) == 12,
+      s"span must cover tokens [4, 12) — the planted run — got $r")
+    assert(r.getLong(5) == 1L, "one duplicated shingle in the run")
+    // a doc with nothing seen emits no spans
+    val clean = docsDf(11L -> "entirely novel words never appearing anywhere else in any corpus")
+    assert(IncrementalSpans.probeBatch(spark, clean, "spans_idx_planted").count() == 0)
+  }
+
+  test("doc_id-ordered batch replay ≡ one-shot probe (the corpus-wide stale rule)") {
+    // the decomposition contract the novelty twin keeps with q180:
+    // screening ordered batches against the growing index accumulates
+    // exactly the one-shot verdicts of the whole corpus as one batch
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    freshTable("spans_idx_oneshot"); freshTable("spans_idx_replay")
+    // one-shot: whole corpus as a single batch against an empty index
+    IncrementalSpans.buildIndex(docsDf(), "spans_idx_oneshot")
+    val oneShot = IncrementalSpans
+      .probeBatch(spark, docsDf(docs.toIndexedSeq: _*), "spans_idx_oneshot")
+      .collect().map(_.toString).toSeq
+
+    // replay: three doc_id-ordered batches, probe-then-append
+    IncrementalSpans.buildIndex(docsDf(), "spans_idx_replay")
+    val chunks = docs.grouped(40).toSeq
+    val accumulated = chunks.zipWithIndex.flatMap { case (chunk, i) =>
+      val b = docsDf(chunk.toIndexedSeq: _*)
+      val out = IncrementalSpans
+        .probeBatch(spark, b, "spans_idx_replay", batchId = i.toLong)
+        .collect().map(_.toString).toSeq
+      IncrementalSpans.appendToIndex(b, "spans_idx_replay", srcBatch = i.toLong)
+      out
+    }
+    assert(accumulated == oneShot,
+      s"replayed spans must equal the one-shot probe row-for-row " +
+        s"(${accumulated.length} vs ${oneShot.length})")
+    assert(oneShot.nonEmpty, "corpus slice must actually contain stale spans")
+  }
+
+  test("append is idempotent; replay-after-append emits the same spans (self-match exclusion)") {
+    freshTable("spans_idx_replay2")
+    val seed = docsDf(1L -> s"the indexed document contains $Run inside it for later")
+    IncrementalSpans.buildIndex(seed, "spans_idx_replay2")
+    val batch = docsDf(
+      20L -> s"first arrival says $Run and some unique twenty tail",
+      21L -> "second arrival is fully unique with distinct vocabulary throughout entirely")
+    val before = IncrementalSpans
+      .probeBatch(spark, batch, "spans_idx_replay2", batchId = 7L)
+      .collect().map(_.toString).toSeq
+    IncrementalSpans.appendToIndex(batch, "spans_idx_replay2", srcBatch = 7L)
+    val count1 = spark.table("spans_idx_replay2").count()
+    // replayed append adds nothing
+    IncrementalSpans.appendToIndex(batch, "spans_idx_replay2", srcBatch = 7L)
+    assert(spark.table("spans_idx_replay2").count() == count1, "append must be idempotent")
+    // replayed probe (same batchId, index now holds the batch's own
+    // fps) must NOT read its own entries as staleness
+    val after = IncrementalSpans
+      .probeBatch(spark, batch, "spans_idx_replay2", batchId = 7L)
+      .collect().map(_.toString).toSeq
+    assert(after == before,
+      s"replay-after-append must emit identical spans:\n$after\nvs\n$before")
+    // but a LATER batch redelivering doc 20 matches its own earlier
+    // entries: the re-ingested copy reads fully stale
+    val redelivered = IncrementalSpans
+      .probeBatch(spark, docsDf(20L -> s"first arrival says $Run and some unique twenty tail"),
+        "spans_idx_replay2", batchId = 8L)
+      .collect()
+    // the doc is 16 tokens; full staleness = one span [0, 16) made of
+    // all 16-8+1 = 9 of its shingles
+    assert(redelivered.length == 1 &&
+      redelivered.head.getInt(2) == 0 && redelivered.head.getInt(3) == 16 &&
+      redelivered.head.getLong(5) == 9L,
+      s"cross-batch redelivery must read fully stale, got ${redelivered.toSeq}")
+  }
+
+  test("probe plan never shuffles the index side; index scan is bucket-aligned") {
+    freshTable("spans_idx_plan")
+    IncrementalSpans.buildIndex(
+      Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("text")),
+      "spans_idx_plan")
+    val batch = docsDf(900L -> s"arriving probe document with $Run within it somewhere")
+    val p = IncrementalSpans.probeBatch(spark, batch, "spans_idx_plan")
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a merge join probing the index:\n$p")
+    joins.foreach { j =>
+      val indexSides = Seq(j.left, j.right)
+        .filter(_.toString.contains("spans_idx_plan"))
+      assert(indexSides.nonEmpty, s"index table must feed the merge join:\n$j")
+      indexSides.foreach { side =>
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty,
+          s"index side must stay unshuffled (bucketed layout):\n$side")
+      }
+    }
+    assert(p.toString.contains("SelectedBucketsCount"),
+      s"index scan must be bucket-aligned:\n$p")
+  }
+
+  test("streaming twin: micro-batched stream ≡ batch q198-shape accumulation") {
+    freshTable("spans_idx_stream"); freshTable("spans_idx_streamref")
+    val seed = docsDf(1L -> s"seed document holding $Run for the stream to find later")
+    IncrementalSpans.buildIndex(seed, "spans_idx_stream")
+    IncrementalSpans.buildIndex(seed, "spans_idx_streamref")
+
+    val fileA = Seq(
+      (100L, s"stream batch one repeats $Run then adds its own unique ending"),
+      (101L, "stream batch one also carries a fully unique second document here"))
+    val fileB = Seq(
+      // repeats fileA's unique doc → stale only via the index append
+      (200L, "stream batch one also carries a fully unique second document here"),
+      (201L, "nothing here has ever been seen before by anything at all"))
+    val streamDir = java.nio.file.Files.createTempDirectory("sspans_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sspans_out").toString + "/spans"
+    import spark.implicits._
+    fileA.toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
+    fileB.toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f2")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir + "/f*")
+    val q = StreamingSpans.spanIngest(spark, stream, "spans_idx_stream", outDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "span_idx", "start_tok", "end_tok", "span_tokens", "n_dup_shingles")
+      .orderBy("doc_id", "span_idx").collect().map(_.toString).toSeq
+
+    // reference: the same two batches through the batch API
+    val ref = Seq(fileA, fileB).zipWithIndex.flatMap { case (rows, i) =>
+      val b = docsDf(rows: _*)
+      val out = IncrementalSpans
+        .probeBatch(spark, b, "spans_idx_streamref", batchId = i.toLong)
+        .collect().map(_.toString).toSeq
+      IncrementalSpans.appendToIndex(b, "spans_idx_streamref", srcBatch = i.toLong)
+      out
+    }
+    assert(streamed == ref,
+      s"stream output must equal the batch replay row-for-row:\n$streamed\nvs\n$ref")
+    // the cross-batch dependency actually fired: doc 200's staleness
+    // exists only because batch A's append reached batch B's probe
+    assert(streamed.exists(_.startsWith("[200,")),
+      s"doc 200 must carry a span (repeats batch A's doc 101): $streamed")
+  }
+}

@@ -71,8 +71,15 @@ object IncrementalNovelty {
   /** [[screenBatch]] over a pre-shingled `(source, doc_id, fp)` frame
     * ([[docShingles]] output — possibly persisted by the caller). */
   private[graft] def screenShingled(spark: SparkSession, shingles: DataFrame,
-                                    table: String): DataFrame =
-    shingles
+                                    table: String): DataFrame = {
+    // pre-align the batch to the index's bucket layout so the fp
+    // window and the bucket-colocated join share ONE exchange (the
+    // IncrementalSpans.probeBatch rationale; without it the batch
+    // shingles shuffle twice whenever shuffle.partitions ≠ buckets)
+    val aligned = org.apache.spark.sql.graftbridge.PlanBridge
+      .numBuckets(spark, table)
+      .map(b => shingles.repartition(b, col("fp"))).getOrElse(shingles)
+    aligned
       .withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .join(spark.table(table).hint("MERGE")
@@ -85,6 +92,7 @@ object IncrementalNovelty {
           .otherwise(0L)).as("novel"))
       .withColumn("novelty",
         round(col("novel").cast("double") / col("total"), 4))
+  }
 
   /** Appends a batch's shingles to the index, deduplicated against it
     * (one merge anti-join; the index side stays in place). Idempotent:

@@ -80,7 +80,16 @@ object IncrementalSpans {
     * window partitions by fp over the BATCH only. */
   def probeBatch(spark: SparkSession, batch: DataFrame, table: String,
                  n: Int = SpanN, batchId: Long = NoBatch): DataFrame = {
-    val occ = occurrences(batch, n)
+    // pre-align the batch to the index's bucket layout: the fp window
+    // and the bucket-colocated join then SHARE one exchange — without
+    // this the window shuffles to spark.sql.shuffle.partitions and
+    // the join re-shuffles to the bucket count (two full passes over
+    // the batch's occurrence rows whenever the two numbers differ)
+    val occ0 = occurrences(batch, n)
+    val aligned = org.apache.spark.sql.graftbridge.PlanBridge
+      .numBuckets(spark, table)
+      .map(b => occ0.repartition(b, col("fp"))).getOrElse(occ0)
+    val occ = aligned
       .withColumn("batch_first",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
     val idx = spark.table(table).hint("MERGE")

@@ -52,6 +52,16 @@ object PlanBridge {
       case _ => ()
     }
 
+  /** Bucket count of a catalog table, if it is bucketed (bucketSpec
+    * lives on the private[sql] session catalog's table metadata). The
+    * incremental-index probes use it to pre-align their batch side to
+    * the index layout — one fp exchange shared by the batch window
+    * and the bucket-colocated join, instead of one each. */
+  def numBuckets(spark: SparkSession, table: String): Option[Int] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+
   /** Idempotently registers an extra optimizer rule on the session
     * (the programmatic twin of injectOptimizerRule; runs in the
     * optimizer's User Provided Optimizers fixed-point batch). */

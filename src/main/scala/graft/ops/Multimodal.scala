@@ -67,13 +67,31 @@ object Multimodal {
     * [[FakeDecoder]] so mixed corpora keep flowing — decode failure
     * must not kill a 100 TB job. */
   object ImageIODecoder extends MediaDecoder {
+
+    /** Magic-byte sniff for the formats the JDK ships readers for.
+      * Payloads that can't possibly be one skip ImageIO entirely:
+      * reader discovery (ImageInputStream + SPI iteration) costs real
+      * time PER PAYLOAD, and a mixed 100 TB corpus is mostly
+      * non-image bytes — paying it per text document made q46 ×3.9
+      * the moment this decoder became the default (round-15 bench
+      * diff). Real codecs sniff exactly this way. */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M') ||
+        (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2A.toByte && p(3) == 0) ||
+        (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2A.toByte))
+
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val img =
         // NonFatal, not just IOException: a reader that CLAIMS a
         // corrupt payload throws RuntimeExceptions (CMMException on a
         // bad ICC profile, AIOOBE/NegativeArraySize on crafted GIF/BMP
         // headers) — all must fall back, per the contract above
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (!looksLikeImage(payload)) null
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) FakeDecoder.features(payload, dim)
       else {

@@ -202,10 +202,12 @@ object IncrementalDecontam {
     * (n_hits = 0 ⇒ clean → training sink; ≥ 1 ⇒ quarantine — exactly
     * what screenedIngest decides per micro-batch), so the result is
     * batch-sized even when a small sf's slice happens to contain no
-    * contamination. Rows-only (the bucketed probe is not
-    * SQL-expressible in DuckDB); PlanShapeSpec pins the
-    * no-shuffle-on-index-side invariant, StreamingDecontamSpec pins
-    * the counting semantics shared with screenBatch. */
+    * contamination. ORACLE-HASH checkable (round-15, the q198
+    * precedent): the bucketed layout and Bloom pre-screen are
+    * semantically invisible, so the verdict — per batch doc, its
+    * distinct n-gram fps present in the test slice's fp set — is
+    * plain SQL; PlanShapeSpec still pins the no-shuffle-on-index-side
+    * invariant, StreamingDecontamSpec the screenBatch semantics. */
   def q78DecontamProbeIndex(s: SparkSession, d: String): DataFrame = {
     import graft.Tables.documents
     val table = IndexTables.tableName(TablePrefix, d,
@@ -232,7 +234,37 @@ object IncrementalDecontam {
       .orderBy(col("doc_id"))
   }
 
+  /** The q78 oracle: md5-of-shingle-text fps are equality-equivalent
+    * to the engine's xxhash64 fps (the q188/q198 identity); the Bloom
+    * pre-screen and bucketed merge join change no row. */
+  val q78Sql: String = {
+    val n = DecontamN
+    s"""WITH test AS (
+      | SELECT str_split(text, ' ') AS t FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'
+      |), batch AS (
+      | SELECT doc_id, str_split(text, ' ') AS t FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      |), fp_t AS (
+      | SELECT DISTINCT md5(sh) AS fp FROM (
+      |  SELECT unnest(list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+      |    for i in range(1, len(t) - ${n - 2})])) AS sh
+      |  FROM test WHERE len(t) >= $n)
+      |), fp_b AS (
+      | SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+      |   for i in range(1, len(t) - ${n - 2})])) AS sh
+      | FROM batch WHERE len(t) >= $n
+      |), hits AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      | FROM fp_b JOIN fp_t ON md5(fp_b.sh) = fp_t.fp
+      | GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, coalesce(h.n_hits, 0) AS n_hits
+      |FROM (SELECT doc_id FROM batch) b LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q78_decontam_probe_index", q78DecontamProbeIndex _, None),
+    ("q78_decontam_probe_index", q78DecontamProbeIndex _, Some(q78Sql)),
   )
 }

@@ -123,10 +123,14 @@ object IncrementalNovelty {
     * score the remaining ~1/4 slice as the arriving batch — per-doc
     * novelty verdicts against everything already ingested, index side
     * unmoved. Deterministic slices (q63's md5 rule, different cut) so
-    * reruns and the spec see the same batch. Rows-only (the bucketed
-    * probe is not SQL-expressible); IncrementalNoveltySpec pins the
-    * batch-replay ≡ q180 contract and the spec's plan test pins the
-    * no-shuffle-on-index-side invariant. */
+    * reruns and the spec see the same batch. ORACLE-HASH checkable
+    * (round-15, the q198 precedent): the bucketed layout is
+    * semantically invisible and the verdict rule — first-occurring
+    * within the batch AND unseen by the train slice — is plain SQL
+    * (the self-attribution clause is vacuous here: the md5 slices are
+    * disjoint, so an index entry can never be claimed by a batch
+    * doc). IncrementalNoveltySpec still pins the batch-replay ≡ q180
+    * contract and the no-shuffle-on-index-side plan invariant. */
   def q186NoveltyProbeIndex(s: SparkSession, d: String): DataFrame = {
     import graft.Tables.documents
     import IndexTables.hashBucket
@@ -142,7 +146,44 @@ object IncrementalNovelty {
     screenBatch(s, batch, table).orderBy(col("doc_id"))
   }
 
+  /** The q186 oracle: md5-of-shingle-text fps ≡ the engine's xxhash64
+    * fps (the q188/q198 identity); per-doc novelty follows q180's
+    * oracle shape restricted to the batch slice with the train-slice
+    * membership test composed in. */
+  val q186Sql: String = {
+    val n = Text.NoveltyN
+    s"""WITH train AS (
+      | SELECT str_split(text, ' ') AS t FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+      |), bt AS (
+      | SELECT source, doc_id, str_split(text, ' ') AS t FROM documents
+      | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'c0'
+      |), fp_t AS (
+      | SELECT DISTINCT md5(sh) AS fp FROM (
+      |  SELECT unnest(list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+      |    for i in range(1, len(t) - ${n - 2})])) AS sh
+      |  FROM train WHERE len(t) >= $n)
+      |), fp_b AS (
+      | SELECT source, doc_id,
+      |  md5(unnest(list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+      |    for i in range(1, len(t) - ${n - 2})]))) AS fp
+      | FROM bt WHERE len(t) >= $n
+      |), scored AS (
+      | SELECT b.source, b.doc_id, b.fp, t.fp AS idx_fp,
+      |  min(b.doc_id) OVER (PARTITION BY b.fp) AS batch_first
+      | FROM fp_b b LEFT JOIN fp_t t USING (fp)
+      |), per_doc AS (
+      | SELECT source, doc_id, CAST(count(*) AS BIGINT) AS total,
+      |  CAST(sum(CASE WHEN batch_first = doc_id AND idx_fp IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS novel
+      | FROM scored GROUP BY source, doc_id
+      |)
+      |SELECT source, doc_id, total, novel,
+      | round(CAST(novel AS DOUBLE) / total, 4) AS novelty
+      |FROM per_doc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q186_novelty_probe_index", q186NoveltyProbeIndex _, None),
+    ("q186_novelty_probe_index", q186NoveltyProbeIndex _, Some(q186Sql)),
   )
 }

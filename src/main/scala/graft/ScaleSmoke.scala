@@ -60,7 +60,7 @@ object ScaleSmoke {
     // K months later" growth, not a same-key pile-up. Skipped when no
     // selected query reads events.
     if (qs.exists(q => Seq("q130_", "q131_", "q132_", "q133_", "q134_", "q24_",
-        "q28_", "q59_", "q149_", "q161_", "q163_", "q172_", "q195_").exists(q.startsWith))) {
+        "q28_", "q59_", "q142_", "q149_", "q161_", "q163_", "q172_", "q195_").exists(q.startsWith))) {
       val ev = Tables.events(spark, base)
       val b = ev.agg(F.max("user_id"), F.max("event_id"),
         F.expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")).head()

@@ -58,9 +58,14 @@ object PlanBridge {
     * the index layout — one fp exchange shared by the batch window
     * and the bucket-colocated join, instead of one each. */
   def numBuckets(spark: SparkSession, table: String): Option[Int] =
-    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
+    // Try, not throw: a temp-view-backed or missing name has no
+    // catalog metadata — the caller's own spark.table() read is the
+    // right place for that error to surface (and a view-backed probe
+    // is still CORRECT unaligned, just not exchange-fused)
+    scala.util.Try(
+      spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec).toOption.flatten.map(_.numBuckets)
 
   /** Idempotently registers an extra optimizer rule on the session
     * (the programmatic twin of injectOptimizerRule; runs in the

@@ -146,6 +146,47 @@ class IncrementalSpansSpec extends AnyFunSuite {
       s"index scan must be bucket-aligned:\n$p")
   }
 
+  test("streaming restart on the durable checkpoint continues batch ids instead of replaying") {
+    freshTable("spans_idx_restart")
+    IncrementalSpans.buildIndex(
+      docsDf(1L -> s"seed document holding $Run for later batches to repeat"),
+      "spans_idx_restart")
+    val streamDir = java.nio.file.Files.createTempDirectory("sspans_rs_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sspans_rs_out").toString + "/spans"
+    import spark.implicits._
+    def writeFile(name: String, id: Long): Unit =
+      Seq((id, s"batch doc $id repeats $Run with its own unique tail $id"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/$name")
+    def batchDirs(): Set[String] =
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = StreamingSpans.spanIngest(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/f*"),
+      "spans_idx_restart", outDir)
+
+    writeFile("f1", 500L); writeFile("f2", 501L)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(new java.io.File(s"$outDir/_checkpoint").exists(),
+      "checkpoint must default to a durable location under outDir")
+    assert(batchDirs() == Set("batch_id=0", "batch_id=1"))
+
+    // a third file lands while the stream is down; the RESTARTED query
+    // must number it after the processed batches — a fresh temp
+    // checkpoint would restart at 0 and stomp the first sink dir
+    writeFile("f3", 502L)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(batchDirs() == Set("batch_id=0", "batch_id=1", "batch_id=2"),
+      "restart must continue numbering, not replay from zero")
+    // every batch doc repeats the seed run exactly once — one span per
+    // doc, no duplicates or losses across the restart
+    val docs = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(docs == Seq(500L, 501L, 502L), s"one span per doc, got $docs")
+  }
+
   test("streaming twin: micro-batched stream ≡ batch q198-shape accumulation") {
     freshTable("spans_idx_stream"); freshTable("spans_idx_streamref")
     val seed = docsDf(1L -> s"seed document holding $Run for the stream to find later")

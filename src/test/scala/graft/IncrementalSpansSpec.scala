@@ -80,6 +80,43 @@ class IncrementalSpansSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty, "corpus slice must actually contain stale spans")
   }
 
+  test("property: random dense corpora, random ordered splits — replay ≡ one-shot (3 seeds)") {
+    // a tiny vocabulary forces heavy cross-doc shingle collision, so
+    // island merging, within-batch windows, and index hits all fire
+    // constantly; random split boundaries exercise every decomposition
+    // point of the corpus-wide smaller-doc_id rule
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b") // 2^8 = 256 possible 8-gram shingles: collisions guaranteed dense
+      val docs = (1L to 60L).map { id =>
+        val len = 8 + rnd.nextInt(25)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      freshTable(s"spans_prop_one_$seed"); freshTable(s"spans_prop_rep_$seed")
+      IncrementalSpans.buildIndex(docsDf(), s"spans_prop_one_$seed")
+      val oneShot = IncrementalSpans
+        .probeBatch(spark, docsDf(docs: _*), s"spans_prop_one_$seed")
+        .collect().map(_.toString).toSeq
+      IncrementalSpans.buildIndex(docsDf(), s"spans_prop_rep_$seed")
+      // random ordered split into 1..6 batches
+      val cuts = (0 until rnd.nextInt(5)).map(_ => rnd.nextInt(docs.size)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(docs.size)).distinct.sliding(2)
+        .map { case Seq(a, b) => docs.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val accumulated = batches.zipWithIndex.flatMap { case (chunk, i) =>
+        val b = docsDf(chunk: _*)
+        val out = IncrementalSpans
+          .probeBatch(spark, b, s"spans_prop_rep_$seed", batchId = i.toLong)
+          .collect().map(_.toString).toSeq
+        IncrementalSpans.appendToIndex(b, s"spans_prop_rep_$seed", srcBatch = i.toLong)
+        out
+      }
+      assert(accumulated == oneShot,
+        s"seed $seed (${batches.size} batches): replay diverged from one-shot " +
+          s"(${accumulated.length} vs ${oneShot.length} spans)")
+      assert(oneShot.nonEmpty, s"seed $seed: dense corpus must produce spans")
+    }
+  }
+
   test("append is idempotent; replay-after-append emits the same spans (self-match exclusion)") {
     freshTable("spans_idx_replay2")
     val seed = docsDf(1L -> s"the indexed document contains $Run inside it for later")

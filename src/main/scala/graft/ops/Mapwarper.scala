@@ -71,7 +71,16 @@ object Mapwarper {
       when(cond, struct(lit(typ).as("type"), msg.as("message")))
         .otherwise(lit(null).cast(logEntryType))
 
-    val ringLen = size(element_at(mgc, 1))
+    // get() (0-based, null on out-of-bounds), NOT element_at(mgc, 1):
+    // under ANSI a mask with EMPTY coordinates ([]) made element_at
+    // throw INVALID_ARRAY_INDEX inside the validation chain — the one
+    // remaining malformed-input job-killer in the rule set (round-15
+    // review; the reference ALSO crashes there, coordinates[0].length
+    // TypeError, but a crash is not semantics worth preserving at
+    // 100 TB). With the null ringLen this rule simply doesn't fire
+    // and the record still dead-letters through the multipolygon rule
+    // ("MultiPolygon with 0 polygons") — routed, never fatal.
+    val ringLen = size(get(mgc, lit(0)))
     val kinkCount = when(hasGeom, GeoUdfs.kinks(mgc)).otherwise(lit(null))
     // Each point predicate is coalesced to FALSE: a malformed point
     // (null element, [] or [x] — JS undefined) makes `p[0] >= -180`

@@ -89,6 +89,31 @@ class MapwarperSpec extends AnyFunSuite {
     assert(types.contains("invalid_coordinates"), s"got $types")
   }
 
+  test("EMPTY coordinates dead-letter through the multipolygon rule, never kill the job") {
+    // "coordinates": [] made element_at(mgc, 1) throw
+    // INVALID_ARRAY_INDEX under ANSI inside the validation chain — the
+    // last malformed-input job-killer in the rule set (round-15
+    // review; the reference also crashes, coordinates[0].length
+    // TypeError, but the engine routes instead: the null ringLen
+    // skips mask_coordinates_count and size([]) != 1 fires
+    // multipolygon with "0 polygons")
+    val spark = TestSpark.spark
+    val lines = Seq(
+      """{"type":"map","data":{"id":102,"uuid":"u-m2","bbox":"-74,40,-73,41",""" +
+        """"map_type":"is_map","status":"warped","mask_status":"masked","maskGeometry":""" +
+        """{"type":"Polygon","coordinates":[]}}}""")
+    val out = graft.ops.Mapwarper.pipeline(
+      graft.ops.Mapwarper.parseRecords(spark, lines)).collect()
+    val log = out.filter(_.getAs[String]("type") == "log")
+    assert(log.length == 1, s"empty-coordinates map must dead-letter: ${out.toSeq}")
+    val entries = log.head.getAs[Row]("obj").getSeq[Row](
+      log.head.getAs[Row]("obj").fieldIndex("logs"))
+    assert(entries.map(_.getAs[String]("type")).contains("multipolygon"),
+      s"got ${entries.map(_.getAs[String]("type"))}")
+    assert(entries.find(_.getAs[String]("type") == "multipolygon").get
+      .getAs[String]("message").contains("0 polygons"))
+  }
+
   test("turf.kinks parity: bowtie reports 2 features (one per segment ordering)") {
     val l4 = deadLogs.find(_.getAs[String]("id") == "4").get
     val msg = l4.getSeq[Row](l4.fieldIndex("logs")).head.getAs[String]("message")

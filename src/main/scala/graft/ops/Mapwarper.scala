@@ -56,7 +56,12 @@ object Mapwarper {
     val y = when(truthy(dy), dy).otherwise(iy)
     val parsed = when(truthy(y), regexp_extract(y, "^\\s*([+-]?\\d+)", 1))
       .otherwise(lit(null))
-    when(truthy(parsed), parsed.cast("int")).otherwise(lit(null).cast("int"))
+    // try_: a digit run past Int.MaxValue made the ANSI cast THROW
+    // and kill the job (round-15 review). JS parseInt returns the
+    // out-of-range value as a double; the INT schema cannot represent
+    // it, so null (year absent) is the engine's documented safe
+    // superset — dead-letter-grade data never crashes the pipeline.
+    when(truthy(parsed), parsed.try_cast("int")).otherwise(lit(null).cast("int"))
   }
 
   /** The 9-rule validation chain (§2.7) as one `logs` array column.
@@ -283,7 +288,12 @@ object Mapwarper {
       lit(null).cast("double").as("area"),
       lit(null).cast("array<array<double>>").as("gcps"),
       col("maps_count").as("mapCount"),
-      when(truthy(col("bbox")), split(col("bbox"), ",").cast("array<double>"))
+      // try_: a non-numeric bbox element made the ANSI cast THROW and
+      // kill the job (round-15 review). The reference's parseFloat
+      // yields NaN there, and JSON.stringify renders NaN as null — so
+      // the try_cast's null ELEMENT is byte-identical to the
+      // reference's serialized output, not merely safer.
+      when(truthy(col("bbox")), split(col("bbox"), ",").try_cast("array<double>"))
         .otherwise(lit(null).cast("array<double>")).as("bbox"))
     layers.select(lit("object").as("type"),
       objStruct(concat(lit("layer-"), col("id").cast("string")), col("name"),

@@ -89,6 +89,33 @@ class MapwarperSpec extends AnyFunSuite {
     assert(types.contains("invalid_coordinates"), s"got $types")
   }
 
+  test("ANSI-cast hazards: overflowing year and non-numeric bbox element never kill the job") {
+    val spark = TestSpark.spark
+    // year digits past Int.MaxValue: JS parseInt returns a double the
+    // INT schema cannot hold — year lands null (engine's documented
+    // safe superset); the job survives
+    val mapLine =
+      """{"type":"map","data":{"id":103,"uuid":"u-m3","bbox":"-74,40,-73,41",""" +
+        """"map_type":"is_map","status":"warped","mask_status":"masked",""" +
+        """"depicts_year":"99999999999999999999","maskGeometry":""" +
+        """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}}}"""
+    // layer bbox with a non-numeric element: JS parseFloat gives NaN,
+    // which JSON.stringify renders null — the try_cast's null element
+    // is byte-identical to the reference's serialized output
+    val layerLine =
+      """{"type":"layer","data":{"id":9001,"name":"L","bbox":"1.5,abc,3"}}"""
+    val out = graft.ops.Mapwarper.pipeline(
+      graft.ops.Mapwarper.parseRecords(spark, Seq(mapLine, layerLine))).collect()
+    val objs = out.filter(_.getAs[String]("type") == "object").map(_.getAs[Row]("obj"))
+    val mapObj = objs.find(_.getAs[String]("id") == "103").get
+    assert(mapObj.isNullAt(mapObj.fieldIndex("validSince")),
+      "overflowing year must land null, not crash")
+    val layerObj = objs.find(_.getAs[String]("id") == "layer-9001").get
+    val bbox = layerObj.getAs[Row]("data").getSeq[Any](
+      layerObj.getAs[Row]("data").fieldIndex("bbox"))
+    assert(bbox == Seq(1.5, null, 3.0), s"NaN element must serialize as null, got $bbox")
+  }
+
   test("EMPTY coordinates dead-letter through the multipolygon rule, never kill the job") {
     // "coordinates": [] made element_at(mgc, 1) throw
     // INVALID_ARRAY_INDEX under ANSI inside the validation chain — the

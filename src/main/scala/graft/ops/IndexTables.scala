@@ -91,6 +91,63 @@ private[graft] object IndexTables {
         SidecarSuffixes.contains(name.substring(prefix.length + 16)))
   }
 
+  /** Index-family integrity audit — the [[BucketStore.fsck]] analogue
+    * for the catalog-table side of the persisted-index families
+    * (decontam/novelty/dedup/spans/bucketed-join): one bounded row per
+    * check for THIS (family prefix, source dir), same (check, status,
+    * detail) shape as the health-report families so a scheduler can
+    * page on it in the same loop.
+    *
+    *   - `index_current` — the digested table for the CURRENT data
+    *     fingerprint exists in the catalog (warn when absent: the next
+    *     probe pays a full build, which is the designed behavior after
+    *     a corpus regeneration, not corruption);
+    *   - `bucket_spec` — the current table still carries its bucket
+    *     spec (fail: a catalog table without bucketing silently
+    *     re-shuffles the index side on every probe — the exact cost
+    *     the layout exists to amortize);
+    *   - `stale_generations` — other digested generations of this
+    *     family+dir linger in catalog or warehouse (warn: disk held
+    *     until the next rebuild's GC; never correctness);
+    *   - `retired_naming` — pre-digest-format tables of this
+    *     family+dir remain (warn: swept by the next rebuild's GC;
+    *     see the mixed-version caveat in [[gcTables]]). */
+  def audit(s: SparkSession, familyPrefix: String, d: String,
+            file: String = "documents.parquet"): org.apache.spark.sql.DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val fp = scala.util.Try(dataFingerprint(s, d, file)).toOption
+    val current = fp.map(tableName(familyPrefix, d, _))
+    val digested = generationOf(tableName(familyPrefix, d, ""))(_)
+    val retired = generationOf(
+      (familyPrefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_").toLowerCase)(_)
+    val catalogGens = s.catalog.listTables().collect().map(_.name)
+      .filter(n => digested(n) || retired(n)).toSeq
+    rows += ((current, current.exists(c => catalogGens.contains(c))) match {
+      case (None, _) => ("index_current", "fail",
+        s"source $d/$file unreadable — cannot fingerprint")
+      case (Some(c), true) => ("index_current", "ok", c)
+      case (Some(c), false) => ("index_current", "warn",
+        s"no index for current fingerprint ($c) — next probe builds")
+    })
+    current.filter(catalogGens.contains).foreach { c =>
+      rows += (org.apache.spark.sql.graftbridge.PlanBridge.numBuckets(s, c) match {
+        case Some(b) => ("bucket_spec", "ok", s"buckets=$b")
+        case None => ("bucket_spec", "fail",
+          s"$c has NO bucket spec — probes will shuffle the index side")
+      })
+    }
+    val stale = catalogGens.filter(n => digested(n) && !current.contains(n))
+    rows += (("stale_generations",
+      if (stale.isEmpty) "ok" else "warn",
+      if (stale.isEmpty) "none" else stale.sorted.mkString(",")))
+    val old = catalogGens.filter(n => retired(n) && !digested(n))
+    rows += (("retired_naming",
+      if (old.isEmpty) "ok" else "warn",
+      if (old.isEmpty) "none" else old.sorted.mkString(",")))
+    import s.implicits._
+    rows.toSeq.toDF("check", "status", "detail")
+  }
+
   /** Best-effort GC of EVERY generation (table + warehouse dir +
     * sidecars) of this family for this source dir: the warehouse
     * outlives the in-memory catalog across JVMs, a catalog-less

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.IndexTables
@@ -51,6 +52,48 @@ class IndexTablesSpec extends AnyFunSuite {
     assert(!swept.exists(_.contains(siblingLive)), "onSweep must never fire for a survivor")
 
     spark.sql(s"DROP TABLE IF EXISTS $siblingLive")
+  }
+
+  test("audit: current/stale/retired/bucket-spec checks page correctly") {
+    val auditPrefix = "graft_auditspec_idx_v1_"
+    val dir = TestSpark.sf0001 // a real source dir so the fingerprint resolves
+    val fp = IndexTables.dataFingerprint(spark, dir)
+    val current = IndexTables.tableName(auditPrefix, dir, fp)
+    val stale = IndexTables.tableName(auditPrefix, dir, "aaaaaaaaaaaaaaaa")
+    val retired =
+      (auditPrefix + dir.replaceAll("[^A-Za-z0-9]", "_") + "_bbbbbbbbbbbbbbbb").toLowerCase
+
+    def rows() = graft.ops.IndexTables.audit(spark, auditPrefix, dir)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+    // nothing built yet: current is a warn (next probe builds), no debris
+    Seq(current, stale, retired).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val before = rows()
+    assert(before("index_current")._1 == "warn", s"got $before")
+    assert(before("stale_generations") == (("ok", "none")))
+    assert(before("retired_naming") == (("ok", "none")))
+
+    // healthy build: bucketed current table via the real write path
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .limit(20).select(col("doc_id"), xxhash64(col("text")).as("fp"))
+      .select(col("fp"), col("doc_id").as("first_doc"))
+    graft.ops.Bucketing.writeBucketed(docs, current, "fp", 4)
+    // plus planted debris: a stale digested generation + a retired name
+    spark.range(1).write.mode("overwrite").saveAsTable(stale)
+    spark.range(1).write.mode("overwrite").saveAsTable(retired)
+    val after = rows()
+    assert(after("index_current") == (("ok", current)), s"got $after")
+    assert(after("bucket_spec") == (("ok", "buckets=4")))
+    assert(after("stale_generations")._1 == "warn" &&
+      after("stale_generations")._2.contains(stale))
+    assert(after("retired_naming")._1 == "warn" &&
+      after("retired_naming")._2.contains(retired))
+
+    // an unbucketed table under the current name is the paged failure
+    spark.sql(s"DROP TABLE IF EXISTS $current")
+    spark.range(1).write.mode("overwrite").saveAsTable(current)
+    assert(rows()("bucket_spec")._1 == "fail")
+    Seq(current, stale, retired).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("interleaved build≡gc from two builders of DIFFERENT dirs leaves both live tables probeable") {

@@ -122,10 +122,26 @@ object HealthRun {
             System.err.println(s"cannot audit store: ${e.getMessage}")
             2
         }
+      case "idxfsck" :: familyPrefix :: dataDir :: Nil =>
+        // persisted INDEX-TABLE integrity audit (the catalog-side
+        // analogue of fsck, for the decontam/novelty/dedup/spans/
+        // bucketed-join families): warns (stale generations pending
+        // the next rebuild's GC, or no index yet) don't page — fails
+        // (unfingerprintable source, spec-less table) do
+        try {
+          val report = ops.IndexTables.audit(spark, familyPrefix, dataDir)
+          report.toJSON.collect().foreach(println) // ≤ 4 rows by construction
+          if (report.filter(col("status") === "fail").isEmpty) 0 else 1
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"cannot audit index family: ${e.getMessage}")
+            2
+        }
       case _ =>
         System.err.println(
           "usage: HealthRun write <dataDir> <outDir> [label=storeDir ...]" +
-            " | diff <aDir> <bDir> [tolerance] | fsck <storeDir>")
+            " | diff <aDir> <bDir> [tolerance] | fsck <storeDir>" +
+            " | idxfsck <familyPrefix> <dataDir>")
         2
     }
     spark.stop()

@@ -122,10 +122,22 @@ private[graft] object IndexTables {
       (familyPrefix + d.replaceAll("[^A-Za-z0-9]", "_") + "_").toLowerCase)(_)
     val catalogGens = s.catalog.listTables().collect().map(_.name)
       .filter(n => digested(n) || retired(n)).toSeq
-    rows += ((current, current.exists(c => catalogGens.contains(c))) match {
+    // the warehouse outlives the in-memory catalog: cross-JVM debris
+    // (and a prior session's catalog-less current dir) is only
+    // visible on DISK — audit both views, like gcTables sweeps both
+    val whGens = scala.util.Try {
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(wh).map(_.getPath.getName)
+        .filter(n => digested(n) || retired(n)).toSeq
+    }.getOrElse(Seq.empty)
+    rows += ((current, current.exists(catalogGens.contains)) match {
       case (None, _) => ("index_current", "fail",
         s"source $d/$file unreadable — cannot fingerprint")
       case (Some(c), true) => ("index_current", "ok", c)
+      case (Some(c), false) if whGens.contains(c) => ("index_current", "warn",
+        s"catalog-less dir for current fingerprint ($c) — unusable " +
+          "across JVMs; next probe rebuilds (and GCs the orphan)")
       case (Some(c), false) => ("index_current", "warn",
         s"no index for current fingerprint ($c) — next probe builds")
     })
@@ -136,11 +148,16 @@ private[graft] object IndexTables {
           s"$c has NO bucket spec — probes will shuffle the index side")
       })
     }
-    val stale = catalogGens.filter(n => digested(n) && !current.contains(n))
+    val allGens = (catalogGens ++ whGens).distinct
+    // the current generation OWNS its sidecars: a live bloom next to
+    // the current table is part of the generation, not stale debris
+    def isCurrent(n: String): Boolean = current.exists(c =>
+      n == c || SidecarSuffixes.exists(sfx => n == c + sfx))
+    val stale = allGens.filter(n => digested(n) && !isCurrent(n))
     rows += (("stale_generations",
       if (stale.isEmpty) "ok" else "warn",
       if (stale.isEmpty) "none" else stale.sorted.mkString(",")))
-    val old = catalogGens.filter(n => retired(n) && !digested(n))
+    val old = allGens.filter(n => retired(n) && !digested(n))
     rows += (("retired_naming",
       if (old.isEmpty) "ok" else "warn",
       if (old.isEmpty) "none" else old.sorted.mkString(",")))

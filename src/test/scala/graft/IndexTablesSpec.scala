@@ -89,11 +89,36 @@ class IndexTablesSpec extends AnyFunSuite {
     assert(after("retired_naming")._1 == "warn" &&
       after("retired_naming")._2.contains(retired))
 
+    // a live bloom sidecar BELONGS to the current generation — it
+    // must not read as stale debris
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveSidecar = new org.apache.hadoop.fs.Path(wh, current + "_bloom.bin")
+    val out = fs.create(liveSidecar, true); out.write(Array[Byte](1)); out.close()
+    val withSidecar = rows()
+    assert(!withSidecar("stale_generations")._2.contains("_bloom.bin"),
+      s"current generation's own sidecar flagged stale: $withSidecar")
+    fs.delete(liveSidecar, false)
+
     // an unbucketed table under the current name is the paged failure
     spark.sql(s"DROP TABLE IF EXISTS $current")
     spark.range(1).write.mode("overwrite").saveAsTable(current)
     assert(rows()("bucket_spec")._1 == "fail")
     Seq(current, stale, retired).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // cross-JVM view: a warehouse DIR with no catalog entry (another
+    // session's table, or this one post-restart) must surface — as
+    // the catalog-less current (warn, probe rebuilds) and as
+    // warehouse-only stale debris
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh, current))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh, stale))
+    val crossJvm = rows()
+    assert(crossJvm("index_current")._1 == "warn" &&
+      crossJvm("index_current")._2.contains("catalog-less"), s"got $crossJvm")
+    assert(crossJvm("stale_generations")._1 == "warn" &&
+      crossJvm("stale_generations")._2.contains(stale))
+    Seq(current, stale).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh, n), true))
   }
 
   test("interleaved build≡gc from two builders of DIFFERENT dirs leaves both live tables probeable") {

@@ -122,14 +122,19 @@ object HealthRun {
             System.err.println(s"cannot audit store: ${e.getMessage}")
             2
         }
-      case "idxfsck" :: familyPrefix :: dataDir :: Nil =>
+      case "idxfsck" :: familyPrefix :: dataDir :: rest if rest.size <= 1 =>
         // persisted INDEX-TABLE integrity audit (the catalog-side
         // analogue of fsck, for the decontam/novelty/dedup/spans/
         // bucketed-join families): warns (stale generations pending
         // the next rebuild's GC, or no index yet) don't page — fails
-        // (unfingerprintable source, spec-less table) do
+        // (unfingerprintable source, spec-less table) do. The
+        // optional <file> operand overrides the per-family default
+        // fingerprint source (known families resolve automatically —
+        // the bucketed-join families key on orders/customer.parquet,
+        // not documents.parquet; see IndexTables.FamilyFiles)
         try {
-          val report = ops.IndexTables.audit(spark, familyPrefix, dataDir)
+          val report = ops.IndexTables.audit(spark, familyPrefix, dataDir,
+            rest.headOption)
           report.toJSON.collect().foreach(println) // ≤ 4 rows by construction
           if (report.filter(col("status") === "fail").isEmpty) 0 else 1
         } catch {
@@ -141,7 +146,7 @@ object HealthRun {
         System.err.println(
           "usage: HealthRun write <dataDir> <outDir> [label=storeDir ...]" +
             " | diff <aDir> <bDir> [tolerance] | fsck <storeDir>" +
-            " | idxfsck <familyPrefix> <dataDir>")
+            " | idxfsck <familyPrefix> <dataDir> [file]")
         2
     }
     spark.stop()

@@ -463,8 +463,28 @@ object Curation {
     * don't join plus all that do. With the lazy in-plan filter the
     * realized fpp follows the session's runtime-bloom sizing confs
     * (see [[prescreenFilter]]); this constant documents the design
-    * point those defaults sit near and anchors the spec's bound. */
+    * point those defaults sit near and anchors the spec's bound.
+    *
+    * TUNING REQUIREMENT at scale: the conf defaults size for 1M
+    * items / 1 MB — a shingled eval suite with more distinct fps than
+    * that silently degrades realized fpp far past this design point,
+    * giving back most of the O(matches + fpp·corpus) shuffle
+    * reduction (correctness is never at risk; false positives die in
+    * the exact join). Either pass `expectedFps` to
+    * [[decontaminateBloom]]/[[decontaminateSpans]] (sized literals,
+    * still zero jobs at construction) or set the session confs
+    * `spark.sql.optimizer.runtime.bloomFilter.{expectedNumItems,
+    * numBits}` per deployment; hints past the conf MAXIMA
+    * (maxExpectedNumItems / maxNumBits, defaults 4M / 8 MB) are
+    * clamped by Spark, so very large suites must raise the maxima
+    * too. */
   val DecontamBloomFpp: Double = 0.01
+
+  /** Optimal Bloom bit count for `n` items at [[DecontamBloomFpp]]:
+    * the standard -n·ln(p)/ln(2)² sizing (~9.6 bits/item at 1%). */
+  private def optimalNumBits(n: Long): Long =
+    math.ceil(-n * math.log(DecontamBloomFpp) /
+      (math.log(2) * math.log(2))).toLong
 
   /** DECONTAMINATION with a Bloom-filter pre-screen — the 100 TB
     * shape of [[decontaminate]]. The exact-join formulation shuffles
@@ -504,25 +524,34 @@ object Curation {
     * ONE definition for the exact (decontaminateBloom) and span
     * (decontaminateSpans) screens — the sizing/fpp/lifecycle contract
     * must not drift between them (the BucketStore lesson). */
-  private def prescreenFilter(testFps: DataFrame, fp: Column): Column = {
+  private def prescreenFilter(testFps: DataFrame, fp: Column,
+                              expectedFps: Option[Long] = None): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(ColumnBridge.expression(col("fp")))
-        .toAggregateExpression())
+    // a size hint becomes LITERAL sizing expressions — still zero jobs
+    // at construction; Spark clamps both against the session's
+    // runtime-bloom maxima (see the DecontamBloomFpp tuning note)
+    val agg = expectedFps match {
+      case Some(n) => new BloomFilterAggregate(
+        ColumnBridge.expression(col("fp")),
+        Literal(n), Literal(optimalNumBits(n)))
+      case None => new BloomFilterAggregate(ColumnBridge.expression(col("fp")))
+    }
+    val bloomAgg = ColumnBridge.column(agg.toAggregateExpression())
     val aggPlan = testFps.agg(bloomAgg.as("bloom"))
       .queryExecution.analyzed // analysis only — no jobs
     ColumnBridge.column(
       BloomFilterMightContain(ScalarSubquery(aggPlan), ColumnBridge.expression(fp)))
   }
 
-  def decontaminateBloom(train: DataFrame, test: DataFrame): DataFrame = {
+  def decontaminateBloom(train: DataFrame, test: DataFrame,
+                         expectedFps: Option[Long] = None): DataFrame = {
     // the exact join re-derives the test fingerprints at execution —
     // one extra shingle+distinct of the SMALL side
     val testFps = shingledFps(test).select(col("fp")).distinct()
     val candidates = shingledFps(train)
-      .filter(prescreenFilter(testFps, col("fp")))
+      .filter(prescreenFilter(testFps, col("fp"), expectedFps))
     val hits = candidates.join(testFps, Seq("fp"))
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -826,13 +855,14 @@ object Curation {
     * O(hit occurrences + fpp·corpus tokens). Bloom false positives
     * die in the exact join that follows, so results stay bit-identical
     * to the unscreened formulation (same oracle SQL). */
-  def decontaminateSpans(train: DataFrame, test: DataFrame): DataFrame = {
+  def decontaminateSpans(train: DataFrame, test: DataFrame,
+                         expectedFps: Option[Long] = None): DataFrame = {
     val testFps = shingledFps(test).select(col("fp")).distinct()
     val pos = train.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
         posexplode(graft.functions.NativeExprs.shingleHashes(
           split(col("text"), " "), DecontamN)).as(Seq("pos", "fp")))
-      .filter(prescreenFilter(testFps, col("fp")))
+      .filter(prescreenFilter(testFps, col("fp"), expectedFps))
     pos.join(testFps, Seq("fp"))
       .groupBy(col("source"), col("doc_id"), col("n_tokens"))
       .agg(countDistinct(col("fp")).as("n_hits"),

@@ -91,6 +91,28 @@ private[graft] object IndexTables {
         SidecarSuffixes.contains(name.substring(prefix.length + 16)))
   }
 
+  /** Source file each known family prefix fingerprints over — the
+    * bucketed-join families key on their OWN fact files, not
+    * documents.parquet; an audit that fingerprints the wrong file
+    * computes a wrong "current" name, flags the LIVE index as stale,
+    * and silently skips the fail-grade bucket_spec check. [[audit]]
+    * (and the idxfsck CLI) resolve through this map when the caller
+    * passes no explicit file, so the default is per-family correct
+    * rather than a one-size `documents.parquet`. */
+  private[graft] val FamilyFiles: Map[String, String] = Map(
+    "graft_decontam_idx_v1_" -> "documents.parquet",
+    "graft_novelty_idx_v2_" -> "documents.parquet",
+    "graft_dedup_idx_v2_" -> "documents.parquet",
+    "graft_spans_idx_v1_" -> "documents.parquet",
+    "graft_bkt_orders_v1_" -> "orders.parquet",
+    "graft_bkt_customer_v1_" -> "customer.parquet")
+
+  /** The fingerprint source for `familyPrefix`: the [[FamilyFiles]]
+    * entry when the prefix is a known family, else documents.parquet
+    * (the convention every document-keyed family follows). */
+  private[graft] def defaultFileFor(familyPrefix: String): String =
+    FamilyFiles.getOrElse(familyPrefix, "documents.parquet")
+
   /** Index-family integrity audit — the [[BucketStore.fsck]] analogue
     * for the catalog-table side of the persisted-index families
     * (decontam/novelty/dedup/spans/bucketed-join): one bounded row per
@@ -113,9 +135,10 @@ private[graft] object IndexTables {
     *     family+dir remain (warn: swept by the next rebuild's GC;
     *     see the mixed-version caveat in [[gcTables]]). */
   def audit(s: SparkSession, familyPrefix: String, d: String,
-            file: String = "documents.parquet"): org.apache.spark.sql.DataFrame = {
+            file: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val srcFile = file.getOrElse(defaultFileFor(familyPrefix))
     val rows = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
-    val fp = scala.util.Try(dataFingerprint(s, d, file)).toOption
+    val fp = scala.util.Try(dataFingerprint(s, d, srcFile)).toOption
     val current = fp.map(tableName(familyPrefix, d, _))
     val digested = generationOf(tableName(familyPrefix, d, ""))(_)
     val retired = generationOf(
@@ -133,7 +156,7 @@ private[graft] object IndexTables {
     }.getOrElse(Seq.empty)
     rows += ((current, current.exists(catalogGens.contains)) match {
       case (None, _) => ("index_current", "fail",
-        s"source $d/$file unreadable — cannot fingerprint")
+        s"source $d/$srcFile unreadable — cannot fingerprint")
       case (Some(c), true) => ("index_current", "ok", c)
       case (Some(c), false) if whGens.contains(c) => ("index_current", "warn",
         s"catalog-less dir for current fingerprint ($c) — unusable " +

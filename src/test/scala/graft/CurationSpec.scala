@@ -224,6 +224,36 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bloom pre-screen size hint: sized literals, still zero jobs at construction, identical results") {
+    // the r15-advice escape hatch for >1M-fp eval suites: expectedFps
+    // becomes literal sizing expressions on the BloomFilterAggregate —
+    // no eager count job, and the exact join keeps results identical
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val train = docs.filter(b < "cc"); val test0 = docs.filter(b >= "e0")
+    spark.sparkContext.addSparkListener(listener)
+    val hinted =
+      try {
+        val f = Curation.decontaminateBloom(train, test0, expectedFps = Some(50000L))
+        f.queryExecution.executedPlan
+        Thread.sleep(1500)
+        assert(jobs.get() == 0,
+          s"sized construction ran ${jobs.get()} job(s) — the hint must stay literal")
+        f
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val unhinted = Curation.decontaminateBloom(train, test0)
+    assert(hinted.collect().map(_.toString).toSeq ==
+      unhinted.collect().map(_.toString).toSeq,
+      "the size hint must never change results (fpp moves shuffle volume only)")
+  }
+
   test("q80: corpus run agrees with decontaminate on the same splits") {
     val q80 = Curation.q80BloomDecontaminate(spark, sf).collect().map(_.toString).toSeq
     import org.apache.spark.sql.functions._

@@ -121,6 +121,46 @@ class IndexTablesSpec extends AnyFunSuite {
       fs.delete(new org.apache.hadoop.fs.Path(wh, n), true))
   }
 
+  test("audit resolves the bucketed-join family's fingerprint over ITS source file, not documents.parquet") {
+    // the round-15 advice bug: auditing graft_bkt_orders_v1_ with the
+    // one-size documents.parquet default computed a WRONG current name,
+    // flagged the LIVE index stale, and skipped the bucket_spec check
+    val dir = TestSpark.sf0001
+    val bktPrefix = "graft_bkt_orders_v1_"
+    assert(IndexTables.defaultFileFor(bktPrefix) == "orders.parquet")
+    assert(IndexTables.defaultFileFor("graft_spans_idx_v1_") == "documents.parquet")
+    assert(IndexTables.defaultFileFor("graft_unknown_idx_v9_") == "documents.parquet")
+
+    val fp = IndexTables.dataFingerprint(spark, dir, "orders.parquet")
+    val current = IndexTables.tableName(bktPrefix, dir, fp)
+    // the production discipline: GC before build (also clears debris a
+    // prior crashed run left in the warehouse under this name)
+    IndexTables.gcTables(spark, bktPrefix, dir)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).limit(20)
+    graft.ops.Bucketing.writeBucketed(orders, current, "o_orderkey", 4)
+
+    def rows(file: Option[String]) =
+      IndexTables.audit(spark, bktPrefix, dir, file)
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+    // per-family default: the LIVE orders index reads current+bucketed
+    val auto = rows(None)
+    assert(auto("index_current") == (("ok", current)), s"got $auto")
+    assert(auto("bucket_spec") == (("ok", "buckets=4")), s"got $auto")
+    assert(auto("stale_generations") == (("ok", "none")), s"got $auto")
+    // explicit override matches (the idxfsck [file] operand path)
+    assert(rows(Some("orders.parquet"))("index_current") == (("ok", current)))
+    // and the OLD one-size behavior is reproducible only by forcing the
+    // wrong file — pinning exactly what the per-family default fixes:
+    // wrong fingerprint → live index misread as stale, spec check skipped
+    val wrong = rows(Some("documents.parquet"))
+    assert(wrong("index_current")._1 == "warn", s"got $wrong")
+    assert(wrong("stale_generations")._2.contains(current), s"got $wrong")
+    assert(!wrong.contains("bucket_spec"), s"got $wrong")
+    spark.sql(s"DROP TABLE IF EXISTS $current")
+  }
+
   test("interleaved build≡gc from two builders of DIFFERENT dirs leaves both live tables probeable") {
     // the alternating-build scenario: A gc+build, then B gc+build, then
     // A gc again (as if rebuilding) — B's live table must still exist

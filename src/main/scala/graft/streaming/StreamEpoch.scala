@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Checkpoint-lineage batch tags for the incremental-index ingest
+  * streams ([[StreamingSpans]], [[StreamingDedup]]).
+  *
+  * The incremental probes scope their replay self-match exclusion to
+  * `src_batch === <probing batch's id>` — correct while batch ids are
+  * unique within the index's lifetime. Structured Streaming batch ids
+  * are only unique PER CHECKPOINT: wipe the checkpoint (or point the
+  * same index at a new one) and the id sequence restarts at 0, so a
+  * brand-new batch 0 claims the same id as the long-gone batch 0 whose
+  * rows the index still holds. A redelivered doc_id landing in a
+  * same-numbered batch then reads its own historical index entries as
+  * "my replay's rows" and skips them — silently UNDER-flagging
+  * duplication (round-15 verdict sweep target #1).
+  *
+  * The fix is to tag `src_batch` with the streaming query's stable id
+  * instead of the raw batch id. Spark persists that id in
+  * `<checkpoint>/metadata` at stream start: it is stable across
+  * restarts of the same checkpoint (so a replay-after-append still
+  * self-excludes, crash or no crash) and regenerated on a wipe (so
+  * nothing written by a previous lineage is ever excluded — a
+  * redelivered doc matches its own earlier entries and reads as the
+  * full duplicate it is, the documented later-batch-redelivery
+  * semantics). Batch-API callers keep passing raw ids; the tag is a
+  * streaming-layer concern.
+  */
+private[streaming] object StreamEpoch {
+
+  /** The streaming query id recorded in the checkpoint's metadata
+    * file — present before the first micro-batch runs (StreamExecution
+    * writes it at start). Read per call, NOT cached: a wiped-and-
+    * recreated checkpoint under the same path must yield the fresh id
+    * within one JVM, and the read is a few hundred bytes per
+    * micro-batch next to the batch's actual Spark jobs. */
+  private[streaming] def queryId(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+      out.toString("UTF-8")
+    } finally in.close()
+    // {"id":"<uuid>"} — a fixed two-key shape; no JSON dep needed
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(raw).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint metadata at $p carries no query id: $raw"))
+  }
+
+  /** The (query id, batch id) pair folded to one Long for the index's
+    * `src_batch` column. Only EQUALITY is ever tested on it, so a
+    * strong hash is enough: SHA-256 first 8 bytes, sign bit cleared so
+    * the tag is always ≥ 0 and can never collide with the batch API's
+    * NoBatch = -1 sentinel. */
+  def tag(queryId: String, batchId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$queryId#$batchId"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong & Long.MaxValue
+  }
+
+  /** Binds `outDir` to one checkpoint lineage. The `batch_id=<id>/`
+    * output layout is only meaningful while batch ids are unique, so
+    * an outDir re-used under a NEW checkpoint would have its old
+    * lineage's dirs silently OVERWRITTEN by the restarted id sequence
+    * (a documented-but-silent hazard before round 16). A `_lineage`
+    * marker (underscore-prefixed: invisible to Spark's file readers)
+    * records the owning query id; a mismatch fails the stream loudly
+    * with the remedy instead of stomping data. A marker-less dir with
+    * prior content is adopted (pre-upgrade state — indistinguishable
+    * from a fresh dir, and adoption preserves the old behavior). */
+  private[streaming] def ensureLineage(spark: SparkSession, outDir: String,
+                                       queryId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "_lineage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      if (prev != queryId)
+        throw new IllegalStateException(
+          s"output dir $outDir belongs to streaming lineage $prev, but this " +
+            s"query is lineage $queryId (new/wiped checkpoint): its restarted " +
+            "batch ids would overwrite the previous lineage's batch_id= dirs. " +
+            "Point the new run at a FRESH outDir (the corpus is the union of " +
+            s"lineage outDirs), or delete $outDir to discard the old output.")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+}

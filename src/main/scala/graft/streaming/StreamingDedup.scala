@@ -63,20 +63,30 @@ object StreamingDedup {
     * batch-scoped exclusion (round-13 advice) keeps the OTHER
     * redelivery mode covered too: an at-least-once source re-sending
     * a doc_id in a LATER batch still matches its own earlier index
-    * entry and is dropped instead of landing in two batch dirs. */
+    * entry and is dropped instead of landing in two batch dirs.
+    * The exclusion is scoped to the CHECKPOINT LINEAGE via
+    * [[StreamEpoch.batchTag]]: a wiped checkpoint restarts the batch
+    * id sequence, and a raw-id exclusion would let a NEW batch N
+    * claim the index rows the old lineage's batch N wrote — a doc
+    * redelivered in a same-numbered batch would skip its own earlier
+    * entries and land duplicated; the epoch tag makes it match them
+    * and be dropped, the documented redelivery semantics. */
   def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
                     indexTable: String, outDir: String,
                     threshold: Double = 0.8,
-                    checkpointDir: Option[String] = None): StreamingQuery =
+                    checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = StreamEpoch.queryId(spark, cp)
+        StreamEpoch.ensureLineage(spark, outDir, qid)
+        val tag = StreamEpoch.tag(qid, batchId)
         val b = batch.persist()
         try {
           val crossBatchDups = IncrementalDedup
-            .probeBatch(spark, b, indexTable, threshold, batchId = batchId)
+            .probeBatch(spark, b, indexTable, threshold, batchId = tag)
             .select(col("new_id")).distinct()
           val survivors = dropInternalDups(spark,
             b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),
@@ -85,7 +95,7 @@ object StreamingDedup {
           // write or index append must not pin it for the session
           try {
             survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-            IncrementalDedup.appendToIndex(survivors, indexTable, srcBatch = batchId)
+            IncrementalDedup.appendToIndex(survivors, indexTable, srcBatch = tag)
             // the StreamingNovelty discipline: foreachBatch binds the
             // batch to a CLONED session, and the append's insertInto
             // refresh there is not guaranteed to reach the OUTER
@@ -100,4 +110,5 @@ object StreamingDedup {
         ()
       }
       .start()
+  }
 }

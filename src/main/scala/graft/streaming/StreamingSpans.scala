@@ -30,24 +30,34 @@ import graft.ops.IncrementalSpans
   * directory; the index append is idempotent (anti-joined), and
   * probeBatch's batch-scoped self-match exclusion keeps a
   * replay-after-append emitting the SAME spans it emitted the first
-  * time instead of reading its own index entries as 100% staleness. */
+  * time instead of reading its own index entries as 100% staleness.
+  * The exclusion is scoped to the CHECKPOINT LINEAGE via
+  * [[StreamEpoch.batchTag]]: after a checkpoint wipe the restarted
+  * id sequence would otherwise collide with the ids already in the
+  * index, and a doc redelivered in a same-numbered batch would read
+  * its own historical entries as "my replay" and silently skip them —
+  * with the epoch tag it reads fully stale, the documented
+  * cross-lineage-redelivery semantics. */
 object StreamingSpans {
 
   /** Starts the span-finding stream over `streamingDocs` (documents
     * schema: doc_id, text, ...). */
   def spanIngest(spark: SparkSession, streamingDocs: DataFrame,
                  indexTable: String, outDir: String,
-                 checkpointDir: Option[String] = None): StreamingQuery =
+                 checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = StreamEpoch.queryId(spark, cp)
+        StreamEpoch.ensureLineage(spark, outDir, qid)
+        val tag = StreamEpoch.tag(qid, batchId)
         val b = batch.persist()
         try {
-          IncrementalSpans.probeBatch(spark, b, indexTable, batchId = batchId)
+          IncrementalSpans.probeBatch(spark, b, indexTable, batchId = tag)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          IncrementalSpans.appendToIndex(b, indexTable, srcBatch = batchId)
+          IncrementalSpans.appendToIndex(b, indexTable, srcBatch = tag)
           // the StreamingNovelty discipline: foreachBatch binds to a
           // cloned session; refresh the OUTER session's listing so the
           // next batch's probe sees this append
@@ -56,4 +66,5 @@ object StreamingSpans {
         ()
       }
       .start()
+  }
 }

@@ -224,6 +224,58 @@ class IncrementalSpansSpec extends AnyFunSuite {
     assert(docs == Seq(500L, 501L, 502L), s"one span per doc, got $docs")
   }
 
+  test("checkpoint wipe: cross-lineage redelivery reads fully stale; outDir re-use fails loudly") {
+    // batch-id reuse across a wiped checkpoint (round-15 verdict sweep
+    // target #1): the index holds rows tagged by the OLD lineage's
+    // batch 0; a raw-id exclusion would let the NEW lineage's batch 0
+    // treat them as its own replay and under-flag. With the epoch tag
+    // the redelivered doc reads FULLY stale — it was all seen before.
+    freshTable("spans_idx_wipe")
+    IncrementalSpans.buildIndex(
+      docsDf(1L -> s"seed document holding $Run for later batches to repeat"),
+      "spans_idx_wipe")
+    val streamDir = java.nio.file.Files.createTempDirectory("sspans_wipe_in").toString
+    val outDirA = java.nio.file.Files.createTempDirectory("sspans_wipe_outA").toString + "/spans"
+    import spark.implicits._
+    // 17 tokens: 4 unique + the 8-token Run + 5 unique
+    Seq((600L, s"batch doc 600 repeats $Run with its own unique tail"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/f1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+    val q1 = StreamingSpans.spanIngest(spark, stream(), "spans_idx_wipe", outDirA)
+    q1.processAllAvailable(); q1.stop()
+    def spansIn(dir: String): Seq[(Long, Int, Int, Long)] =
+      spark.read.parquet(dir).select("doc_id", "start_tok", "end_tok", "n_dup_shingles")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq.sorted
+    // first lineage: only the planted Run is stale — [4, 12), 1 shingle
+    assert(spansIn(outDirA) == Seq((600L, 4, 12, 1L)), s"got ${spansIn(outDirA)}")
+
+    // wipe the checkpoint → new lineage; same outDir must fail loudly
+    val cpA = new java.io.File(s"$outDirA/_checkpoint")
+    java.nio.file.Files.walk(cpA.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val q2 = StreamingSpans.spanIngest(spark, stream(), "spans_idx_wipe", outDirA)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("lineage"), s"expected the lineage guard, got: ${msgs(ex)}")
+    q2.stop()
+    assert(spansIn(outDirA) == Seq((600L, 4, 12, 1L)),
+      "the guard must fire before the old lineage's output is touched")
+
+    // fresh outDir: doc 600's whole text was ingested by the first
+    // lineage, so the redelivered copy reads as ONE full-doc span —
+    // [0, 17) made of all 10 of its 8-gram shingles (a raw-id
+    // exclusion would have re-emitted the first lineage's [4, 12))
+    val outDirB = java.nio.file.Files.createTempDirectory("sspans_wipe_outB").toString + "/spans"
+    val q3 = StreamingSpans.spanIngest(spark, stream(), "spans_idx_wipe", outDirB)
+    q3.processAllAvailable(); q3.stop()
+    assert(spansIn(outDirB) == Seq((600L, 0, 17, 10L)), s"got ${spansIn(outDirB)}")
+  }
+
   test("streaming twin: micro-batched stream ≡ batch q198-shape accumulation") {
     freshTable("spans_idx_stream"); freshTable("spans_idx_streamref")
     val seed = docsDf(1L -> s"seed document holding $Run for the stream to find later")

@@ -65,8 +65,11 @@ class StreamingDedupSpec extends AnyFunSuite {
     // probes an index containing the batch's own signatures. Without
     // probeBatch's self-match exclusion every survivor matches itself
     // at est_jaccard 1.0 and the overwrite-by-batch-id replay rewrites
-    // the batch dir EMPTY. Simulated exactly: same input, same index,
-    // same outDir, FRESH checkpoint.
+    // the batch dir EMPTY. Simulated FAITHFULLY (round 16): same
+    // checkpoint with its commit log truncated — a real crash keeps
+    // the checkpoint (same query id, same epoch tag); a FRESH
+    // checkpoint is a new LINEAGE, which is the wipe test below, not
+    // a replay.
     spark.sql("DROP TABLE IF EXISTS stream_dedup_index3")
     val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index3")
     if (wh.exists()) {
@@ -83,27 +86,91 @@ class StreamingDedupSpec extends AnyFunSuite {
     Seq((400L, "fresh content the index has never seen"),
         (401L, "other new words entirely distinct again"))
       .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
-    def run(cp: String): Unit = {
+    val cp = java.nio.file.Files.createTempDirectory("sdedup3_cp").toString
+    def run(): Unit = {
       val stream = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir + "/f*")
       val q = StreamingDedup.dedupedIngest(spark, stream,
-        "stream_dedup_index3", outDir,
-        checkpointDir = Some(java.nio.file.Files
-          .createTempDirectory(cp).toString))
+        "stream_dedup_index3", outDir, checkpointDir = Some(cp))
       q.processAllAvailable()
       q.stop()
     }
-    run("sdedup3_cp1")
+    run()
     def corpus(): Set[Long] = spark.read.parquet(outDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(corpus() == Set(400L, 401L))
-    run("sdedup3_cp2") // the replay
+    // crash-before-commit: the offset WAL survives, the commit record
+    // does not — the restarted query re-runs batch 0 against an index
+    // already holding the batch's own signatures
+    val commit0 = new java.io.File(s"$cp/commits/0")
+    assert(commit0.exists(), "test setup: batch 0 commit record expected")
+    assert(commit0.delete())
+    // the local-FS checksum sibling too, or the replay's commit write
+    // fails its rename with FileAlreadyExists
+    new java.io.File(s"$cp/commits/.0.crc").delete()
+    run() // the replay
     assert(corpus() == Set(400L, 401L),
       "a replayed batch must not be deleted by its own index entries")
     // doubled index rows are allowed; the distinct doc set is not
     val indexed = spark.table("stream_dedup_index3")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(0L, 400L, 401L))
+  }
+
+  test("checkpoint WIPE is a new lineage: outDir re-use fails loudly, fresh-outDir redelivery dedups") {
+    // the round-15 verdict sweep target: after a checkpoint wipe the
+    // batch id sequence restarts, so a NEW batch 0 claims the same id
+    // as the long-gone batch 0 whose rows the index still holds. With
+    // the raw-id exclusion a redelivered doc skipped its own
+    // historical entries ("my replay's rows") and landed duplicated;
+    // the epoch tag scopes exclusion to the checkpoint lineage.
+    spark.sql("DROP TABLE IF EXISTS stream_dedup_index5")
+    val wh = new java.io.File("/tmp/graft-test-warehouse/stream_dedup_index5")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    import spark.implicits._
+    IncrementalDedup.buildIndex(
+      Seq((0L, "seed document with some words")).toDF("doc_id", "text"),
+      "stream_dedup_index5")
+    val streamDir = java.nio.file.Files.createTempDirectory("sdedup5_in").toString
+    val outDirA = java.nio.file.Files.createTempDirectory("sdedup5_outA").toString + "/uniques"
+    Seq((600L, "lineage test fresh content never seen"),
+        (601L, "second fresh document of the first lineage"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(streamDir + "/f1")
+    def stream() = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir + "/f*")
+    val q1 = StreamingDedup.dedupedIngest(spark, stream(), "stream_dedup_index5", outDirA)
+    q1.processAllAvailable(); q1.stop()
+    def docsIn(dir: String): Set[Long] = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docsIn(outDirA) == Set(600L, 601L))
+
+    // wipe the checkpoint; re-using the SAME outDir must fail loudly
+    // (the new lineage's restarted ids would stomp batch_id=0)
+    val cpA = new java.io.File(s"$outDirA/_checkpoint")
+    java.nio.file.Files.walk(cpA.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val q2 = StreamingDedup.dedupedIngest(spark, stream(), "stream_dedup_index5", outDirA)
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("lineage"), s"expected the lineage guard, got: ${msgs(ex)}")
+    q2.stop()
+    assert(docsIn(outDirA) == Set(600L, 601L),
+      "the guard must fire BEFORE anything of the old lineage's output is touched")
+
+    // a fresh outDir under the new lineage: the re-served docs match
+    // their own first-lineage index entries and drop as duplicates
+    val outDirB = java.nio.file.Files.createTempDirectory("sdedup5_outB").toString + "/uniques"
+    val q3 = StreamingDedup.dedupedIngest(spark, stream(), "stream_dedup_index5", outDirB)
+    q3.processAllAvailable(); q3.stop()
+    assert(docsIn(outDirB) == Set.empty,
+      "cross-lineage redelivery must dedup against the retained index")
+    assert(docsIn(outDirA) == Set(600L, 601L), "first lineage's corpus stays intact")
   }
 
   test("same doc_id redelivered in a LATER batch dedups against its own index entry") {

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   * EXACTLY (IncrementalSpansSpec pins replay ≡ one-shot), the same
   * contract the novelty twin keeps with q180.
   *
+  * ARRIVAL-ORDER CONTRACT: production ingestion is arrival-ordered,
+  * not doc_id-ordered, and the rule is deliberately INGESTION-order
+  * across batches — an occurrence is stale iff its fp was seen by any
+  * EARLIER batch (regardless of the ids involved), and id-order
+  * applies only WITHIN a batch, where rows have no arrival order. A
+  * later-arriving smaller doc_id that repeats earlier-ingested text
+  * is therefore flagged (it is the copy that arrived second), and it
+  * never retroactively changes an earlier batch's emitted verdicts —
+  * the doc_id-ordered decomposition above is the special case where
+  * ingestion order and id order coincide. Spec-pinned
+  * ("arrival-order contract" test).
+  *
   * Index layout: one `(fp, first_doc, src_batch)` row per DISTINCT
   * shingle fp ever seen, written bucketed + sorted on `fp`
   * ([[Bucketing.writeBucketed]]) — the probe's left join and the
@@ -36,7 +48,11 @@ import org.apache.spark.sql.functions._
   * would rewrite the batch output wrong), while a doc_id redelivered
   * by an at-least-once source in a LATER batch must still match its
   * own earlier entries (the re-ingested copy IS a full duplicate).
-  * Scoping the exclusion to `src_batch === batchId` gives both. */
+  * Scoping the exclusion to `src_batch === batchId` gives both —
+  * with the caveat that ids must be unique for the index's lifetime,
+  * which raw streaming batch ids are NOT across a checkpoint wipe;
+  * the streaming layer therefore passes a checkpoint-lineage tag
+  * ([[graft.streaming.StreamEpoch]]) instead of the raw id. */
 object IncrementalSpans {
 
   import Dedup.SpanN

@@ -254,6 +254,41 @@ class CurationSpec extends AnyFunSuite {
       "the size hint must never change results (fpp moves shuffle volume only)")
   }
 
+  test("AQE: the lazy bloom subquery executes the test side at most twice (no per-stage re-execution)") {
+    // round-15 verdict sweep target #1: under AQE, does the in-plan
+    // scalar subquery (the bloom build) re-execute per re-optimized /
+    // reused exchange? Pin it empirically: a counting UDF on the test
+    // side ticks once per test row per full pass. The plan contains
+    // exactly two consumers of the test side — the subquery's bloom
+    // aggregation and the exact join's re-derivation — so a healthy
+    // run ticks ≤ 2n (n if exchange reuse dedups the shared
+    // shingle+distinct subtree); a subquery re-executing per stage
+    // would tick 3n+.
+    import org.apache.spark.sql.functions._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "this pin is about AQE behavior — the test session must run AQE")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val train = docs.filter(b < "cc")
+    val testPlain = docs.filter(b >= "e0")
+    val n = testPlain.count()
+    assert(n > 0)
+    val acc = spark.sparkContext.longAccumulator("graft-testside-ticks")
+    val tick = udf { (s: String) => acc.add(1); s }
+    // collect(), not count(): for a count-only consumer Catalyst
+    // ELIMINATES the hits left-join outright (distinct join key — row
+    // count provably unchanged) and the test side never executes at
+    // all (0 ticks — verified; a neat optimizer result, but not the
+    // path this pin is about)
+    Curation.decontaminateBloom(train,
+      testPlain.withColumn("text", tick(col("text")))).collect()
+    val ticks = acc.value
+    assert(ticks > 0 && ticks <= 2 * n && ticks % n == 0,
+      s"test side of $n rows ticked $ticks times — expected n or 2n " +
+        "(bloom-build subquery once + exact join once)")
+  }
+
   test("q80: corpus run agrees with decontaminate on the same splits") {
     val q80 = Curation.q80BloomDecontaminate(spark, sf).collect().map(_.toString).toSeq
     import org.apache.spark.sql.functions._

@@ -276,6 +276,94 @@ class IncrementalSpansSpec extends AnyFunSuite {
     assert(spansIn(outDirB) == Seq((600L, 0, 17, 10L)), s"got ${spansIn(outDirB)}")
   }
 
+  test("arrival-order contract: ingestion order across batches, id order within a batch") {
+    // the stale rule is INGESTION-order across batches (an occurrence
+    // is stale iff its fp was seen by ANY earlier batch), id-order
+    // only WITHIN a batch (batch_first < doc_id — micro-batches have
+    // no internal arrival order). So a later-arriving SMALLER doc_id
+    // that repeats an earlier batch's text IS flagged, and it never
+    // retroactively changes the earlier batch's verdicts.
+    freshTable("spans_idx_order")
+    IncrementalSpans.buildIndex(docsDf(), "spans_idx_order")
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel"
+    // batch 0: doc 50 introduces run t — nothing seen yet, no spans
+    val b0 = docsDf(50L -> s"doc fifty presents $t as original content here")
+    val out0 = IncrementalSpans.probeBatch(spark, b0, "spans_idx_order", batchId = 0L)
+      .collect()
+    assert(out0.isEmpty, s"first introduction must not flag, got ${out0.toSeq}")
+    IncrementalSpans.appendToIndex(b0, "spans_idx_order", srcBatch = 0L)
+    // batch 1: doc 10 — SMALLER id, LATER arrival — repeats t: stale
+    // (under the retrospective id-order rule it would be the keeper)
+    val b1 = docsDf(10L -> s"late arriving small id repeats $t verbatim")
+    val out1 = IncrementalSpans.probeBatch(spark, b1, "spans_idx_order", batchId = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq
+    assert(out1 == Seq((10L, 5, 13)),
+      s"later-arriving smaller id must read stale against ingestion history, got $out1")
+    IncrementalSpans.appendToIndex(b1, "spans_idx_order", srcBatch = 1L)
+    // batch 0's verdict is immutable: re-probing doc 50 AS ITS REPLAY
+    // (same batch id) still emits nothing — doc 10's arrival did not
+    // retroactively flag it
+    assert(IncrementalSpans.probeBatch(spark, b0, "spans_idx_order", batchId = 0L)
+      .collect().isEmpty, "earlier batch's replay verdict must be unchanged")
+    // within one batch there IS no arrival order — the id rule keeps
+    // the smaller id regardless of row order in the frame
+    val fresh = "india juliett kilo lima mike november oscar papa"
+    val b2 = docsDf(
+      80L -> s"doc eighty shares $fresh with its batch sibling",
+      70L -> s"doc seventy also carries $fresh inside this batch")
+    val out2 = IncrementalSpans.probeBatch(spark, b2, "spans_idx_order", batchId = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(80L),
+      s"within-batch rule is id-order: 70 keeps, 80 flags — got $out2")
+  }
+
+  test("index rebuilt between micro-batches with a DIFFERENT bucket count: probe re-aligns, stream continues") {
+    // PlanBridge.numBuckets is read per batch from live catalog
+    // metadata — a maintenance rebuild (e.g. re-bucketing for growth)
+    // between batches must be picked up by the next probe, both for
+    // correctness and for the exchange fusion (round-15 verdict sweep
+    // target: a stale bucket count would mis-align the batch side)
+    freshTable("spans_idx_rebkt")
+    val seed = docsDf(1L -> s"seed document holding $Run for later batches to repeat")
+    IncrementalSpans.buildIndex(seed, "spans_idx_rebkt", buckets = 4)
+    val streamDir = java.nio.file.Files.createTempDirectory("sspans_rb_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sspans_rb_out").toString + "/spans"
+    import spark.implicits._
+    val doc1 = "batch one text alpha beta gamma delta epsilon zeta eta theta"
+    Seq((100L, doc1)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/f1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def start() = StreamingSpans.spanIngest(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$streamDir/f*"),
+      "spans_idx_rebkt", outDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$outDir/batch_id=0").count() == 0,
+      "batch 1 is fresh content — no spans")
+
+    // maintenance rebuild while the stream is down and all batches are
+    // committed: same logical content (seed + everything ingested),
+    // DOUBLE the buckets. The rebuild resets src_batch tags to
+    // NoBatch, which can never equal a lineage tag — safe because no
+    // uncommitted batch is in flight.
+    spark.sql("DROP TABLE IF EXISTS spans_idx_rebkt")
+    IncrementalSpans.buildIndex(
+      seed.union(docsDf(100L -> doc1)), "spans_idx_rebkt", buckets = 8)
+    assert(org.apache.spark.sql.graftbridge.PlanBridge
+      .numBuckets(spark, "spans_idx_rebkt").contains(8))
+
+    // batch 2 repeats batch 1's run — found via the rebuilt 8-bucket
+    // index, restarted on the SAME checkpoint (same lineage)
+    Seq((200L, s"later doc repeats alpha beta gamma delta epsilon zeta eta theta entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$streamDir/f2")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$outDir/batch_id=1")
+      .select("doc_id", "start_tok", "end_tok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((200L, 3, 11)),
+      s"probe after the re-bucketing rebuild must find batch 1's run, got $got")
+  }
+
   test("streaming twin: micro-batched stream ≡ batch q198-shape accumulation") {
     freshTable("spans_idx_stream"); freshTable("spans_idx_streamref")
     val seed = docsDf(1L -> s"seed document holding $Run for the stream to find later")

@@ -12,58 +12,72 @@ import org.apache.spark.sql.functions.col
   *
   *   runMain graft.HealthRun write /root/testdata/sf0.01 /tmp/health/2026-08-15
   *   runMain graft.HealthRun diff  /tmp/health/2026-08-14 /tmp/health/2026-08-15 0.10
-  */
+  *
+  * `write` also accepts trailing `label=storeDir` args (store_fsck
+  * family) and `idx:familyPrefix=dataDir` args (idx_fsck family), so
+  * persisted-sink and persisted-index integrity ride the same vintage
+  * loop as corpus drift. */
 object HealthRun {
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val exit = args.toList match {
-      case "write" :: dataDir :: outDir :: storeArgs =>
-        // trailing label=storeDir args append the store_fsck family
-        // (persisted-sink integrity rides the same vintage loop); a
-        // malformed store arg is a usage error — exit 2
-        val stores = storeArgs.map { a =>
+
+  /** The dispatch body, separated from [[main]] so specs can drive the
+    * REAL CLI path (argument parsing, exit codes, stdout shape)
+    * without the `sys.exit`. */
+  private[graft] def run(spark: SparkSession, args: List[String]): Int =
+    args match {
+      case "write" :: dataDir :: outDir :: extraArgs =>
+        // trailing label=storeDir args append the store_fsck family;
+        // idx:prefix=dataDir args the idx_fsck family. A malformed
+        // arg is a usage error — exit 2
+        val (idxRaw, storeRaw) = extraArgs.partition(_.startsWith("idx:"))
+        val stores = storeRaw.map { a =>
           a.split("=", 2) match {
             case Array(l, d) if l.nonEmpty && d.nonEmpty => Some(l -> d)
             case _ => None
           }
         }
-        lazy val labels = stores.flatten.map(_._1)
-        lazy val missing = stores.flatten.filterNot { case (_, dir) =>
-          // a store REGISTERED for monitoring must exist at write
-          // time: fsck reports a missing dir as a ('layout','fail')
-          // STATUS row, so a typo'd path would exit 0 here, page once
-          // as family-added, then compare fail==fail "unchanged"
-          // forever — the real store rots silently. Same contract as
-          // a bad dataDir: setup error, exit 2. The probe itself must
-          // be TOTAL (round-14 review): a malformed URI or missing
-          // filesystem jar throws from Path/getFileSystem/exists, and
-          // an uncaught throw here would escape main and exit 1 — the
-          // page signal — for what is by definition a setup error.
+        val idxFams = idxRaw.map { a =>
+          a.stripPrefix("idx:").split("=", 2) match {
+            case Array(p, d) if p.nonEmpty && d.nonEmpty => Some(p -> d)
+            case _ => None
+          }
+        }
+        lazy val labels = stores.flatten.map(_._1) ++ idxFams.flatten.map(_._1)
+        def dirExists(dir: String): Boolean =
+          // the probe must be TOTAL (round-14 review): a malformed URI
+          // or missing filesystem jar throws from Path/getFileSystem/
+          // exists, and an uncaught throw here would escape main and
+          // exit 1 — the page signal — for what is by definition a
+          // setup error
           scala.util.Try {
             val p = new org.apache.hadoop.fs.Path(dir)
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
           }.getOrElse(false)
-        }
+        // a store or index source REGISTERED for monitoring must exist
+        // at write time: fsck/audit report a missing dir as a fail
+        // STATUS row, so a typo'd path would exit 0 here, page once as
+        // family-added, then compare fail==fail "unchanged" forever —
+        // the real target rots silently. Setup error, exit 2.
+        lazy val missing =
+          stores.flatten.filterNot { case (_, dir) => dirExists(dir) } ++
+          idxFams.flatten.filterNot { case (_, dir) => dirExists(dir) }
         if (stores.exists(_.isEmpty)) {
           System.err.println(
             s"malformed store arg (want label=storeDir): " +
-              storeArgs.mkString(" "))
+              storeRaw.mkString(" "))
+          2
+        } else if (idxFams.exists(_.isEmpty)) {
+          System.err.println(
+            s"malformed index-family arg (want idx:familyPrefix=dataDir): " +
+              idxRaw.mkString(" "))
           2
         } else if (labels.distinct.size != labels.size) {
           // toMap would silently keep only the LAST dir per label,
-          // dropping a store from monitoring with no error
-          System.err.println(s"duplicate store label(s): " +
+          // dropping a store/family from monitoring with no error
+          System.err.println(s"duplicate store/family label(s): " +
             labels.diff(labels.distinct).distinct.mkString(","))
           2
         } else if (missing.nonEmpty) {
-          System.err.println(s"store dir(s) not found: " +
+          System.err.println(s"store/data dir(s) not found: " +
             missing.map { case (l, d) => s"$l=$d" }.mkString(" "))
           2
         } else
@@ -72,7 +86,7 @@ object HealthRun {
           // uncaught throw would exit the JVM with the page signal
           try {
             ops.Health.writeHealthReport(spark, dataDir, outDir,
-              stores.flatten.toMap)
+              stores.flatten.toMap, idxFams.flatten.toMap)
             println(s"""{"written":"$outDir"}""")
             0
           } catch {
@@ -144,11 +158,23 @@ object HealthRun {
         }
       case _ =>
         System.err.println(
-          "usage: HealthRun write <dataDir> <outDir> [label=storeDir ...]" +
+          "usage: HealthRun write <dataDir> <outDir>" +
+            " [label=storeDir ...] [idx:familyPrefix=dataDir ...]" +
             " | diff <aDir> <bDir> [tolerance] | fsck <storeDir>" +
             " | idxfsck <familyPrefix> <dataDir> [file]")
         2
     }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val exit = run(spark, args.toList)
     spark.stop()
     sys.exit(exit)
   }

@@ -93,15 +93,46 @@ object Health {
     }.reduce(_.unionByName(_))
   }
 
+  /** INDEX-FAMILY HEALTH (round-15 verdict ask #4): the
+    * [[IndexTables.audit]] rows of each persisted index family
+    * (decontam/novelty/dedup/spans/bucketed-join), tagged into the
+    * report union so an index that silently goes stale, loses its
+    * bucket spec, or accumulates cross-JVM debris pages in the SAME
+    * vintage-diff loop as corpus drift and store integrity.
+    *
+    * `families` maps family prefix → source data dir (the audit
+    * resolves the fingerprint file per prefix via
+    * [[IndexTables.FamilyFiles]]). Identity for the diff is
+    * (family, idx_check); the compared metric is STATUS only — the
+    * store_fsck discipline: `detail` carries healthy churn
+    * (generation names embed data fingerprints, so every corpus
+    * regeneration would page on a string compare), while every
+    * pageable event — current index disappearing, bucket spec lost,
+    * debris appearing — IS a status transition. */
+  def idxFsckReport(s: SparkSession,
+                    families: Map[String, String]): DataFrame = {
+    require(families.nonEmpty, "idxFsckReport needs at least one family")
+    families.toSeq.sortBy(_._1).map { case (prefix, dataDir) =>
+      IndexTables.audit(s, prefix, dataDir).select(
+        lit("idx_fsck").as("check"),
+        to_json(struct(lit(prefix).as("family"),
+          col("check").as("idx_check"), col("status"))).as("payload"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sink: one directory per check, NDJSON rows — the shape a
     * scheduler diffs between vintages. `stores` (label → store dir)
-    * appends the [[storeFsckReport]] family so persisted-sink
-    * integrity rides the same vintage loop. */
+    * appends the [[storeFsckReport]] family and `indexFamilies`
+    * (family prefix → data dir) the [[idxFsckReport]] family, so
+    * persisted-sink and index integrity ride the same vintage loop. */
   def writeHealthReport(s: SparkSession, d: String, outDir: String,
-                        stores: Map[String, String] = Map.empty): Unit = {
+                        stores: Map[String, String] = Map.empty,
+                        indexFamilies: Map[String, String] = Map.empty): Unit = {
     val base = healthReport(s, d)
-    val full = if (stores.isEmpty) base
-               else base.unionByName(storeFsckReport(s, stores))
+    val withStores = if (stores.isEmpty) base
+                     else base.unionByName(storeFsckReport(s, stores))
+    val full = if (indexFamilies.isEmpty) withStores
+               else withStores.unionByName(idxFsckReport(s, indexFamilies))
     full.write.mode("overwrite").partitionBy("check").json(outDir)
   }
 
@@ -124,7 +155,10 @@ object Health {
     "lang_fertility" -> Seq("predicted_lang"),
     // persisted-sink integrity ([[storeFsckReport]]): one row per
     // (store label, fsck check); the lone metric field is `status`
-    "store_fsck" -> Seq("store", "fsck_check"))
+    "store_fsck" -> Seq("store", "fsck_check"),
+    // persisted-index integrity ([[idxFsckReport]]): one row per
+    // (family prefix, audit check); the lone metric field is `status`
+    "idx_fsck" -> Seq("family", "idx_check"))
 
   /** VINTAGE DIFF (round-11 verdict ask #6) — the artifact a scheduler
     * actually pages on: two [[writeHealthReport]] directories → one

@@ -131,6 +131,15 @@ object IncrementalDedup {
     * planted-dup and append-reprobe semantics, and its plan test pins
     * the no-exchange-on-index-side invariant. */
   def q189DedupProbeIndex(s: SparkSession, d: String): DataFrame = {
+    val (batch, table) = ensureQ189Index(s, d)
+    probeBatch(s, batch, table)
+      .orderBy(col("new_id"), col("match_id"))
+  }
+
+  /** Shared q189/q199 lifecycle: the bucketed signature index over the
+    * `< 'c0'` corpus slice, built once per (source dir, fingerprint);
+    * returns (batch slice, table name). */
+  private def ensureQ189Index(s: SparkSession, d: String): (DataFrame, String) = {
     import graft.Tables.documents
     import IndexTables.hashBucket
     val table = IndexTables.tableName(TablePrefix, d,
@@ -148,11 +157,71 @@ object IncrementalDedup {
     val batch = documents(s, d)
       .filter(hashBucket(col("doc_id").cast("string")) >= "c0")
       .select(col("doc_id"), col("text"))
-    probeBatch(s, batch, table)
+    (batch, table)
+  }
+
+  /** q199: EXACT-duplicate detection via the q189 probe — the
+    * standard LSH probe-then-CONFIRM arc, and the family's
+    * oracle-hash-checkable twin (round-15 verdict ask #6; q189's
+    * general banded output is not mirrorable — see the SURVEY note).
+    *
+    *   1. candidates: the same persisted index and merge-join probe
+    *      as q189, threshold 1.0. Signature equality is NECESSARY for
+    *      token-set equality (minhashSig is a function of the token
+    *      set), so with the bucket cap lifted the candidate set is a
+    *      guaranteed SUPERSET of the true exact-dup pairs. It is a
+    *      strict superset in practice: a near-dup pair whose
+    *      differing tokens never win any of the SigLen mins also
+    *      reads est 1.0 — for |A∩B| = k, |A∪B| = k+1 that happens
+    *      with probability (k/(k+1))^SigLen, ~0.28 at k = 100
+    *      (measured at sf0.01: 283 candidates over 192 true pairs);
+    *   2. confirm: candidates join back to the two text slices and an
+    *      exact sorted-distinct-token comparison keeps the true
+    *      pairs. The candidate set is bounded by the corpus's dup
+    *      spectrum, so both joins broadcast it — the exact pass costs
+    *      two scans' worth of token-set derivation and no shuffle.
+    *
+    * A DuckDB mirror re-derives token-set equality directly; the
+    * confirmed output is definitionally value-equivalent.
+    *
+    * maxBucket is uncapped HERE ONLY: the production probe's
+    * degenerate-bucket guard (load-bearing at scale, r15 measurement)
+    * would drop exact pairs inside boilerplate clusters larger than
+    * the cap (first such cluster appears at sf0.1: 248 equal token
+    * sets > MaxBucket 200) and break the superset guarantee; at an
+    * exact-equality threshold the bucket joins stay within duplicate
+    * clusters, bounded by the dup spectrum the corpus actually has. */
+  def q199ExactDupProbeIndex(s: SparkSession, d: String): DataFrame = {
+    val (batch, table) = ensureQ189Index(s, d)
+    val cands = probeBatch(s, batch, table, threshold = 1.0,
+        maxBucket = Int.MaxValue)
+      .select(col("new_id"), col("match_id"))
+    val tset = sort_array(array_distinct(split(col("text"), " ")))
+    val newSets = batch.select(col("doc_id").as("new_id"), tset.as("t_new"))
+    val trainSets = graft.Tables.documents(s, d)
+      .filter(IndexTables.hashBucket(col("doc_id").cast("string")) < "c0")
+      .select(col("doc_id").as("match_id"), tset.as("t_match"))
+    broadcast(newSets.join(broadcast(cands), Seq("new_id")))
+      .join(trainSets, Seq("match_id"))
+      .filter(col("t_new") === col("t_match"))
+      .select(col("new_id"), col("match_id"), lit(1.0).as("jaccard"))
       .orderBy(col("new_id"), col("match_id"))
   }
 
+  val q199Sql: String =
+    """WITH ts AS (
+      | SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+      |        list_sort(list_distinct(str_split(text, ' '))) AS t
+      | FROM documents
+      |), batch AS (SELECT doc_id, t FROM ts WHERE b >= 'c0'
+      |), train AS (SELECT doc_id, t FROM ts WHERE b < 'c0')
+      |SELECT b.doc_id AS new_id, tr.doc_id AS match_id,
+      |       CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM batch b JOIN train tr ON b.t = tr.t
+      |ORDER BY new_id, match_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q189_dedup_probe_index", q189DedupProbeIndex _, None),
+    ("q199_exact_dup_probe_index", q199ExactDupProbeIndex _, Some(q199Sql)),
   )
 }

@@ -89,4 +89,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(again == first, "re-probe through the persisted index must be identical")
   }
+
+  test("q199 probe-then-confirm: exactly the equal-token-set pairs; candidates are a strict superset") {
+    val d = TestSpark.sf0001
+    val confirmed = SparkEntry.queries("q199_exact_dup_probe_index")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(confirmed.nonEmpty, "this corpus has cross-slice exact dups")
+    // ground truth re-derived independently: sorted distinct token
+    // sets equal across the md5-slice boundary
+    val tset = sort_array(array_distinct(split(col("text"), " ")))
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), b.as("b"), tset.as("t"))
+    val truth = docs.filter(col("b") >= "c0").select(col("doc_id").as("new_id"), col("t"))
+      .join(docs.filter(col("b") < "c0").select(col("doc_id").as("match_id"), col("t")), Seq("t"))
+      .select("new_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(confirmed.sorted == truth,
+      s"confirmed pairs must be exactly the equal-token-set pairs " +
+        s"(${confirmed.length} vs ${truth.length})")
+    // and the confirm stage is LOAD-BEARING: threshold-1.0 candidates
+    // include near-dup pairs whose differing tokens never win a min
+    val q189 = SparkEntry.queries("q189_dedup_probe_index")(spark, d)
+      .filter(col("est_jaccard") >= 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert((q189.toSet -- confirmed.toSet).nonEmpty,
+      "est-1.0 candidates should strictly exceed the exact pairs on this corpus " +
+        "(if this ever fails, the corpus lost its near-dup structure, not the code)")
+  }
 }

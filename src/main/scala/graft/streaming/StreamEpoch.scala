@@ -85,10 +85,13 @@ private[streaming] object StreamEpoch {
       if (prev != queryId)
         throw new IllegalStateException(
           s"output dir $outDir belongs to streaming lineage $prev, but this " +
-            s"query is lineage $queryId (new/wiped checkpoint): its restarted " +
-            "batch ids would overwrite the previous lineage's batch_id= dirs. " +
-            "Point the new run at a FRESH outDir (the corpus is the union of " +
-            s"lineage outDirs), or delete $outDir to discard the old output.")
+            s"query is lineage $queryId (new/wiped checkpoint): restarted " +
+            "batch ids are not comparable with the ids already recorded " +
+            "there — batch_id= dirs would be overwritten, and exactly-once " +
+            "watermarks would mis-skip or double-apply. Point the new run at " +
+            "a FRESH directory (outputs compose as the union of lineage " +
+            s"dirs), restore the original checkpoint, or delete $outDir to " +
+            "discard the old state.")
     } else {
       val out = fs.create(p, true)
       try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))

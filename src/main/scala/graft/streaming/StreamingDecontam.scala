@@ -40,15 +40,18 @@ object StreamingDecontam {
     * leaving the prior run's higher-numbered batch_id dirs as silent
     * duplicates in the sink. The checkpoint therefore defaults to
     * `outDir/_checkpoint` (same lifecycle as the sinks it protects);
-    * pass `checkpointDir` to relocate it. Wiping the sinks without
-    * the checkpoint (or vice versa) re-creates the mismatch. */
+    * pass `checkpointDir` to relocate it. An outDir re-used under a
+    * NEW/wiped checkpoint fails loudly instead of stomping the prior
+    * lineage's batch dirs ([[StreamEpoch.ensureLineage]]). */
   def screenedIngest(spark: SparkSession, streamingDocs: DataFrame,
                      indexTable: String, outDir: String,
-                     checkpointDir: Option[String] = None): StreamingQuery =
+                     checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
-      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamEpoch.ensureLineage(spark, outDir, StreamEpoch.queryId(spark, cp))
         val b = batch.persist()
         try {
           val hits = IncrementalDecontam.screenBatch(spark, b, indexTable)
@@ -67,4 +70,5 @@ object StreamingDecontam {
         ()
       }
       .start()
+  }
 }

@@ -290,13 +290,26 @@ object StreamingLedger {
     * exactly once, keyed by foreachBatch's replay-stable batch id. */
   def ledgerSink(spark: SparkSession, deltas: DataFrame, keys: Seq[String],
                  counters: Seq[String], ledgerDir: String, buckets: Int = 32,
-                 checkpointDir: Option[String] = None): StreamingQuery =
+                 checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(s"$ledgerDir/_checkpoint")
     deltas.writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(s"$ledgerDir/_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // exactly-once is only meaningful within ONE checkpoint
+        // lineage: the _applied watermarks order RAW batch ids, so a
+        // wiped/new checkpoint restarting at 0 against an existing
+        // ledger would have every new batch SKIPPED as already-applied
+        // until its ids outgrow the old watermark (silent data loss) —
+        // and re-served source data would DOUBLE-APPLY if we instead
+        // keyed watermarks by lineage. Both silent failure modes are
+        // wrong; refuse loudly and let the operator restore the
+        // checkpoint or start a fresh ledger (round-16 extension of
+        // the StreamingSpans/StreamingDedup lineage guard).
+        StreamEpoch.ensureLineage(spark, ledgerDir,
+          StreamEpoch.queryId(spark, cp))
         applyBatch(spark, batch, keys, counters, ledgerDir, buckets, batchId)
       }
       .start()
+  }
 }

@@ -36,11 +36,18 @@ object StreamingNovelty {
 
   def scoredIngest(spark: SparkSession, streamingDocs: DataFrame,
                    indexTable: String, outDir: String,
-                   checkpointDir: Option[String] = None): StreamingQuery =
+                   checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
-      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an outDir re-used under a new/wiped checkpoint would have
+        // its prior lineage's scores dirs stomped by the restarted
+        // batch ids — fail loudly instead (note the INDEX itself is
+        // wipe-safe here: self-attribution is doc_id-keyed, so a
+        // cross-lineage redelivery reproduces its original verdicts)
+        StreamEpoch.ensureLineage(spark, outDir, StreamEpoch.queryId(spark, cp))
         // shingle ONCE per trigger: the screen and the append both
         // consume the same (source, doc_id, fp) frame, and the
         // shingling explode over full text is the dominant batch-side
@@ -65,4 +72,5 @@ object StreamingNovelty {
         ()
       }
       .start()
+  }
 }

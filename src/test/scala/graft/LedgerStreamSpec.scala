@@ -449,4 +449,35 @@ class LedgerStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("checkpoint wipe against an existing ledger fails loudly — exactly-once is per-lineage") {
+    // the _applied watermarks order RAW batch ids: a wiped checkpoint
+    // restarting at 0 would have every new batch silently SKIPPED as
+    // already-applied (and a lineage-keyed watermark would instead
+    // double-apply re-served data) — the guard refuses both silent
+    // failure modes before anything is read or written
+    val streamDir = tmp("led_wipe_in")
+    val ledgerDir = tmp("led_wipe_out")
+    writeWave(streamDir, "f0", 0, allRows.take(7))
+    runSink(streamDir, ledgerDir)
+    val before = ledgerRows(ledgerDir)
+    assert(before == batchSums(allRows.take(7)))
+
+    val cp = new java.io.File(s"$ledgerDir/_checkpoint")
+    java.nio.file.Files.walk(cp.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    writeWave(streamDir, "f1", 1, allRows.drop(7))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+    val q = StreamingLedger.ledgerSink(spark, stream, Seq("word"),
+      Seq("n", "chars"), ledgerDir, buckets = 4)
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("lineage"), s"expected the lineage guard, got: ${msgs(ex)}")
+    q.stop()
+    assert(ledgerRows(ledgerDir) == before,
+      "refusal must leave the ledger byte-identical — no skip, no double-apply")
+  }
 }

@@ -112,4 +112,40 @@ class StreamingNoveltySpec extends AnyFunSuite {
       "replayed append must add nothing (anti-join dedup)")
     resetTable("novelty_idem_idx")
   }
+
+  test("checkpoint wipe: re-using the scores outDir fails loudly; the index itself is wipe-safe") {
+    // the r16 lineage guard extended to the scores sink: a wiped
+    // checkpoint restarts batch ids, which would stomp the prior
+    // lineage's scores/batch_id= dirs. (The INDEX needs no epoch tag
+    // here — self-attribution is doc_id-keyed, so redelivered docs
+    // reproduce their original verdicts in any lineage.)
+    resetTable("novelty_wipe_idx")
+    IncrementalNovelty.buildIndex(docsDF(("a", 0L, baseText)), "novelty_wipe_idx")
+    val streamDir = java.nio.file.Files.createTempDirectory("snov_w_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("snov_w_out").toString
+    docsDF(("a", 10L, freshA)).coalesce(1).write.parquet(streamDir + "/f1")
+    def start() = StreamingNovelty.scoredIngest(spark,
+      spark.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+        .parquet(streamDir + "/f*"),
+      "novelty_wipe_idx", outDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val before = spark.read.parquet(s"$outDir/scores")
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.nonEmpty)
+
+    val cp = new java.io.File(s"$outDir/_checkpoint")
+    java.nio.file.Files.walk(cp.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    val q2 = start()
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("lineage"), s"expected the lineage guard, got: ${msgs(ex)}")
+    q2.stop()
+    assert(spark.read.parquet(s"$outDir/scores")
+      .collect().map(_.toString).sorted.toSeq == before,
+      "refusal must leave the prior lineage's scores untouched")
+    resetTable("novelty_wipe_idx")
+  }
 }

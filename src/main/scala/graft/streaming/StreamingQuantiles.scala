@@ -88,16 +88,23 @@ object StreamingQuantiles {
     * lifecycle: checkpoint and store live and die together). */
   def sketchStoreSink(spark: SparkSession, events: DataFrame,
                       storeDir: String,
-                      checkpointDir: Option[String] = None): StreamingQuery =
+                      checkpointDir: Option[String] = None): StreamingQuery = {
+    val cp = checkpointDir.getOrElse(s"$storeDir/_checkpoint")
     EventStream.windowedQuantileSketches(events)
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(s"$storeDir/_checkpoint"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // overwrite-by-batch-id is only idempotent within one
+        // checkpoint lineage: a wiped checkpoint restarts ids at 0 and
+        // would overwrite the prior lineage's low-numbered batch= dirs
+        // with different windows (r16 lineage-guard sweep)
+        StreamEpoch.ensureLineage(spark, storeDir,
+          StreamEpoch.queryId(spark, cp))
         persistBatch(batch, batchId, storeDir)
       }
       .start()
+  }
 
   /** Reads the persisted finalized-window sketches (win_start BIGINT
     * epoch-seconds, sk BINARY, n_events BIGINT). The `batch=<id>`

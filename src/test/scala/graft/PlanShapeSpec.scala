@@ -560,6 +560,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q95_vocab_coverage" -> "top-V vocab via limit(topV)",
       "q176_fuzzy_match" -> fixedQ,
       "q179_weighted_reservoir" -> "reservoir sample — ≤ k rows by construction",
+      "q199_exact_dup_probe_index" -> ("threshold-1.0 candidate pairs — bounded by " +
+        "the corpus dup spectrum (sig equality needs equal-token-set-or-" +
+        "near-identical docs), broadcast for the exact-confirm rejoin"),
     )
     val offenders = allQueryExecs.flatMap { case (name, qe) =>
       val hinted = qe.analyzed.collect {

@@ -251,4 +251,34 @@ class QuantileStreamSpec extends AnyFunSuite {
     assert(!new java.io.File(storeDir).listFiles().exists(
       _.getName.startsWith("batch=")))
   }
+
+  test("checkpoint wipe against an existing store fails loudly — overwrite-by-id is per-lineage") {
+    // the r16 lineage guard: a wiped checkpoint restarts batch ids at
+    // 0 and would overwrite the prior lineage's low-numbered batch=
+    // dirs with different windows
+    val streamDir = tmp("hdr_wipe_in")
+    val storeDir = tmp("hdr_wipe_store")
+    def snapshot(): Seq[(Long, Seq[Byte], Long)] =
+      StreamingQuantiles.readSketchStore(spark, storeDir).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    writeWave(streamDir, "f1", 0, wave1)
+    runSink(streamDir, storeDir)
+    val before = snapshot()
+    assert(before.nonEmpty)
+    val cp = new java.io.File(s"$storeDir/_checkpoint")
+    java.nio.file.Files.walk(cp.toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    writeWave(streamDir, "f2", 1, wave2)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/f*")
+    val q = StreamingQuantiles.sketchStoreSink(spark, stream, storeDir)
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(ex).contains("lineage"), s"expected the lineage guard, got: ${msgs(ex)}")
+    q.stop()
+    assert(snapshot() == before, "refusal must leave the store untouched")
+  }
 }

@@ -66,11 +66,24 @@ object IncrementalDedup {
   def probeBatch(spark: SparkSession, batch: DataFrame, table: String,
                  threshold: Double = 0.8,
                  maxBucket: Int = Dedup.MaxBucket,
-                 batchId: Long = NoBatch): DataFrame = {
+                 batchId: Long = NoBatch,
+                 bandsUsed: Int = Dedup.Bands): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(bandsUsed >= 1 && bandsUsed <= Dedup.Bands,
+      s"bandsUsed must be in [1, ${Dedup.Bands}], got $bandsUsed")
+    // `bandsUsed` prunes the BATCH side's probe keys (the index side
+    // is untouched — its rows keep all bands, so any future probe at
+    // any threshold still works). Fewer bands = lower candidate
+    // recall at a given est_jaccard, EXCEPT at threshold 1.0 where
+    // one band is a sufficient witness: sig equality implies every
+    // band collides, so probing a single band finds every est-1.0
+    // pair at 1/Bands of the candidate-join fan-out (q199 passes 1;
+    // a band-0 batch key can also collide with a DIFFERENT band's
+    // index bucket, but such cross-band candidates die in the
+    // sigMatches filter like any other false candidate).
     val batchSigs = withMinhash(batch)
       .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
-              explode(col("bands")).as("bucket"))
+              explode(slice(col("bands"), 1, bandsUsed)).as("bucket"))
     val index = spark.table(table)
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("bucket"))))
@@ -193,8 +206,10 @@ object IncrementalDedup {
     * clusters, bounded by the dup spectrum the corpus actually has. */
   def q199ExactDupProbeIndex(s: SparkSession, d: String): DataFrame = {
     val (batch, table) = ensureQ189Index(s, d)
+    // bandsUsed = 1: at threshold 1.0 a single band is a sufficient
+    // witness (see probeBatch) — 1/Bands of the candidate-join fan-out
     val cands = probeBatch(s, batch, table, threshold = 1.0,
-        maxBucket = Int.MaxValue)
+        maxBucket = Int.MaxValue, bandsUsed = 1)
       .select(col("new_id"), col("match_id"))
     val tset = sort_array(array_distinct(split(col("text"), " ")))
     val newSets = batch.select(col("doc_id").as("new_id"), tset.as("t_new"))

@@ -117,4 +117,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "est-1.0 candidates should strictly exceed the exact pairs on this corpus " +
         "(if this ever fails, the corpus lost its near-dup structure, not the code)")
   }
+
+  test("single-band witness: at threshold 1.0, bandsUsed=1 finds the same pairs as all bands") {
+    // sig equality implies EVERY band collides, so one band suffices
+    // as a witness at threshold 1.0 — 1/Bands the candidate fan-out
+    // (measured: q199's 10x scale factor drops x4.3 -> x1.8)
+    val d = TestSpark.sf0001
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    spark.sql("DROP TABLE IF EXISTS bandwit_idx")
+    val wh = new java.io.File("/tmp/graft-test-warehouse/bandwit_idx")
+    if (wh.exists()) {
+      java.nio.file.Files.walk(wh.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    IncrementalDedup.buildIndex(docs.filter(b < "c0"), "bandwit_idx")
+    val batch = docs.filter(b >= "c0")
+    def pairs(nBands: Int) = IncrementalDedup
+      .probeBatch(spark, batch, "bandwit_idx", threshold = 1.0,
+        maxBucket = Int.MaxValue, bandsUsed = nBands)
+      .select("new_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1); val all = pairs(graft.ops.Dedup.Bands)
+    assert(one == all && one.nonEmpty,
+      s"single-band probe must find every est-1.0 pair: ${one.size} vs ${all.size}")
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.probeBatch(spark, batch, "bandwit_idx", bandsUsed = 0)
+    }
+    spark.sql("DROP TABLE IF EXISTS bandwit_idx")
+  }
 }

@@ -78,7 +78,19 @@ private[streaming] object StreamEpoch {
                                        queryId: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(outDir, "_lineage")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    // first-writer-wins: create with overwrite=false is atomic on
+    // HDFS-like stores, so two queries racing on a fresh outDir can't
+    // BOTH adopt it — the loser falls through to the read-and-compare
+    // and fails at its very first batch instead of after both wrote
+    if (!fs.exists(p)) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        return
+      } catch { case _: java.io.IOException => () } // lost the race — compare below
+    }
+    {
       val in = fs.open(p)
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                  finally in.close()
@@ -92,10 +104,6 @@ private[streaming] object StreamEpoch {
             "a FRESH directory (outputs compose as the union of lineage " +
             s"dirs), restore the original checkpoint, or delete $outDir to " +
             "discard the old state.")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
   }
 }

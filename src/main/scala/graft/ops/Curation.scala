@@ -532,6 +532,8 @@ object Curation {
     // a size hint becomes LITERAL sizing expressions — still zero jobs
     // at construction; Spark clamps both against the session's
     // runtime-bloom maxima (see the DecontamBloomFpp tuning note)
+    expectedFps.foreach(n => require(n > 0,
+      s"expectedFps hint must be positive, got $n"))
     val agg = expectedFps match {
       case Some(n) => new BloomFilterAggregate(
         ColumnBridge.expression(col("fp")),

@@ -186,7 +186,7 @@ object IncrementalDedup {
     *      strict superset in practice: a near-dup pair whose
     *      differing tokens never win any of the SigLen mins also
     *      reads est 1.0 — for |A∩B| = k, |A∪B| = k+1 that happens
-    *      with probability (k/(k+1))^SigLen, ~0.28 at k = 100
+    *      with probability (k/(k+1))^SigLen, ~0.53 at k = 100 (SigLen 64)
     *      (measured at sf0.01: 283 candidates over 192 true pairs);
     *   2. confirm: candidates join back to the two text slices and an
     *      exact sorted-distinct-token comparison keeps the true

@@ -51,6 +51,12 @@ object Skew {
     }
     val hotSet = broadcast(
       hotKeys.toDF(key).distinct().withColumn("_hot", lit(true)))
+    // content-derived salt: deterministic (safe under task retry —
+    // the build side carries every salt, so ANY stable assignment
+    // joins correctly). Known limit: byte-identical hot rows hash to
+    // ONE salt bucket, so a hot key whose rows are all exact
+    // duplicates is not split — that corpus shape is an exact-dedup
+    // problem (q30) upstream of any join, not a salting problem.
     val salted = left.join(hotSet, Seq(key), "left")
       .withColumn("_salt", when(col("_hot").isNotNull,
           pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(salt)).cast("int"))

@@ -668,6 +668,94 @@ object Text {
   def q157BpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrain(documents(s, d), BpeMerges)
 
+  /** The q157 oracle — the q187 unrolled-iteration recipe applied to
+    * BPE (round-16 promotion; previously rows-only as "iterative
+    * argmax"): each of the [[BpeMerges]] rounds is one CTE stage —
+    * weighted adjacent-pair counts, top-1 by (count desc, left, right)
+    * (binary collation; the corpus is pure printable ASCII, so DuckDB's
+    * codepoint order ≡ Spark's UTF-8 byte order), then the merge
+    * applied via leftmost non-overlapping string `replace` over a
+    * chr(31)-separated symbol encoding — which reproduces
+    * [[applyMerge]]'s greedy-leftmost fold EXACTLY: after a
+    * replacement the scan resumes past the inserted `␟ab␟`, and the
+    * merged symbol can no longer match `␟a␟b␟`, just as the fold's
+    * merged symbol can't re-merge in the same pass. chr(31) is safe as
+    * a separator because tokens are space-split (cannot contain 0x20)
+    * and the corpus is printable ASCII (verified; non-ASCII would also
+    * break the per-character split equivalence). Assumes every round
+    * finds a pair (any corpus with a 2+-char word does for 8 rounds);
+    * the trainer's early-stop branch would shorten BOTH sides' output
+    * only via an empty t-stage cross join — acceptable for an oracle
+    * that the gate runs on real corpora. */
+  /** The [[BpeMerges]] unrolled training stages shared by the q157 and
+    * q177 oracles: p-k (weighted adjacent-pair counts), t-k (the
+    * round's argmax merge), v-k (the merge applied to the training
+    * vocab strings). */
+  private def bpeTrainStagesSql: String =
+    (1 to BpeMerges).map { k =>
+      val j = k - 1
+      s""", p$k AS (
+        | SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+        |  SELECT wc, sy[i] AS l, sy[i+1] AS r
+        |  FROM (SELECT wc, list_filter(str_split(s, chr(31)), x -> x <> '') AS sy FROM v$j),
+        |       LATERAL unnest(range(1, len(sy))) AS u(i)
+        | ) GROUP BY l, r
+        |), t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1
+        |), v$k AS (
+        | SELECT wc, replace(s, chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS s
+        | FROM v$j, t$k
+        |)""".stripMargin
+    }.mkString("\n")
+
+  val q157Sql: String = {
+    val union = (1 to BpeMerges).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM t$k""")
+      .mkString(" UNION ALL ")
+    s"""WITH vocab AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+      |  SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+      | WHERE length(w) > 0 GROUP BY w
+      |), v0 AS (
+      | SELECT wc, chr(31) || array_to_string(regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+      | FROM vocab
+      |)$bpeTrainStagesSql
+      |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** The q177 oracle — train (shared stages above, global vocab),
+    * then ENCODE the per-source vocab by applying the learned merges
+    * in rank order (e-k stages: the same leftmost-replace ≡
+    * greedy-leftmost-fold identity as q157Sql) and roll up the
+    * per-source token stats. Promoted from rows-only with q157
+    * (round 16): the whole arc is deterministic given the corpus. */
+  val q177Sql: String = {
+    val encStages = (1 to BpeMerges).map { k =>
+      val j = k - 1
+      s""", e$k AS (
+        | SELECT source, w, wc, replace(s, chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS s
+        | FROM e$j, t$k
+        |)""".stripMargin
+    }.mkString("\n")
+    s"""WITH srcvocab AS (
+      | SELECT source, w, CAST(count(*) AS BIGINT) AS wc FROM (
+      |  SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+      | WHERE length(w) > 0 GROUP BY source, w
+      |), vocab AS (SELECT w, CAST(sum(wc) AS BIGINT) AS wc FROM srcvocab GROUP BY w
+      |), v0 AS (
+      | SELECT wc, chr(31) || array_to_string(regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+      | FROM vocab
+      |)$bpeTrainStagesSql
+      |, e0 AS (
+      | SELECT source, w, wc, chr(31) || array_to_string(regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+      | FROM srcvocab
+      |)$encStages
+      |SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
+      | CAST(sum(wc * len(list_filter(str_split(s, chr(31)), x -> x <> ''))) AS BIGINT) AS bpe_tokens,
+      | round(CAST(sum(wc * length(w)) AS DOUBLE) /
+      |       sum(wc * len(list_filter(str_split(s, chr(31)), x -> x <> ''))), 4) AS chars_per_token
+      |FROM e$BpeMerges GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** q177: BPE ENCODE — the APPLY step q157's training exists for:
     * tokenize the corpus under the learned merge table and report
     * per-source token counts and compression (chars per BPE token) —
@@ -1525,8 +1613,8 @@ object Text {
     ("q123_heaps_law", q123HeapsLaw _, Some(q123Sql)),
     ("q127_pmi_bigrams", q127PmiBigrams _, Some(q127Sql)),
     ("q154_bm25", q154Bm25 _, Some(q154Sql)),
-    ("q157_bpe_train", q157BpeTrain _, None),
-    ("q177_bpe_encode", q177BpeEncode _, None),
+    ("q157_bpe_train", q157BpeTrain _, Some(q157Sql)),
+    ("q177_bpe_encode", q177BpeEncode _, Some(q177Sql)),
     ("q180_novelty_audit", q180NoveltyAudit _, Some(q180Sql)),
     ("q182_zipf_fit", q182ZipfFit _, Some(q182Sql)),
     ("q193_lang_fertility", q193LangFertility _, Some(q193Sql)),

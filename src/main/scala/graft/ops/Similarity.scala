@@ -68,6 +68,37 @@ object Similarity {
       |ORDER BY cos_sim DESC, e.vec_id
       |LIMIT 20""".stripMargin
 
+  /** The q56 oracle (round-16 promotion — previously rows-only): the
+    * int8 quantization is PURE integer arithmetic, so DuckDB mirrors
+    * it exactly — per-vector max-abs scaling with `floor(x·127/ma +
+    * 0.5)` (Scala's math.round(double) IS floor(x+0.5), including the
+    * negative-half case where SQL round() differs), integer
+    * dot/norms are exact in doubles (≤ 127²·dim ≪ 2^53, so the sum
+    * order is irrelevant and `approx` is bit-identical), the top-50
+    * candidate cut breaks ties on vec_id, and the exact re-rank
+    * reuses q40's hash-verified list_cosine_similarity + round(,6)
+    * formulation. */
+  val q56Sql: String =
+    """WITH emb AS (
+      | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), codes AS (
+      | SELECT vec_id, e,
+      |  CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+      |   THEN list_transform(e, x -> floor(x / list_max(list_transform(e, y -> abs(y))) * 127.0 + 0.5))
+      |   ELSE list_transform(e, x -> 0.0) END AS c
+      | FROM emb
+      |), q AS (SELECT c AS qc, e AS qe FROM codes WHERE vec_id = 0
+      |), scored AS (
+      | SELECT codes.vec_id, codes.e,
+      |  list_inner_product(codes.c, q.qc) /
+      |   (sqrt(list_inner_product(codes.c, codes.c)) * sqrt(list_inner_product(q.qc, q.qc))) AS approx
+      | FROM codes, q WHERE codes.vec_id <> 0
+      |), cand AS (
+      | SELECT vec_id, e FROM scored ORDER BY approx DESC NULLS LAST, vec_id LIMIT 50
+      |)
+      |SELECT cand.vec_id, round(list_cosine_similarity(cand.e, q.qe), 6) AS cos_sim
+      |FROM cand, q ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   // --- LSH machinery -------------------------------------------------
 
   val Dim = 64
@@ -88,6 +119,75 @@ object Similarity {
     df.withColumn("bands",
       graft.functions.NativeExprs.hyperplaneSig(col("e"), planes, BitsPerBand))
 
+  /** The shared emb+sig CTE prefix of the q41/q42 oracles: per
+    * (vector, band) the packed sign-of-projection value, with the
+    * [[planes]] embedded as literals. */
+  private def lshSigSqlPrefix: String = {
+    val planeLits = planes.map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      .mkString("[", ",\n   ", "]")
+    s"""WITH emb AS (
+      | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), sig AS (
+      | SELECT vec_id, e, CAST(p // $BitsPerBand AS INT) AS band_idx,
+      |  CAST(sum(CASE WHEN list_inner_product(e, ($planeLits)[p + 1]) > 0
+      |           THEN 1 << (p % $BitsPerBand) ELSE 0 END) AS BIGINT) AS band_val
+      | FROM emb, LATERAL unnest(range(${planes.length})) AS t(p)
+      | GROUP BY vec_id, e, p // $BitsPerBand
+      |)""".stripMargin
+  }
+
+  /** The q41 oracle (round-16 promotion — previously rows-only as
+    * "LSH not SQL-expressible"): the hyperplanes are DETERMINISTIC
+    * seeded literals compiled into the Spark plan, so the oracle
+    * embeds the SAME [[planes]] values as SQL list literals (built
+    * from the same array — one source of truth; Double.toString is
+    * shortest-round-trip, so DuckDB parses back bit-identical
+    * values). Both engines fold the dot products sequentially in
+    * index order in double precision, so the `dot > 0` sign bits —
+    * and therefore the packed band values, the hamming-≤2 probe hits,
+    * and the candidate set — agree exactly; the re-rank reuses q40's
+    * hash-verified cosine formulation. The 37 multi-probe masks are
+    * likewise generated from [[probeMasks]]. */
+  def q41Sql: String = {
+    val maskLits = probeMasks.mkString("[", ",", "]")
+    s"""$lshSigSqlPrefix, qprobes AS (
+      | SELECT band_idx, xor(band_val, m) AS band_val, e AS qe
+      | FROM sig, LATERAL unnest($maskLits) AS u(m)
+      | WHERE vec_id = 0
+      |), cand AS (
+      | SELECT DISTINCT s.vec_id, s.e, q.qe
+      | FROM sig s JOIN qprobes q USING (band_idx, band_val)
+      | WHERE s.vec_id <> 0
+      |)
+      |SELECT vec_id, round(list_cosine_similarity(e, qe), 6) AS cos_sim
+      |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** The q42 oracle (round-16 promotion, with q41): banded all-pairs
+    * candidates over the same mirrored signatures — the over-cap
+    * bucket exclusion, the id_a &lt; id_b distinct pair set, and the
+    * exact-cosine re-rank are all plain SQL once the band values
+    * agree (which they do bit-for-bit; see [[q41Sql]]). */
+  def q42Sql: String =
+    s"""$lshSigSqlPrefix, big AS (
+      | SELECT band_idx, band_val FROM sig
+      | GROUP BY band_idx, band_val HAVING count(*) > $MaxBucket
+      |), small AS (
+      | SELECT s.band_idx, s.band_val, s.vec_id FROM sig s
+      | WHERE NOT EXISTS (SELECT 1 FROM big b
+      |   WHERE b.band_idx = s.band_idx AND b.band_val = s.band_val)
+      |), cands AS (
+      | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      | FROM small a JOIN small b USING (band_idx, band_val)
+      | WHERE a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b,
+      | round(list_cosine_similarity(ea.e, eb.e), 6) AS cos_sim
+      |FROM cands
+      | JOIN (SELECT vec_id, e FROM emb) ea ON ea.vec_id = id_a
+      | JOIN (SELECT vec_id, e FROM emb) eb ON eb.vec_id = id_b
+      |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
   /** Multi-probe masks: every XOR pattern within hamming radius ≤ 2 of
     * a band value (1 exact + 8 single-bit + 28 two-bit = 37 probes per
     * band). Multi-probe is the standard recall lever that does NOT
@@ -104,9 +204,9 @@ object Similarity {
 
   /** ANN search for the query vector (vec_id 0): candidates are rows
     * whose band value is within hamming radius 2 of the query's in ≥1
-    * band; exact cosine re-rank of candidates only. Rows-only check
-    * (LSH not SQL-expressible); recall@10 ≥ 0.6 pinned in
-    * SimilaritySpec. */
+    * band; exact cosine re-rank of candidates only. Oracle-hash since
+    * round 16 ([[q41Sql]] — the seeded planes embed as SQL literals);
+    * recall@10 ≥ 0.6 additionally pinned in SimilaritySpec. */
   def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
     val signed = withSignature(emb(s, d))
     val exploded = signed.select(col("vec_id"), col("e"),
@@ -159,8 +259,9 @@ object Similarity {
               round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
   }
 
-  /** Top-20 embedding near-duplicates (rows-only; the capped-bucket
-    * blowup guard is pinned by SimilaritySpec's planted-hot-bucket test). */
+  /** Top-20 embedding near-duplicates (oracle-hash since round 16,
+    * [[q42Sql]]; the capped-bucket blowup guard is additionally
+    * pinned by SimilaritySpec's planted-hot-bucket test). */
   def q42EmbedNearDup(s: SparkSession, d: String): DataFrame =
     embedNearDupPairs(withSignature(emb(s, d)), MaxBucket)
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
@@ -178,9 +279,10 @@ object Similarity {
     * query demonstrates the math for. Here the codes are derived
     * inline from the double column (the testdata ships no int8
     * column), so this form validates candidate quality and the
-    * re-rank contract, not the bandwidth win itself. Rows-only;
-    * SimilaritySpec asserts the re-ranked top-10 matches exact brute
-    * force. */
+    * re-rank contract, not the bandwidth win itself. Oracle-hash
+    * since round 16 ([[q56Sql]] — the quantization is pure integer
+    * arithmetic); SimilaritySpec additionally asserts the re-ranked
+    * top-10 matches exact brute force. */
   def q56QuantizedTopK(s: SparkSession, d: String): DataFrame = {
     val qz = emb(s, d)
       .withColumn("q8", graft.functions.NativeExprs.quantizeI8(col("e")))
@@ -665,9 +767,9 @@ object Similarity {
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_cosine_topk", q40CosineTopK _, Some(q40Sql)),
-    ("q41_ann_lsh", q41AnnLsh _, None),
-    ("q42_embed_neardup", q42EmbedNearDup _, None),
-    ("q56_quantized_topk", q56QuantizedTopK _, None),
+    ("q41_ann_lsh", q41AnnLsh _, Some(q41Sql)),
+    ("q42_embed_neardup", q42EmbedNearDup _, Some(q42Sql)),
+    ("q56_quantized_topk", q56QuantizedTopK _, Some(q56Sql)),
     ("q76_semantic_diversity", q76SemanticDiversity _, Some(q76Sql)),
     ("q86_centroid_outliers", q86CentroidOutliers _, Some(q86Sql)),
     ("q89_hard_negatives", q89HardNegatives _, Some(q89Sql)),

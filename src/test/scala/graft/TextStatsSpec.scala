@@ -212,6 +212,67 @@ class TextStatsSpec extends AnyFunSuite {
     assert(without.head.getLong(4) == 4L)
   }
 
+  test("q157/q177 oracle recipe: wrapped-separator replace ≡ greedy-leftmost fold") {
+    // The oracle SQL applies each merge via leftmost non-overlapping
+    // string replace over a chr(31)-WRAPPED symbol encoding (each
+    // symbol is `␟sym␟`, concatenated; pattern `␟l␟␟r␟` → `␟lr␟`).
+    // Java's String.replace(CharSequence, CharSequence) is the same
+    // leftmost non-overlapping semantics as DuckDB's and Spark's
+    // replace, so the identity is testable here without DuckDB. The
+    // round-16 single-separator encoding FAILED this for back-to-back
+    // pair occurrences (abab/aaaa/banana — the round-17 HIGH advice):
+    // the first match consumed the separator the second needed.
+    val S = "\u001F"
+    def enc(syms: Seq[String]): String = syms.map(s => S + s + S).mkString
+    def dec(s: String): Vector[String] =
+      s.split(S).iterator.filter(_.nonEmpty).toVector
+    def replaceMerge(s: String, l: String, r: String): String =
+      s.replace(S + l + S + S + r + S, S + l + r + S)
+    def foldMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    // the advice's planted adversarial words, plus hierarchy cases
+    val cases = Seq(
+      ("abab", ("a", "b")), ("aaaa", ("a", "a")), ("aaaaa", ("a", "a")),
+      ("banana", ("a", "n")), ("haha", ("h", "a")), ("coco", ("c", "o")),
+      ("abcabc", ("a", "b")), ("xyxyxy", ("x", "y")), ("zzz", ("z", "z")))
+    cases.foreach { case (w, (a, b)) =>
+      val viaSql = dec(replaceMerge(enc(w.map(_.toString)), a, b))
+      val viaFold = foldMerge(w.map(_.toString).toVector, a, b)
+      assert(viaSql == viaFold,
+        s"'$w' under ($a,$b): replace gave $viaSql, fold gave $viaFold")
+    }
+    // multi-round hierarchy: merged symbols must keep the invariant
+    // (each symbol owns its separator pair) across later rounds
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("abab", "c"))
+    val word = "ababcababc".map(_.toString).toVector
+    val (sqlEnd, foldEnd) = merges.foldLeft((enc(word), word)) {
+      case ((s, v), (l, r)) => (replaceMerge(s, l, r), foldMerge(v, l, r))
+    }
+    assert(dec(sqlEnd) == foldEnd, s"hierarchical: ${dec(sqlEnd)} vs $foldEnd")
+    // randomized sweep over a tiny alphabet (maximizes back-to-back
+    // repeats) — deterministic seed, every (word, merge) pair agrees
+    val rnd = new scala.util.Random(157177)
+    (1 to 500).foreach { _ =>
+      val w = Vector.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(2)).toChar.toString)
+      val (l, r) = (('a' + rnd.nextInt(2)).toChar.toString, ('a' + rnd.nextInt(2)).toChar.toString)
+      assert(dec(replaceMerge(enc(w), l, r)) == foldMerge(w, l, r),
+        s"random: word=$w merge=($l,$r)")
+    }
+    // and the shipped SQL actually uses the wrapped recipe — guards a
+    // silent regression to the single-separator encoding
+    val pat = "chr(31)||l||chr(31)||chr(31)||r||chr(31)"
+    val v0 = "chr(31)||chr(31)) || chr(31)"
+    Seq(graft.ops.Text.q157Sql, graft.ops.Text.q177Sql).foreach { sql =>
+      assert(sql.contains(pat), "merge pattern must be separator-wrapped")
+      assert(sql.contains(v0), "v0/e0 encoding must wrap each symbol")
+      assert(!sql.contains("chr(31)||l||chr(31)||r||chr(31)"),
+        "single-separator merge pattern must not reappear")
+    }
+  }
+
   test("q157 bpe: equals the reference on the real sf0.001 corpus") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = graft.ops.Text.bpeTrain(docs, graft.ops.Text.BpeMerges).collect()

@@ -67,7 +67,8 @@ object IncrementalDedup {
                  threshold: Double = 0.8,
                  maxBucket: Int = Dedup.MaxBucket,
                  batchId: Long = NoBatch,
-                 bandsUsed: Int = Dedup.Bands): DataFrame = {
+                 bandsUsed: Int = Dedup.Bands,
+                 rawBatchId: Long = NoBatch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bandsUsed >= 1 && bandsUsed <= Dedup.Bands,
       s"bandsUsed must be in [1, ${Dedup.Bands}], got $bandsUsed")
@@ -105,8 +106,26 @@ object IncrementalDedup {
       // hash slices can't produce a self-pair, so the bench is blind
       // to both cases; StreamingDedupSpec's replay-after-append and
       // cross-batch-redelivery tests pin them.
+      //
+      // `rawBatchId` covers the lineage-tag UPGRADE boundary (round-17
+      // advice): index rows written before the tag existed carry RAW
+      // batch ids, so a batch that crashed after appendToIndex and is
+      // replayed post-upgrade computes tag(qid, N) != N and would lose
+      // this exclusion — rewriting its dir EMPTY. The streaming layer
+      // passes the raw id alongside the tag; under a continuing
+      // checkpoint src_batch === rawBatchId rows can only be that
+      // batch's own pre-upgrade append (ids never repeat within a
+      // lineage, and a wiped checkpoint is refused by ensureLineage
+      // before this runs), so the extra exclusion is sound permanently,
+      // not just for one transition release.
+      // the disjunct only exists when a raw id was actually passed:
+      // defaulting it into the predicate would exclude src_batch ===
+      // NoBatch rows whenever batchId is real — silently breaking the
+      // batch API's later-batch-redelivery match for default appends
       .filter(!(col("new_id") === col("doc_id") &&
-                col("src_batch") === lit(batchId)))
+                (if (rawBatchId == NoBatch) col("src_batch") === lit(batchId)
+                 else col("src_batch") === lit(batchId) ||
+                      col("src_batch") === lit(rawBatchId))))
       .select(col("new_id"), col("new_sig"),
               col("doc_id").as("match_id"), col("sig").as("match_sig"))
       .dropDuplicates("new_id", "match_id")

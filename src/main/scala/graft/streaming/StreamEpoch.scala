@@ -64,6 +64,30 @@ private[streaming] object StreamEpoch {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong & Long.MaxValue
   }
 
+  /** Entry names that mark PRIOR SINK CONTENT in an outDir: the
+    * id-keyed layouts of the six lineage-guarded sinks — `batch_id=`
+    * (dedup/spans directly; novelty/decontam one level down under
+    * `scores/`/`clean/`/`quarantine/`), `batch=` (the quantile
+    * store), `bucket=` (the ledger, including its `bucket=N.old`
+    * swap debris and `.staging` scratch). */
+  private def idKeyed(name: String): Boolean =
+    name.startsWith("batch_id=") || name.startsWith("batch=") ||
+      name.startsWith("bucket=") || name.startsWith(".staging")
+
+  /** True when a marker-less `outDir` already holds id-keyed sink
+    * content. Bounded: one top-level listing plus one listing per
+    * non-hidden subdirectory (the sinks nest id-keyed dirs at most
+    * one level down — novelty's `scores/batch_id=`). */
+  private def hasPriorContent(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val top = fs.listStatus(dir)
+    top.exists(s => idKeyed(s.getPath.getName)) ||
+      top.iterator.filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .exists(s => fs.listStatus(s.getPath).exists(c => idKeyed(c.getPath.getName)))
+  }
+
   /** Binds `outDir` to one checkpoint lineage. The `batch_id=<id>/`
     * output layout is only meaningful while batch ids are unique, so
     * an outDir re-used under a NEW checkpoint would have its old
@@ -71,39 +95,64 @@ private[streaming] object StreamEpoch {
     * (a documented-but-silent hazard before round 16). A `_lineage`
     * marker (underscore-prefixed: invisible to Spark's file readers)
     * records the owning query id; a mismatch fails the stream loudly
-    * with the remedy instead of stomping data. A marker-less dir with
-    * prior content is adopted (pre-upgrade state — indistinguishable
-    * from a fresh dir, and adoption preserves the old behavior). */
+    * with the remedy instead of stomping data.
+    *
+    * A marker-less dir is adopted (marker written) ONLY when it holds
+    * no id-keyed sink content. A marker-less dir WITH content is a
+    * pre-upgrade state this code cannot classify — it may legitimately
+    * belong to THIS checkpoint (safe to continue) or to a wiped one
+    * (the exact silent mis-skip/overwrite the marker exists to stop) —
+    * so it REFUSES and asks the operator to attest: write the query id
+    * to `<outDir>/_lineage` iff the original checkpoint is intact
+    * (round-17 advice; silent adoption previously re-opened the wipe
+    * hole for every dir written before the marker existed).
+    *
+    * Object-store contract: `create(overwrite = false)` is atomic on
+    * HDFS and local filesystems but CHECK-THEN-ACT on S3A, so two new
+    * queries racing on the same fresh dir could both "win" creation
+    * there. The read-back below closes that to a loud failure: S3 is
+    * strongly consistent read-after-write, so both racers read the
+    * same surviving content and at most one matches — the loser fails
+    * at its very first batch, before writing anything. (Two queries
+    * sharing one outDir is an operational error in any case; the
+    * guard's job is only to make it loud.) */
   private[streaming] def ensureLineage(spark: SparkSession, outDir: String,
                                        queryId: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(outDir, "_lineage")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // first-writer-wins: create with overwrite=false is atomic on
-    // HDFS-like stores, so two queries racing on a fresh outDir can't
-    // BOTH adopt it — the loser falls through to the read-and-compare
-    // and fails at its very first batch instead of after both wrote
     if (!fs.exists(p)) {
+      if (hasPriorContent(fs, new org.apache.hadoop.fs.Path(outDir)))
+        throw new IllegalStateException(
+          s"output dir $outDir holds sink content but no _lineage marker " +
+            "(written before lineage guarding, or the marker was deleted): " +
+            "cannot tell whether its batch ids belong to this checkpoint. " +
+            s"If the original checkpoint is INTACT and this is its query, " +
+            s"attest by writing the query id to $outDir/_lineage " +
+            s"(echo -n '$queryId' > _lineage); if the checkpoint was wiped, " +
+            "point this run at a FRESH directory (outputs compose as the " +
+            s"union of lineage dirs) or delete $outDir to discard the old " +
+            "state. Adopting silently would let restarted batch ids " +
+            "overwrite the old dirs and mis-skip exactly-once watermarks.")
+      // first-writer-wins: create with overwrite=false is atomic on
+      // HDFS-like stores; on S3A the read-back below arbitrates
       try {
         val out = fs.create(p, false)
         try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        return
       } catch { case _: java.io.IOException => () } // lost the race — compare below
     }
-    {
-      val in = fs.open(p)
-      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                 finally in.close()
-      if (prev != queryId)
-        throw new IllegalStateException(
-          s"output dir $outDir belongs to streaming lineage $prev, but this " +
-            s"query is lineage $queryId (new/wiped checkpoint): restarted " +
-            "batch ids are not comparable with the ids already recorded " +
-            "there — batch_id= dirs would be overwritten, and exactly-once " +
-            "watermarks would mis-skip or double-apply. Point the new run at " +
-            "a FRESH directory (outputs compose as the union of lineage " +
-            s"dirs), restore the original checkpoint, or delete $outDir to " +
-            "discard the old state.")
-    }
+    val in = fs.open(p)
+    val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+    if (prev != queryId)
+      throw new IllegalStateException(
+        s"output dir $outDir belongs to streaming lineage $prev, but this " +
+          s"query is lineage $queryId (new/wiped checkpoint): restarted " +
+          "batch ids are not comparable with the ids already recorded " +
+          "there — batch_id= dirs would be overwritten, and exactly-once " +
+          "watermarks would mis-skip or double-apply. Point the new run at " +
+          "a FRESH directory (outputs compose as the union of lineage " +
+          s"dirs), restore the original checkpoint, or delete $outDir to " +
+          "discard the old state.")
   }
 }

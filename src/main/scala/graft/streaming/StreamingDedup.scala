@@ -65,7 +65,7 @@ object StreamingDedup {
     * a doc_id in a LATER batch still matches its own earlier index
     * entry and is dropped instead of landing in two batch dirs.
     * The exclusion is scoped to the CHECKPOINT LINEAGE via
-    * [[StreamEpoch.batchTag]]: a wiped checkpoint restarts the batch
+    * [[StreamEpoch.tag]]: a wiped checkpoint restarts the batch
     * id sequence, and a raw-id exclusion would let a NEW batch N
     * claim the index rows the old lineage's batch N wrote — a doc
     * redelivered in a same-numbered batch would skip its own earlier
@@ -86,7 +86,12 @@ object StreamingDedup {
         val b = batch.persist()
         try {
           val crossBatchDups = IncrementalDedup
-            .probeBatch(spark, b, indexTable, threshold, batchId = tag)
+            // rawBatchId covers the lineage-tag upgrade boundary: a
+            // batch whose appendToIndex landed PRE-upgrade (raw id in
+            // src_batch) and replays post-upgrade must still
+            // self-exclude or it rewrites its dir empty
+            .probeBatch(spark, b, indexTable, threshold, batchId = tag,
+                        rawBatchId = batchId)
             .select(col("new_id")).distinct()
           val survivors = dropInternalDups(spark,
             b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),

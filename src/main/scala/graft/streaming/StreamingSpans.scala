@@ -32,7 +32,7 @@ import graft.ops.IncrementalSpans
   * replay-after-append emitting the SAME spans it emitted the first
   * time instead of reading its own index entries as 100% staleness.
   * The exclusion is scoped to the CHECKPOINT LINEAGE via
-  * [[StreamEpoch.batchTag]]: after a checkpoint wipe the restarted
+  * [[StreamEpoch.tag]]: after a checkpoint wipe the restarted
   * id sequence would otherwise collide with the ids already in the
   * index, and a doc redelivered in a same-numbered batch would read
   * its own historical entries as "my replay" and silently skip them —
@@ -55,7 +55,12 @@ object StreamingSpans {
         val tag = StreamEpoch.tag(qid, batchId)
         val b = batch.persist()
         try {
-          IncrementalSpans.probeBatch(spark, b, indexTable, batchId = tag)
+          // rawBatchId covers the lineage-tag upgrade boundary: a
+          // batch whose appendToIndex landed PRE-upgrade (raw id in
+          // src_batch) and replays post-upgrade must still
+          // self-exclude or it reads its own claims as 100% staleness
+          IncrementalSpans.probeBatch(spark, b, indexTable, batchId = tag,
+                                      rawBatchId = batchId)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           IncrementalSpans.appendToIndex(b, indexTable, srcBatch = tag)
           // the StreamingNovelty discipline: foreachBatch binds to a

@@ -52,6 +52,59 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .filter(col("new_id") === col("match_id")).count() == 0L)
   }
 
+  test("lineage-tag upgrade boundary: pre-tag raw-id entries still self-exclude via rawBatchId") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS dedup_upgrade_idx")
+    val d = new java.io.File("/tmp/graft-test-warehouse/dedup_upgrade_idx")
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // index rows appended PRE-upgrade carry the RAW batch id; a batch
+    // replayed post-upgrade probes with tag(qid, N) != N and, without
+    // the rawBatchId disjunct, self-matches at est 1.0 — dedupedIngest
+    // would anti-join every survivor away and rewrite its dir EMPTY
+    // (the round-17 advice's silent-loss case).
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    IncrementalDedup.buildIndex(
+      Seq((1L, "totally unrelated seed content here with distinct words entirely"))
+        .toDF("doc_id", "text"), "dedup_upgrade_idx")
+    val batch = Seq((9L, t)).toDF("doc_id", "text")
+    val rawId = 7L
+    IncrementalDedup.appendToIndex(batch, "dedup_upgrade_idx", srcBatch = rawId)
+    val tag = 4611686018427387909L // stands in for the SHA-derived tag
+    val broken = IncrementalDedup
+      .probeBatch(spark, batch, "dedup_upgrade_idx", batchId = tag)
+      .filter(col("new_id") === col("match_id")).count()
+    assert(broken > 0,
+      "control: without the raw-id disjunct the replay self-matches its own entry")
+    val fixed = IncrementalDedup
+      .probeBatch(spark, batch, "dedup_upgrade_idx", batchId = tag,
+        rawBatchId = rawId)
+      .filter(col("new_id") === col("match_id")).count()
+    assert(fixed == 0L,
+      "with rawBatchId the pre-upgrade claim is excluded like a same-lineage replay")
+    // default rawBatchId = NoBatch must not disturb batch-API
+    // semantics: rows appended with the DEFAULT srcBatch stay
+    // matchable by a later batch redelivering the same doc_id
+    spark.sql("DROP TABLE IF EXISTS dedup_upgrade_idx2")
+    val d2 = new java.io.File("/tmp/graft-test-warehouse/dedup_upgrade_idx2")
+    if (d2.exists()) {
+      java.nio.file.Files.walk(d2.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    IncrementalDedup.buildIndex(batch, "dedup_upgrade_idx2") // default srcBatch
+    val redelivered = IncrementalDedup
+      .probeBatch(spark, batch, "dedup_upgrade_idx2", batchId = 9L)
+      .filter(col("new_id") === col("match_id")).count()
+    assert(redelivered > 0,
+      "default-append rows must stay matchable by later batches")
+    spark.sql("DROP TABLE IF EXISTS dedup_upgrade_idx")
+    spark.sql("DROP TABLE IF EXISTS dedup_upgrade_idx2")
+  }
+
   test("degenerate index buckets are skipped at the cap, kept below it") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS dedup_cap_idx")

@@ -491,12 +491,25 @@ object Dedup {
     * (chained components larger than any single edge neighborhood). */
   val ClusterThreshold = 0.92
 
-  /** Pair-count ceiling for the single-task union-find fast path:
-    * 4M edges ≈ a few hundred MB of LongMap state — comfortably one
-    * executor's budget. Above it, components resolve via the general
-    * distributed loop. The gate is a RUNTIME count, not an assumption:
-    * at 100 TB a billions-of-pairs graph automatically takes the loop. */
-  val SinglePassMaxPairs = 4000000L
+  /** Pair-count ceiling for the single-task union-find fast path.
+    * Above it, components resolve via the general distributed loop.
+    * The gate is a RUNTIME count, not an assumption: at 100 TB a
+    * billions-of-pairs graph automatically takes the loop.
+    *
+    * 16M is measured, not guessed (round-17 q69 decomposition): at a
+    * 60×-sf0.1 salted corpus the est≥0.9 graph carries 4.63M pairs,
+    * just past the old 4M gate — propagation ran q69 in 29.7 s where
+    * the single task runs it in 13.0 s (×2.3), because each
+    * propagation round shuffles the full edge set while union-find
+    * streams the cached pairs once. The binding constraint is the one
+    * task's MEMORY, not time: state is one LongMap entry per distinct
+    * incident node (≤ 2 per pair), so 16M pairs ≤ 32M entries — two
+    * open-addressed long arrays at the next power of two, ~1 GiB
+    * worst-case — inside a standard 4 GiB executor with headroom,
+    * while the pair pull to the one task (~16 B/pair) stays ~256 MB.
+    * Dup graphs are clique-heavy in practice, so real node counts run
+    * far below the 2-per-pair bound. */
+  val SinglePassMaxPairs = 16000000L
 
   /** Runtime override for the fast-path ceiling (SPARK_GRAFT_CC_SINGLE_MAX):
     * lets ScaleSmoke force the distributed propagation path on a corpus

@@ -68,6 +68,77 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen ≡ interpreted: every native expression returns bit-identical results under both factory modes") {
+    // The divergence class the compile-only test CANNOT catch: a
+    // doGenCode whose generated arithmetic disagrees with eval().
+    // Spark picks the path by CONTEXT — constant folding and some
+    // aggregate/driver sites run interpreted eval while scans run
+    // codegen — so a divergence is silently context-dependent wrong
+    // results, never an error. Pin every expression's full output row
+    // (not just a scalar digest) bit-identical across NO_CODEGEN and
+    // CODEGEN_ONLY on inputs that exercise real arithmetic.
+    import spark.implicits._
+    val cents = Array(Array(0.25, -1.5), Array(10.0, 10.0), Array(-3.0, 0.5))
+    val planes = Array(Array(1.0, -1.0), Array(0.3, 0.7), Array(-0.2, 0.9))
+    val books = Array(Array(Array(0.4, 0.9), Array(-1.0, 2.0)),
+                      Array(Array(0.0, 0.0), Array(3.0, -3.0)))
+    val lut = Array(Array(1.0, -0.5), Array(0.25, 2.0))
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    Seq(7L, 42L, 99L).foreach(bloom.putLong)
+    def resultRows(): Seq[String] = {
+      val df = Seq(
+        (Seq(1.0, 2.0), Seq(2.0, 4.0), Seq("a", "b", "c", "a"), Seq(1L, 2L, 3L), Seq(1L, 9L, 3L), 42L, "abcabcabc"),
+        (Seq(-0.5, 0.75), Seq(0.1, -0.9), Seq("x", "y"), Seq(5L, 6L, 7L), Seq(5L, 6L, 7L), 8L, "zzzz"))
+        .toDF("a", "b", "toks", "sigA", "sigB", "x", "s")
+      df.select(
+        NativeExprs.cosineSim(col("a"), col("b")).as("cos"),
+        NativeExprs.minhashSig(col("toks"), 16).as("mh"),
+        NativeExprs.simhash64(col("toks")).as("sh"),
+        NativeExprs.hyperplaneSig(col("a"), planes, 3).as("hp"),
+        NativeExprs.nearestCentroid(col("a"), cents).as("nc"),
+        NativeExprs.sampleDistSums(col("a"), books).as("sds"),
+        NativeExprs.sigMatches(col("sigA"), col("sigB")).as("sm"),
+        NativeExprs.shingleHashes(col("toks"), 2).as("shg"),
+        NativeExprs.sigBandKeys(NativeExprs.minhashSig(col("toks"), 16), 4).as("bk"),
+        NativeExprs.quantizeI8(col("a")).as("qi"),
+        NativeExprs.cosineSimI8(
+          NativeExprs.quantizeI8(col("a")), NativeExprs.quantizeI8(col("b"))).as("ci8"),
+        NativeExprs.pqEncode(col("a"), books).as("pqe"),
+        NativeExprs.pqAdc(NativeExprs.pqEncode(col("a"), books), lut).as("pqa"),
+        NativeExprs.deflateLen(col("s")).as("dl"),
+        NativeExprs.bloomContainsLong(col("x"), bloom).as("bc"))
+        .collect().map { r =>
+          // render binary columns hex so Row.toString is value-faithful
+          (0 until r.length).map { i =>
+            r.get(i) match {
+              case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+              case v => String.valueOf(v)
+            }
+          }.mkString("|")
+        }.toSeq
+    }
+    def withMode[T](mode: String)(f: => T): T = {
+      val conf = spark.conf
+      val prev = conf.getOption("spark.sql.codegen.factoryMode")
+      val prevWs = conf.getOption("spark.sql.codegen.wholeStage")
+      conf.set("spark.sql.codegen.factoryMode", mode)
+      // factoryMode alone only swaps projection/predicate factories;
+      // whole-stage spans still call doGenCode — disable them too so
+      // the NO_CODEGEN arm genuinely runs Expression.eval
+      conf.set("spark.sql.codegen.wholeStage", (mode != "NO_CODEGEN").toString)
+      try f finally {
+        prev.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+          conf.set("spark.sql.codegen.factoryMode", _))
+        prevWs.fold(conf.unset("spark.sql.codegen.wholeStage"))(
+          conf.set("spark.sql.codegen.wholeStage", _))
+      }
+    }
+    val interpreted = withMode("NO_CODEGEN")(resultRows())
+    val codegen = withCodegenOnly(resultRows())
+    assert(interpreted == codegen,
+      s"codegen and interpreted paths diverge:\n interp: $interpreted\ncodegen: $codegen")
+  }
+
   test("CosineSim null branches survive CODEGEN_ONLY (isNull codegen path)") {
     withCodegenOnly {
       import spark.implicits._

@@ -112,12 +112,15 @@ object IncrementalDedup {
       // batch ids, so a batch that crashed after appendToIndex and is
       // replayed post-upgrade computes tag(qid, N) != N and would lose
       // this exclusion — rewriting its dir EMPTY. The streaming layer
-      // passes the raw id alongside the tag; under a continuing
-      // checkpoint src_batch === rawBatchId rows can only be that
-      // batch's own pre-upgrade append (ids never repeat within a
-      // lineage, and a wiped checkpoint is refused by ensureLineage
-      // before this runs), so the extra exclusion is sound permanently,
-      // not just for one transition release.
+      // passes the raw id ONLY during a declared upgrade window
+      // (dedupedIngest's lineageUpgrade knob), NOT permanently:
+      // pre-upgrade rows carry no lineage information, so the raw
+      // disjunct cannot distinguish this lineage's crashed batch N
+      // from a DEAD lineage's committed batch N — an index shared
+      // across a checkpoint wipe (fresh outDir, same table: the
+      // blessed remedy) would wrongly skip a redelivered doc's
+      // pre-upgrade entry if the disjunct stayed on (round-17 review;
+      // ensureLineage guards the OUTPUT dir, never this table).
       // the disjunct only exists when a raw id was actually passed:
       // defaulting it into the predicate would exclude src_batch ===
       // NoBatch rows whenever batchId is real — silently breaking the

@@ -120,10 +120,14 @@ object IncrementalSpans {
         // of that same entry (raw batch id in src_batch): a batch that
         // crashed after appendToIndex and replays after the tag
         // upgrade computes tag != raw and would read its own claim as
-        // 100% staleness. Sound permanently: under a continuing
-        // checkpoint only this batch's own pre-upgrade append can
-        // carry this raw id (ids never repeat within a lineage; a
-        // wiped checkpoint is refused by ensureLineage first).
+        // 100% staleness. Passed by the streaming layer ONLY during a
+        // declared upgrade window (spanIngest's lineageUpgrade knob):
+        // pre-upgrade rows carry no lineage, so the raw disjunct
+        // cannot tell this lineage's crashed batch N from a dead
+        // lineage's committed batch N — permanent use would under-
+        // report staleness for an index shared across a checkpoint
+        // wipe (round-17 review; ensureLineage guards the output dir,
+        // never this table).
         // (conditional: defaulting the raw id into the predicate
         // would exclude src_batch === NoBatch rows whenever batchId
         // is real — breaking later-batch redelivery for the batch

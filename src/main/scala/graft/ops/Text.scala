@@ -668,33 +668,6 @@ object Text {
   def q157BpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrain(documents(s, d), BpeMerges)
 
-  /** The q157 oracle — the q187 unrolled-iteration recipe applied to
-    * BPE (round-16 promotion; previously rows-only as "iterative
-    * argmax"): each of the [[BpeMerges]] rounds is one CTE stage —
-    * weighted adjacent-pair counts, top-1 by (count desc, left, right)
-    * (binary collation; the corpus is pure printable ASCII, so DuckDB's
-    * codepoint order ≡ Spark's UTF-8 byte order), then the merge
-    * applied via leftmost non-overlapping string `replace` over a
-    * chr(31)-WRAPPED symbol encoding: each symbol is stored as
-    * `␟sym␟` with its OWN separator pair, so a word is the plain
-    * concatenation `␟a␟␟b␟␟a␟␟b␟` and the merge pattern is
-    * `␟l␟␟r␟ → ␟lr␟`. Adjacent occurrences of the winning pair then
-    * share NO characters, so leftmost non-overlapping `replace` is
-    * exactly [[applyMerge]]'s greedy-leftmost fold — `abab` under
-    * (a,b) becomes `␟ab␟␟ab␟` ≡ the fold's [ab, ab]. (The round-16
-    * single-separator encoding `␟a␟b␟a␟b␟` was NOT: the first match
-    * consumed the separator the second needed, so `replace` skipped
-    * every second back-to-back occurrence while the fold merged both —
-    * the round-17 HIGH advice fix, pinned by TextStatsSpec's
-    * abab/aaaa/banana identity tests.) chr(31) is safe as a separator
-    * because tokens are space-split (cannot contain 0x20) and the
-    * corpus is printable ASCII (verified; non-ASCII would also break
-    * the per-character split equivalence); splitting on chr(31) and
-    * dropping empties recovers the symbol sequence. Assumes every round
-    * finds a pair (any corpus with a 2+-char word does for 8 rounds);
-    * the trainer's early-stop branch would shorten BOTH sides' output
-    * only via an empty t-stage cross join — acceptable for an oracle
-    * that the gate runs on real corpora. */
   /** `␟`-wrapped symbol encoding of a character-split word expression:
     * each character becomes `␟c␟`, concatenated — i.e. join with a
     * DOUBLE separator and cap both ends with a single one. Shared by
@@ -729,6 +702,33 @@ object Text {
         |)""".stripMargin
     }.mkString("\n")
 
+  /** The q157 oracle — the q187 unrolled-iteration recipe applied to
+    * BPE (round-16 promotion; previously rows-only as "iterative
+    * argmax"): each of the [[BpeMerges]] rounds is one CTE stage —
+    * weighted adjacent-pair counts, top-1 by (count desc, left, right)
+    * (binary collation; the corpus is pure printable ASCII, so DuckDB's
+    * codepoint order ≡ Spark's UTF-8 byte order), then the merge
+    * applied via leftmost non-overlapping string `replace` over a
+    * chr(31)-WRAPPED symbol encoding: each symbol is stored as
+    * `␟sym␟` with its OWN separator pair, so a word is the plain
+    * concatenation `␟a␟␟b␟␟a␟␟b␟` and the merge pattern is
+    * `␟l␟␟r␟ → ␟lr␟`. Adjacent occurrences of the winning pair then
+    * share NO characters, so leftmost non-overlapping `replace` is
+    * exactly [[applyMerge]]'s greedy-leftmost fold — `abab` under
+    * (a,b) becomes `␟ab␟␟ab␟` ≡ the fold's [ab, ab]. (The round-16
+    * single-separator encoding `␟a␟b␟a␟b␟` was NOT: the first match
+    * consumed the separator the second needed, so `replace` skipped
+    * every second back-to-back occurrence while the fold merged both —
+    * the round-17 HIGH advice fix, pinned by TextStatsSpec's
+    * abab/aaaa/banana identity tests.) chr(31) is safe as a separator
+    * because tokens are space-split (cannot contain 0x20) and the
+    * corpus is printable ASCII (verified; non-ASCII would also break
+    * the per-character split equivalence); splitting on chr(31) and
+    * dropping empties recovers the symbol sequence. Assumes every round
+    * finds a pair (any corpus with a 2+-char word does for 8 rounds);
+    * the trainer's early-stop branch would shorten BOTH sides' output
+    * only via an empty t-stage cross join — acceptable for an oracle
+    * that the gate runs on real corpora. */
   val q157Sql: String = {
     val union = (1 to BpeMerges).map(k =>
       s"""SELECT $k AS rank, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM t$k""")

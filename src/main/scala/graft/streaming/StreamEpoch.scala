@@ -110,12 +110,16 @@ private[streaming] object StreamEpoch {
     * Object-store contract: `create(overwrite = false)` is atomic on
     * HDFS and local filesystems but CHECK-THEN-ACT on S3A, so two new
     * queries racing on the same fresh dir could both "win" creation
-    * there. The read-back below closes that to a loud failure: S3 is
-    * strongly consistent read-after-write, so both racers read the
-    * same surviving content and at most one matches — the loser fails
-    * at its very first batch, before writing anything. (Two queries
+    * there. The read-back below NARROWS that to at most one in-flight
+    * batch, it does not close it: S3 is strongly consistent, so once
+    * both PUTs have landed every GET returns the last writer and at
+    * most one racer matches — but a racer whose GET interleaves
+    * BEFORE the other's PUT reads its own content and proceeds for
+    * that one batch; it fails at its NEXT ensureLineage call (every
+    * micro-batch re-checks), bounding the mixed-lineage exposure to a
+    * single batch dir. On HDFS/local the guard is exact. (Two queries
     * sharing one outDir is an operational error in any case; the
-    * guard's job is only to make it loud.) */
+    * guard's job is to make it loud, and quickly.) */
   private[streaming] def ensureLineage(spark: SparkSession, outDir: String,
                                        queryId: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(outDir, "_lineage")

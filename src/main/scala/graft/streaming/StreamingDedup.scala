@@ -71,10 +71,29 @@ object StreamingDedup {
     * redelivered in a same-numbered batch would skip its own earlier
     * entries and land duplicated; the epoch tag makes it match them
     * and be dropped, the documented redelivery semantics. */
+  /** `lineageUpgrade` is the TRANSITION knob for upgrading a live
+    * stream from pre-lineage-tag binaries (raw batch ids in
+    * `src_batch`): enabled, the replay self-match exclusion also
+    * covers the raw id, so a batch that crashed after appendToIndex
+    * under the OLD binary and replays under this one still
+    * self-excludes instead of rewriting its dir empty. Enable it for
+    * the one deploy that crosses the boundary (env
+    * SPARK_GRAFT_LINEAGE_UPGRADE=1 or the parameter), then turn it
+    * OFF: pre-upgrade rows carry no lineage at all, so the raw
+    * exclusion cannot tell "this lineage's crashed batch N" from "a
+    * dead lineage's committed batch N" — left on permanently, a
+    * wiped-checkpoint restart (fresh outDir, SAME index — the blessed
+    * remedy) would let its raw batch N wrongly skip a redelivered
+    * doc's pre-upgrade entry (round-17 review). The no-knob
+    * alternative is the quiesce rule: drain all in-flight batches
+    * (checkpoint fully committed) before upgrading, and the window
+    * never opens. */
   def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
                     indexTable: String, outDir: String,
                     threshold: Double = 0.8,
-                    checkpointDir: Option[String] = None): StreamingQuery = {
+                    checkpointDir: Option[String] = None,
+                    lineageUpgrade: Boolean =
+                      sys.env.contains("SPARK_GRAFT_LINEAGE_UPGRADE")): StreamingQuery = {
     val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
@@ -86,12 +105,12 @@ object StreamingDedup {
         val b = batch.persist()
         try {
           val crossBatchDups = IncrementalDedup
-            // rawBatchId covers the lineage-tag upgrade boundary: a
-            // batch whose appendToIndex landed PRE-upgrade (raw id in
-            // src_batch) and replays post-upgrade must still
-            // self-exclude or it rewrites its dir empty
+            // the raw-id disjunct ONLY during the declared upgrade
+            // window — see the lineageUpgrade scaladoc for why it
+            // must not stay on
             .probeBatch(spark, b, indexTable, threshold, batchId = tag,
-                        rawBatchId = batchId)
+                        rawBatchId =
+                          if (lineageUpgrade) batchId else IncrementalDedup.NoBatch)
             .select(col("new_id")).distinct()
           val survivors = dropInternalDups(spark,
             b.join(crossBatchDups, b("doc_id") === crossBatchDups("new_id"), "left_anti"),

@@ -42,9 +42,17 @@ object StreamingSpans {
 
   /** Starts the span-finding stream over `streamingDocs` (documents
     * schema: doc_id, text, ...). */
+  /** `lineageUpgrade`: the one-deploy transition knob for streams
+    * upgrading from pre-lineage-tag binaries — see
+    * [[StreamingDedup.dedupedIngest]] for the full contract (why it
+    * covers the crashed-batch replay window and why leaving it on
+    * permanently re-opens the wiped-checkpoint under-flagging hole
+    * for shared index tables). */
   def spanIngest(spark: SparkSession, streamingDocs: DataFrame,
                  indexTable: String, outDir: String,
-                 checkpointDir: Option[String] = None): StreamingQuery = {
+                 checkpointDir: Option[String] = None,
+                 lineageUpgrade: Boolean =
+                   sys.env.contains("SPARK_GRAFT_LINEAGE_UPGRADE")): StreamingQuery = {
     val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
@@ -55,12 +63,12 @@ object StreamingSpans {
         val tag = StreamEpoch.tag(qid, batchId)
         val b = batch.persist()
         try {
-          // rawBatchId covers the lineage-tag upgrade boundary: a
-          // batch whose appendToIndex landed PRE-upgrade (raw id in
-          // src_batch) and replays post-upgrade must still
-          // self-exclude or it reads its own claims as 100% staleness
+          // the raw-id disjunct ONLY during the declared upgrade
+          // window — see dedupedIngest's lineageUpgrade scaladoc
           IncrementalSpans.probeBatch(spark, b, indexTable, batchId = tag,
-                                      rawBatchId = batchId)
+                                      rawBatchId =
+                                        if (lineageUpgrade) batchId
+                                        else IncrementalSpans.NoBatch)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           IncrementalSpans.appendToIndex(b, indexTable, srcBatch = tag)
           // the StreamingNovelty discipline: foreachBatch binds to a

@@ -65,7 +65,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // replayed post-upgrade probes with tag(qid, N) != N and, without
     // the rawBatchId disjunct, self-matches at est 1.0 — dedupedIngest
     // would anti-join every survivor away and rewrite its dir EMPTY
-    // (the round-17 advice's silent-loss case).
+    // (the round-17 advice's silent-loss case). The streaming layer
+    // passes the raw id only under dedupedIngest's lineageUpgrade
+    // transition knob — permanent use would let a post-wipe lineage's
+    // raw batch N wrongly skip a redelivered doc's pre-upgrade entry
+    // in a SHARED index table (see the probe's comment).
     val t = (1 to 20).map(i => s"w$i").mkString(" ")
     IncrementalDedup.buildIndex(
       Seq((1L, "totally unrelated seed content here with distinct words entirely"))

@@ -159,7 +159,10 @@ class IncrementalSpansSpec extends AnyFunSuite {
     // replays post-upgrade probes with tag(qid, N) != N — without the
     // rawBatchId disjunct it reads its own claims as 100% staleness
     // (the round-17 advice's silent-loss case); with it the replay
-    // emits exactly its pre-crash spans.
+    // emits exactly its pre-crash spans. The streaming layer passes
+    // the raw id only under spanIngest's lineageUpgrade transition
+    // knob — permanent use would under-report staleness for an index
+    // shared across a checkpoint wipe (see the probe's comment).
     freshTable("spans_idx_upgrade")
     val seed = docsDf(1L -> s"the indexed document contains $Run inside it for later")
     IncrementalSpans.buildIndex(seed, "spans_idx_upgrade")

@@ -49,8 +49,7 @@ class SurveyConsistencySpec extends AnyFunSuite {
     val badRowsOnly = rowsOnly.toSeq.sorted.flatMap { k =>
       verifiedCell(k) match {
         case None => Some(k -> "NO INVENTORY ROW")
-        case Some(cell) if !cell.startsWith("rows-only") &&
-                           !cell.startsWith("rows") =>
+        case Some(cell) if !cell.startsWith("rows") =>
           Some(k -> s"cell claims '$cell' but the query has no oracleSql")
         case Some(cell) if cell.replaceAll("^rows(-only)?[;,]?", "").trim.isEmpty =>
           Some(k -> "bare rows-only with no class/test adjudication")

@@ -1221,8 +1221,20 @@ object Dedup {
               greatest(col("src_a"), col("src_b")).as("source_hi"),
               col("est_jaccard"))
       .groupBy(col("source_lo"), col("source_hi"))
+      // mean over LATTICE values (est_jaccard is round(k/64, 4), so
+      // every input sits on a 4-decimal grid) summed as doubles lands
+      // ON rounding half-boundaries with non-measure-zero probability,
+      // and float addition order varies with partitioning — the
+      // round-17 determinism audit caught three cells flipping their
+      // 4th decimal between 7 and 32 shuffle partitions. Sum the
+      // exact scaled integers instead: long addition is associative,
+      // so the mean is bit-identical under ANY partitioning, and the
+      // single final division changes the value by < 1e-9 vs the
+      // double avg. (Continuous-valued means elsewhere keep plain
+      // avg: their boundary hits are measure-zero.)
       .agg(count(lit(1)).as("n_pairs"),
-           round(avg(col("est_jaccard")), 4).as("mean_est"))
+           round(sum(round(col("est_jaccard") * 10000, 0).cast("long")) /
+                 (count(lit(1)) * 10000.0), 4).as("mean_est"))
       .orderBy(col("n_pairs").desc, col("source_lo"), col("source_hi"))
   }
 

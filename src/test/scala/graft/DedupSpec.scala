@@ -112,6 +112,40 @@ class DedupSpec extends AnyFunSuite {
       "unrelated source must not appear")
   }
 
+  test("q152 mean_est: scaled-integer mean equals the exact rational mean on the corpus") {
+    // the round-17 determinism audit caught the double-summed avg of
+    // LATTICE est values (round(k/64, 4)) flipping its 4th decimal
+    // with shuffle partitioning; the fix sums exact scaled integers.
+    // Pin the VALUE against a driver-side BigDecimal mean of the same
+    // pair estimates — determinism then follows from long-sum
+    // associativity by construction.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val pairEsts = graft.ops.Dedup.minhashCandidatePairsOf(docs, minEst = 0.8)
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .collect()
+      .groupBy { r =>
+        val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+        if (a <= b) (a, b) else (b, a)
+      }
+      .map { case (k, rs) =>
+        val m = rs.map(r => BigDecimal(r.getAs[Double]("est_jaccard")))
+          .sum / rs.length
+        k -> (rs.length.toLong,
+          m.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = graft.ops.Dedup.crossSourceNeardup(docs, minEst = 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("mean_est"))).toMap
+    assert(got.keySet == pairEsts.keySet)
+    pairEsts.foreach { case (k, (n, mean)) =>
+      assert(got(k)._1 == n, s"$k pair count")
+      assert(math.abs(got(k)._2 - mean) <= 1e-4 + 1e-9,
+        s"$k: mean_est ${got(k)._2} vs exact $mean")
+    }
+  }
+
   test("hashed containment scoring equals the string form on every corpus pair") {
     val spark2 = spark
     val docs = graft.Tables.documents(spark2, TestSpark.sf0001)

@@ -483,6 +483,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"allowlist entry no longer violates — prune it: ${allow.diff(offenders.toSet)}")
   }
 
+  test("no query's physical plan contains a CartesianProduct") {
+    // Suite-wide twin of the unpartitioned-window sweep: a
+    // CartesianProductExec means Spark found a join with no usable
+    // key AND no broadcastable side — |L|×|R| row pairs through
+    // |L|-partitions × |R|-partitions tasks, the canonical 100 TB
+    // scale-killer. Bounded non-equi joins are fine as
+    // BroadcastNestedLoopJoin (the bounded side rides a broadcast);
+    // this sweep catches the case where a bounded side silently
+    // GROWS past broadcastability and the planner degrades to the
+    // cartesian — per-query checks (q137/q144/q152/q167) only cover
+    // the queries someone thought to pin.
+    val offenders = allQueryExecs.flatMap { case (name, qe) =>
+      val hits = unwrapAdaptive(qe.executedPlan).collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      if (hits.nonEmpty) Seq(name) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in declared-query plans: $offenders")
+  }
+
   test("q197 bucketed join: the join subtree has no exchange and no sort") {
     // the bucketed layout (one sorted file per bucket + the session's
     // bucketed-scan ordering conf) must do ALL the join's work — the

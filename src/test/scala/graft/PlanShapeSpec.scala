@@ -504,6 +504,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"CartesianProduct in declared-query plans: $offenders")
   }
 
+  test("no shuffle exchange in the suite carries the document text payload") {
+    // Suite-wide twin of the per-query "exchanges carry fps, never
+    // text" pins (q30/q71/q72/q99/q123/q183/q188/q196...): the
+    // engine-wide design rule is that document BODIES never ride a
+    // shuffle — decisions move fingerprints/ids/scores and recover
+    // text after the decision, map-side or via a bounded join. A new
+    // query that shuffles `text` regresses the rule silently unless
+    // something sweeps for it. Allowlist = queries whose CONTRACT is
+    // to emit document text through a repartition/sort boundary.
+    val allow: Set[String] = Set()
+    val offenders = allQueryExecs.flatMap { case (name, qe) =>
+      val hits = unwrapAdaptive(qe.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "text") => e
+      }
+      if (hits.nonEmpty) Seq(name) else Nil
+    }
+    assert(offenders.forall(allow.contains),
+      s"document text rides a shuffle outside the allowlist: " +
+        s"${offenders.filterNot(allow.contains)}")
+    assert(allow.forall(offenders.contains),
+      s"allowlist entry no longer shuffles text — prune it: ${allow.diff(offenders.toSet)}")
+  }
+
   test("q197 bucketed join: the join subtree has no exchange and no sort") {
     // the bucketed layout (one sorted file per bucket + the session's
     // bucketed-scan ordering conf) must do ALL the join's work — the

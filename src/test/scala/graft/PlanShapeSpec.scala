@@ -528,6 +528,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"allowlist entry no longer shuffles text — prune it: ${allow.diff(offenders.toSet)}")
   }
 
+  test("embedding vectors ride a shuffle only where the operator's contract requires it") {
+    // The embeddings table's vector column is the suite's other fat
+    // payload (dim doubles per row). Most of the ANN/cluster family
+    // keeps vectors in place by design (map-side scoring against
+    // broadcast centroids/queries; per-query "never shuffles the
+    // corpus" pins) — but unlike `text`, SOME contracts genuinely
+    // move vectors: this sweep exists to make that set EXPLICIT and
+    // reviewed, so a new query joining on raw vectors gets flagged
+    // and either redesigned or consciously allowlisted with a reason.
+    val allow: Set[String] = Set()
+    val offenders = allQueryExecs.flatMap { case (name, qe) =>
+      val hits = unwrapAdaptive(qe.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(a => a.name == "embedding" || a.name.endsWith("_vec")
+            || a.name == "vec") => e
+      }
+      if (hits.nonEmpty) Seq(name) else Nil
+    }
+    assert(offenders.forall(allow.contains),
+      s"embedding vectors ride a shuffle outside the allowlist: " +
+        s"${offenders.filterNot(allow.contains)}")
+    assert(allow.forall(offenders.contains),
+      s"allowlist entry no longer shuffles vectors — prune it: ${allow.diff(offenders.toSet)}")
+  }
+
   test("q197 bucketed join: the join subtree has no exchange and no sort") {
     // the bucketed layout (one sorted file per bucket + the session's
     // bucketed-scan ordering conf) must do ALL the join's work — the

@@ -27,7 +27,91 @@ import org.apache.spark.sql.SparkSession
   * semantics). Batch-API callers keep passing raw ids; the tag is a
   * streaming-layer concern.
   */
-private[streaming] object StreamEpoch {
+private[graft] object StreamEpoch {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Operator-visible warning channel for the upgrade window — a var
+    * so specs can capture the text; production stays on the logger. */
+  private[graft] var warnSink: String => Unit = msg => log.warn(msg)
+
+  /** Strict parse of the SPARK_GRAFT_LINEAGE_UPGRADE knob: ONLY "1"
+    * or "true" (case-insensitive, trimmed) enable the window. A bare
+    * presence check would read `=0` / `=false` — an operator's
+    * attempt to DISABLE it — as enabled, silently leaving the
+    * wiped-checkpoint mis-skip hazard open (round-17 advice). */
+  private[graft] def upgradeKnob(v: Option[String]): Boolean =
+    v.map(_.trim).exists(s => s == "1" || s.equalsIgnoreCase("true"))
+
+  /** The env-derived default for the streams' `lineageUpgrade` knob. */
+  private[graft] def upgradeKnobFromEnv: Boolean =
+    upgradeKnob(sys.env.get("SPARK_GRAFT_LINEAGE_UPGRADE"))
+
+  /** Gate for an ACTIVE lineage-upgrade window (the raw-batch-id
+    * self-exclusion disjunct in the incremental probes). Called once
+    * per micro-batch while the knob is on; enforces that the window
+    * serves exactly ONE lineage per index table:
+    *
+    *   - first knob-on probe writes a `_upgrade_crossing` marker
+    *     (underscore-prefixed, invisible to the table's readers) into
+    *     the index table's storage location recording the crossing
+    *     query id — the index, not the outDir, because the hazard the
+    *     window opens lives in the SHARED index: the blessed
+    *     wipe-remedy is a fresh outDir probing the SAME table, so an
+    *     outDir-side marker would never see the second lineage;
+    *   - the SAME lineage re-enters freely (the crossing deploy may
+    *     restart any number of times inside its window);
+    *   - a SECOND distinct lineage probing under a still-set knob
+    *     REFUSES loudly: its raw batch ids restart at 0 and would
+    *     wrongly self-exclude against pre-upgrade rows a dead
+    *     lineage committed — the exact left-on-forever failure mode
+    *     the one-deploy contract exists to prevent. The remedy is to
+    *     unset the knob (pre-upgrade crashed batches can only belong
+    *     to the lineage that crossed; any later lineage needs no
+    *     window);
+    *   - and EVERY knob-on batch warns loudly, so a forgotten knob is
+    *     visible in the logs long before a wipe makes it dangerous.
+    *
+    * With the knob OFF the marker is inert history: strict
+    * tag-only exclusion resumes regardless of what crossed before.
+    * Marker creation uses the same first-writer-wins + read-back
+    * arbitration as [[ensureLineage]]. */
+  private[graft] def upgradeWindow(spark: SparkSession, indexTable: String,
+                                       queryId: String, sink: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(indexTable)).location)
+    val p = new org.apache.hadoop.fs.Path(loc, "_upgrade_crossing")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () } // lost the race — compare below
+    }
+    val in = fs.open(p)
+    val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+               finally in.close()
+    if (prev != queryId)
+      throw new IllegalStateException(
+        s"lineage-upgrade window on index $indexTable already served lineage " +
+          s"$prev, but lineage $queryId is probing with " +
+          "SPARK_GRAFT_LINEAGE_UPGRADE still enabled. The window is a " +
+          "ONE-deploy transition: this lineage's raw batch ids restart at 0 " +
+          "and would wrongly self-exclude against pre-upgrade index rows a " +
+          "dead lineage committed (silently under-flagging redelivered " +
+          "docs). Unset SPARK_GRAFT_LINEAGE_UPGRADE — only the lineage that " +
+          "crossed the pre-tag boundary can own crashed pre-tag batches; a " +
+          s"new lineage needs no window. (Marker: $p)")
+    warnSink(s"[$sink] lineage-upgrade window ACTIVE on index $indexTable " +
+      s"(lineage $queryId): raw batch ids are honored for replay " +
+      "self-exclusion this batch. This knob is for the ONE deploy that " +
+      "crosses the pre-lineage-tag boundary — unset " +
+      "SPARK_GRAFT_LINEAGE_UPGRADE after the crossing; left on, a " +
+      "wiped-checkpoint restart would wrongly skip redelivered docs' " +
+      "pre-upgrade index entries.")
+  }
 
   /** The streaming query id recorded in the checkpoint's metadata
     * file — present before the first micro-batch runs (StreamExecution
@@ -35,7 +119,7 @@ private[streaming] object StreamEpoch {
     * recreated checkpoint under the same path must yield the fresh id
     * within one JVM, and the read is a few hundred bytes per
     * micro-batch next to the batch's actual Spark jobs. */
-  private[streaming] def queryId(spark: SparkSession, checkpointDir: String): String = {
+  private[graft] def queryId(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -64,28 +148,26 @@ private[streaming] object StreamEpoch {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong & Long.MaxValue
   }
 
-  /** Entry names that mark PRIOR SINK CONTENT in an outDir: the
-    * id-keyed layouts of the six lineage-guarded sinks — `batch_id=`
-    * (dedup/spans directly; novelty/decontam one level down under
-    * `scores/`/`clean/`/`quarantine/`), `batch=` (the quantile
-    * store), `bucket=` (the ledger, including its `bucket=N.old`
-    * swap debris and `.staging` scratch). */
-  private def idKeyed(name: String): Boolean =
-    name.startsWith("batch_id=") || name.startsWith("batch=") ||
-      name.startsWith("bucket=") || name.startsWith(".staging")
-
-  /** True when a marker-less `outDir` already holds id-keyed sink
-    * content. Bounded: one top-level listing plus one listing per
-    * non-hidden subdirectory (the sinks nest id-keyed dirs at most
-    * one level down — novelty's `scores/batch_id=`). */
+  /** True when a marker-less `outDir` already holds PRIOR CONTENT.
+    * Any VISIBLE entry counts — the six sinks' id-keyed layouts
+    * (`batch_id=`, `batch=`, `bucket=` incl. `bucket=N.old` debris,
+    * and the one-level-nested `scores/`/`clean/`/`quarantine/`
+    * variants) are all visible names, and so is anything an
+    * UNRELATED job may have left (plain part-files, a stray export):
+    * the refusal's rationale — "cannot tell whose data this is" —
+    * applies to every one of them equally (round-17 advice closed
+    * the non-sink-shaped gap here). Underscore/dot entries are
+    * exempt so a first batch whose own `_checkpoint` /
+    * `_spark_metadata` already materialized still adopts; the one
+    * dot-prefixed SINK layout, the ledger's `.staging` scratch, is
+    * re-included by name. One top-level listing, no recursion. */
   private def hasPriorContent(fs: org.apache.hadoop.fs.FileSystem,
                               dir: org.apache.hadoop.fs.Path): Boolean = {
     if (!fs.exists(dir)) return false
-    val top = fs.listStatus(dir)
-    top.exists(s => idKeyed(s.getPath.getName)) ||
-      top.iterator.filter(s => s.isDirectory &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .exists(s => fs.listStatus(s.getPath).exists(c => idKeyed(c.getPath.getName)))
+    fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith(".staging") || (!n.startsWith("_") && !n.startsWith("."))
+    }
   }
 
   /** Binds `outDir` to one checkpoint lineage. The `batch_id=<id>/`
@@ -98,7 +180,8 @@ private[streaming] object StreamEpoch {
     * with the remedy instead of stomping data.
     *
     * A marker-less dir is adopted (marker written) ONLY when it holds
-    * no id-keyed sink content. A marker-less dir WITH content is a
+    * no visible content (see [[hasPriorContent]]). A marker-less dir
+    * WITH content is a
     * pre-upgrade state this code cannot classify — it may legitimately
     * belong to THIS checkpoint (safe to continue) or to a wiped one
     * (the exact silent mis-skip/overwrite the marker exists to stop) —
@@ -120,15 +203,16 @@ private[streaming] object StreamEpoch {
     * single batch dir. On HDFS/local the guard is exact. (Two queries
     * sharing one outDir is an operational error in any case; the
     * guard's job is to make it loud, and quickly.) */
-  private[streaming] def ensureLineage(spark: SparkSession, outDir: String,
+  private[graft] def ensureLineage(spark: SparkSession, outDir: String,
                                        queryId: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(outDir, "_lineage")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
       if (hasPriorContent(fs, new org.apache.hadoop.fs.Path(outDir)))
         throw new IllegalStateException(
-          s"output dir $outDir holds sink content but no _lineage marker " +
-            "(written before lineage guarding, or the marker was deleted): " +
+          s"output dir $outDir holds content but no _lineage marker " +
+            "(written before lineage guarding, by an unrelated job, or the " +
+            "marker was deleted): " +
             "cannot tell whether its batch ids belong to this checkpoint. " +
             s"If the original checkpoint is INTACT and this is its query, " +
             s"attest by writing the query id to $outDir/_lineage " +

@@ -87,13 +87,24 @@ object StreamingDedup {
     * doc's pre-upgrade entry (round-17 review). The no-knob
     * alternative is the quiesce rule: drain all in-flight batches
     * (checkpoint fully committed) before upgrading, and the window
-    * never opens. */
+    * never opens.
+    *
+    * The human failure modes of that contract are mechanically closed
+    * (round-18): the env knob parses STRICTLY (`=0`/`=false` disable —
+    * bare presence does not enable, [[StreamEpoch.upgradeKnob]]);
+    * every knob-on batch logs a loud WARN naming the window; and a
+    * `_upgrade_crossing` marker at the index table pins the window to
+    * the ONE lineage that crossed — a second distinct lineage probing
+    * under a still-set knob refuses loudly instead of silently
+    * mis-skipping ([[StreamEpoch.upgradeWindow]]). Unsetting the knob
+    * after the crossing restores strict tag-only exclusion; the
+    * marker stays behind as inert history. */
   def dedupedIngest(spark: SparkSession, streamingDocs: DataFrame,
                     indexTable: String, outDir: String,
                     threshold: Double = 0.8,
                     checkpointDir: Option[String] = None,
                     lineageUpgrade: Boolean =
-                      sys.env.contains("SPARK_GRAFT_LINEAGE_UPGRADE")): StreamingQuery = {
+                      StreamEpoch.upgradeKnobFromEnv): StreamingQuery = {
     val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
@@ -101,6 +112,8 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qid = StreamEpoch.queryId(spark, cp)
         StreamEpoch.ensureLineage(spark, outDir, qid)
+        if (lineageUpgrade)
+          StreamEpoch.upgradeWindow(spark, indexTable, qid, "StreamingDedup")
         val tag = StreamEpoch.tag(qid, batchId)
         val b = batch.persist()
         try {

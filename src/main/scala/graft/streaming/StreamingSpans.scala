@@ -45,14 +45,16 @@ object StreamingSpans {
   /** `lineageUpgrade`: the one-deploy transition knob for streams
     * upgrading from pre-lineage-tag binaries — see
     * [[StreamingDedup.dedupedIngest]] for the full contract (why it
-    * covers the crashed-batch replay window and why leaving it on
+    * covers the crashed-batch replay window, why leaving it on
     * permanently re-opens the wiped-checkpoint under-flagging hole
-    * for shared index tables). */
+    * for shared index tables, and how the strict env parse + per-batch
+    * WARN + `_upgrade_crossing` marker close that contract's human
+    * failure modes). */
   def spanIngest(spark: SparkSession, streamingDocs: DataFrame,
                  indexTable: String, outDir: String,
                  checkpointDir: Option[String] = None,
                  lineageUpgrade: Boolean =
-                   sys.env.contains("SPARK_GRAFT_LINEAGE_UPGRADE")): StreamingQuery = {
+                   StreamEpoch.upgradeKnobFromEnv): StreamingQuery = {
     val cp = checkpointDir.getOrElse(s"$outDir/_checkpoint")
     streamingDocs.writeStream
       .outputMode("append")
@@ -60,6 +62,8 @@ object StreamingSpans {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qid = StreamEpoch.queryId(spark, cp)
         StreamEpoch.ensureLineage(spark, outDir, qid)
+        if (lineageUpgrade)
+          StreamEpoch.upgradeWindow(spark, indexTable, qid, "StreamingSpans")
         val tag = StreamEpoch.tag(qid, batchId)
         val b = batch.persist()
         try {

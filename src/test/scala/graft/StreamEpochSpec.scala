@@ -106,7 +106,11 @@ class StreamEpochSpec extends AnyFunSuite {
     }
     Seq(Seq("batch_id=0"), Seq("batch=3"), Seq("bucket=1"),
         Seq("bucket=2.old"), Seq(".staging"), Seq("scores/batch_id=0"),
-        Seq("clean/batch_id=1", "quarantine/batch_id=1")).foreach { es =>
+        Seq("clean/batch_id=1", "quarantine/batch_id=1"),
+        // NON-sink-shaped content refuses too (round-17 advice #3):
+        // "cannot tell whose data this is" applies just as much to an
+        // unrelated job's leftovers as to a pre-upgrade sink layout
+        Seq("export"), Seq("some_other_jobs_output")).foreach { es =>
       val d = dirWith(es: _*)
       val e = intercept[IllegalStateException] {
         StreamEpoch.ensureLineage(spark, d, "qid-new")
@@ -114,6 +118,13 @@ class StreamEpochSpec extends AnyFunSuite {
       assert(e.getMessage.contains("_lineage"), s"entries $es: $e")
       assert(!new java.io.File(d, "_lineage").exists(),
         s"entries $es: refusal must not write the marker")
+    }
+    // a plain FILE (an unrelated job's part-file) is content as well
+    val withFile = java.nio.file.Files.createTempDirectory("sepoch_pref").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(withFile, "part-00000.parquet"), Array[Byte](1))
+    intercept[IllegalStateException] {
+      StreamEpoch.ensureLineage(spark, withFile, "qid-new")
     }
     // the default checkpoint location (outDir/_checkpoint) and other
     // underscore/dot entries are NOT content — a first batch whose
@@ -131,5 +142,54 @@ class StreamEpochSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       StreamEpoch.ensureLineage(spark, attested, "qid-wiped")
     } // and an attested dir under a LATER wipe still refuses
+  }
+
+  test("upgrade knob parses strictly: only 1/true enable the window") {
+    // an operator 'disabling' the knob with =0 or =false must actually
+    // disable it — bare presence is NOT enablement (round-17 advice #1)
+    assert(StreamEpoch.upgradeKnob(Some("1")))
+    assert(StreamEpoch.upgradeKnob(Some("true")))
+    assert(StreamEpoch.upgradeKnob(Some("TRUE")))
+    assert(StreamEpoch.upgradeKnob(Some(" 1 ")))
+    assert(!StreamEpoch.upgradeKnob(Some("0")))
+    assert(!StreamEpoch.upgradeKnob(Some("false")))
+    assert(!StreamEpoch.upgradeKnob(Some("FALSE")))
+    assert(!StreamEpoch.upgradeKnob(Some("")))
+    assert(!StreamEpoch.upgradeKnob(Some("yes"))) // unknown → safe side
+    assert(!StreamEpoch.upgradeKnob(None))
+  }
+
+  test("upgrade window: WARNs every knob-on batch; a SECOND distinct lineage under a still-set knob refuses") {
+    val tbl = "sepoch_upg_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (bucket BIGINT) USING parquet")
+    val warns = scala.collection.mutable.Buffer[String]()
+    val old = StreamEpoch.warnSink
+    StreamEpoch.warnSink = warns += _
+    try {
+      // first knob-on probe = THE crossing: marker written, loud WARN
+      StreamEpoch.upgradeWindow(spark, tbl, "lin-A", "TestSink")
+      // the crossing deploy may restart inside its window: same
+      // lineage re-enters, WARNs again (visibility, not one-shot)
+      StreamEpoch.upgradeWindow(spark, tbl, "lin-A", "TestSink")
+      assert(warns.size == 2, s"every knob-on batch must WARN: $warns")
+      assert(warns.forall(w => w.contains("lineage-upgrade window ACTIVE")
+        && w.contains(tbl) && w.contains("lin-A")
+        && w.contains("SPARK_GRAFT_LINEAGE_UPGRADE")), warns.mkString("\n"))
+      // a different lineage probing under the still-set knob: the
+      // left-on-forever failure mode — refuse, naming both lineages
+      // and the remedy
+      val e = intercept[IllegalStateException] {
+        StreamEpoch.upgradeWindow(spark, tbl, "lin-B", "TestSink")
+      }
+      assert(e.getMessage.contains("lin-A") && e.getMessage.contains("lin-B")
+        && e.getMessage.contains("Unset SPARK_GRAFT_LINEAGE_UPGRADE"),
+        e.getMessage)
+    } finally StreamEpoch.warnSink = old
+    // the marker is underscore-prefixed: the table stays readable, and
+    // with the knob OFF (upgradeWindow never called) it is inert —
+    // strict behavior needs no cleanup step
+    assert(spark.table(tbl).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

@@ -483,6 +483,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"allowlist entry no longer violates — prune it: ${allow.diff(offenders.toSet)}")
   }
 
+  test("no query's plan contains a nondeterministic expression") {
+    // The retry-safety adjudication (DetAudit scaladoc, round-17
+    // verdict #4) rests on every declared query being a deterministic
+    // function of its input partitions: then a retried or speculated
+    // task reproduces its output bit-for-bit and retry can only
+    // perturb MERGE order — which the three-regime sweep models. A
+    // rand()/uuid()/monotonically_increasing_id slipping into a query
+    // would void that argument (an attempt's output stops being a
+    // function of its input), so the exclusion is swept, not assumed.
+    // Expression.deterministic is already recursive over children;
+    // subquery plans are walked explicitly.
+    def badExprs(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+      val bad = scala.collection.mutable.Buffer[String]()
+      plan.foreach { node =>
+        node.expressions.foreach { e =>
+          if (!e.deterministic) bad += s"${node.nodeName}: $e"
+        }
+        node.subqueries.foreach(sq => bad ++= badExprs(sq))
+      }
+      bad.toSeq
+    }
+    val offenders = allQueryExecs.flatMap { case (name, qe) =>
+      val hits = badExprs(qe.analyzed)
+      if (hits.nonEmpty) Seq(s"$name → ${hits.take(3).mkString("; ")}") else Nil
+    }
+    assert(offenders.isEmpty,
+      s"nondeterministic expressions in declared-query plans:\n${offenders.mkString("\n")}")
+  }
+
   test("no query's physical plan contains a CartesianProduct") {
     // Suite-wide twin of the unpartitioned-window sweep: a
     // CartesianProductExec means Spark found a join with no usable

@@ -22,4 +22,5 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }

@@ -36,6 +36,27 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    generate(spark, base, outDir, k, qs)
+
+    def time(q: String, dir: String, tag: String): Unit = {
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"SCALE $q $tag min=$best%.2f s")
+    }
+    qs.foreach { q => time(q, base, "base"); time(q, outDir, s"${k}x") }
+    spark.stop()
+  }
+
+  /** Generates the ×K replica families the selected queries read
+    * (documents always; events / lineitem+orders / embeddings when a
+    * selected query's family matches). Factored out of main so
+    * [[SpillSmoke]] can stage the same replicas. */
+  def generate(spark: SparkSession, base: String, outDir: String,
+               k: Int, qs: Seq[String]): Unit = {
     val docs = Tables.documents(spark, base)
     val maxId = docs.agg(F.max("doc_id")).head().getLong(0) + 1L
     val salted = F.array_join(
@@ -94,7 +115,8 @@ object ScaleSmoke {
     // scaled (that's the point of a dimension at 100 TB: it stays
     // broadcastable while facts grow); o_custkey passes through, so
     // customers just own k× the orders.
-    if (qs.exists(q => Seq("q147_", "q79_", "q01_", "q15_").exists(q.startsWith))) {
+    if (qs.exists(q => Seq("q147_", "q79_", "q01_", "q15_", "q37_",
+        "q115_", "q187_", "q197_").exists(q.startsWith))) {
       val li = Tables.lineitem(spark, base)
       val b = li.agg(F.max("l_orderkey")).head()
       require(!b.isNullAt(0), s"lineitem table at $base is empty")
@@ -150,17 +172,5 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       println(s"SCALE generated ${k}x embeddings (jittered copies) at $outDir")
     }
-
-    def time(q: String, dir: String, tag: String): Unit = {
-      val best = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"SCALE $q $tag min=$best%.2f s")
-    }
-    qs.foreach { q => time(q, base, "base"); time(q, outDir, s"${k}x") }
-    spark.stop()
   }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: SPILL-PATH correctness smoke (round-17 verdict Next #2).
+  *
+  * Every scale claim so far was measured on a 128 GiB box where no
+  * operator ever spills; at 100 TB the hash aggs, sort-merge joins,
+  * and sorts WILL run at their executor memory budgets and take the
+  * ExternalAppendOnlyMap / UnsafeExternalSorter spill paths. Spilling
+  * changes combine/merge ORDER (partial aggregates are merged in
+  * spill-file order, sorts merge k spilled runs), so "works unspilled"
+  * does not imply "same answer spilled" — this harness proves it for
+  * the heaviest declared shapes, on the ×10 salted scale replica
+  * ([[ScaleSmoke.generate]]) so the per-partition volumes are real.
+  *
+  * Two sequential sessions over the SAME queries, data, and confs,
+  * differing ONLY in memory budget:
+  *
+  *   phase A (reference): default Spark-managed memory — nothing
+  *     spills; canonical result hash recorded per query;
+  *   phase B (constrained): `spark.testing.memory` (the knob
+  *     UnifiedMemoryManager reads in place of Runtime.maxMemory —
+  *     exactly what a small `spark.executor.memory` does to the
+  *     unified region on a real executor, without forking a JVM) plus
+  *     a low `spark.memory.fraction`: ~45 MB of unified memory for 8
+  *     threads → single-digit-MB per-task budgets against the tens-of-
+  *     MB per-partition sort/agg state of the ×10 facts at 4 shuffle
+  *     partitions. Spill bytes are summed from task metrics
+  *     (`memoryBytesSpilled`/`diskBytesSpilled`) via a listener — a
+  *     run that silently didn't spill proves nothing and is REPORTED.
+  *
+  * PASS = phase-B canonical hash equals phase-A for every query, and
+  * the designated spill shapes actually spilled. Any OOM or hash
+  * divergence here is a real engine bug (order-sensitive combine,
+  * under-declared rounding), not a harness artifact.
+  *
+  * Shape notes, measured:
+  *   - q147 (fact-fact SMJ, both sides ×10) and q96 (high-cardinality
+  *     text-line agg) are the designated spillers;
+  *   - q01 is spill-IMMUNE by design: map-side combine collapses to 6
+  *     groups, so its agg state never grows with data — included to
+  *     document exactly that;
+  *   - q115's agg state is bounded by CUSTOMER count while its input
+  *     deepens ×10 (groups deepen, state doesn't) — the agg-state ∝
+  *     groups-not-rows scale story, also documented by a 0;
+  *   - q197 reads pre-sorted buckets (no sort at read — the point of
+  *     bucketing), but each phase REBUILDS its bucketed tables in its
+  *     own warehouse, so phase B exercises the bucketed-write sort
+  *     under pressure;
+  *   - q67's single-task union-find holds plain JVM objects —
+  *     `spark.testing.memory` can't constrain it (its budget is heap,
+  *     gated at 16M pairs with the memory math in Dedup.scala); what
+  *     q67 exercises here is the banded shuffle + agg upstream.
+  *   - exact percentiles (q37) buffer ALL group values as JVM objects
+  *     inside a TypedImperativeAggregate — unspillable by design,
+  *     which is WHY q93's mergeable sketch is the declared scale path;
+  *     deliberately not in this list.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.SpillSmoke
+  */
+object SpillSmoke {
+
+  /** Task-metrics spill accumulator (listener bus is async; callers
+    * settle it with a short drain sleep before reading). */
+  private final class SpillListener extends SparkListener {
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) { mem.addAndGet(m.memoryBytesSpilled); disk.addAndGet(m.diskBytesSpilled) }
+    }
+    def reset(): Unit = { mem.set(0); disk.set(0) }
+  }
+
+  private def session(constrained: Boolean, cpus: String): SparkSession = {
+    val tag = if (constrained) "constrained" else "reference"
+    val b = SparkSession.builder().master(s"local[$cpus]")
+      .appName(s"spill-smoke-$tag")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      // phase-private warehouse: each phase rebuilds its bucketed
+      // tables (the in-memory catalog dies with the session anyway,
+      // and a shared dir would trip the managed-table guard)
+      .config("spark.sql.warehouse.dir", s"/tmp/graft-spill-warehouse-$tag")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.ui.enabled", "false")
+    val b2 = if (constrained)
+      // (600 MB − 300 MB reserved) × 0.15 ≈ 45 MB unified region
+      b.config("spark.testing.memory", (600L * 1024 * 1024).toString)
+        .config("spark.memory.fraction", "0.15")
+    else b
+    val s = b2.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val qs = if (args.nonEmpty) args.toSeq else Seq(
+      "q01_pricing_summary", "q96_boilerplate", "q147_waiting_orders",
+      "q115_join_full", "q197_bucketed_join", "q67_dedup_clusters")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val k = 10
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SPILL_DIR", s"target/spill${k}x")
+    val mustSpill = Set("q96_boilerplate", "q147_waiting_orders")
+
+    // stage the ×10 replica once (separate unconstrained session)
+    val marker = java.nio.file.Paths.get(dir, "_spill_ready")
+    if (!java.nio.file.Files.exists(marker)) {
+      val s = session(constrained = false, cpus)
+      ScaleSmoke.generate(s, base, dir, k, qs)
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, s"$base x$k".getBytes("UTF-8"))
+    }
+
+    def phase(constrained: Boolean): Map[String, (String, Long, Long, Double)] = {
+      val spark = session(constrained, cpus)
+      val l = new SpillListener
+      spark.sparkContext.addSparkListener(l)
+      val out = qs.map { q =>
+        l.reset()
+        val t0 = System.nanoTime()
+        val h = DetAudit.canonicalHash(SparkEntry.queries(q)(spark, dir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener-bus drain
+        println(f"SPILL ${if (constrained) "constrained" else "reference  "} $q h=$h " +
+          f"mem=${l.mem.get()}%d disk=${l.disk.get()}%d t=$sec%.1f s")
+        q -> (h, l.mem.get(), l.disk.get(), sec)
+      }.toMap
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      out
+    }
+
+    val ref = phase(constrained = false)
+    val con = phase(constrained = true)
+    var bad = 0
+    qs.foreach { q =>
+      val (hr, _, _, tr) = ref(q)
+      val (hc, mem, disk, tc) = con(q)
+      val hashOk = hr == hc
+      val spilled = mem + disk > 0
+      if (!hashOk) bad += 1
+      if (mustSpill(q) && !spilled) bad += 1
+      println(f"SPILL RESULT $q hash=${if (hashOk) "OK" else s"DIVERGED $hr!=$hc"} " +
+        f"spilledMB=${(mem + disk) / 1e6}%.1f (mem=${mem / 1e6}%.1f disk=${disk / 1e6}%.1f) " +
+        f"ref=$tr%.1f s constrained=$tc%.1f s" +
+        (if (mustSpill(q) && !spilled) " [EXPECTED SPILL, GOT NONE — resize harness]" else ""))
+    }
+    println(s"SPILL SUMMARY ${qs.size} queries, $bad failures")
+    if (bad > 0) sys.exit(1)
+  }
+}

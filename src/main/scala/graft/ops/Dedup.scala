@@ -508,7 +508,12 @@ object Dedup {
     * worst-case — inside a standard 4 GiB executor with headroom,
     * while the pair pull to the one task (~16 B/pair) stays ~256 MB.
     * Dup graphs are clique-heavy in practice, so real node counts run
-    * far below the 2-per-pair bound. */
+    * far below the 2-per-pair bound. The bound is also MEASURED, not
+    * just derived (round-18, [[graft.UnionFindHeapSmoke]]): the real
+    * [[unionFindLabels]] at exactly 16M pairs completes with correct
+    * labels under `-Xmx2g` at BOTH adversarial shapes — 32M disjoint
+    * nodes (the 2-per-pair worst case, 44 s) and one 16M-node chain
+    * (max path-compression depth, 10 s). */
   val SinglePassMaxPairs = 16000000L
 
   /** Runtime override for the fast-path ceiling (SPARK_GRAFT_CC_SINGLE_MAX):

@@ -75,7 +75,11 @@ private[graft] object StreamEpoch {
     * With the knob OFF the marker is inert history: strict
     * tag-only exclusion resumes regardless of what crossed before.
     * Marker creation uses the same first-writer-wins + read-back
-    * arbitration as [[ensureLineage]]. */
+    * arbitration as [[ensureLineage]]. A full index REBUILD
+    * (buildIndex's overwrite) deletes the marker along with the
+    * table's files — deliberately correct: a rebuilt index holds no
+    * pre-tag rows, so there is no boundary left to cross and a future
+    * window may legitimately serve whatever lineage then needs one. */
   private[graft] def upgradeWindow(spark: SparkSession, indexTable: String,
                                        queryId: String, sink: String): Unit = {
     val loc = new org.apache.hadoop.fs.Path(

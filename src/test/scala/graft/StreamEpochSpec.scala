@@ -190,6 +190,20 @@ class StreamEpochSpec extends AnyFunSuite {
     // with the knob OFF (upgradeWindow never called) it is inert —
     // strict behavior needs no cleanup step
     assert(spark.table(tbl).count() == 0)
+    // a full index REBUILD deletes the marker with the table's files —
+    // deliberately: a rebuilt index holds no pre-tag rows, so a future
+    // window may legitimately serve a NEW lineage (scaladoc claim, pinned)
+    val oldWarn2 = StreamEpoch.warnSink
+    StreamEpoch.warnSink = _ => ()
+    try {
+      import spark.implicits._
+      graft.ops.Bucketing.writeBucketed(
+        Seq(1L, 2L).toDF("bucket"), tbl, "bucket", 2)
+      StreamEpoch.upgradeWindow(spark, tbl, "lin-C", "TestSink") // fresh crossing
+      intercept[IllegalStateException] {
+        StreamEpoch.upgradeWindow(spark, tbl, "lin-D", "TestSink")
+      }
+    } finally StreamEpoch.warnSink = oldWarn2
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

@@ -66,22 +66,27 @@ object DetAudit {
     * values and does not occur in the corpus's space-joined token
     * text — round-17 advice: an empty-string join let ("ab","c") and
     * ("a","bc") collide, the one failure mode an audit hash must not
-    * have), rows sorted, SHA-256 over the newline join. Shared by the
-    * main sweep, DetAuditSpec, and SpillSmoke. */
+    * have), then each ROW hashed individually and the sorted
+    * row-hashes hashed together — row boundaries can therefore never
+    * be forged by values containing a row separator, whatever a
+    * future query emits. Shared by the main sweep, DetAuditSpec, and
+    * SpillSmoke. */
   def canonicalHash(df: DataFrame): String = {
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     val cols = df.columns.sorted.toSeq
-    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val rowHashes = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect()
-      .map(r => (0 until r.length).map { i =>
+      .map(r => sha((0 until r.length).map { i =>
         r.get(i) match {
           case b: Array[Byte] => b.map(x => f"$x%02x").mkString
           case s: Seq[_] => s.mkString("[", ",", "]")
           case v => String.valueOf(v)
         }
-      }.mkString("\u0000"))
-      .sorted.mkString("\n")
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(rows.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      }.mkString("\u0000")))
+      .sorted
+    sha(rowHashes.mkString)
   }
 
   /** The three-regime sweep for one query on a live session: returns

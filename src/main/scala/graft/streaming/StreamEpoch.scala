@@ -79,7 +79,17 @@ private[graft] object StreamEpoch {
     * (buildIndex's overwrite) deletes the marker along with the
     * table's files — deliberately correct: a rebuilt index holds no
     * pre-tag rows, so there is no boundary left to cross and a future
-    * window may legitimately serve whatever lineage then needs one. */
+    * window may legitimately serve whatever lineage then needs one.
+    *
+    * MULTI-WRITER indexes (several ingest streams appending to one
+    * shared table — coherent in the tagged world, where each stream's
+    * batches carry its own lineage tag) get the refusal by DESIGN,
+    * not as a limitation: pre-upgrade rows from two raw-id writers
+    * are indistinguishable (stream A's raw batch 5 and stream B's
+    * collide in src_batch), so a raw-id window can never be sound for
+    * more than one of them — the second writer must take the quiesce
+    * rule (drain its in-flight batches before its upgrade deploy, so
+    * its window never needs to open). */
   private[graft] def upgradeWindow(spark: SparkSession, indexTable: String,
                                        queryId: String, sink: String): Unit = {
     val loc = new org.apache.hadoop.fs.Path(

@@ -39,13 +39,14 @@ object ScaleSmoke {
     generate(spark, base, outDir, k, qs)
 
     def time(q: String, dir: String, tag: String): Unit = {
-      val best = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"SCALE $q $tag min=$best%.2f s")
+      }
+      println(f"SCALE $q $tag min=${runs.min}%.2f s " +
+        s"(runs=${runs.map(r => f"$r%.2f").mkString(",")})")
     }
     qs.foreach { q => time(q, base, "base"); time(q, outDir, s"${k}x") }
     spark.stop()

@@ -87,9 +87,18 @@ object SpillSmoke {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     val b2 = if (constrained)
-      // (600 MB − 300 MB reserved) × 0.15 ≈ 45 MB unified region
+      // (600 MB − 300 MB reserved) × 0.15 ≈ 45 MB unified region.
+      // storageFraction drops to 0.05: cached blocks (the iterative
+      // queries' eager localCheckpoints) are MEMORY_AND_DISK — they
+      // evict to disk for free — while execution consumers have a
+      // HARD first-page floor (BytesToBytesMap's initial allocation
+      // cannot spill what it hasn't built; below the floor Spark
+      // fails LOUDLY with UNABLE_TO_ACQUIRE_MEMORY, measured on q187
+      // at the default 0.5). The smoke tests spill CORRECTNESS, so
+      // the protected region goes to the side that can yield.
       b.config("spark.testing.memory", (600L * 1024 * 1024).toString)
         .config("spark.memory.fraction", "0.15")
+        .config("spark.memory.storageFraction", "0.05")
     else b
     val s = b2.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -97,36 +106,70 @@ object SpillSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    val qs = if (args.nonEmpty) args.toSeq else Seq(
-      "q01_pricing_summary", "q96_boilerplate", "q147_waiting_orders",
-      "q115_join_full", "q197_bucketed_join", "q67_dedup_clusters")
+    // `all` = the SUITE-WIDE sweep: every declared query at the BASE
+    // sf (no replica — staging ×10 for every family would take hours;
+    // at a 45 MB budget the base sf0.1 volumes already spill the fat
+    // shapes) with hash-identity asserted for all 198 and spill
+    // totals reported. The default mode stays the designated-spiller
+    // list on the ×10 replica, where the per-partition volumes are
+    // realistic enough that "it actually spilled" can be REQUIRED.
+    val allMode = args.headOption.contains("all")
+    val qs = if (allMode) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else Seq(
+        "q01_pricing_summary", "q96_boilerplate", "q147_waiting_orders",
+        "q115_join_full", "q197_bucketed_join", "q67_dedup_clusters")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val k = 10
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SPILL_DIR", s"target/spill${k}x")
-    val mustSpill = Set("q96_boilerplate", "q147_waiting_orders")
+    val dir = if (allMode) base
+      else sys.env.getOrElse("SPARK_GRAFT_SPILL_DIR", s"target/spill${k}x")
+    val mustSpill: Set[String] = if (allMode) Set()
+      else Set("q96_boilerplate", "q147_waiting_orders")
+    // Queries whose WORKING-SET FLOOR exceeds the 45 MB budget and
+    // that therefore must fail LOUDLY (an OOM-class error), never
+    // diverge: q187 eagerly localCheckpoints its loop-invariant edge
+    // frames (deliberate — re-deriving them per PageRank round cost
+    // 1.5× wall, see Graph.scala), and a pinned deserialized cache
+    // block being READ by the same pipelined stage that aggregates
+    // downstream cannot evict — execution starves below its
+    // first-page floor and Spark aborts with UNABLE_TO_ACQUIRE_MEMORY
+    // / AGGREGATE_OUT_OF_MEMORY. Floor measured at sf0.1/local[4]:
+    // fails at 140 MB unified, passes at 225 MB — i.e. trivially
+    // cleared by any real executor; what matters is the failure is
+    // LOUD. Two-sided: if a listed query stops erroring the entry is
+    // stale and the run fails, the allowlist discipline everywhere
+    // else in this repo.
+    val floorAllowed: Set[String] = if (allMode) Set("q187_pagerank") else Set()
 
     // stage the ×10 replica once (separate unconstrained session)
-    val marker = java.nio.file.Paths.get(dir, "_spill_ready")
-    if (!java.nio.file.Files.exists(marker)) {
-      val s = session(constrained = false, cpus)
-      ScaleSmoke.generate(s, base, dir, k, qs)
-      s.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.write(marker, s"$base x$k".getBytes("UTF-8"))
+    if (!allMode) {
+      val marker = java.nio.file.Paths.get(dir, "_spill_ready")
+      if (!java.nio.file.Files.exists(marker)) {
+        val s = session(constrained = false, cpus)
+        ScaleSmoke.generate(s, base, dir, k, qs)
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, s"$base x$k".getBytes("UTF-8"))
+      }
     }
 
     def phase(constrained: Boolean): Map[String, (String, Long, Long, Double)] = {
       val spark = session(constrained, cpus)
       val l = new SpillListener
       spark.sparkContext.addSparkListener(l)
+      // per-query attribution needs a drained listener bus; the suite
+      // sweep trades exact attribution for wall time (the grand total
+      // is exact either way — the listener keeps counting)
+      val drainMs = if (allMode) 150L else 1500L
       val out = qs.map { q =>
         l.reset()
         val t0 = System.nanoTime()
-        val h = DetAudit.canonicalHash(SparkEntry.queries(q)(spark, dir))
+        val h = try DetAudit.canonicalHash(SparkEntry.queries(q)(spark, dir))
+          catch { case e: Throwable => s"ERR:${e.getClass.getSimpleName}" }
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500) // listener-bus drain
+        Thread.sleep(drainMs)
         println(f"SPILL ${if (constrained) "constrained" else "reference  "} $q h=$h " +
           f"mem=${l.mem.get()}%d disk=${l.disk.get()}%d t=$sec%.1f s")
         q -> (h, l.mem.get(), l.disk.get(), sec)
@@ -140,19 +183,29 @@ object SpillSmoke {
     val ref = phase(constrained = false)
     val con = phase(constrained = true)
     var bad = 0
+    var spillers = 0
+    var totMem = 0L; var totDisk = 0L
     qs.foreach { q =>
       val (hr, _, _, tr) = ref(q)
       val (hc, mem, disk, tc) = con(q)
-      val hashOk = hr == hc
       val spilled = mem + disk > 0
-      if (!hashOk) bad += 1
+      if (spilled) spillers += 1
+      totMem += mem; totDisk += disk
+      // the invariant: hash-identical OR a LOUD memory error on a
+      // declared-floor query — never silently different data
+      val verdict =
+        if (floorAllowed(q) && hc.startsWith("ERR:")) "FLOOR(loud, allowed)"
+        else if (floorAllowed(q)) { bad += 1; s"STALE floor allowlist entry — it passed ($hc)" }
+        else if (hr == hc && !hr.startsWith("ERR:")) "OK"
+        else { bad += 1; s"DIVERGED $hr!=$hc" }
       if (mustSpill(q) && !spilled) bad += 1
-      println(f"SPILL RESULT $q hash=${if (hashOk) "OK" else s"DIVERGED $hr!=$hc"} " +
+      println(f"SPILL RESULT $q hash=$verdict " +
         f"spilledMB=${(mem + disk) / 1e6}%.1f (mem=${mem / 1e6}%.1f disk=${disk / 1e6}%.1f) " +
         f"ref=$tr%.1f s constrained=$tc%.1f s" +
         (if (mustSpill(q) && !spilled) " [EXPECTED SPILL, GOT NONE — resize harness]" else ""))
     }
-    println(s"SPILL SUMMARY ${qs.size} queries, $bad failures")
+    println(f"SPILL SUMMARY ${qs.size} queries, $bad failures, $spillers spilled " +
+      f"(total mem=${totMem / 1e9}%.2f GB disk=${totDisk / 1e9}%.2f GB)")
     if (bad > 0) sys.exit(1)
   }
 }

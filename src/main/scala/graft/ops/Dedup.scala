@@ -646,11 +646,10 @@ object Dedup {
     // caller's persist() fails every fast-path test, not a cluster.
     require(p.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
       "singleTaskCC requires a persisted pair input (coalesce(1) must read cache)")
-    p.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    Graph.ckpt(p.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions(unionFindLabels)
-      .toDF("id", "label")
-      .localCheckpoint()
+      .toDF("id", "label"))
   }
 
   /** General path: two-hop hash-min label propagation over the
@@ -664,9 +663,12 @@ object Dedup {
     // into its task binary every round; the checkpoint truncates that
     // to a block reference once. (The pair input p arrives persisted
     // and counted by the caller, so the union's two branches read the
-    // cache.)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    // cache.) Storage is SERIALIZED ([[Graph.ckpt]]): these frames
+    // grow with the corpus and are pinned while the loop's stages
+    // read them — their footprint is the loop's executor-memory
+    // floor, and packed UnsafeRows cost 2–3× less of it.
+    val edges = Graph.ckpt(
+      p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
     // Propagate over EDGE-INCIDENT nodes only: an isolated node can
     // never take a label other than its own id, so carrying it through
     // every round is pure shuffle waste. Dup graphs are sparse — at
@@ -674,7 +676,7 @@ object Dedup {
     // every round's shuffle shrinks from |V| to |V_incident|. `edges`
     // already holds both directions, so src alone covers all endpoints;
     // isolated nodes rejoin as singleton components at the end.
-    val incident = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val incident = Graph.ckpt(edges.select(col("src").as("id")).distinct())
 
     // one min-relaxation: every node takes the min label over itself
     // and its neighbors; the self row carries `old` through so change
@@ -714,11 +716,10 @@ object Dedup {
       // it defers lineage truncation in a way that, under AQE, let
       // each round's plan re-embed the previous rounds' full DAG.)
       val obs = Observation()
-      val chk = relax(relax(labels))
+      val chk = Graph.ckpt(relax(relax(labels))
         .observe(obs, coalesce(
           sum(when(col("label") =!= col("old"), 1L).otherwise(0L)),
-          lit(0L)).as("changed"))
-        .localCheckpoint()
+          lit(0L)).as("changed")))
       changed = obs.get("changed").asInstanceOf[Long]
       if (prevChk != null) PlanBridge.releaseLocalCheckpoint(prevChk)
       prevChk = chk

@@ -36,19 +36,36 @@ object Graph {
   /** Weighted PageRank over a directed edge list `(src, dst, w)`:
     * returns `(id, rank)` for every node. `nodes` must list every
     * node id exactly once. */
+  /** Eager localCheckpoint at MEMORY_AND_DISK_SER for the iterative
+    * loops' invariant frames. SERIALIZED storage, deliberately: the
+    * blocks are UnsafeRows (already binary — packing them into one
+    * buffer costs almost nothing and drops the per-object overhead
+    * ~3-5×), and checkpoint blocks being READ by the same pipelined
+    * stage that aggregates downstream are PINNED — they cannot evict
+    * while execution asks for its first page, so their FOOTPRINT is
+    * the working-set floor of the whole query. Measured via the
+    * round-18 suite-wide spill sweep (SpillSmoke all) at sf0.1: with
+    * deserialized default storage q187 aborted loudly below a
+    * 140–225 MB unified floor; serialized, the floor drops to
+    * 60–75 MB — a 2–3× smaller minimum executor. (It still exceeds
+    * the sweep's deliberately-brutal 45 MB budget, so q187 stays on
+    * the sweep's loud-floor allowlist.) */
+  private[ops] def ckpt(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // loop-invariant frames are EAGERLY checkpointed (the q69 CC-loop
     // discipline): without this the final plan re-derives the whole
     // edge build once per iteration per reference — q187 at sf0.1
     // measured 5.3 s warm without the checkpoints, 3.5 s with them
     // (plus the flow checkpoint in the caller)
-    val nodesC = nodes.localCheckpoint(true)
+    val nodesC = ckpt(nodes)
     val n = nodesC.count()
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // edge transition probabilities, computed once
-    val trans = edges.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p"))
-      .localCheckpoint(true)
+    val trans = ckpt(edges.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p")))
     var rank = nodesC.select(col("id"), lit(1.0 / n).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = trans.join(rank.withColumnRenamed("id", "src"), Seq("src"))
@@ -70,10 +87,9 @@ object Graph {
     val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     // one lineitem⋈orders pass total: both edge directions (and the
     // out-weight + transition builds downstream) read this checkpoint
-    val flow = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val flow = ckpt(li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("w")))
     // disjoint node id spaces: customers negated (keys are ≥ 0)
     val cEdges = flow.select((-col("o_custkey") - 1).as("src"),
       col("l_suppkey").as("dst"), col("w"))

@@ -1561,12 +1561,11 @@ object Dedup {
     * deployment with strict fault budgets would checkpoint to
     * reliable storage instead. */
   def despanRepack(docs: DataFrame, n: Int = SpanN): DataFrame =
-    Curation.packChunks(
+    Curation.packChunks(Graph.ckpt(
       despanApply(docs, n, carry = Seq("source"))
         .filter(col("kept_tokens") > 0)
         .select(col("source"), col("doc_id"),
-          col("kept_tokens").cast("long").as("n_tokens"))
-        .localCheckpoint())
+          col("kept_tokens").cast("long").as("n_tokens"))))
 
   val q196Sql: String = {
     val n = SpanN

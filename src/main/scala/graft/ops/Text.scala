@@ -485,8 +485,8 @@ object Text {
     // the second consumer re-ran the tokenize pass (the measured
     // q82/q85 non-reuse), making the documented three passes four;
     // pin the doc-count-sized digest once (round-14 review)
-    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-      .localCheckpoint()
+    val dlen = Graph.ckpt(
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len")))
     val stats = dlen.agg(count(lit(1)).as("n_docs"),
       avg(col("len")).as("avglen"))
     val qTerms = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -804,11 +804,10 @@ object Text {
     // digest feeds BOTH the trainer (rolled up across sources) and
     // the encode stats — calling bpeTrain(docs, ...) re-exploded the
     // whole corpus a second time just to rebuild the same counts
-    val srcVocab = docs
+    val srcVocab = Graph.ckpt(docs
       .select(col("source"), explode(toks(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wc"))
-      .localCheckpoint()
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wc")))
     val merges = bpeTrainFromVocab(
         srcVocab.groupBy(col("w")).agg(sum(col("wc")).as("wc")), nMerges)
       .collect()
@@ -1369,9 +1368,8 @@ object Text {
     // total) and Spark re-runs the corpus explode per consumer (the
     // measured q82/q85 non-reuse) — materialize the vocab-sized
     // digest once (the q187/q196 localCheckpoint idiom)
-    val uni = docs.select(explode(t).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-      .localCheckpoint()
+    val uni = Graph.ckpt(docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w")))
     // n_pairs = Σ(len−1) = n_tokens − n_docs (split() output is never
     // empty): derived from the unigram digest + a metadata-only row
     // count instead of a third corpus tokenization
@@ -1457,11 +1455,10 @@ object Text {
     // of an uncached aggregate re-run the corpus explode (the
     // measured q82/q85 non-reuse), so pin the vocab digest once (the
     // q127 uni idiom; round-14 review)
-    val tf = docs
+    val tf = Graph.ckpt(docs
       .select(col("lang"), explode(toks(col("text"))).as("token"))
       .groupBy(col("lang"), col("token"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n")))
     val top = zipfTopTerms(tf)
     val fit = top.groupBy(col("lang")).agg(
       round(expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE)))"), 4)

@@ -89,8 +89,9 @@ object SpillSmoke {
     val b2 = if (constrained)
       // (600 MB − 300 MB reserved) × 0.15 ≈ 45 MB unified region.
       // storageFraction drops to 0.05: cached blocks (the iterative
-      // queries' eager localCheckpoints) are MEMORY_AND_DISK — they
-      // evict to disk for free — while execution consumers have a
+      // queries' eager localCheckpoints, MEMORY_AND_DISK_SER via
+      // Graph.ckpt) evict to disk for free — while execution
+      // consumers have a
       // HARD first-page floor (BytesToBytesMap's initial allocation
       // cannot spill what it hasn't built; below the floor Spark
       // fails LOUDLY with UNABLE_TO_ACQUIRE_MEMORY, measured on q187
@@ -130,16 +131,18 @@ object SpillSmoke {
     // that therefore must fail LOUDLY (an OOM-class error), never
     // diverge: q187 eagerly localCheckpoints its loop-invariant edge
     // frames (deliberate — re-deriving them per PageRank round cost
-    // 1.5× wall, see Graph.scala), and a pinned deserialized cache
-    // block being READ by the same pipelined stage that aggregates
-    // downstream cannot evict — execution starves below its
-    // first-page floor and Spark aborts with UNABLE_TO_ACQUIRE_MEMORY
-    // / AGGREGATE_OUT_OF_MEMORY. Floor measured at sf0.1/local[4]:
-    // fails at 140 MB unified, passes at 225 MB — i.e. trivially
-    // cleared by any real executor; what matters is the failure is
-    // LOUD. Two-sided: if a listed query stops erroring the entry is
-    // stale and the run fails, the allowlist discipline everywhere
-    // else in this repo.
+    // 1.5× wall, see Graph.scala), and a pinned cache block being
+    // READ by the same pipelined stage that aggregates downstream
+    // cannot evict — execution starves below its first-page floor and
+    // Spark aborts with UNABLE_TO_ACQUIRE_MEMORY /
+    // AGGREGATE_OUT_OF_MEMORY. Floor measured at sf0.1: 140–225 MB
+    // unified with deserialized checkpoint storage; this sweep's
+    // finding drove the Graph.ckpt MEMORY_AND_DISK_SER change, which
+    // cut it to 60–75 MB — still above the deliberately-brutal 45 MB
+    // budget, trivially cleared by any real executor; what matters is
+    // the failure is LOUD. Two-sided: if a listed query stops
+    // erroring the entry is stale and the run fails, the allowlist
+    // discipline everywhere else in this repo.
     val floorAllowed: Set[String] = if (allMode) Set("q187_pagerank") else Set()
 
     // stage the ×10 replica once (separate unconstrained session)

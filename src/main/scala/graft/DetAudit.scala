@@ -69,22 +69,29 @@ object DetAudit {
     * have), then each ROW hashed individually and the sorted
     * row-hashes hashed together — row boundaries can therefore never
     * be forged by values containing a row separator, whatever a
-    * future query emits. Shared by the main sweep, DetAuditSpec, and
-    * SpillSmoke. */
+    * future query emits. ARRAY values render as the concatenation of
+    * their elements' individual fixed-width hashes — a comma join
+    * read Seq("a,b") and Seq("a","b") identically, an element-boundary
+    * forgery that could mask a real determinism diff in an
+    * array-of-strings column exactly the way the old empty-string
+    * COLUMN join could (round-18 advice); per-element hashing (the
+    * advice's stronger option) leaves NO in-band separator to forge —
+    * not even a NUL inside an element can move a boundary. Shared by
+    * the main sweep, DetAuditSpec, and SpillSmoke. */
   def canonicalHash(df: DataFrame): String = {
     def sha(s: String): String =
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    def render(v: Any): String = v match {
+      case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+      case s: Seq[_] => s.map(e => sha(render(e))).mkString("[", "", "]")
+      case v => String.valueOf(v)
+    }
     val cols = df.columns.sorted.toSeq
     val rowHashes = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect()
-      .map(r => sha((0 until r.length).map { i =>
-        r.get(i) match {
-          case b: Array[Byte] => b.map(x => f"$x%02x").mkString
-          case s: Seq[_] => s.mkString("[", ",", "]")
-          case v => String.valueOf(v)
-        }
-      }.mkString("\u0000")))
+      .map(r => sha((0 until r.length).map(i => render(r.get(i)))
+        .mkString("\u0000")))
       .sorted
     sha(rowHashes.mkString)
   }

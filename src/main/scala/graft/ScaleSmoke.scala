@@ -52,12 +52,35 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  private val EventsQs = Seq("q130_", "q131_", "q132_", "q133_", "q134_",
+    "q24_", "q28_", "q59_", "q142_", "q149_", "q161_", "q163_", "q172_",
+    "q195_")
+  private val FactQs = Seq("q147_", "q79_", "q01_", "q15_", "q37_",
+    "q115_", "q187_", "q197_")
+  private val EmbQs = Seq("q40_", "q48_", "q86_", "q97_", "q98_", "q156_",
+    "q168_", "q171_", "q174_")
+
+  /** The replica families the selected queries read (documents always).
+    * Recorded in [[SpillSmoke]]'s staging marker so a later run with
+    * DIFFERENT query args can detect an incompletely-staged replica
+    * instead of silently measuring against missing/stale files
+    * (round-18 advice). */
+  private[graft] def familiesFor(qs: Seq[String]): Set[String] = {
+    val b = Set.newBuilder[String]
+    b += "documents"
+    if (qs.exists(q => EventsQs.exists(q.startsWith))) b += "events"
+    if (qs.exists(q => FactQs.exists(q.startsWith))) b += "facts"
+    if (qs.exists(q => EmbQs.exists(q.startsWith))) b += "embeddings"
+    b.result()
+  }
+
   /** Generates the ×K replica families the selected queries read
     * (documents always; events / lineitem+orders / embeddings when a
     * selected query's family matches). Factored out of main so
     * [[SpillSmoke]] can stage the same replicas. */
   def generate(spark: SparkSession, base: String, outDir: String,
                k: Int, qs: Seq[String]): Unit = {
+    val fams = familiesFor(qs)
     val docs = Tables.documents(spark, base)
     val maxId = docs.agg(F.max("doc_id")).head().getLong(0) + 1L
     val salted = F.array_join(
@@ -81,8 +104,7 @@ object ScaleSmoke {
     // and the time range all grow ×K: the realistic "same workload,
     // K months later" growth, not a same-key pile-up. Skipped when no
     // selected query reads events.
-    if (qs.exists(q => Seq("q130_", "q131_", "q132_", "q133_", "q134_", "q24_",
-        "q28_", "q59_", "q142_", "q149_", "q161_", "q163_", "q172_", "q195_").exists(q.startsWith))) {
+    if (fams("events")) {
       val ev = Tables.events(spark, base)
       val b = ev.agg(F.max("user_id"), F.max("event_id"),
         F.expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")).head()
@@ -116,8 +138,7 @@ object ScaleSmoke {
     // scaled (that's the point of a dimension at 100 TB: it stays
     // broadcastable while facts grow); o_custkey passes through, so
     // customers just own k× the orders.
-    if (qs.exists(q => Seq("q147_", "q79_", "q01_", "q15_", "q37_",
-        "q115_", "q187_", "q197_").exists(q.startsWith))) {
+    if (fams("facts")) {
       val li = Tables.lineitem(spark, base)
       val b = li.agg(F.max("l_orderkey")).head()
       require(!b.isNullAt(0), s"lineitem table at $base is empty")
@@ -153,8 +174,7 @@ object ScaleSmoke {
     // would make every top-k a tie pile-up and semantic dedup a
     // degenerate clique) while the cluster geometry — what IVF
     // training and outlier scoring key on — stays the base corpus's.
-    if (qs.exists(q => Seq("q40_", "q48_", "q86_", "q97_", "q98_", "q156_",
-        "q168_", "q171_", "q174_").exists(q.startsWith))) {
+    if (fams("embeddings")) {
       val raw = spark.read.parquet(s"$base/embeddings.parquet")
       val elemSql = raw.schema("embedding").dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType]

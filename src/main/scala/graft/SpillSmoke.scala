@@ -63,13 +63,26 @@ import org.apache.spark.sql.SparkSession
 object SpillSmoke {
 
   /** Task-metrics spill accumulator (listener bus is async; callers
-    * settle it with a short drain sleep before reading). */
+    * settle it with a short drain sleep before reading). Per-query
+    * counters reset between queries; the GRAND totals never reset, so
+    * task-end events that straggle in after a drain read land in the
+    * totals rather than being zeroed away with the reset — per-query
+    * attribution is approximate in the short-drain suite sweep, the
+    * summed totals are exact (round-18 advice: the old summary summed
+    * the resettable counters and undercounted). `spark.stop()` drains
+    * the listener bus, so grand totals read after stop are complete. */
   private final class SpillListener extends SparkListener {
     val mem = new java.util.concurrent.atomic.AtomicLong
     val disk = new java.util.concurrent.atomic.AtomicLong
+    val grandMem = new java.util.concurrent.atomic.AtomicLong
+    val grandDisk = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) { mem.addAndGet(m.memoryBytesSpilled); disk.addAndGet(m.diskBytesSpilled) }
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled); disk.addAndGet(m.diskBytesSpilled)
+        grandMem.addAndGet(m.memoryBytesSpilled)
+        grandDisk.addAndGet(m.diskBytesSpilled)
+      }
     }
     def reset(): Unit = { mem.set(0); disk.set(0) }
   }
@@ -145,26 +158,52 @@ object SpillSmoke {
     // discipline everywhere else in this repo.
     val floorAllowed: Set[String] = if (allMode) Set("q187_pagerank") else Set()
 
-    // stage the ×10 replica once (separate unconstrained session)
+    // stage the ×10 replica once (separate unconstrained session).
+    // The _spill_ready marker is VALIDATED, not just probed: line 1
+    // records "<base> x<k>", later lines the staged family set. A
+    // different SPARK_GRAFT_SF_DIR against the same replica dir fails
+    // loudly (silently reusing it would measure the WRONG data); query
+    // args whose families the first run didn't stage trigger a
+    // restage of the union (round-18 advice — the old existence-only
+    // probe silently reused stale/incomplete replicas).
     if (!allMode) {
       val marker = java.nio.file.Paths.get(dir, "_spill_ready")
-      if (!java.nio.file.Files.exists(marker)) {
-        val s = session(constrained = false, cpus)
-        ScaleSmoke.generate(s, base, dir, k, qs)
-        s.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        java.nio.file.Files.createDirectories(marker.getParent)
-        java.nio.file.Files.write(marker, s"$base x$k".getBytes("UTF-8"))
+      val needed = ScaleSmoke.familiesFor(qs)
+      val prev: Option[(String, Set[String])] =
+        if (java.nio.file.Files.exists(marker)) {
+          val lines = new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8").trim.split("\n").toSeq
+          Some((lines.head, lines.drop(1).toSet))
+        } else None
+      prev match {
+        case Some((hdr, _)) if hdr != s"$base x$k" =>
+          sys.error(s"replica at $dir was staged as '$hdr' but this run " +
+            s"wants '$base x$k': delete $dir (or point " +
+            "SPARK_GRAFT_SPILL_DIR elsewhere) — reusing it would silently " +
+            "measure the wrong data")
+        case Some((_, staged)) if needed.subsetOf(staged) => () // complete
+        case _ =>
+          val sess = session(constrained = false, cpus)
+          ScaleSmoke.generate(sess, base, dir, k, qs) // stages `needed`
+          sess.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          java.nio.file.Files.createDirectories(marker.getParent)
+          val all = prev.map(_._2).getOrElse(Set.empty[String]) ++ needed
+          java.nio.file.Files.write(marker,
+            (s"$base x$k" +: all.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
       }
     }
 
-    def phase(constrained: Boolean): Map[String, (String, Long, Long, Double)] = {
+    def phase(constrained: Boolean)
+        : (Map[String, (String, Long, Long, Double)], (Long, Long)) = {
       val spark = session(constrained, cpus)
       val l = new SpillListener
       spark.sparkContext.addSparkListener(l)
       // per-query attribution needs a drained listener bus; the suite
-      // sweep trades exact attribution for wall time (the grand total
-      // is exact either way — the listener keeps counting)
+      // sweep trades exact attribution for wall time. The grand total
+      // stays exact because the listener's never-reset counters catch
+      // events that straggle past a drain read, and spark.stop()
+      // drains the bus before we read them.
       val drainMs = if (allMode) 150L else 1500L
       val out = qs.map { q =>
         l.reset()
@@ -180,20 +219,18 @@ object SpillSmoke {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      out
+      (out, (l.grandMem.get(), l.grandDisk.get()))
     }
 
-    val ref = phase(constrained = false)
-    val con = phase(constrained = true)
+    val (ref, _) = phase(constrained = false)
+    val (con, (totMem, totDisk)) = phase(constrained = true)
     var bad = 0
     var spillers = 0
-    var totMem = 0L; var totDisk = 0L
     qs.foreach { q =>
       val (hr, _, _, tr) = ref(q)
       val (hc, mem, disk, tc) = con(q)
       val spilled = mem + disk > 0
       if (spilled) spillers += 1
-      totMem += mem; totDisk += disk
       // the invariant: hash-identical OR a LOUD memory error on a
       // declared-floor query — never silently different data
       val verdict =

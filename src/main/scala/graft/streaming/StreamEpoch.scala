@@ -36,12 +36,31 @@ private[graft] object StreamEpoch {
   private[graft] var warnSink: String => Unit = msg => log.warn(msg)
 
   /** Strict parse of the SPARK_GRAFT_LINEAGE_UPGRADE knob: ONLY "1"
-    * or "true" (case-insensitive, trimmed) enable the window. A bare
-    * presence check would read `=0` / `=false` — an operator's
-    * attempt to DISABLE it — as enabled, silently leaving the
-    * wiped-checkpoint mis-skip hazard open (round-17 advice). */
+    * or "true" (case-insensitive, trimmed) enable the window, ONLY
+    * "0" / "false" / "" disable it. A bare presence check would read
+    * `=0` / `=false` — an operator's attempt to DISABLE it — as
+    * enabled, silently leaving the wiped-checkpoint mis-skip hazard
+    * open (round-17 advice); and a strict-but-SILENT parse has the
+    * mirror failure (round-18 advice): the crossing deploy run with a
+    * habitual `=yes` / `=on` would get NO window and NO warning, so
+    * its crashed pre-upgrade batch replays without raw-id
+    * self-exclusion — the exact dropped-survivors hazard the knob
+    * exists to prevent. An unrecognized non-empty spelling therefore
+    * REFUSES loudly instead of guessing either way. */
   private[graft] def upgradeKnob(v: Option[String]): Boolean =
-    v.map(_.trim).exists(s => s == "1" || s.equalsIgnoreCase("true"))
+    v.map(_.trim) match {
+      case None => false
+      case Some(s) if s == "1" || s.equalsIgnoreCase("true") => true
+      case Some(s) if s == "0" || s.equalsIgnoreCase("false") || s.isEmpty => false
+      case Some(s) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_LINEAGE_UPGRADE='$s' is not a recognized value. " +
+          "Use 1/true to open the lineage-upgrade window for the one " +
+          "crossing deploy, 0/false (or unset) to keep it closed. " +
+          "Refusing to guess: treating this as ON would leave the window " +
+          "open forever if it was a disable attempt; treating it as OFF " +
+          "would silently drop the raw-id self-exclusion a crossing " +
+          "deploy's crashed-batch replay depends on.")
+    }
 
   /** The env-derived default for the streams' `lineageUpgrade` knob. */
   private[graft] def upgradeKnobFromEnv: Boolean =
@@ -97,16 +116,9 @@ private[graft] object StreamEpoch {
         spark.sessionState.sqlParser.parseTableIdentifier(indexTable)).location)
     val p = new org.apache.hadoop.fs.Path(loc, "_upgrade_crossing")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      try {
-        val out = fs.create(p, false)
-        try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } catch { case _: java.io.IOException => () } // lost the race — compare below
-    }
-    val in = fs.open(p)
-    val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-               finally in.close()
+    if (!fs.exists(p)) writeMarkerAtomic(fs, p, queryId)
+    val prev = readMarker(fs, p, "_upgrade_crossing",
+      "the next knob-on probe rewrites it for its own lineage")
     if (prev != queryId)
       throw new IllegalStateException(
         s"lineage-upgrade window on index $indexTable already served lineage " +
@@ -204,10 +216,11 @@ private[graft] object StreamEpoch {
     * (round-17 advice; silent adoption previously re-opened the wipe
     * hole for every dir written before the marker existed).
     *
-    * Object-store contract: `create(overwrite = false)` is atomic on
-    * HDFS and local filesystems but CHECK-THEN-ACT on S3A, so two new
-    * queries racing on the same fresh dir could both "win" creation
-    * there. The read-back below NARROWS that to at most one in-flight
+    * Object-store contract: the marker commits via temp-write +
+    * `rename` ([[writeMarkerAtomic]]) — atomic and
+    * refuse-if-destination-exists on HDFS and local filesystems but
+    * CHECK-THEN-ACT (copy+delete) on S3A, so two new queries racing
+    * on the same fresh dir could both "win" creation there. The read-back below NARROWS that to at most one in-flight
     * batch, it does not close it: S3 is strongly consistent, so once
     * both PUTs have landed every GET returns the last writer and at
     * most one racer matches — but a racer whose GET interleaves
@@ -235,17 +248,13 @@ private[graft] object StreamEpoch {
             s"union of lineage dirs) or delete $outDir to discard the old " +
             "state. Adopting silently would let restarted batch ids " +
             "overwrite the old dirs and mis-skip exactly-once watermarks.")
-      // first-writer-wins: create with overwrite=false is atomic on
-      // HDFS-like stores; on S3A the read-back below arbitrates
-      try {
-        val out = fs.create(p, false)
-        try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } catch { case _: java.io.IOException => () } // lost the race — compare below
+      // first-writer-wins: temp write + rename (see writeMarkerAtomic);
+      // on S3A the read-back below arbitrates
+      writeMarkerAtomic(fs, p, queryId)
     }
-    val in = fs.open(p)
-    val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-               finally in.close()
+    val prev = readMarker(fs, p, "_lineage",
+      "if the dir holds prior content the next run will then ask for the " +
+        "usual attestation")
     if (prev != queryId)
       throw new IllegalStateException(
         s"output dir $outDir belongs to streaming lineage $prev, but this " +
@@ -256,5 +265,49 @@ private[graft] object StreamEpoch {
           "a FRESH directory (outputs compose as the union of lineage " +
           s"dirs), restore the original checkpoint, or delete $outDir to " +
           "discard the old state.")
+  }
+
+  /** First-writer-wins marker commit, crash-atomic. The previous
+    * `create(p) → write → close` could crash between create and close
+    * (or, on HDFS, be read by a concurrent prober before close),
+    * leaving an EMPTY marker that every later probe reads as lineage
+    * "" — a permanent refusal whose message names a blank lineage and
+    * prescribes the wrong remedy (round-18 advice). Content now lands
+    * in a dot-prefixed temp sibling (invisible to [[hasPriorContent]]
+    * and to Spark's readers) and RENAMES into place: rename is the
+    * FS-atomic commit, and Hadoop's rename contract refuses an
+    * existing destination, preserving first-writer-wins — a loser just
+    * deletes its temp and falls through to the read-back comparison. */
+  private def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path,
+                                content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // lost the race — compare below
+    } catch {
+      case _: java.io.IOException => // lost the race — compare below
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Marker read-back with corrupt-marker detection: an empty marker
+    * can no longer be WRITTEN by this code (temp+rename above), but
+    * one left by a pre-fix crash or a truncated manual copy must fail
+    * with ITS OWN remedy, not masquerade as a refusal by lineage "". */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path,
+                         what: String, afterDelete: String): String = {
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+    if (s.isEmpty) throw new IllegalStateException(
+      s"$what marker at $p is EMPTY — corrupt (crash mid-write under a " +
+        "pre-atomic-commit version, or a truncated copy), not a real " +
+        s"lineage record. Delete the marker ($p) and re-run: $afterDelete.")
+    s
   }
 }

@@ -44,4 +44,27 @@ class DetAuditSpec extends AnyFunSuite {
       "partitioning-sensitive output (rerun `runMain graft.DetAudit` " +
         s"for the full sweep):\n${bad.mkString("\n")}")
   }
+
+  test("canonical hash: no boundary forgery at column, row, or array-element level") {
+    import spark.implicits._
+    def h(df: org.apache.spark.sql.DataFrame) = DetAudit.canonicalHash(df)
+    // column boundary (r17 fix): values sliding across columns differ
+    assert(h(Seq(("ab", "c")).toDF("a", "b"))
+      != h(Seq(("a", "bc")).toDF("a", "b")))
+    // row boundary (r18 fix): one row vs the same text split in two —
+    // even with the NUL column separator embedded in a value
+    assert(h(Seq("x" + 0.toChar + "y").toDF("a"))
+      != h(Seq("x", "y").toDF("a")))
+    // array-element boundary (r18 advice): a comma join read these
+    // identically; per-element hashing must not
+    assert(h(Seq(Tuple1(Seq("a,b"))).toDF("a"))
+      != h(Seq(Tuple1(Seq("a", "b"))).toDF("a")))
+    // ...and there is no in-band separator left to forge at all: a
+    // NUL INSIDE an element cannot merge two elements either
+    assert(h(Seq(Tuple1(Seq("a" + 0.toChar + "b"))).toDF("a"))
+      != h(Seq(Tuple1(Seq("a", "b"))).toDF("a")))
+    // equal content still hashes equal regardless of row order
+    assert(h(Seq(("r1", 1), ("r2", 2)).toDF("a", "n"))
+      == h(Seq(("r2", 2), ("r1", 1)).toDF("a", "n")))
+  }
 }

@@ -144,7 +144,7 @@ class StreamEpochSpec extends AnyFunSuite {
     } // and an attested dir under a LATER wipe still refuses
   }
 
-  test("upgrade knob parses strictly: only 1/true enable the window") {
+  test("upgrade knob parses strictly: only 1/true enable, only 0/false/empty disable, anything else refuses loudly") {
     // an operator 'disabling' the knob with =0 or =false must actually
     // disable it — bare presence is NOT enablement (round-17 advice #1)
     assert(StreamEpoch.upgradeKnob(Some("1")))
@@ -155,8 +155,61 @@ class StreamEpochSpec extends AnyFunSuite {
     assert(!StreamEpoch.upgradeKnob(Some("false")))
     assert(!StreamEpoch.upgradeKnob(Some("FALSE")))
     assert(!StreamEpoch.upgradeKnob(Some("")))
-    assert(!StreamEpoch.upgradeKnob(Some("yes"))) // unknown → safe side
     assert(!StreamEpoch.upgradeKnob(None))
+    // an UNRECOGNIZED spelling must refuse, not silently pick a side:
+    // `=yes` silently-OFF would strip the crossing deploy's raw-id
+    // self-exclusion with no warning; silently-ON would be the old
+    // presence bug again (round-18 advice, medium)
+    for (bad <- Seq("yes", "on", "enabled", "2", "tru")) {
+      val e = intercept[IllegalArgumentException] {
+        StreamEpoch.upgradeKnob(Some(bad))
+      }
+      assert(e.getMessage.contains(bad)
+        && e.getMessage.contains("SPARK_GRAFT_LINEAGE_UPGRADE"), e.getMessage)
+    }
+  }
+
+  test("lineage markers are crash-atomic: an empty (pre-fix-crash) marker fails with a corrupt-marker remedy, and no temp debris survives a commit") {
+    // an empty _lineage left by a crash mid-write must not read as a
+    // refusal by lineage "" with the wrong remedy (round-18 advice)
+    val dir = java.nio.file.Files.createTempDirectory("sepoch_corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_lineage"),
+      Array.emptyByteArray)
+    val e = intercept[IllegalStateException] {
+      StreamEpoch.ensureLineage(spark, dir, "qid-x")
+    }
+    assert(e.getMessage.contains("EMPTY") && e.getMessage.contains("Delete"),
+      e.getMessage)
+    // remedy works: delete the corrupt marker, re-run adopts (dir has
+    // no visible content) and the committed marker is complete
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_lineage"))
+    StreamEpoch.ensureLineage(spark, dir, "qid-x")
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.contains("_lineage"), names)
+    assert(!names.exists(_.contains(".tmp-")), s"temp debris left: $names")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_lineage")), "UTF-8") == "qid-x")
+    // same corrupt-marker handling on the index-side _upgrade_crossing
+    val tbl = "sepoch_corrupt_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (bucket BIGINT) USING parquet")
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl)).location.getPath
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(loc, "_upgrade_crossing"), Array.emptyByteArray)
+    val oldWarn = StreamEpoch.warnSink
+    StreamEpoch.warnSink = _ => ()
+    try {
+      val e2 = intercept[IllegalStateException] {
+        StreamEpoch.upgradeWindow(spark, tbl, "lin-X", "TestSink")
+      }
+      assert(e2.getMessage.contains("EMPTY") && e2.getMessage.contains("Delete"),
+        e2.getMessage)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(loc, "_upgrade_crossing"))
+      StreamEpoch.upgradeWindow(spark, tbl, "lin-X", "TestSink") // rewrites
+    } finally StreamEpoch.warnSink = oldWarn
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("upgrade window: WARNs every knob-on batch; a SECOND distinct lineage under a still-set knob refuses") {

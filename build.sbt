@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g GC-thrashes at local[32] once queries materialize string-heavy
   // columns (the honest noop-write harness does); the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // ad-hoc diagnostics for the forked runner (JFR, LogCompilation,
+  // CompileCommand …) without editing this file — space-separated
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS")
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

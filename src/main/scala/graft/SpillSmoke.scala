@@ -56,7 +56,11 @@ import org.apache.spark.sql.SparkSession
   *   - exact percentiles (q37) buffer ALL group values as JVM objects
   *     inside a TypedImperativeAggregate — unspillable by design,
   *     which is WHY q93's mergeable sketch is the declared scale path;
-  *     deliberately not in this list.
+  *     deliberately not in this list. Its floor is measured by its own
+  *     harness ([[PercentileHeapSmoke]], r19): ~1M distinct doubles
+  *     per group per 512 MiB heap, loud task-level OOM beyond — this
+  *     smoke's `spark.testing.memory` knob cannot reach plain-heap
+  *     aggregate state.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.SpillSmoke
   */

@@ -217,10 +217,11 @@ private[graft] object StreamEpoch {
     * hole for every dir written before the marker existed).
     *
     * Object-store contract: the marker commits via temp-write +
-    * `rename` ([[writeMarkerAtomic]]) — atomic and
-    * refuse-if-destination-exists on HDFS and local filesystems but
-    * CHECK-THEN-ACT (copy+delete) on S3A, so two new queries racing
-    * on the same fresh dir could both "win" creation there. The read-back below NARROWS that to at most one in-flight
+    * `rename` ([[writeMarkerAtomic]]) — atomic everywhere, and
+    * refuse-if-destination-exists on HDFS; the local filesystem's
+    * POSIX rename replaces an existing destination and S3A is
+    * copy+delete, so on those two stores racing queries could both
+    * "win" creation. The read-back below NARROWS that to at most one in-flight
     * batch, it does not close it: S3 is strongly consistent, so once
     * both PUTs have landed every GET returns the last writer and at
     * most one racer matches — but a racer whose GET interleaves
@@ -275,9 +276,16 @@ private[graft] object StreamEpoch {
     * prescribes the wrong remedy (round-18 advice). Content now lands
     * in a dot-prefixed temp sibling (invisible to [[hasPriorContent]]
     * and to Spark's readers) and RENAMES into place: rename is the
-    * FS-atomic commit, and Hadoop's rename contract refuses an
-    * existing destination, preserving first-writer-wins — a loser just
-    * deletes its temp and falls through to the read-back comparison. */
+    * FS-atomic commit, so a crash can no longer leave a PARTIAL
+    * marker anywhere. First-writer-wins exclusivity is
+    * filesystem-graded, same as before the change: HDFS rename
+    * refuses an existing destination (exact); the local filesystem's
+    * POSIX rename REPLACES one (last-writer-wins — but the previous
+    * `create(overwrite=false)` was check-then-act there too, so this
+    * is no weaker); S3A is copy+delete. On every store the read-back
+    * comparison both racers fall through to is what arbitrates, and
+    * the per-micro-batch re-check bounds a mixed outcome to one
+    * batch — see [[ensureLineage]]'s object-store contract note. */
   private def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
                                 p: org.apache.hadoop.fs.Path,
                                 content: String): Unit = {

@@ -36,7 +36,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    generate(spark, base, outDir, k, qs)
+    ensureStaged(spark, base, outDir, k, qs)
 
     def time(q: String, dir: String, tag: String): Unit = {
       val runs = (1 to 2).map { _ =>
@@ -50,6 +50,57 @@ object ScaleSmoke {
     }
     qs.foreach { q => time(q, base, "base"); time(q, outDir, s"${k}x") }
     spark.stop()
+  }
+
+  /** Replica-staging marker machinery, shared with [[SpillSmoke]]:
+    * line 1 records "<base> x<K>", later lines the staged family set.
+    * A matching marker skips regeneration entirely (the r18 main
+    * regenerated on EVERY invocation — minutes per 100x run); query
+    * args needing unstaged families restage the union; a different
+    * base or K fails loudly rather than silently measuring the wrong
+    * replica (round-18 advice, generalized from SpillSmoke). Markers
+    * are local-FS (replicas always live under target/). */
+  private[graft] def readReplicaMarker(dir: String)
+      : Option[(String, Set[String])] = {
+    val marker = java.nio.file.Paths.get(dir, "_replica_ready")
+    if (!java.nio.file.Files.exists(marker)) None
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8").trim.split("\n").toSeq
+      Some((lines.head, lines.drop(1).toSet))
+    }
+  }
+
+  private[graft] def writeReplicaMarker(dir: String, base: String, k: Int,
+                                        fams: Set[String]): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "_replica_ready")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker,
+      (s"$base x$k" +: fams.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Marker-validated stage-or-reuse on a LIVE session. Returns true
+    * when staging ran (caller may want to re-warm). */
+  private[graft] def ensureStaged(spark: SparkSession, base: String,
+                                  outDir: String, k: Int,
+                                  qs: Seq[String]): Boolean = {
+    val needed = familiesFor(qs)
+    readReplicaMarker(outDir) match {
+      case Some((hdr, _)) if hdr != s"$base x$k" =>
+        sys.error(s"replica at $outDir was staged as '$hdr' but this run " +
+          s"wants '$base x$k': delete $outDir (or point the replica dir " +
+          "env var elsewhere) — reusing it would silently measure the " +
+          "wrong data")
+      case Some((_, staged)) if needed.subsetOf(staged) =>
+        println(s"SCALE reusing staged replica at $outDir " +
+          s"(${needed.toSeq.sorted.mkString(",")})")
+        false
+      case prev =>
+        generate(spark, base, outDir, k, qs)
+        writeReplicaMarker(outDir, base, k,
+          prev.map(_._2).getOrElse(Set.empty[String]) ++ needed)
+        true
+    }
   }
 
   private val EventsQs = Seq("q130_", "q131_", "q132_", "q133_", "q134_",

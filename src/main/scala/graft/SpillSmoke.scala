@@ -162,39 +162,25 @@ object SpillSmoke {
     // discipline everywhere else in this repo.
     val floorAllowed: Set[String] = if (allMode) Set("q187_pagerank") else Set()
 
-    // stage the ×10 replica once (separate unconstrained session).
-    // The _spill_ready marker is VALIDATED, not just probed: line 1
-    // records "<base> x<k>", later lines the staged family set. A
-    // different SPARK_GRAFT_SF_DIR against the same replica dir fails
-    // loudly (silently reusing it would measure the WRONG data); query
-    // args whose families the first run didn't stage trigger a
-    // restage of the union (round-18 advice — the old existence-only
+    // stage the ×10 replica once (separate unconstrained session),
+    // marker-validated: a different SPARK_GRAFT_SF_DIR against the
+    // same replica dir fails loudly, query args whose families the
+    // first run didn't stage trigger a restage of the union (shared
+    // ScaleSmoke machinery; round-18 advice — the old existence-only
     // probe silently reused stale/incomplete replicas).
     if (!allMode) {
-      val marker = java.nio.file.Paths.get(dir, "_spill_ready")
-      val needed = ScaleSmoke.familiesFor(qs)
-      val prev: Option[(String, Set[String])] =
-        if (java.nio.file.Files.exists(marker)) {
-          val lines = new String(java.nio.file.Files.readAllBytes(marker),
-            "UTF-8").trim.split("\n").toSeq
-          Some((lines.head, lines.drop(1).toSet))
-        } else None
-      prev match {
-        case Some((hdr, _)) if hdr != s"$base x$k" =>
-          sys.error(s"replica at $dir was staged as '$hdr' but this run " +
-            s"wants '$base x$k': delete $dir (or point " +
-            "SPARK_GRAFT_SPILL_DIR elsewhere) — reusing it would silently " +
-            "measure the wrong data")
-        case Some((_, staged)) if needed.subsetOf(staged) => () // complete
-        case _ =>
-          val sess = session(constrained = false, cpus)
-          ScaleSmoke.generate(sess, base, dir, k, qs) // stages `needed`
+      val needStage = ScaleSmoke.readReplicaMarker(dir) match {
+        case Some((hdr, _)) if hdr != s"$base x$k" => true // fails below
+        case Some((_, staged)) => !ScaleSmoke.familiesFor(qs).subsetOf(staged)
+        case None => true
+      }
+      if (needStage) {
+        val sess = session(constrained = false, cpus)
+        try ScaleSmoke.ensureStaged(sess, base, dir, k, qs)
+        finally {
           sess.stop()
           SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-          java.nio.file.Files.createDirectories(marker.getParent)
-          val all = prev.map(_._2).getOrElse(Set.empty[String]) ++ needed
-          java.nio.file.Files.write(marker,
-            (s"$base x$k" +: all.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+        }
       }
     }
 

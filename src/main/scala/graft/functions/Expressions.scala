@@ -50,6 +50,12 @@ object NativeExprs {
     toCol(NearestCentroid(toExpr(e), centroids))
   def sampleDistSums(e: Column, samples: Array[Array[Array[Double]]]): Column =
     toCol(SampleDistSums(toExpr(e), samples))
+  def centroidDists(e: Column, centroids: Array[Array[Double]], sqrt: Boolean): Column =
+    toCol(CentroidDists(toExpr(e), centroids, sqrt))
+  def dotW(x: Column, weights: Array[Double]): Column =
+    toCol(DotW(toExpr(x), weights))
+  def minSqDist(e: Column, centroids: Array[Array[Double]]): Column =
+    toCol(MinSqDist(toExpr(e), centroids))
   def sigMatches(a: Column, b: Column): Column =
     toCol(SigMatches(toExpr(a), toExpr(b)))
   def shingleHashes(tokens: Column, n: Int): Column =
@@ -620,6 +626,114 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** Dot product against an expression-static weight vector (q105/q175
+  * logistic regression: p = σ(w·x) map-side per GD iteration). The
+  * weights ride addReferenceObj, so the generated source — and hence
+  * the codegen class cache key — is identical across iterations;
+  * scalar weight literals would recompile the stage once per
+  * iteration. Fold order matches the HOF form (left fold from 0.0) so
+  * the fit trajectory is bit-identical. Input must be array<double>
+  * of at least the weights' length (the features builder emits fixed
+  * Dim-length arrays; null input yields null). */
+case class DotW(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dot_w expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_w"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.dotW(v.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.dotW($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DotW = copy(child = c)
+}
+
+/** Distance from the input vector to EVERY centroid (squared L2, or
+  * L2 when `sqrt`) in one codegen'd kernel call — replaces K
+  * interpreted aggregate/zip_with HOF chains per row in the
+  * silhouette / seeding passes. Null contract matches
+  * [[NearestCentroid]]: null on dimensionality mismatch. */
+case class CentroidDists(child: Expression, centroids: Array[Array[Double]],
+                         sqrt: Boolean)
+    extends UnaryExpression {
+
+  private val dim = if (centroids.nonEmpty) centroids(0).length else 0
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_dists expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_dists"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    if (e.numElements() != dim) null
+    else SketchKernels.centroidDists(e, centroids, sqrt)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() != $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.centroidDists($c, $ref, $sqrt); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CentroidDists = copy(child = c)
+}
+
+/** Squared L2 distance to the NEAREST centroid — the value twin of
+  * [[NearestCentroid]] (k-means assignment cost / farthest-point
+  * seeding hot path), one codegen'd kernel call instead of K
+  * interpreted HOF chains folded through `least`. Null on
+  * dimensionality mismatch, like the HOF form (whose zip_with
+  * null-pads a length mismatch into a null sum). */
+case class MinSqDist(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val dim = if (centroids.nonEmpty) centroids(0).length else 0
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_sq_dist expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "min_sq_dist"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    if (e.numElements() != dim) null
+    else SketchKernels.minSqDist(e, centroids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() != $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.SketchKernels.minSqDist($c, $ref); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinSqDist = copy(child = c)
 }
 
 /** Per-cluster sums of L2 distances from the input vector to each

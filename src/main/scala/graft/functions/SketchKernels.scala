@@ -308,6 +308,72 @@ object SketchKernels {
     best
   }
 
+  /** w·x against an expression-static weight vector — ((0 + x₀w₀) +
+    * x₁w₁) + … left fold, bit-identical to the HOF aggregate/zip_with
+    * form it replaces (q105/q175 logreg). The weights ride the
+    * serialized plan via addReferenceObj, so the generated source is
+    * IDENTICAL across gradient-descent iterations and the codegen
+    * cache compiles the per-iteration plan once, not once per
+    * iteration (scalar literals recompiled it every iteration — the
+    * measured per-iteration floor). Mismatched lengths fold over the
+    * shorter prefix, like zip_with's null-pad + null-skipping sum
+    * never happens for the fixed-Dim feature arrays this serves;
+    * length equality is the caller's contract. */
+  def dotW(x: ArrayData, w: Array[Double]): Double = {
+    val n = math.min(x.numElements(), w.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * w(i); i += 1 }
+    s
+  }
+
+  /** Squared L2 distance from `e` to EACH centroid, optionally √'d —
+    * one fused loop replacing K interpreted HOF aggregate/zip_with
+    * chains per row (the q168 all-centroid distance pass). Same
+    * per-element fold order as [[nearestCentroid]] (and as the HOF
+    * form it replaces), so the sums are bit-identical. */
+  def centroidDists(e: ArrayData, centroids: Array[Array[Double]],
+                    sqrt: Boolean): ArrayData = {
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(e.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = cent(i) - e.getDouble(i); s += d * d; i += 1 }
+      out(c) = if (sqrt) math.sqrt(s) else s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Squared L2 distance from `e` to the NEAREST centroid — the value
+    * twin of [[nearestCentroid]]'s argmin (the k-means assignment /
+    * seeding hot path). Identical scan order ⇒ identical min. */
+  def minSqDist(e: ArrayData, centroids: Array[Array[Double]]): Double = {
+    // `least` semantics on the degenerate doubles (the HOF fold this
+    // replaces): NaN is greater than any number, so the min is over
+    // the non-NaN distances and only an all-NaN input yields NaN;
+    // +Infinity seeds the min so an all-infinite input returns Inf
+    var bestD = Double.PositiveInfinity
+    var seen = false
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(e.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = cent(i) - e.getDouble(i); s += d * d; i += 1 }
+      if (!java.lang.Double.isNaN(s)) {
+        seen = true
+        if (s < bestD) bestD = s
+      }
+      c += 1
+    }
+    if (!seen) Double.NaN else bestD
+  }
+
   /** Per-cluster SUM of L2 distances from `e` to each cluster's
     * sampled vectors — the q171 sampled-silhouette kernel: one tight
     * loop over K×m expression-static vectors (a few hundred — rides

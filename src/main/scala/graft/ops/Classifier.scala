@@ -56,7 +56,11 @@ object Classifier {
     val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
     val stopRatio = size(expr(s"filter(split(text, ' '), t -> t IN $stopList)"))
       .cast("double") / nTok
-    val awl = length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / nTok
+    // non-space char count = length − separator count (split with the
+    // default -1 limit keeps trailing empties, so separators are
+    // exactly size(t) − 1): drops a full regex pass over every char
+    // (r19; value identical to the old regexp_replace strip)
+    val awl = (length(col("text")) - (size(t) - lit(1))).cast("double") / nTok
     val noise = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":lbl"))), 1, 2),
       16, 10).cast("int")
     val cleanY = (nTok > LabelTokenThreshold).cast("int")
@@ -66,8 +70,17 @@ object Classifier {
       array(lit(1.0), nTok / 100.0, stopRatio, awl / 10.0).as("x"))
   }
 
+  /** w·x via the codegen'd [[graft.functions.DotW]] kernel (r19: was
+    * an interpreted aggregate/zip_with HOF chain per row per
+    * iteration). Two wins: the fused loop itself, and — the measured
+    * one — the weights ride addReferenceObj instead of being inlined
+    * as scalar literals, so all `iters` per-iteration plans share ONE
+    * generated class instead of recompiling codegen every iteration.
+    * Fold order matches the HOF form; the fit trajectory is
+    * bit-identical (ClassifierSpec pins it against a driver-computed
+    * gradient). */
   private def dot(x: Column, w: Array[Double]): Column =
-    aggregate(zip_with(x, typedLit(w.toSeq), (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExprs.dotW(x, w)
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
@@ -88,26 +101,31 @@ object Classifier {
     var it = 0
     while (it < iters) {
       val p = sigmoid(dot(col("x"), w))
+      // ONE flat global aggregation per iteration (r19: was posexplode
+      // ×Dim + groupBy(dim) — a ×Dim row blowup through an exploded
+      // hash-agg exchange every iteration). Dim is statically known,
+      // so the gradient components are Dim scalar sums riding one
+      // single-row partial-agg shuffle; per-row terms, their order,
+      // and the loss expression are unchanged, so the sums match the
+      // old form bit-for-bit on any fixed partitioning.
+      val gradCols = (0 until Dim).map(j =>
+        sum(element_at(col("x"), j + 1) * (col("p") - col("y"))).as(s"g$j"))
+      val lossCol = sum(
+        -col("y") * log(col("p") + eps)
+          - (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps)).as("l0")
+      val aggCols = gradCols ++ Seq(lossCol, count(lit(1)).as("n"))
       val rows = feats
-        .select(col("y"), p.as("p"), posexplode(col("x")).as(Seq("dim", "xv")))
-        .groupBy(col("dim"))
-        .agg(
-          sum(col("xv") * (col("p") - col("y"))).as("g"),
-          sum(when(col("dim") === 0,
-            -col("y") * log(col("p") + eps)
-              - (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps))).as("l0"),
-          count(lit(1)).as("n"))
+        .select(col("y"), p.as("p"), col("x"))
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
       // named precondition (the Pca.moments/Pq.trainCodebooks
       // discipline) instead of an opaque 'next on empty iterator'
-      require(rows.nonEmpty, "logregFit needs a non-empty features frame")
-      val n = rows.head.getLong(3).toDouble
+      val n = rows.head.getLong(Dim + 1).toDouble
+      require(n > 0, "logregFit needs a non-empty features frame")
       val grad = new Array[Double](Dim)
-      var loss = 0.0
-      rows.foreach { r =>
-        grad(r.getInt(0)) = r.getDouble(1) / n
-        if (r.getInt(0) == 0) loss = r.getDouble(2) / n
-      }
+      var j0 = 0
+      while (j0 < Dim) { grad(j0) = rows.head.getDouble(j0) / n; j0 += 1 }
+      val loss = rows.head.getDouble(Dim) / n
       losses += loss
       var j = 0
       while (j < Dim) { w(j) -= lr * grad(j); j += 1 }

@@ -52,16 +52,17 @@ object Cluster {
   private def emb(s: SparkSession, d: String): DataFrame =
     graft.Tables.embeddingVectors(s, d)
 
-  /** Squared L2 distance from an array<double> column to a literal
-    * centroid (HOF form — cold path: seeding + per-iteration cost
-    * bookkeeping, never the hot assignment which uses the codegen'd
-    * NearestCentroid). */
-  private def sqDistTo(e: Column, c: Array[Double]): Column =
-    aggregate(zip_with(e, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
+  /** Squared L2 distance from an array<double> column to the nearest
+    * of the literal centroids — codegen'd kernel
+    * ([[graft.functions.MinSqDist]]). r19 optimization: the previous
+    * HOF form (one aggregate/zip_with chain per centroid folded
+    * through `least`) evaluated K interpreted lambda chains per row in
+    * every seeding pass, every Lloyd iteration, and the final scoring
+    * — the fit's hottest expression. The kernel keeps the identical
+    * per-element fold order and `least` NaN semantics, so the values
+    * are bit-identical (ClusterSpec pins fit determinism). */
   private def minSqDist(e: Column, cents: Array[Array[Double]]): Column =
-    cents.map(c => sqDistTo(e, c)).reduce(least(_, _))
+    graft.functions.NativeExprs.minSqDist(e, cents)
 
   /** Farthest-point seeding: seed 1 is the min-content-hash vector
     * (layout-unbiased, like Ivf.sampleVectors); each further seed is
@@ -117,7 +118,16 @@ object Cluster {
     require(top.nonEmpty,
       "kmeansDistributed: no non-null embeddings to fit a model on")
     val dim = top(0).getInt(0)
+    // persisted for the fit's lifetime (r19 optimization): seeding is
+    // k−1 full passes and each Lloyd iteration one more — uncached,
+    // every pass re-reads parquet and re-casts float→double (measured
+    // ~0.16 s/pass at sf0.1; at scale it re-reads the corpus). The
+    // cache holds only (vec_id, e) and is released before returning,
+    // so the fit leaves no storage footprint behind (MEMORY_AND_DISK:
+    // spills, never OOMs).
     val clean = vecs.filter(col("e").isNotNull && size(col("e")) === dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var cents = farthestPointSeeds(clean, k)
     require(cents(0).length == dim, "seeding must follow the guard")
     val costs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -148,6 +158,7 @@ object Cluster {
       it += 1
     }
     KmeansModel(cents, costs.toSeq)
+    } finally clean.unpersist()
   }
 
   /** q97: full-corpus k-means summary — per-cluster exact size and
@@ -259,7 +270,10 @@ object Cluster {
     val m = kmeansDistributed(vecs, k)
     require(m.centroids.length >= 2,
       s"silhouette needs >= 2 clusters, fit found ${m.centroids.length}")
-    val dists = array(m.centroids.map(c => sqrt(sqDistTo(col("e"), c))).toIndexedSeq: _*)
+    // all-centroid L2 distances in ONE codegen'd kernel call (r19: was
+    // K interpreted HOF chains per row); same fold order + math.sqrt ⇒
+    // bit-identical values
+    val dists = graft.functions.NativeExprs.centroidDists(col("e"), m.centroids, sqrt = true)
     vecs
       .select(
         graft.functions.NativeExprs.nearestCentroid(col("e"), m.centroids).as("cluster"),

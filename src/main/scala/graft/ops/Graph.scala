@@ -54,6 +54,16 @@ object Graph {
     df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Node-count ceiling below which the rank/contrib/out-weight frames
+    * (all node-domain sized, ~16 B/row) are broadcast into their joins
+    * instead of shuffle-joined. 2²¹ nodes ≈ a few tens of MB framed —
+    * comfortably inside executor memory and far under Spark's 8 GB /
+    * 512M-row broadcast cap (guide §3.1: "a few hundred MB is usually
+    * fine"). Overridable via spark.graft.pagerank.broadcastNodes; a
+    * 100 TB host graph (≥10⁸ nodes) exceeds any sane setting and takes
+    * the shuffle path unchanged. */
+  val BroadcastNodeLimit: Long = 1L << 21
+
   def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // loop-invariant frames are EAGERLY checkpointed (the q69 CC-loop
     // discipline): without this the final plan re-derives the whole
@@ -62,15 +72,31 @@ object Graph {
     // (plus the flow checkpoint in the caller)
     val nodesC = ckpt(nodes)
     val n = nodesC.count()
+    // JOIN STRATEGY, decided from the measured node count (r19, guide
+    // §3.1): every per-round join pairs the EDGE-domain transition
+    // table against a NODE-domain frame (rank, contrib, out-weights).
+    // The node-domain side is checkpoint/shuffle-derived, so Catalyst
+    // has no usable size estimate and statically plans SortMergeJoin —
+    // 10 SMJs and 14 Sorts for a vector that is KB-to-MB sized here.
+    // n is already measured for the teleport term, so the decision is
+    // data-adaptive, not config: below the limit, broadcast the
+    // node-domain side (edges never move; the only exchange per round
+    // is the partial-aggregated inflow shuffle); above it, the
+    // original shuffle plan is unchanged.
+    val bcastNodes = nodes.sparkSession.conf
+      .getOption("spark.graft.pagerank.broadcastNodes")
+      .map(_.toLong).getOrElse(BroadcastNodeLimit)
+    def nodeSide(df: DataFrame): DataFrame =
+      if (n <= bcastNodes) broadcast(df) else df
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     // edge transition probabilities, computed once
-    val trans = ckpt(edges.join(outW, Seq("src"))
+    val trans = ckpt(edges.join(nodeSide(outW), Seq("src"))
       .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p")))
     var rank = nodesC.select(col("id"), lit(1.0 / n).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = trans.join(rank.withColumnRenamed("id", "src"), Seq("src"))
+      val contrib = trans.join(nodeSide(rank.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("p") * col("r")).as("inflow"))
-      rank = nodesC.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+      rank = nodesC.join(nodeSide(contrib.withColumnRenamed("dst", "id")), Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1.0 - PrDamping) / n) +
             lit(PrDamping) * coalesce(col("inflow"), lit(0.0))).as("r"))

@@ -662,6 +662,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q199_exact_dup_probe_index" -> ("threshold-1.0 candidate pairs — bounded by " +
         "the corpus dup spectrum (sig equality needs equal-token-set-or-" +
         "near-identical docs), broadcast for the exact-confirm rejoin"),
+      "q187_pagerank" -> ("node-domain frames (rank / contrib / out-weights), " +
+        "hinted only when the MEASURED node count n — already computed for " +
+        "the teleport term — is ≤ Graph.BroadcastNodeLimit; above the limit " +
+        "the hint is not applied and the shuffle plan is unchanged (r19)"),
     )
     val offenders = allQueryExecs.flatMap { case (name, qe) =>
       val hinted = qe.analyzed.collect {

@@ -54,6 +54,11 @@ object NativeExprs {
     toCol(CentroidDists(toExpr(e), centroids, sqrt))
   def dotW(x: Column, weights: Array[Double]): Column =
     toCol(DotW(toExpr(x), weights))
+  def dotCols(a: Column, b: Column): Column =
+    toCol(DotCols(toExpr(a), toExpr(b)))
+  def normL2(a: Column): Column = toCol(NormL2(toExpr(a)))
+  def applyBpeMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    toCol(ApplyBpeMerges(toExpr(syms), merges))
   def minSqDist(e: Column, centroids: Array[Array[Double]]): Column =
     toCol(MinSqDist(toExpr(e), centroids))
   def sigMatches(a: Column, b: Column): Column =
@@ -626,6 +631,146 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** Rank-ordered BPE merge-table application over a symbol array
+  * (q157 trainer iterations / q177 encode) in ONE codegen'd kernel
+  * call — replaces a foldLeft of per-merge interpreted aggregate HOFs
+  * whose inlined string literals ALSO forced a codegen recompile
+  * every training round (the merge table now rides addReferenceObj,
+  * so all rounds share one generated class). Greedy-leftmost
+  * semantics per merge, merges applied in rank order — bit-identical
+  * to the fold chain ([[SketchKernels.applyBpeMerges]]). An empty
+  * table is the identity. */
+case class ApplyBpeMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val lefts: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val rights: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._2)).toArray
+  @transient private lazy val joined: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1 + m._2)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"apply_bpe_merges expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "apply_bpe_merges"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.applyBpeMerges(v.asInstanceOf[ArrayData], lefts, rights, joined)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ut = "org.apache.spark.unsafe.types.UTF8String[]"
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts, ut)
+    val rRef = ctx.addReferenceObj("bpeRights", rights, ut)
+    val jRef = ctx.addReferenceObj("bpeJoined", joined, ut)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.applyBpeMerges($c, $lRef, $rRef, $jRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ApplyBpeMerges = copy(child = c)
+}
+
+/** Dot product of two array<double> COLUMNS in one codegen'd loop —
+  * the column-column twin of [[DotW]] (q86 centroid scoring, PCA
+  * projection: the centroid/component arrives per row from a join or
+  * broadcast, not as a plan constant). Fold order matches the HOF
+  * aggregate/zip_with form bit-for-bit ((0 + x₀y₀) + x₁y₁ + …); null
+  * on length mismatch, exactly like zip_with's null-padding folded
+  * into a null sum. */
+case class DotCols(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_cols expects two array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_cols"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotCols =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of an array<double> column in one codegen'd loop — replaces
+  * the interpreted HOF fold in [[graft.ops.Similarity.norm]] (paid per
+  * vector by every unitVectors caller). Same fold order
+  * (sqrt((0 + x₀²) + x₁² + …)) ⇒ bit-identical. */
+case class NormL2(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"norm_l2 expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_l2"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NormL2 = copy(child = c)
 }
 
 /** Dot product against an expression-static weight vector (q105/q175

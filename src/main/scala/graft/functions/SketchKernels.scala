@@ -308,6 +308,42 @@ object SketchKernels {
     best
   }
 
+  /** Greedy-leftmost application of a rank-ordered BPE merge table to
+    * a symbol array — the kernel behind [[graft.functions.ApplyBpeMerges]].
+    * Each merge (a, b) → ab replays EXACTLY the old per-merge
+    * interpreted fold (append x, unless the last emitted symbol is `a`
+    * and x is `b`, in which case the last becomes `ab`), merge after
+    * merge in rank order, so "aaa" under (a,a) is [aa, a] and the full
+    * table's output is bit-identical to the foldLeft-of-applyMerge
+    * chain it replaces (TextStatsSpec pins the trainer against a
+    * reference implementation). Null symbols never compare equal to a
+    * merge side (the old `===` yielded null ⇒ the append branch) and
+    * pass through unchanged. */
+  def applyBpeMerges(syms: ArrayData, lefts: Array[UTF8String],
+                     rights: Array[UTF8String],
+                     merged: Array[UTF8String]): ArrayData = {
+    val n = syms.numElements()
+    val cur = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { cur(i) = syms.getUTF8String(i); i += 1 }
+    var curLen = n
+    var m = 0
+    while (m < lefts.length) {
+      val a = lefts(m); val b = rights(m); val ab = merged(m)
+      var w = 0
+      var rd = 0
+      while (rd < curLen) {
+        val x = cur(rd)
+        if (w > 0 && a.equals(cur(w - 1)) && b.equals(x)) cur(w - 1) = ab
+        else { cur(w) = x; w += 1 }
+        rd += 1
+      }
+      curLen = w
+      m += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cur, curLen))
+  }
+
   /** w·x against an expression-static weight vector — ((0 + x₀w₀) +
     * x₁w₁) + … left fold, bit-identical to the HOF aggregate/zip_with
     * form it replaces (q105/q175 logreg). The weights ride the

@@ -780,12 +780,16 @@ object Ivf {
     * matching rankProbes' stable sort (IvfSpec pins the agreement). */
   private[graft] def probeClustersCol(e: Column, cents: Array[Array[Double]],
                                       nprobe: Int): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(typedLit(c.toSeq), e, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        lit(i).as("cid"))
-    }: _*)
+    // r19: the K per-centroid distances come from ONE codegen'd kernel
+    // call (graft.functions.CentroidDists — same fold order as the old
+    // per-centroid aggregate/zip_with HOF chains, bit-identical sums);
+    // only the constant-size struct assembly over K entries stays HOF.
+    // element_at(null, _) keeps the old per-element null-d structs for
+    // a wrong-dimension query row, so the sort/tie behavior on
+    // malformed input is unchanged.
+    val dists = graft.functions.NativeExprs.centroidDists(e, cents, sqrt = false)
+    val scored = transform(sequence(lit(0), lit(cents.length - 1)),
+      i => struct(element_at(dists, i + 1).as("d"), i.as("cid")))
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
   }
 

@@ -1609,7 +1609,20 @@ object Relational {
     * plan a 100 TB run wants (the Q21 EXISTS formulation costs two
     * extra fact self-joins on top). */
   def q147WaitingOrders(s: SparkSession, d: String): DataFrame = {
+    // r19 (guide §2.4 — share one exchange): everything from the
+    // per-supplier rollup through the verdict aggregation keys on
+    // l_orderkey, so establishing hash(l_orderkey) ONCE up front lets
+    // the (l_orderkey, l_suppkey) aggregation (subset-clustered), the
+    // order window, AND the verdict groupBy all reuse it — the old
+    // plan paid a second full exchange re-keying the rollup from
+    // (l_orderkey, l_suppkey) to l_orderkey. The traded partial
+    // aggregation is worthless here: (orderkey, suppkey) is nearly
+    // unique in lineitem (TPC-H multiplicity ~1), so the raw-row
+    // exchange is the same size the partial-agg exchange was, and one
+    // exchange replaces two. AQE still coalesces the partitions.
     val perSupp = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("supp_last"))
     val w = Window.partitionBy(col("l_orderkey"))
@@ -2127,11 +2140,25 @@ object Relational {
             col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(max(datediff(col("l_shipdate"), col("o_orderdate"))).as("lag_days"))
-    lag.groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-           round(expr("percentile(CAST(lag_days AS DOUBLE), 0.5D)"), 4).as("p50"),
-           round(expr("percentile(CAST(lag_days AS DOUBLE), 0.9D)"), 4).as("p90"),
-           round(avg(col("lag_days")), 4).as("mean_lag"))
+    // r19 (guide §2.3 — aggregate before you shuffle): lag_days is a
+    // small-domain integer, so the exact percentiles compute over the
+    // (priority, lag_days, count) digest via percentile's FREQUENCY
+    // form instead of buffering every per-order row in one
+    // ObjectHashAggregate task per priority (5 straggler tasks holding
+    // the whole fact's group rows — the unspillable exact-percentile
+    // shape q37's heap smoke measured). The frequency form sorts the
+    // distinct values and interpolates over cumulative counts —
+    // definitionally the same multiset, identical values (oracle
+    // hash re-verified at all three SFs); count and mean come back
+    // exactly from the same digest (integer sums).
+    val byLag = lag.groupBy(col("o_orderpriority"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
+    byLag.groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("n_orders"),
+           round(expr("percentile(CAST(lag_days AS DOUBLE), 0.5D, cnt)"), 4).as("p50"),
+           round(expr("percentile(CAST(lag_days AS DOUBLE), 0.9D, cnt)"), 4).as("p90"),
+           round(sum(col("lag_days").cast("bigint") * col("cnt")).cast("double") /
+                 sum(col("cnt")), 4).as("mean_lag"))
       .orderBy(col("o_orderpriority"))
   }
 

@@ -28,17 +28,21 @@ object Similarity {
 
   /** Sequential-fold dot product of two array<double> columns (HOF
     * form — kept for cold paths; hot paths use the native expression). */
+  /** Dot of two array<double> columns via the codegen'd
+    * [[graft.functions.DotCols]] kernel (r19: was an interpreted
+    * aggregate/zip_with HOF chain per row — the q86 scoring hot
+    * path). Identical fold order and null-on-length-mismatch
+    * semantics; bit-identical values. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.NativeExprs.dotCols(a, b)
 
-  /** L2 norm as a DIRECT single fold — NOT sqrt(dot(a, a)): the
-    * zip_with(a, a) form materializes an intermediate array per row
-    * and doubles the interpreted-lambda evals, which regressed
-    * q76/q86 ~1.6× when the r14 dedup sweep routed norm through dot
-    * (unitVectors pays it per vector, q86 twice). Same sequential
-    * fold order, bit-identical result. */
+  /** L2 norm via the codegen'd [[graft.functions.NormL2]] kernel
+    * (r19: was an interpreted HOF fold, paid per vector by every
+    * unitVectors caller — q76/q86/q98/q102). Same fold order,
+    * bit-identical result; kept as a DIRECT single loop, not
+    * dot(a, a) (the r14 regression lesson). */
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    graft.functions.NativeExprs.normL2(a)
 
   /** Fused one-pass codegen'd cosine (graft.functions.CosineSim).
     * Identical accumulation order to the fold form — oracle-exact. */

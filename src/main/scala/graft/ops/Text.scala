@@ -550,17 +550,14 @@ object Text {
     * alias it. */
   val BpeEow = " "
 
-  /** Greedy leftmost application of ONE merge rule (a, b) → a+b over a
-    * symbol array, as a codegen'd higher-order fold: "aaa" under (a,a)
-    * becomes [aa, a] — the original BPE paper's semantics for a single
-    * rule. No escaping pitfalls: the pair arrives as Column literals,
-    * never spliced into SQL text. */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 &&
-           element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-      .otherwise(concat(acc, array(x))))
+  /** Merge application semantics (the original BPE paper's, per rule):
+    * greedy leftmost, one rule at a time in rank order — "aaa" under
+    * (a,a) becomes [aa, a]. Implemented since r19 by the codegen'd
+    * [[graft.functions.ApplyBpeMerges]] kernel (one call per plan, the
+    * whole rank-ordered table via plan references); previously a
+    * foldLeft of per-merge interpreted aggregate HOFs with the same
+    * fold semantics, pinned bit-identical by TextStatsSpec's
+    * abab/aaaa/banana identity tests and the reference trainer. */
 
   /** q157: BPE MERGE TRAINING (Sennrich et al., ACL 2016) — learn the
     * top [[BpeMerges]] byte-pair merges from the corpus and report the
@@ -633,9 +630,14 @@ object Text {
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
     try for (rank <- 1 to nMerges if !done) {
-      val syms = learned.foldLeft(col("syms")) { case (c, (_, a, b, _)) =>
-        applyMerge(c, a, b)
-      }
+      // r19: the learned merges apply via ONE codegen'd kernel call
+      // (ApplyBpeMerges — identical greedy-leftmost fold semantics per
+      // merge, rank order) instead of a per-merge interpreted HOF
+      // chain whose inlined literals recompiled the round's generated
+      // class every iteration; the table rides plan references, so
+      // all rounds share one compiled stage.
+      val syms = graft.functions.NativeExprs.applyBpeMerges(
+        col("syms"), learned.toSeq.map { case (_, a, b, _) => (a, b) })
       // the pair explode reads the CURRENT symbols — alias the folded
       // expression to `s` for the SQL-string transform below
       val topNow = vocab.select(col("wc"), syms.as("s"))
@@ -714,7 +716,7 @@ object Text {
     * concatenation `␟a␟␟b␟␟a␟␟b␟` and the merge pattern is
     * `␟l␟␟r␟ → ␟lr␟`. Adjacent occurrences of the winning pair then
     * share NO characters, so leftmost non-overlapping `replace` is
-    * exactly [[applyMerge]]'s greedy-leftmost fold — `abab` under
+    * exactly the [[graft.functions.ApplyBpeMerges]] greedy-leftmost fold — `abab` under
     * (a,b) becomes `␟ab␟␟ab␟` ≡ the fold's [ab, ab]. (The round-16
     * single-separator encoding `␟a␟b␟a␟b␟` was NOT: the first match
     * consumed the separator the second needed, so `replace` skipped
@@ -790,7 +792,7 @@ object Text {
     * count — so the per-word merge fold (expression depth = nMerges,
     * bounded) runs once per DISTINCT word, not once per occurrence;
     * totals re-weight by word count. Encode uses the same
-    * [[applyMerge]] fold the trainer's iterations used, so train and
+    * [[graft.functions.ApplyBpeMerges]] kernel the trainer's iterations used, so train and
     * encode agree on merge semantics BY CONSTRUCTION. Rows-only (the
     * trained table comes from q157's iterative argmax);
     * TextStatsSpec pins the stats against a driver-side reference
@@ -813,7 +815,9 @@ object Text {
       .collect()
       .map(r => (r.getString(1), r.getString(2))) // (left, right), rank order
     val chars = wordChars
-    val encoded = merges.foldLeft(chars) { case (c, (a, b)) => applyMerge(c, a, b) }
+    // r19: one kernel call over the full rank-ordered table (see
+    // bpeTrainFromVocab) instead of nMerges chained interpreted HOFs
+    val encoded = graft.functions.NativeExprs.applyBpeMerges(chars, merges.toSeq)
     srcVocab
       .select(col("source"), col("wc"),
         size(encoded).cast("long").as("n_syms"),
@@ -946,6 +950,14 @@ object Text {
   val BoilerplateN = 8
   val BoilerplateMinDf = 3L
 
+  /** Sizing of the survivor-fp Bloom filter that gates span-string
+    * recovery in [[boilerplateSpans]]: 2²² expected items at 1% fpp ≈
+    * 5 MB — broadcast-trivial, and generous against any survivor set a
+    * templated corpus slice this size produces. A larger corpus can
+    * only saturate it (higher fpp ⇒ more strings built then dropped by
+    * the exact join), never corrupt it. */
+  val BoilerplateBloomItems: Long = 1L << 22
+
   /** CROSS-DOCUMENT BOILERPLATE detection — n-token spans repeated
     * verbatim across many documents (headers, footers, license
     * blurbs, templated navigation): the repeated-substring filter
@@ -984,11 +996,33 @@ object Text {
         explode(array_distinct(graft.functions.NativeExprs.shingleHashes(toksCol, n))).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDf)
+    // r19 (guide §8 / §3.2): the old recovery pass materialized the
+    // SPAN STRING for every position in the corpus (concat_ws over an
+    // n-token slice, per token position) only for the join to throw
+    // ~all of them away — measured 2.3–3.0 s of q96's ~3 s at sf0.1,
+    // ~90% of the second pass. Now the string is built only for
+    // positions whose fp passes a Bloom filter over the survivor set:
+    // positions leave the scan as (pos, fp) next to the token array,
+    // the filter prunes map-side IN the scan stage, and the slim
+    // (span, fp) survivor rows feed the same unhinted join. Nothing
+    // about the exchange story changes: the token array never reaches
+    // the join (dropped in the same stage), the join input still
+    // carries ~survivor-sized span strings, and AQE still picks the
+    // join side. The filter is sized for [[BoilerplateBloomItems]]
+    // fps at 1% fpp (a few MB); a corpus whose survivor set dwarfs
+    // that (billions of templated spans) saturates it and the cost
+    // degrades GRACEFULLY to exactly the old build-everything pass —
+    // false positives only ever build a string the join then drops,
+    // so the result is identical at every scale.
+    // (one eager pass over the fpCounts plan; the join below re-derives
+    // it lazily — same one-derivation cost the old single reference
+    // paid, plus this digest-sized build)
+    val bf = fpCounts.stat.bloomFilter("fp", BoilerplateBloomItems, 0.01)
     docs
-      .select(explode(array_distinct(arrays_zip(
-          graft.functions.NativeExprs.shingleHashes(toksCol, n).as("fp"),
-          Dedup.shinglesOfTokens(toksCol, n).as("span")))).as("z"))
-      .select(col("z.fp").as("fp"), col("z.span").as("span"))
+      .select(toksCol.as("t"),
+        posexplode(graft.functions.NativeExprs.shingleHashes(toksCol, n)).as(Seq("pos", "fp")))
+      .filter(graft.functions.NativeExprs.bloomContainsLong(col("fp"), bf))
+      .select(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(n))).as("span"), col("fp"))
       .join(fpCounts, Seq("fp"))
       .select(col("span"), col("n_docs"))
       .distinct()

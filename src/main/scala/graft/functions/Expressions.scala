@@ -59,6 +59,8 @@ object NativeExprs {
   def normL2(a: Column): Column = toCol(NormL2(toExpr(a)))
   def applyBpeMerges(syms: Column, merges: Seq[(String, String)]): Column =
     toCol(ApplyBpeMerges(toExpr(syms), merges))
+  def intersectCountLong(a: Column, b: Column): Column =
+    toCol(IntersectCountLong(toExpr(a), toExpr(b)))
   def minSqDist(e: Column, centroids: Array[Array[Double]]): Column =
     toCol(MinSqDist(toExpr(e), centroids))
   def sigMatches(a: Column, b: Column): Column =
@@ -631,6 +633,39 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+}
+
+/** |a ∩ b| of two array<long> fingerprint-set columns — codegen'd
+  * kernel call ([[SketchKernels.intersectCountLong]]) replacing
+  * size(array_intersect(a, b)) in the containment scorer, which paid
+  * a generic boxed hash set plus a materialized intersection array
+  * per candidate pair. CONTRACT: both inputs are distinct-element
+  * sets (the scorer array_distincts both sides), where the count
+  * equals array_intersect's size exactly; a duplicated element on the
+  * probe side would count once per occurrence. Null on null input
+  * (like the HOF form); returns int, matching size(). */
+case class IntersectCountLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_count_long expects two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_count_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SketchKernels.intersectCountLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchKernels.intersectCountLong($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCountLong =
+    copy(left = l, right = r)
 }
 
 /** Rank-ordered BPE merge-table application over a symbol array

@@ -308,6 +308,46 @@ object SketchKernels {
     best
   }
 
+  /** |a ∩ b| for two array<long> fingerprint sets in one pass — open
+    * addressing over primitive longs (no boxing, no materialized
+    * intersection array; `array_intersect` + `size` pays a generic
+    * boxed hash set AND an output ArrayData per row). Inputs are
+    * distinct-element fingerprint sets (the containment scorer's ts
+    * columns), for which the count equals array_intersect's size
+    * exactly. The table is sized 2× the smaller side (next power of
+    * two) and probes the larger, so the per-row cost is
+    * O(|a| + |b|). */
+  def intersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    if (ns == 0) return 0
+    var cap = 2
+    while (cap < ns * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < ns) {
+      val v = small.getLong(i)
+      var idx = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (!used(idx)) { used(idx) = true; table(idx) = v }
+      i += 1
+    }
+    var cnt = 0
+    val nl = large.numElements()
+    var j = 0
+    while (j < nl) {
+      val v = large.getLong(j)
+      var idx = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+      while (used(idx) && table(idx) != v) idx = (idx + 1) & mask
+      if (used(idx)) cnt += 1
+      j += 1
+    }
+    cnt
+  }
+
   /** Greedy-leftmost application of a rank-ordered BPE merge table to
     * a symbol array — the kernel behind [[graft.functions.ApplyBpeMerges]].
     * Each merge (a, b) → ab replays EXACTLY the old per-merge

@@ -95,6 +95,9 @@ object Classifier {
     * persist it (q105 does). */
   def logregFit(feats: DataFrame, iters: Int = Iters,
                 lr: Double = LearningRate): LogregModel = {
+    // per-iteration digest jobs run on the AQE-off clone (IterFit
+    // scaladoc); the caller's persisted cache resolves there too
+    val featsFit = IterFit.rebindNoAqe(feats)
     var w = new Array[Double](Dim)
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     val eps = 1e-12
@@ -114,7 +117,7 @@ object Classifier {
         -col("y") * log(col("p") + eps)
           - (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + eps)).as("l0")
       val aggCols = gradCols ++ Seq(lossCol, count(lit(1)).as("n"))
-      val rows = feats
+      val rows = featsFit
         .select(col("y"), p.as("p"), col("x"))
         .agg(aggCols.head, aggCols.tail: _*)
         .collect()

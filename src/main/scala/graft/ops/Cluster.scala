@@ -93,7 +93,12 @@ object Cluster {
     * squared distance to the centroids USED for iteration t's
     * assignment — non-increasing in t by Lloyd's argument, which
     * ClusterSpec pins. */
-  def kmeansDistributed(vecs: DataFrame, k: Int = K, iters: Int = Iters): KmeansModel = {
+  def kmeansDistributed(vecsIn: DataFrame, k: Int = K, iters: Int = Iters): KmeansModel = {
+    // every job this fit runs (guard, seeding passes, Lloyd
+    // iterations) is a digest reduction — they run on the AQE-off
+    // clone (IterFit scaladoc); the model returns as plain arrays, so
+    // nothing the caller sees is session-rebound
+    val vecs = IterFit.rebindNoAqe(vecsIn)
     // the malformed-embedding guard belongs HERE, not per caller
     // (round-13 review; round 12 had guarded only q171's scoring
     // frame): a wrong-dimension array makes nearestCentroid return

@@ -290,13 +290,28 @@ object Dedup {
     * drops to 8 bytes/token; DedupSpec pins score equality with the
     * string form on the planted fixtures. */
   def containmentScoresHashed(docs: DataFrame, cands: DataFrame): DataFrame = {
+    // r19: token fingerprints come from the one-pass codegen'd
+    // ShingleHashes kernel at window width 1 instead of an interpreted
+    // per-token transform(xxhash64) lambda (evaluated once PER JOIN
+    // SIDE — the query's hottest expression). The kernel's n=1 hash is
+    // a different injective token fingerprint than bare xxhash64, but
+    // the scores divide |fp(A) ∩ fp(B)| and set sizes, which are
+    // invariant under ANY injective per-token hash (the collision
+    // argument in the scaladoc above is unchanged: ~n²/2⁶⁴); DedupSpec
+    // pins score equality with the string form.
     val withSets = docs.select(col("doc_id"),
-      array_distinct(transform(tokenSet(col("text")), t => xxhash64(t))).as("ts"))
+      array_distinct(graft.functions.NativeExprs.shingleHashes(
+        tokenSet(col("text")), 1)).as("ts"))
     cands
       .join(withSets.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
       .join(withSets.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      // r19: |A ∩ B| via the primitive-long kernel — same count as
+      // size(array_intersect(...)) on these distinct-element sets,
+      // without the boxed hash set + materialized intersection array
+      // the generic path allocates per candidate pair
       .withColumn("inter",
-        size(array_intersect(col("ts_a"), col("ts_b"))).cast("double"))
+        graft.functions.NativeExprs.intersectCountLong(
+          col("ts_a"), col("ts_b")).cast("double"))
       .select(col("id_a"), col("id_b"),
         round(col("inter") / size(col("ts_a")), 4).as("cont_a_in_b"),
         round(col("inter") / size(col("ts_b")), 4).as("cont_b_in_a"))

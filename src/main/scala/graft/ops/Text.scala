@@ -616,7 +616,7 @@ object Text {
     val s = vocabCounts.sparkSession
     val chars = wordChars
     val symsCol = if (endOfWord) concat(chars, array(lit(BpeEow))) else chars
-    val vocab = vocabCounts
+    val vocab = IterFit.rebindNoAqe(vocabCounts
       // guard the incremental-refresh entry point against correction
       // residue: an over-retracted ledger legitimately holds wc ≤ 0
       // rows (LedgerStreamSpec's randomized trial produces them), and
@@ -625,7 +625,7 @@ object Text {
       // all-NULL/empty symbol row. Matches the corpus-scan path's
       // length(w) > 0 filter.
       .filter(col("wc") > 0 && length(col("w")) > 0)
-      .select(col("wc").cast("long").as("wc"), symsCol.as("syms"))
+      .select(col("wc").cast("long").as("wc"), symsCol.as("syms")))
       .persist()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false

@@ -20,6 +20,22 @@ object ColumnBridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** Rebinds a DataFrame's logical plan to another session of the SAME
+    * SparkContext (Dataset.ofRows is private[sql]). Used by the
+    * iterate-via-aggregation fits (r19): the per-iteration digest jobs
+    * run under a newSession() clone with AQE disabled — a trivial
+    * 1-row aggregation pays AQE per-stage re-planning latency every
+    * iteration for nothing — without touching the caller's session
+    * conf, which concurrent suites share. The clone shares the
+    * SharedState CacheManager, so persisted frames resolve in either
+    * session. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+  }
+
   /** Uncache by LOGICAL PLAN (CacheManager is private[sql]): lets a
     * bounded-cache slot retain only (session, analyzed plan) instead
     * of the whole Dataset — retaining the Dataset measurably slows

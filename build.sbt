@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked runner's LAST stdout line as the bench
+// totals JSON; sbt's default logger decorates forked stdout with an
+// "[info] " prefix, which has defeated that parser since round 16
+// (every PERF artifact read `parsed: null`). StdoutOutput passes the
+// forked process's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -303,22 +303,33 @@ object Bench {
     }
 
     /** Atomic rewrite: tmp file + move, so a kill mid-write can never
-      * leave a truncated (unparseable) artifact on disk. */
-    def writeArtifact(complete: Boolean): Unit =
-      try {
-        val out = java.nio.file.Paths.get(outFile)
-        val tmp = java.nio.file.Paths.get(outFile + ".tmp")
-        java.nio.file.Files.writeString(tmp, buildJson(complete) + "\n")
-        try java.nio.file.Files.move(tmp, out,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-          java.nio.file.Files.move(tmp, out,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      * leave a truncated (unparseable) artifact on disk. Besides the
+      * contract path, a core-count-suffixed copy is kept so the
+      * driver's scaling run (same default SPARK_GRAFT_BENCH_OUT, lower
+      * SPARK_GRAFT_CPUS) cannot clobber the main run's per-query map —
+      * round 19 lost its 32-CPU map exactly that way. */
+    def writeArtifact(complete: Boolean): Unit = {
+      val json = buildJson(complete) + "\n"
+      val (base, ext) = outFile.lastIndexOf('.') match {
+        case i if i > 0 => (outFile.substring(0, i), outFile.substring(i))
+        case _          => (outFile, "")
       }
+      for (path <- Seq(outFile, s"${base}_c$cpus$ext"))
+        try {
+          val out = java.nio.file.Paths.get(path)
+          val tmp = java.nio.file.Paths.get(path + ".tmp")
+          java.nio.file.Files.writeString(tmp, json)
+          try java.nio.file.Files.move(tmp, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp, out,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+        }
+    }
 
     // This box has noisy neighbors: a roaming multi-minute burst can
     // inflate a CONTIGUOUS window of queries 20-50× (observed q20

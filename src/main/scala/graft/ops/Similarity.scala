@@ -704,17 +704,26 @@ object Similarity {
   def q174TruncationRecall(s: SparkSession, d: String): DataFrame =
     truncationRecall(emb(s, d).select(col("vec_id"), col("e")))
 
-  def truncationRecall(vecs: DataFrame, nQueries: Int = 8,
-                       dims: Seq[Int] = Seq(8, 16, 32, 64),
-                       k: Int = 10): DataFrame = {
+  /** q174's ranking core, LAZY: the top-k ids per (level, query) under
+    * every truncation level's cosine ranking, where level -1 is the
+    * full-dimension exact baseline. Split out so the plan audit can
+    * dump the single-window shape without running the collect.
+    *
+    * r20 (guide §2.4 — share one exchange): the old form ran
+    * len(dims)+1 SEPARATE row_number windows over the cached per-pair
+    * score frame — one full exchange + sort + window job per level.
+    * Now the scored frame unpivots to (level, qid, vec_id, sim) rows
+    * map-side (posexplode of a levels array — rows ×(len(dims)+1) but
+    * only 4 narrow columns, guide §2.3) and ONE window partitioned by
+    * (level, qid) ranks every level in a single exchange + sort. The
+    * per-(level, query) ordering — sim desc, vec_id asc over the
+    * identical sim values — is unchanged, so the selected top-k sets
+    * are identical row-for-row. */
+  private[graft] def truncationTopK(vecs: DataFrame, nQueries: Int,
+                                    dims: Seq[Int], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = vecs.sparkSession
     val queries = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    // cached: the full-dim exact ranking and every truncation ranking
-    // consume THIS frame — uncached, each window would re-run the
-    // corpus scan + levels × cosine cross-join (the q126 pattern,
-    // including the bounded collect-and-release below)
     // the exact baseline ranks the UNTRUNCATED vectors — dims.max
     // standing in for "full" would silently grade every level against
     // a truncated ranking whenever the caller's dims list excludes the
@@ -730,47 +739,65 @@ object Similarity {
     val scored = vecs.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
       .withColumn("sim_full", cosine(col("e"), col("qe")))
-      .select(Seq(col("qid"), col("vec_id"), col("sim_full")) ++ dims.map { dd =>
-        if (dd >= trueDim) col("sim_full").as(s"sim_$dd")
-        else cosine(slice(col("e"), 1, dd), slice(col("qe"), 1, dd)).as(s"sim_$dd")
-      }: _*)
-      .cache()
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("sim_full").desc, col("vec_id").asc)
-    val exact = scored.withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= k).select(col("qid"), col("vec_id"))
-    val perDim = dims.map { dd =>
-      val wd = Window.partitionBy(col("qid"))
-        .orderBy(col(s"sim_$dd").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(wd))
-        .filter(col("rk") <= k)
-        .select(lit(dd).as("dims"), col("qid"), col("vec_id"))
-    }.reduce(_ unionByName _)
-    val nExact = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
-    // the full (qid × dims) grid, so a zero-match (query, level) cell
-    // counts as recall 0 instead of silently dropping out of the mean
-    // (q126's r9-ADVICE denominator discipline)
-    val grid = queries.select(col("qid"), explode(typedLit(dims)).as("dims"))
-    val matches = perDim.join(exact, Seq("qid", "vec_id"))
-      .groupBy(col("dims"), col("qid")).agg(count(lit(1)).as("n_match"))
-    val out = grid.join(matches, Seq("dims", "qid"), "left").na.fill(0L, Seq("n_match"))
-      .join(nExact, Seq("qid"), "left").na.fill(0L, Seq("n_exact"))
-      .select(col("dims"),
-        when(col("n_exact") === 0, lit(1.0))
-          .otherwise(col("n_match").cast("double") / col("n_exact")).as("recall"))
-      .groupBy(col("dims"))
-      .agg(count(lit(1)).as("n_queries"),
-           round(avg(col("recall")), 4).as("mean_recall"),
-           round(min(col("recall")), 4).as("min_recall"))
-      .orderBy(col("dims"))
-    // bounded digest (one row per level): materialize and release the
-    // cached per-pair score frame before returning — unpersist in a
-    // finally so a failed/cancelled collect cannot pin the cache for
-    // the rest of the session (the bpeTrain discipline)
+    // level -1 = the full-dim exact baseline (dims are positive by
+    // contract: a 0-dim slice has no cosine)
+    val levels = struct(lit(-1).as("lvl"), col("sim_full").as("sim")) +:
+      dims.map { dd =>
+        val sim = if (dd >= trueDim) col("sim_full")
+                  else cosine(slice(col("e"), 1, dd), slice(col("qe"), 1, dd))
+        struct(lit(dd).as("lvl"), sim.as("sim"))
+      }
+    val long = scored
+      .select(col("qid"), col("vec_id"), explode(array(levels: _*)).as("lv"))
+      .select(col("qid"), col("vec_id"),
+        col("lv.lvl").as("lvl"), col("lv.sim").as("sim"))
+    val w = Window.partitionBy(col("lvl"), col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    long.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("lvl"), col("qid"), col("vec_id"))
+  }
+
+  def truncationRecall(vecs: DataFrame, nQueries: Int = 8,
+                       dims: Seq[Int] = Seq(8, 16, 32, 64),
+                       k: Int = 10): DataFrame = {
+    val s = vecs.sparkSession
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    // the corpus scan + levels × cosine cross-join runs ONCE, into a
+    // checkpointed (level, qid, vec_id) top-k digest of ≤
+    // (len(dims)+1) × nQueries × k rows; every grading join below
+    // reads that digest, not the per-pair frame (the old form cached
+    // the full per-pair score frame and window-scanned it per level)
+    val topk = truncationTopK(vecs, nQueries, dims, k).localCheckpoint()
     try {
+      val exact = topk.filter(col("lvl") === -1).select(col("qid"), col("vec_id"))
+      val perDim = topk.filter(col("lvl") =!= -1)
+        .select(col("lvl").as("dims"), col("qid"), col("vec_id"))
+      val nExact = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      // the full (qid × dims) grid, so a zero-match (query, level) cell
+      // counts as recall 0 instead of silently dropping out of the mean
+      // (q126's r9-ADVICE denominator discipline)
+      val grid = queries.select(col("qid"), explode(typedLit(dims)).as("dims"))
+      val matches = perDim.join(exact, Seq("qid", "vec_id"))
+        .groupBy(col("dims"), col("qid")).agg(count(lit(1)).as("n_match"))
+      val out = grid.join(matches, Seq("dims", "qid"), "left").na.fill(0L, Seq("n_match"))
+        .join(nExact, Seq("qid"), "left").na.fill(0L, Seq("n_exact"))
+        .select(col("dims"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(col("n_match").cast("double") / col("n_exact")).as("recall"))
+        .groupBy(col("dims"))
+        .agg(count(lit(1)).as("n_queries"),
+             round(avg(col("recall")), 4).as("mean_recall"),
+             round(min(col("recall")), 4).as("min_recall"))
+        .orderBy(col("dims"))
+      // bounded digest (one row per level): materialize and release the
+      // checkpointed top-k digest before returning — release in a
+      // finally so a failed/cancelled collect cannot pin the blocks for
+      // the rest of the session (the bpeTrain discipline)
       val rows = out.collect().toSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
-    } finally scored.unpersist()
+    } finally
+      org.apache.spark.sql.graftbridge.PlanBridge.releaseLocalCheckpoint(topk)
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -703,6 +703,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q174 truncation ranking: ONE window, ONE shuffle exchange for every level") {
+    // r20: the old form ran len(dims)+1 separate row_number windows
+    // (one full exchange + sort + window pass per truncation level)
+    // over the cached per-pair score frame; the long-form rewrite
+    // ranks every level in a single (lvl, qid)-partitioned window.
+    // The public entry hides the plan behind a bounded collect, so
+    // pin the INTERNAL lazy ranking core.
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddingVectors(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("e"))
+    val sp = sparkPlan(graft.ops.Similarity.truncationTopK(
+      vecs, nQueries = 8, dims = Seq(8, 16, 32, 64), k = 10))
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 1,
+      s"all truncation levels must rank through ONE window, found ${windows.length}")
+    val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length == 1,
+      s"the ranking core needs exactly one exchange (by lvl, qid), found ${shuffles.length}")
+  }
+
   test("q171 sampled silhouette: the scoring plan is join-free (samples ride the plan)") {
     // the public entry materializes the digest (collect-and-release),
     // so pin the INTERNAL lazy scoring plan the builder exposes

@@ -62,9 +62,31 @@ object R20Plans {
         .orderBy(col("dims"))
     }
 
+    /** q187's fused transition build (checkpoint elided): ONE job that
+      * aggregates the flow digest, derives both node-domain
+      * normalizers from it (exchange-reused), and attaches them
+      * map-side. Replaces the old flow-ckpt + union + groupBy(src) +
+      * trans-ckpt pair of edge-domain materializations. */
+    def q187FlowT(): DataFrame = {
+      import graft.Tables._
+      val li = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      val flow = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+      val cSum = flow.groupBy(col("o_custkey")).agg(sum(col("w")).as("wc"))
+      val sSum = flow.groupBy(col("l_suppkey")).agg(sum(col("w")).as("ws"))
+      flow.join(broadcast(cSum), Seq("o_custkey"))
+        .join(broadcast(sSum), Seq("l_suppkey"))
+        .select(col("o_custkey"), col("l_suppkey"),
+          (col("w").cast("double") / col("wc")).as("p_from_cust"),
+          (col("w").cast("double") / col("ws")).as("p_from_supp"))
+    }
+
     val frames: Map[String, () => DataFrame] = Map(
       "q174_ranking" -> (() => q174Ranking()),
       "q174_grading" -> (() => q174Grading()),
+      "q187_flow_trans" -> (() => q187FlowT()),
     )
 
     val out = new StringBuilder

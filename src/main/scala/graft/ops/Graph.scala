@@ -64,34 +64,32 @@ object Graph {
     * the shuffle path unchanged. */
   val BroadcastNodeLimit: Long = 1L << 21
 
-  def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  /** Shared power-iteration driver: checkpoints the node set, measures
+    * n, decides the node-side join strategy from it (r19, guide §3.1:
+    * every per-round join pairs the EDGE-domain transition table
+    * against a NODE-domain frame — rank, contrib, out-weights — whose
+    * checkpoint/shuffle-derived size Catalyst cannot estimate, so it
+    * statically plans SortMergeJoin; n is already measured for the
+    * teleport term, making the broadcast decision data-adaptive, not
+    * config), then hands the strategy to `mkTrans` so the CALLER can
+    * build its normalized (src, dst, p) transition frame with the same
+    * gating, and runs the unrolled rounds. `mkTrans` must return a
+    * frame whose materialization cost is paid once (checkpoint-backed);
+    * the loop consumes it once per round. */
+  private def pageRankWith(nodes: DataFrame)
+                          (mkTrans: (DataFrame => DataFrame) => DataFrame): DataFrame = {
     // loop-invariant frames are EAGERLY checkpointed (the q69 CC-loop
     // discipline): without this the final plan re-derives the whole
     // edge build once per iteration per reference — q187 at sf0.1
     // measured 5.3 s warm without the checkpoints, 3.5 s with them
-    // (plus the flow checkpoint in the caller)
     val nodesC = ckpt(nodes)
     val n = nodesC.count()
-    // JOIN STRATEGY, decided from the measured node count (r19, guide
-    // §3.1): every per-round join pairs the EDGE-domain transition
-    // table against a NODE-domain frame (rank, contrib, out-weights).
-    // The node-domain side is checkpoint/shuffle-derived, so Catalyst
-    // has no usable size estimate and statically plans SortMergeJoin —
-    // 10 SMJs and 14 Sorts for a vector that is KB-to-MB sized here.
-    // n is already measured for the teleport term, so the decision is
-    // data-adaptive, not config: below the limit, broadcast the
-    // node-domain side (edges never move; the only exchange per round
-    // is the partial-aggregated inflow shuffle); above it, the
-    // original shuffle plan is unchanged.
     val bcastNodes = nodes.sparkSession.conf
       .getOption("spark.graft.pagerank.broadcastNodes")
       .map(_.toLong).getOrElse(BroadcastNodeLimit)
     def nodeSide(df: DataFrame): DataFrame =
       if (n <= bcastNodes) broadcast(df) else df
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // edge transition probabilities, computed once
-    val trans = ckpt(edges.join(nodeSide(outW), Seq("src"))
-      .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p")))
+    val trans = mkTrans(nodeSide)
     var rank = nodesC.select(col("id"), lit(1.0 / n).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = trans.join(nodeSide(rank.withColumnRenamed("id", "src")), Seq("src"))
@@ -104,6 +102,17 @@ object Graph {
     rank
   }
 
+  def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame =
+    pageRankWith(nodes) { nodeSide =>
+      val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      // edge transition probabilities, computed once (below the
+      // broadcast gate the only exchange per round is the
+      // partial-aggregated inflow shuffle; above it, the original
+      // shuffle plan is unchanged)
+      ckpt(edges.join(nodeSide(outW), Seq("src"))
+        .select(col("src"), col("dst"), (col("w").cast("double") / col("wout")).as("p")))
+    }
+
   /** q187: SUPPLIER AUTHORITY via PageRank on the order-flow
     * bipartite — customers and suppliers as nodes, lineitem counts as
     * edge weights, both directions walked. Emits every supplier's
@@ -111,19 +120,43 @@ object Graph {
   def q187PageRank(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    // one lineitem⋈orders pass total: both edge directions (and the
-    // out-weight + transition builds downstream) read this checkpoint
-    val flow = ckpt(li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"), col("l_suppkey"))
-      .agg(count(lit(1)).as("w")))
-    // disjoint node id spaces: customers negated (keys are ≥ 0)
-    val cEdges = flow.select((-col("o_custkey") - 1).as("src"),
-      col("l_suppkey").as("dst"), col("w"))
-    val sEdges = flow.select(col("l_suppkey").as("src"),
-      (-col("o_custkey") - 1).as("dst"), col("w"))
     val nodes = customer(s, d).select((-col("c_custkey") - 1).as("id"))
       .unionByName(supplier(s, d).select(col("s_suppkey").as("id")))
-    pageRank(nodes, cEdges.unionByName(sEdges))
+    pageRankWith(nodes) { nodeSide =>
+      // r20 (guide §2.4): the old form materialized the (cust, supp, w)
+      // flow digest AND a second directed (src, dst, p) transition
+      // checkpoint at 2×|flow| rows, paying a groupBy(src) pass over
+      // the doubled edge list to normalize. The bipartite structure
+      // gives both normalizers directly on the UNDIRECTED digest —
+      // wout of a customer node is its flow-row sum over suppliers and
+      // vice versa, both node-domain digests that ride the same
+      // broadcast gate as the rank vector — so ONE |flow|-row
+      // checkpoint now carries (w, p_from_cust, p_from_supp) and the
+      // two directed transition sets are map-side projections of it.
+      // One edge-domain materialization instead of two; the loop's
+      // pinned storage floor halves; integer (long) normalizer sums
+      // are associative, so p values are bit-identical to the old
+      // union-then-groupBy(src) form. The flow aggregation's exchange
+      // is shared by all three consumers (the two digest aggs and the
+      // normalizer join) via exchange reuse — one lineitem⋈orders
+      // pass total, as before.
+      val flow = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+      val cSum = flow.groupBy(col("o_custkey")).agg(sum(col("w")).as("wc"))
+      val sSum = flow.groupBy(col("l_suppkey")).agg(sum(col("w")).as("ws"))
+      val flowT = ckpt(flow
+        .join(nodeSide(cSum), Seq("o_custkey"))
+        .join(nodeSide(sSum), Seq("l_suppkey"))
+        .select(col("o_custkey"), col("l_suppkey"),
+          (col("w").cast("double") / col("wc")).as("p_from_cust"),
+          (col("w").cast("double") / col("ws")).as("p_from_supp")))
+      // disjoint node id spaces: customers negated (keys are ≥ 0)
+      flowT.select((-col("o_custkey") - 1).as("src"),
+          col("l_suppkey").as("dst"), col("p_from_cust").as("p"))
+        .unionByName(flowT.select(col("l_suppkey").as("src"),
+          (-col("o_custkey") - 1).as("dst"), col("p_from_supp").as("p")))
+    }
       .filter(col("id") >= 0)
       .select(col("id").as("s_suppkey"),
         round(col("r") * 1e6, 4).as("rank_ppm"))

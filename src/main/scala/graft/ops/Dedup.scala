@@ -193,11 +193,26 @@ object Dedup {
       .select(col("band_idx"), col("bucket"))
     val inSmall = ex.join(broadcast(big), Seq("band_idx", "bucket"), "left_anti")
       .select(col("band_idx"), col("bucket"), col("doc_id"))
-    inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
-      .join(inSmall.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b")),
-            Seq("band_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // r20 (guide §2.4): the intra-bucket pairs came from a bucket-key
+    // SELF-JOIN, whose two sides each re-derived (and, at scale,
+    // re-shuffled) the exploded (band, bucket, doc_id) frame. ONE
+    // aggregation now gathers each surviving bucket's member list —
+    // bounded state by construction: the cap above already dropped
+    // every bucket over MaxBucket rows map-side, so no group buffers
+    // more than MaxBucket ids (the skew bomb this cap exists for
+    // cannot reach the aggregate) — and the i<j pairs are generated
+    // map-side from the sorted list. Same candidate set: a doc
+    // appears at most once per (band, bucket), array_sort + i<j emits
+    // exactly the id_a < id_b pairs the join produced, and the
+    // distinct collapses cross-band repeats as before. One exchange
+    // of the exploded frame instead of two.
+    inSmall
+      .groupBy(col("band_idx"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
+      .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
   }
 

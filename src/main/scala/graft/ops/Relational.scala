@@ -1446,12 +1446,22 @@ object Relational {
       .select(col("event_type"),
         (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
           .cast("double").as("gap_s"))
-    gaps.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-           round(percentile(col("gap_s"), lit(0.5)), 2).as("median_gap_s"),
-           round(percentile(col("gap_s"), lit(0.9)), 2).as("p90_gap_s"),
-           round(sum(when(col("gap_s") < 60, 1L).otherwise(0L)).cast("double")
-             / count(lit(1)), 6).as("burst_frac"))
+    // r20 (the q165 frequency-form discipline): the exact percentiles
+    // buffered every gap in ONE ObjectHashAggregate task per event
+    // type — fact-cardinality rows in ~5 unspillable groups at
+    // 100 TB. Gaps are whole seconds (unix_timestamp difference), a
+    // small-domain integer, so the profile aggregates the
+    // (event_type, gap_s, freq) digest instead: identical multiset ⇒
+    // identical interpolated percentiles; count and the burst
+    // fraction come back exactly as integer sums over the digest.
+    gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("freq")).as("n_gaps"),
+           round(expr("percentile(gap_s, 0.5D, freq)"), 2).as("median_gap_s"),
+           round(expr("percentile(gap_s, 0.9D, freq)"), 2).as("p90_gap_s"),
+           round(sum(when(col("gap_s") < 60, col("freq")).otherwise(0L)).cast("double")
+             / sum(col("freq")), 6).as("burst_frac"))
       .orderBy(col("event_type"))
   }
 
@@ -1682,9 +1692,18 @@ object Relational {
   def q148PowerUsers(s: SparkSession, d: String): DataFrame = {
     val perUser = events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-    val cut = perUser.agg(
-      expr("percentile(CAST(cnt AS DOUBLE), 0.99D)").as("p99"),
-      count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+    // r20 (the q165 frequency-form discipline): the p99 cut buffered
+    // every per-user count in ONE global ObjectHashAggregate task —
+    // user-cardinality rows in a single unspillable group at 100 TB.
+    // Counts are small-domain integers, so the cut aggregates the
+    // (cnt, freq) digest instead: identical multiset ⇒ identical
+    // interpolated percentile; n_users/n_events come back exactly as
+    // integer sums over the digest.
+    val byCnt = perUser.groupBy(col("cnt")).agg(count(lit(1)).as("freq"))
+    val cut = byCnt.agg(
+      expr("percentile(CAST(cnt AS DOUBLE), 0.99D, freq)").as("p99"),
+      sum(col("freq")).as("n_users"),
+      sum(col("cnt") * col("freq")).as("n_events"))
     perUser.crossJoin(broadcast(cut))
       .groupBy(col("p99"), col("n_users"), col("n_events"))
       .agg(sum(when(col("cnt") >= col("p99"), 1L).otherwise(0L)).as("n_power"),
@@ -1864,14 +1883,26 @@ object Relational {
         struct(lit("l_partkey").as("key_col"), col("l_partkey").as("k")),
         struct(lit("l_suppkey").as("key_col"), col("l_suppkey").as("k")))).as("kv"))
       .select(col("kv.key_col").as("key_col"), col("kv.k").as("k"))
+    // r20 (the q165 frequency-form discipline): the p99 multiplicity
+    // buffered every key's m in ONE ObjectHashAggregate task per
+    // key_col — key-cardinality rows in 3 unspillable groups at
+    // 100 TB. Multiplicities are small-domain integers, so the
+    // profile aggregates the (key_col, m, freq) digest instead:
+    // identical multiset ⇒ identical interpolated percentile, and
+    // every other statistic comes back exactly as integer sums over
+    // the digest (n_keys = Σfreq, Σm = Σ m·freq, mean as their exact
+    // ratio — same two long sums the old avg reduced to).
     ex.groupBy(col("key_col"), col("k")).agg(count(lit(1)).as("m"))
+      .groupBy(col("key_col"), col("m")).agg(count(lit(1)).as("freq"))
       .groupBy(col("key_col"))
-      .agg(count(lit(1)).as("n_keys"),
+      .agg(sum(col("freq")).as("n_keys"),
            max(col("m")).as("max_mult"),
-           round(expr("percentile(CAST(m AS DOUBLE), 0.99D)"), 4).as("p99_mult"),
-           round(avg(col("m")), 4).as("mean_mult"),
-           round(max(col("m")).cast("double") / sum(col("m")), 6).as("top_share"),
-           sum(when(col("m") > Skew.DefaultHotThreshold, 1L).otherwise(0L))
+           round(expr("percentile(CAST(m AS DOUBLE), 0.99D, freq)"), 4).as("p99_mult"),
+           round(sum(col("m") * col("freq")).cast("double") /
+                 sum(col("freq")), 4).as("mean_mult"),
+           round(max(col("m")).cast("double") /
+                 sum(col("m") * col("freq")), 6).as("top_share"),
+           sum(when(col("m") > Skew.DefaultHotThreshold, col("freq")).otherwise(0L))
              .as("hot_keys"))
       .orderBy(col("key_col"))
   }

@@ -85,7 +85,13 @@ object IncrementalDedup {
     val batchSigs = withMinhash(batch)
       .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
               explode(slice(col("bands"), 1, bandsUsed)).as("bucket"))
-    val index = spark.table(table)
+    // r20: Int.MaxValue is the UNCAPPED sentinel (q199's exact probe
+    // must not drop boilerplate clusters) — skip the count window
+    // entirely there instead of computing a per-bucket size every
+    // probe only to compare it against infinity. The capped path is
+    // unchanged.
+    val index0 = spark.table(table)
+    val index = if (maxBucket == Int.MaxValue) index0 else index0
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bsz") <= maxBucket)
@@ -129,14 +135,24 @@ object IncrementalDedup {
                 (if (rawBatchId == NoBatch) col("src_batch") === lit(batchId)
                  else col("src_batch") === lit(batchId) ||
                       col("src_batch") === lit(rawBatchId))))
-      .select(col("new_id"), col("new_sig"),
-              col("doc_id").as("match_id"), col("sig").as("match_sig"))
-      .dropDuplicates("new_id", "match_id")
-    cands
-      .select(col("new_id"), col("match_id"),
-        round(graft.functions.NativeExprs.sigMatches(col("new_sig"), col("match_sig"))
+      // r20 (guide §2.3 — shuffle fewer bytes): score and
+      // threshold-filter MAP-SIDE, before the pair-dedup exchange.
+      // est_jaccard is a deterministic function of the pair (both
+      // signatures are functions of the doc texts), so every
+      // cross-band repeat of a pair scores identically and
+      // distinct-after-filter returns exactly the rows the old
+      // dedup-then-score produced — but the exchange now carries
+      // (new_id, match_id, est) scalars for SURVIVING pairs only,
+      // instead of two SigLen-slot signature arrays per colliding
+      // band. The trade is one sigMatches kernel call per colliding
+      // band instead of per unique pair (≤ bandsUsed× more, and
+      // exactly 1× for q199's bandsUsed = 1) against orders of
+      // magnitude less shuffle at index scale.
+      .select(col("new_id"), col("doc_id").as("match_id"),
+        round(graft.functions.NativeExprs.sigMatches(col("new_sig"), col("sig"))
           .cast("double") / SigLen, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    cands.distinct()
   }
 
   /** Appends a batch's signatures to the index (after dedup decisions). */

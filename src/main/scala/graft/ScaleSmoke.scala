@@ -107,7 +107,7 @@ object ScaleSmoke {
     "q24_", "q28_", "q59_", "q142_", "q149_", "q161_", "q163_", "q172_",
     "q195_")
   private val FactQs = Seq("q147_", "q79_", "q01_", "q15_", "q37_",
-    "q115_", "q187_", "q197_")
+    "q115_", "q165_", "q187_", "q197_")
   private val EmbQs = Seq("q40_", "q48_", "q86_", "q97_", "q98_", "q156_",
     "q168_", "q171_", "q174_")
 

@@ -452,16 +452,33 @@ object Dedup {
       .select(col("band_idx"), col("key"))
     val inSmall = banded.join(broadcast(big), Seq("band_idx", "key"), "left_anti")
       .select(col("band_idx"), col("key"), col("doc_id"), col("sh"))
-    inSmall.select(col("band_idx"), col("key"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"))
-      .join(inSmall.select(col("band_idx"), col("key"), col("doc_id").as("id_b"),
-        col("sh").as("sh_b")), Seq("band_idx", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+    // r20 (the bandedPairs + probeBatch disciplines, guide §2.3/§2.4):
+    // the intra-bucket pairs came from a band-key SELF-JOIN (two
+    // derivations — at scale two shuffles — of the banded frame), and
+    // the hamming verdict ran only AFTER a distinct whose exchange
+    // carried every colliding candidate. Now ONE aggregation gathers
+    // each surviving bucket's (doc_id, sh) members — bounded state by
+    // construction, the over-cap anti-join above already dropped
+    // degenerate buckets map-side — pairs AND their hamming verdicts
+    // are generated map-side from the sorted list, and the distinct
+    // exchange carries only pairs that already passed the hamming
+    // filter. hamming is a deterministic function of the pair, so
+    // distinct-after-filter ≡ the old distinct-then-verify; a doc
+    // appears once per (band, key), so sorted i<j enumeration emits
+    // exactly the join's id_a < id_b candidate set (DedupSpec's
+    // brute-force characterization pins the equality).
+    inSmall
+      .groupBy(col("band_idx"), col("key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), b =>
+          struct(a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+                 a.getField("sh").as("sh_a"), b.getField("sh").as("sh_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        expr("bit_count(p.sh_a ^ p.sh_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
